@@ -1,0 +1,100 @@
+"""Deterministic frequency-dictionary encoding ("categorify").
+
+The reference uses 16× MLlib ``StringIndexer(handleInvalid="keep")`` in a
+Pipeline (``data_processing/batch_processing/batch_process_Silver_to_Gold.py:106-130``):
+value → dense index ordered by descending frequency, unseen values get an
+extra index. StringIndexer's tie order among equal-frequency values is
+unspecified, which makes results oracle-unfriendly; this native version pins
+the tie-break (count desc, value asc) so the mapping is a pure function of
+the data — DuckDB-checkable and identical between batch and streaming.
+
+Scale: the dictionary for a column is at most |distinct values| rows —
+small relative to the fact table (Ali-CCP's biggest vocab is item_id at
+1.8M, reference ``:161-162``) — so encode joins are broadcast-able. The fit
+is a groupBy (map-side partial aggregation) + a window over the *aggregated*
+(small) table, not over the raw data, so the single-partition window is
+bounded by vocab size, not data size. For vocabularies too large even for
+that (≫100M), switch tie-break to (count desc, value asc) via
+repartitionByRange + zipWithIndex-free two-phase ranking — documented
+tradeoff, not needed for the reference's vocabularies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fit_dictionary(df: DataFrame, column: str) -> DataFrame:
+    """Fit a frequency dictionary: ``(value, index)``, index 0-based,
+    ordered by (count desc, value asc) — deterministic StringIndexer.
+
+    The window runs over the aggregated vocab table (|vocab| rows), not the
+    input; partial aggregation happens map-side before the shuffle.
+    """
+    counts = df.groupBy(F.col(column).alias("value")).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+    return counts.select(
+        "value", (F.row_number().over(w) - F.lit(1)).alias("index")
+    )
+
+
+def fit_dictionaries(df: DataFrame, columns: list[str]) -> dict[str, DataFrame]:
+    """Fit dictionaries for many columns. Each is an independent small
+    aggregate; Spark schedules them as separate jobs sharing the scan via
+    parquet column pruning."""
+    return {c: fit_dictionary(df, c) for c in columns}
+
+
+def encode_with_dictionaries(
+    df: DataFrame,
+    dictionaries: dict[str, DataFrame],
+    unseen: str = "keep",
+) -> DataFrame:
+    """Replace each column with its dictionary index via broadcast joins.
+
+    ``unseen="keep"`` mirrors ``StringIndexer(handleInvalid="keep")``:
+    values absent from the dictionary get index = |vocab| (one extra
+    bucket). ``unseen="null"`` leaves them NULL.
+
+    Each dictionary is broadcast — no shuffle of the fact table, the joins
+    pipeline inside one stage.
+    """
+    out = df
+    for col, d in dictionaries.items():
+        vocab_size = d.count()  # small table; cheap action
+        dict_renamed = F.broadcast(
+            d.select(
+                F.col("value").alias(f"__{col}_value"),
+                F.col("index").alias(f"__{col}_index"),
+            )
+        )
+        out = out.join(
+            dict_renamed, out[col] == dict_renamed[f"__{col}_value"], "left"
+        )
+        idx = F.col(f"__{col}_index")
+        if unseen == "keep":
+            idx = F.coalesce(idx, F.lit(vocab_size))
+        out = (
+            out.drop(col, f"__{col}_value")
+            .withColumn(col, idx.cast("int"))
+            .drop(f"__{col}_index")
+        )
+    return out
+
+
+def decode_with_dictionary(
+    df: DataFrame, column: str, dictionary: DataFrame
+) -> DataFrame:
+    """Inverse mapping index→value (dictionary decode)."""
+    d = F.broadcast(
+        dictionary.select(
+            F.col("index").alias(f"__{column}_index"),
+            F.col("value").alias(f"__{column}_value"),
+        )
+    )
+    out = df.join(d, df[column] == d[f"__{column}_index"], "left")
+    return (
+        out.drop(column, f"__{column}_index")
+        .withColumnRenamed(f"__{column}_value", column)
+    )

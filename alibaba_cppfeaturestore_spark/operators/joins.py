@@ -1,0 +1,115 @@
+"""Join operators: point-in-time (as-of) join, online lookup, semi/anti.
+
+The reference's as-of semantics come from Feast ``get_historical_features``
+(``feast-feature-store/feature_retrieval/get_fv.py:32-47``): for each
+(entity, event_timestamp) row pick the latest feature row with
+``feature_ts <= event_timestamp`` and ``feature_ts >= event_timestamp - ttl``
+(TTL 365 d, ``feast-feature-store/feature-repo/user_features.py:11``).
+Spark 3.x/4.x has no ASOF JOIN, so we compose: key-equi join + range
+predicate + row_number pick. The online lookup
+(``get_fv.py:25-28`` — Redis GET per entity key) becomes a broadcast join of
+the request keys against the materialized latest-per-key table.
+
+Scale notes:
+- The equi-join shuffles both sides on the entity key only; the range
+  predicate is applied post-join, and the window partitions by
+  (entity, event_ts) — state per partition is bounded by rows-per-key
+  within the TTL, not table size.
+- For feature tables small enough, pass ``broadcast_features=True`` to skip
+  the shuffle entirely.
+- Skewed entity keys are handled by AQE skew-join splitting (enabled in the
+  session factory). For pathological skew, pre-aggregate the feature side
+  to latest-per-(key, bucket) first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    entity_df: DataFrame,
+    feature_df: DataFrame,
+    keys: list[str],
+    event_ts: str = "event_timestamp",
+    feature_ts: str = "datetime",
+    ttl: str | None = None,
+    features: list[str] | None = None,
+    how: str = "left",
+    broadcast_features: bool = False,
+) -> DataFrame:
+    """Point-in-time join: latest feature row at-or-before each event.
+
+    entity_df: (keys..., event_ts, ...) — one output row per input row.
+    feature_df: (keys..., feature_ts, features...).
+    ttl: SQL interval string (e.g. ``"365 days"``); feature rows older than
+    event_ts - ttl are ignored (Feast TTL semantics).
+    Ties on feature_ts are broken by preferring the later-sorted struct of
+    feature values — deterministic (max_by over a struct with ts first).
+    """
+    feat_cols = features or [
+        c for c in feature_df.columns if c not in keys and c != feature_ts
+    ]
+    feat = feature_df.select(
+        *keys, F.col(feature_ts).alias("__feat_ts"), *feat_cols
+    )
+    if broadcast_features:
+        feat = F.broadcast(feat)
+
+    # Tag entity rows so we can restore exactly-one-row-per-input.
+    ent = entity_df.withColumn(
+        "__row_id", F.monotonically_increasing_id()
+    )
+
+    cond = [ent[k] == feat[k] for k in keys]
+    range_pred: Column = feat["__feat_ts"] <= ent[event_ts]
+    if ttl is not None:
+        range_pred = range_pred & (
+            feat["__feat_ts"] >= ent[event_ts] - F.expr(f"INTERVAL {ttl}")
+        )
+
+    joined = ent.join(feat, [*cond, range_pred], "left" if how == "left" else how)
+
+    # Latest feature row per entity row; deterministic tie-break on the
+    # full feature struct after the timestamp.
+    w = Window.partitionBy("__row_id").orderBy(
+        F.col("__feat_ts").desc_nulls_last(),
+        *[F.col(c).desc_nulls_last() for c in feat_cols],
+    )
+    picked = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__feat_ts", "__row_id")
+    )
+    # Drop the duplicated key columns coming from the feature side.
+    for k in keys:
+        picked = picked.drop(feat[k])
+    return picked
+
+
+def online_lookup(
+    request_keys: DataFrame,
+    online_table: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Online point lookup: request keys → latest feature vector per key.
+
+    Engine-native equivalent of the reference's Redis GETs
+    (``get_fv.py:25-28``): broadcast the (small) request-key set and join
+    against the materialized online table. Missing keys yield NULL features
+    (Feast returns None for unknown entities).
+    """
+    return F.broadcast(request_keys).join(online_table, keys, "left")
+
+
+def semi_join_in(df: DataFrame, ids: DataFrame, key: str) -> DataFrame:
+    """IN-subquery restriction as a left-semi join (reference
+    ``batch_process_Silver_to_Gold.py:99-102`` commented fast path; Catalyst
+    rewrites IN-subqueries to exactly this)."""
+    return df.join(ids, key, "left_semi")
+
+
+def anti_join_not_in(df: DataFrame, ids: DataFrame, key: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join."""
+    return df.join(ids, key, "left_anti")

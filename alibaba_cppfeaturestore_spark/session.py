@@ -1,0 +1,70 @@
+"""SparkSession factory for the engine.
+
+Centralizes the configuration the whole engine depends on:
+
+- ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` — the Ali-CCP map-merge semantics
+  (Python ``dict.update`` in the reference,
+  ``data_processing/batch_processing/batch_process_Bronze_to_Silver.py:80-84``)
+  require last-key-wins when concatenating feature maps.
+- AQE on (coalesce shuffle partitions, skew-join splitting) — replaces the
+  reference's hand-tuned ``coalesce(13)`` / ``repartition(count//100000+1)``
+  (``batch_process_Bronze_to_Silver.py:91,308-312``).
+- ``spark.sql.session.timeZone=UTC`` — deterministic timestamps, matches the
+  DuckDB oracle's UTC-naive timestamps.
+- Arrow enabled — the sanctioned UDF tier is pandas_udf/mapInPandas.
+- ``maxRecordsPerFile`` — declarative replacement for the reference's manual
+  output-file sizing (100k rows/file, ``batch_process_Bronze_to_Silver.py:308-312``).
+
+At cluster scale the same factory applies; only ``master`` and the memory
+settings change. Shuffle partitions default to 2×cores locally; on a real
+cluster leave AQE to coalesce from a high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "alibaba_cppfeaturestore_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine-required settings.
+
+    Settings marked (required) change query semantics; the rest are
+    performance defaults that callers may override via ``extra_conf``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # (required) Ali-CCP map merge: common features override skeleton.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # (required) deterministic timestamps vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime shuffle-partition coalescing + skew-join handling.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Arrow for pandas_udf / toPandas round-trips.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Declarative output-file sizing (replaces count()+repartition()).
+        .config("spark.sql.files.maxRecordsPerFile", "100000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

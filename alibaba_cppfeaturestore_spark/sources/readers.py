@@ -1,0 +1,102 @@
+"""Source adapters: csv / parquet / delta / jdbc / kafka / local collection.
+
+Mirrors the reference's source surface (SURVEY.md §2.1) behind plain
+functions. External services (Kafka broker, Postgres, MinIO, Delta jars)
+are not present in the test container, so those readers are thin
+configuration builders gated behind availability checks — the *capability*
+is the contract, local substitutes (parquet/file-stream/memory) carry the
+tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    delimiter: str = ",",
+    header: bool = False,
+) -> DataFrame:
+    """CSV scan (reference S1, ``batch_process_Bronze_to_Silver.py:89,176``).
+    Schema should be passed explicitly in production paths — inference does
+    an extra full read."""
+    reader = spark.read.option("delimiter", delimiter).option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True if the Delta Lake jars are on the classpath."""
+    try:
+        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta scan (reference S2). Falls back to parquet when the Delta jars
+    are absent (this container) — Delta tables store data as parquet, so a
+    snapshot read of a freshly-written table is equivalent for tests."""
+    if delta_available(spark):
+        return spark.read.format("delta").load(path)
+    return spark.read.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """JDBC scan (Gold/Postgres in the reference). ``partition_column`` +
+    bounds enable parallel reads — without them JDBC reads are single-task,
+    which does not survive scale."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions or 8)
+            .option("lowerBound", lower_bound or 0)
+            .option("upperBound", upper_bound or 1_000_000)
+        )
+    return reader.load()
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka stream source (reference S6, ``stream_silver_to_gold.py:71-77``).
+    Requires spark-sql-kafka on the classpath; raises otherwise."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("enable.auto.commit", "false")
+        .load()
+    )
+
+
+def from_collection(spark: SparkSession, data, schema=None) -> DataFrame:
+    """Local-collection source (reference S8,
+    ``batch_process_Bronze_to_Silver.py:178``)."""
+    return spark.createDataFrame(data, schema=schema)

@@ -1,0 +1,121 @@
+"""Golden tests for the Ali-CCP kv-triplet parser and bronze→silver plan.
+
+Covers FIXTURES.md §1-3: parse semantics, LAST_WIN merge (common overrides
+skeleton), invalid click/conversion filter, left-join dangling FKs, the
+127 vs 127_14 quirk, and null columns for missing field ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.functions.kv import (
+    merge_feature_maps,
+    parse_kv_triplets,
+)
+from alibaba_cppfeaturestore_spark.plans.aliccp import (
+    SILVER_COLUMNS,
+    bronze_to_silver,
+)
+
+
+def kv(*triplets: tuple[str, str, str]) -> str:
+    return "\x01".join(f"{a}\x02{b}\x03{c}" for a, b, c in triplets)
+
+
+def test_parse_kv_triplets(spark):
+    df = spark.createDataFrame(
+        [(kv(("101", "1234", "1.0"), ("122", "5", "1.0"), ("124", "1", "1.0")),)],
+        ["feat_list"],
+    )
+    out = df.select(parse_kv_triplets("feat_list").alias("m")).first()["m"]
+    assert out == {"101": "1234", "122": "5", "124": "1"}
+
+
+def test_parse_kv_malformed(spark):
+    """Empty/ragged feat_lists must not crash map_from_arrays."""
+    df = spark.createDataFrame(
+        [("",), (None,), ("justonetoken",), ("a\x02b\x03c",)], ["feat_list"]
+    )
+    rows = df.select(parse_kv_triplets("feat_list").alias("m")).collect()
+    assert rows[0]["m"] == {}
+    assert rows[1]["m"] is None
+    assert rows[2]["m"] == {}
+    assert rows[3]["m"] == {"a": "b"}
+
+
+def test_merge_last_win(spark):
+    df = spark.createDataFrame([("x",)], ["dummy"])
+    merged = df.select(
+        merge_feature_maps(
+            F.create_map(F.lit("a"), F.lit("skel"), F.lit("b"), F.lit("skel")),
+            F.create_map(F.lit("a"), F.lit("common")),
+        ).alias("m")
+    ).first()["m"]
+    # common features override skeleton on collisions (dict.update order)
+    assert merged == {"a": "common", "b": "skel"}
+
+
+def test_merge_null_map_is_empty(spark):
+    df = spark.createDataFrame([("x",)], ["dummy"])
+    merged = df.select(
+        merge_feature_maps(
+            F.create_map(F.lit("a"), F.lit("1")),
+            F.lit(None).cast("map<string,string>"),
+        ).alias("m")
+    ).first()["m"]
+    assert merged == {"a": "1"}
+
+
+def _mk_bronze(spark):
+    # common features: block b1 has user fields incl. the 127/127_14 quirk
+    common = spark.createDataFrame(
+        [
+            ("b1", "4", kv(("101", "7", "1.0"), ("127", "2", "1.0"),
+                           ("127_14", "33", "0.5"), ("122", "5", "1.0"))),
+            ("b2", "1", kv(("101", "8", "1.0"))),
+        ],
+        ["_c0", "_c1", "_c2"],
+    )
+    skeleton = spark.createDataFrame(
+        [
+            # normal row; field 205=item, collision on 122 (common must win)
+            ("1", "1", "0", "b1", "3",
+             kv(("205", "900", "1.0"), ("206", "12", "1.0"), ("122", "999", "1.0"))),
+            # invalid: click=0 & conversion=1 → dropped
+            ("2", "0", "1", "b1", "1", kv(("205", "901", "1.0"))),
+            # dangling FK → left join keeps row, user fields null
+            ("3", "0", "0", "missing", "1", kv(("205", "902", "1.0"))),
+        ],
+        ["_c0", "_c1", "_c2", "_c3", "_c4", "_c5"],
+    )
+    return skeleton, common
+
+
+def test_bronze_to_silver_golden(spark):
+    skeleton, common = _mk_bronze(spark)
+    wide = bronze_to_silver(skeleton, common).orderBy("sample_id")
+    rows = {r["sample_id"]: r.asDict() for r in wide.collect()}
+
+    assert set(rows) == {"1", "3"}  # row 2 dropped by invalid filter
+    r1 = rows["1"]
+    assert r1["user_id"] == 7
+    assert r1["user_consumption_2"] == 2     # field 127
+    assert r1["user_brands"] == 33           # field 127_14 (quirk)
+    assert r1["user_group"] == 5             # common overrides skeleton's 999
+    assert r1["item_id"] == 900 and r1["item_category"] == 12
+    assert r1["click"] == 1 and r1["conversion"] == 0
+    assert r1["position"] is None            # missing field id → null
+
+    r3 = rows["3"]
+    assert r3["user_id"] is None             # dangling FK
+    assert r3["item_id"] == 902
+
+    assert [c for c in wide.columns if c != "sample_id"] == SILVER_COLUMNS
+
+
+def test_bronze_to_silver_no_python_udf(spark):
+    """The plan must stay JVM-side: no BatchEvalPython/ArrowEvalPython."""
+    skeleton, common = _mk_bronze(spark)
+    plan = bronze_to_silver(skeleton, common)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
