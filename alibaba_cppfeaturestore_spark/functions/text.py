@@ -1,0 +1,108 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Not present in the reference (its data is tabular); added as first-class
+engine capability per the north-star scope (SURVEY.md §2 intro / §7.2 M5):
+token counting, quality scoring, language-ID heuristic, shingling and
+document fingerprinting. All are native column expressions (JVM-side,
+codegen) — no Python in the hot path — so they hold at 100 TB: a scan +
+per-row expressions, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic heuristic stopword table for lang-id scoring. Tiny and
+# embedded in the plan as literals (no join needed).
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+TOKEN_SPLIT_REGEX = r"\s+"
+PUNCT_REGEX = r"[^.,;:!?]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(col), TOKEN_SPLIT_REGEX)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.length(col)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    col = F.col(text) if isinstance(text, str) else text
+    puncts = F.length(F.regexp_replace(col, PUNCT_REGEX, ""))
+    return puncts / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    toks = tokens(text)
+    sw = stopwords or STOPWORDS_EN
+    hits = F.size(F.filter(toks, lambda x: x.isin(sw)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def avg_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: rewards reasonable length,
+    penalizes very short docs and punctuation-heavy text. Deterministic and
+    SQL-expressible (oracle-checkable)."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    return F.round(len_score * (1.0 - punct_penalty), 6)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: stopword-hit scoring with a deterministic
+    fallback. Real corpora would use per-language stopword/ngram tables;
+    the mechanism (token scoring → argmax → CASE) is the engine surface."""
+    ratio = stopword_ratio(text)
+    return (
+        F.when(ratio >= 0.15, F.lit("en"))
+        .when(ratio >= 0.05, F.lit("mixed"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles → array<string> (input to MinHash/Jaccard).
+    transform(sequence(...)) is a native higher-order function — per-row,
+    no UDF, no shuffle."""
+    col = F.col(text) if isinstance(text, str) else text
+    num = F.greatest(F.length(col) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), num)
+    return F.transform(idx, lambda i: col.substr(i, F.lit(n)))
+
+
+def token_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles → array<string>."""
+    toks = tokens(text)
+    num = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), num)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
+    )
+
+
+def fingerprint(text: Column | str, seed: int = 42) -> Column:
+    """64-bit document fingerprint: xxhash64 over the normalized text.
+    Stable across runs/partitions (pure function of the bytes)."""
+    col = F.col(text) if isinstance(text, str) else text
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.xxhash64(normalized, F.lit(seed))

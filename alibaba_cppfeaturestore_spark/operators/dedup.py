@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH, SimHash, and n-gram Jaccard near-dup.
+Not in the reference (tabular data); first-class engine additions per the
+north-star scope. Design target is the 100 TB case:
+
+- exact dedup: single shuffle on a 64/256-bit content hash, not the text.
+- MinHash-LSH: shingle → k minhashes → b bands; candidate pairs come from
+  a groupBy on (band, band_hash) — only docs sharing a band bucket are
+  compared, so the join is |bucket|² per bucket, never |corpus|².
+- SimHash: 64-bit signature; banding into 16-bit chunks gives candidates
+  for hamming-distance verification (dups with distance ≤ 3 must share a
+  chunk by pigeonhole).
+
+All signature computation is native column expressions (xxhash64 +
+higher-order array functions) — deterministic, no Python in the scan.
+
+Duplicate-resolution semantics: "keep smallest doc_id". A row is dropped
+iff it pairs (above threshold) with ANY smaller-id row. This is one-hop,
+not transitive closure (A~B, B~C, A≁C still drops B and C) — the standard
+near-dedup contract; full clustering would need iterative connected
+components (out of scope, documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, tokens
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup on ``cols`` content: keep one row per distinct content
+    (smallest ``id_col`` by default — deterministic).
+
+    Shuffles on a 256-bit content hash rather than raw content, so shuffle
+    keys stay 32 bytes regardless of document size."""
+    content_hash = F.sha2(F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols]), 256)
+    w = Window.partitionBy(content_hash).orderBy(
+        F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 32, shingle_size: int = 5
+) -> Column:
+    """MinHash signature: array of ``num_hashes`` min-over-shingles hashes.
+
+    Each hash function is xxhash64 with a distinct seed; the whole
+    signature is one native expression per row."""
+    sh = char_shingles(text, shingle_size)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Hash each band of the signature → array<struct<band:int,bucket:long>>."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(signature, b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two arrays (as distinct sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def minhash_lsh_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate generation via LSH banding + exact-Jaccard verification.
+
+    Returns duplicate pairs ``(id_a, id_b, jaccard_sim)`` with id_a < id_b.
+    Scale shape: signatures are per-row expressions; candidates come from a
+    shuffle on (band, bucket); verification re-shingles only candidate
+    rows. No corpus-wide cross join anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("sig"),
+    )
+    banded = sigs.select(
+        "id", "text", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb")
+    ).select("id", "text", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.text").alias("text_a"),
+            F.col("b.text").alias("text_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.select(
+        "id_a",
+        "id_b",
+        F.round(
+            jaccard(
+                F.array_distinct(char_shingles(F.col("text_a"), shingle_size)),
+                F.array_distinct(char_shingles(F.col("text_b"), shingle_size)),
+            ),
+            6,
+        ).alias("jaccard_sim"),
+    ).filter(F.col("jaccard_sim") >= jaccard_threshold)
+    return verified
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop every row that near-duplicates a smaller-id row (keep-first)."""
+    pairs = minhash_lsh_duplicates(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(text: Column | str, hash_bits: int = 64) -> Column:
+    """SimHash signature over whitespace tokens → bigint.
+
+    Per-bit vote: each token's xxhash64 contributes +1/-1 to each bit
+    position; the signature sets bits with positive totals. Entirely
+    native: aggregate over the token array carrying a 64-counter array.
+    """
+    toks = tokens(text)
+    init = F.array_repeat(F.lit(0), hash_bits)
+    votes = F.aggregate(
+        toks,
+        init,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(hash_bits - 1)),
+                lambda p: F.when(
+                    F.shiftright(F.xxhash64(t), p).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # Fold the vote array into a single 64-bit integer.
+    idx = F.sequence(F.lit(0), F.lit(hash_bits - 1))
+    return F.aggregate(
+        F.zip_with(votes, idx, lambda v, p: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda p: F.shiftrightunsigned(x, p).bitwiseAND(F.lit(1)).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks;
+    pairs within hamming ≤ 3 share at least one chunk (pigeonhole), so the
+    candidate join is an equi-join on (chunk_idx, chunk_value)."""
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig")
+    )
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sig", "c.chunk_idx", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Token-set Jaccard similarity pairs, blocked by ``block_cols`` to
+    bound the pair space (at scale ALWAYS block — unblocked is |corpus|²;
+    the LSH variants above are the unblocked-scale path)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (block_cols or [])],
+        F.array_distinct(tokens(F.col(text_col))).alias("tokset"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard(F.col("a.tokset"), F.col("b.tokset")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

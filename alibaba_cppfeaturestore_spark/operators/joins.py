@@ -51,8 +51,19 @@ def asof_join(
     feat_cols = features or [
         c for c in feature_df.columns if c not in keys and c != feature_ts
     ]
+    collisions = set(feat_cols) & set(entity_df.columns)
+    if collisions:
+        raise ValueError(
+            f"feature columns {sorted(collisions)} collide with entity columns; "
+            "alias them on the feature side first"
+        )
+    # Rename the feature side's join/ts columns: entity and feature frames
+    # often share lineage (self-as-of on one table), and comparing the same
+    # attribute produces a trivially-true predicate instead of a join.
     feat = feature_df.select(
-        *keys, F.col(feature_ts).alias("__feat_ts"), *feat_cols
+        *[F.col(k).alias(f"__feat_key_{k}") for k in keys],
+        F.col(feature_ts).alias("__feat_ts"),
+        *feat_cols,
     )
     if broadcast_features:
         feat = F.broadcast(feat)
@@ -62,7 +73,7 @@ def asof_join(
         "__row_id", F.monotonically_increasing_id()
     )
 
-    cond = [ent[k] == feat[k] for k in keys]
+    cond = [ent[k] == feat[f"__feat_key_{k}"] for k in keys]
     range_pred: Column = feat["__feat_ts"] <= ent[event_ts]
     if ttl is not None:
         range_pred = range_pred & (
@@ -77,15 +88,11 @@ def asof_join(
         F.col("__feat_ts").desc_nulls_last(),
         *[F.col(c).desc_nulls_last() for c in feat_cols],
     )
-    picked = (
+    return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__feat_ts", "__row_id")
+        .drop("__rn", "__feat_ts", "__row_id", *[f"__feat_key_{k}" for k in keys])
     )
-    # Drop the duplicated key columns coming from the feature side.
-    for k in keys:
-        picked = picked.drop(feat[k])
-    return picked
 
 
 def online_lookup(
