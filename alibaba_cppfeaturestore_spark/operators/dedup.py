@@ -110,14 +110,19 @@ def minhash_lsh_duplicates(
     rows. No corpus-wide cross join anywhere.
     """
     rows_per_band = num_hashes // bands
-    sigs = df.select(
+    # Banding shuffles only (id, band, bucket) — never the document text:
+    # at 100 TB the banded exchange is |corpus|×bands small rows, and texts
+    # are re-joined only for the (much smaller) candidate set.
+    banded = df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("sig"),
-    )
-    banded = sigs.select(
-        "id", "text", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb")
-    ).select("id", "text", "bb.band", "bb.bucket")
+        F.explode(
+            minhash_bands(
+                minhash_signature(F.col(text_col), num_hashes, shingle_size),
+                bands,
+                rows_per_band,
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -128,25 +133,23 @@ def minhash_lsh_duplicates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.text").alias("text_a"),
-            F.col("b.text").alias("text_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cand.select(
-        "id_a",
-        "id_b",
-        F.round(
-            jaccard(
-                F.array_distinct(char_shingles(F.col("text_a"), shingle_size)),
-                F.array_distinct(char_shingles(F.col("text_b"), shingle_size)),
-            ),
-            6,
-        ).alias("jaccard_sim"),
-    ).filter(F.col("jaccard_sim") >= jaccard_threshold)
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(char_shingles(F.col(text_col), shingle_size)).alias("sh"),
+    )
+    verified = (
+        cand.join(shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= jaccard_threshold)
+    )
     return verified
 
 
@@ -168,43 +171,39 @@ def simhash(text: Column | str, hash_bits: int = 64) -> Column:
     Per-bit vote: each token's xxhash64 contributes +1/-1 to each bit
     position; the signature sets bits with positive totals. Entirely
     native: aggregate over the token array carrying a 64-counter array.
+    (Bit positions are compile-time constants — PySpark's shift functions
+    take Python ints, not Columns.)
     """
     toks = tokens(text)
     init = F.array_repeat(F.lit(0), hash_bits)
-    votes = F.aggregate(
-        toks,
-        init,
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(hash_bits - 1)),
-                lambda p: F.when(
+
+    def token_bits(t: Column) -> Column:
+        return F.array(
+            *[
+                F.when(
                     F.shiftright(F.xxhash64(t), p).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1)),
-            ),
-            lambda x, y: x + y,
-        ),
+                ).otherwise(F.lit(-1))
+                for p in range(hash_bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks, init, lambda acc, t: F.zip_with(acc, token_bits(t), lambda x, y: x + y)
     )
-    # Fold the vote array into a single 64-bit integer.
-    idx = F.sequence(F.lit(0), F.lit(hash_bits - 1))
-    return F.aggregate(
-        F.zip_with(votes, idx, lambda v, p: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    sig = F.lit(0).cast("long")
+    for p in range(hash_bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.element_at(votes, p + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), p),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
 
 
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (popcount of XOR)."""
-    x = a.bitwiseXOR(b)
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda p: F.shiftrightunsigned(x, p).bitwiseAND(F.lit(1)).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_duplicates(

@@ -1,0 +1,141 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` columns with typed metadata structs, and
+implements decode / feature-extract / frame-sample as Arrow-batched
+``mapInPandas`` operators. The actual codec calls are STUBBED (the image/
+audio libraries are not in this container): ``decode_fn=None`` uses a
+deterministic fake decoder so the Spark-side contract — schema, batch
+shape, partitioning, null handling — is real and tested; pass a real
+``decode_fn(payload: bytes) -> dict`` to swap in PIL/ffmpeg/etc.
+
+Scale notes: media payloads dominate row size, so operators project the
+binary column as late as possible and ``spark.sql.files.maxPartitionBytes``
+governs scan granularity; mapInPandas streams Arrow batches so a partition
+never fully materializes in Python memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("sha256", T.StringType(), True),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, source_col: str, id_col: str) -> DataFrame:
+    """Build a media-shaped table from any table: payload = utf-8 bytes of
+    ``source_col`` (a deterministic stand-in for real image/audio bytes),
+    plus a media_type derived from the id."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.encode(F.col(source_col), "utf-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real codec: derives pseudo-dimensions
+    from the payload hash. Raises on None payloads like a real decoder."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "n_frames": 1 + h[2] % 30,
+    }
+
+
+def decode_media_metadata(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Decode payloads → typed metadata via mapInPandas (Arrow batches).
+
+    Output schema is fixed (``MEDIA_META_SCHEMA``); corrupt/null payloads
+    yield a row with null decode fields rather than failing the batch —
+    at 100 TB a single bad object must not kill the job.
+    """
+    fn = decode_fn or _fake_decode
+
+    def decode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                rec = {
+                    "media_id": row["media_id"],
+                    "media_type": row["media_type"],
+                    "n_bytes": len(payload) if payload is not None else None,
+                    "width": None,
+                    "height": None,
+                    "n_frames": None,
+                    "sha256": None,
+                }
+                if payload is not None:
+                    try:
+                        meta = fn(bytes(payload))
+                        rec.update(
+                            width=meta.get("width"),
+                            height=meta.get("height"),
+                            n_frames=meta.get("n_frames"),
+                            sha256=hashlib.sha256(bytes(payload)).hexdigest(),
+                        )
+                    except Exception:
+                        pass  # corrupt object -> null fields, keep the row
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
+
+    return media.mapInPandas(decode_batches, MEDIA_META_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_nth: int = 10,
+    decode_fn: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Frame sampling contract: one output row per sampled frame index.
+    Uses the (stubbed) decoder's n_frames; real impl would emit frame
+    payloads — here the plumbing (1→N row explosion via mapInPandas
+    generator, stable schema) is the tested surface."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+        ]
+    )
+    fn = decode_fn or _fake_decode
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if row["payload"] is None:
+                    continue
+                n = fn(bytes(row["payload"]))["n_frames"]
+                rows.extend(
+                    {"media_id": row["media_id"], "frame_idx": i}
+                    for i in range(0, n, every_nth)
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx"])
+
+    return media.mapInPandas(gen, schema)

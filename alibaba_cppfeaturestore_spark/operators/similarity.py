@@ -53,13 +53,14 @@ def brute_force_topk(
     )
 
 
-def _lsh_bit(vec: Column, plane: int, dim: int) -> Column:
+def _lsh_bit(vec: Column, table: int, plane: int, dim: int) -> Column:
     """Sign bit of <vec, h_plane> where h_plane[i] is a deterministic
-    pseudo-random ±1 weight derived from xxhash64(plane, i)."""
+    pseudo-random ±1 weight derived from xxhash64(table, plane, i)."""
     signs = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.when(
-            F.xxhash64(F.lit(plane), i).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+            F.xxhash64(F.lit(table), F.lit(plane), i).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1.0),
         ).otherwise(F.lit(-1.0)),
     )
     proj = F.aggregate(
@@ -70,12 +71,25 @@ def _lsh_bit(vec: Column, plane: int, dim: int) -> Column:
     return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_signature(vec: Column, num_bits: int, dim: int) -> Column:
+def lsh_signature(vec: Column, num_bits: int, dim: int, table: int = 0) -> Column:
     """Random-hyperplane signature → int bucket id (num_bits ≤ 31)."""
     out = F.lit(0)
     for p in range(num_bits):
-        out = out + F.shiftleft(_lsh_bit(vec, p, dim), p)
+        out = out + F.shiftleft(_lsh_bit(vec, table, p, dim), p)
     return out
+
+
+def _lsh_buckets(vec: Column, num_bits: int, num_tables: int, dim: int) -> Column:
+    """array<struct<table:int,bucket:int>> — one bucket per hash table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_signature(vec, num_bits, dim, table=t).alias("bucket"),
+            )
+            for t in range(num_tables)
+        ]
+    )
 
 
 def lsh_bucketed_topk(
@@ -85,31 +99,37 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    num_bits: int = 8,
+    num_bits: int = 4,
+    num_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: compare only vectors sharing an LSH bucket.
+    """Approximate top-k with multi-table random-hyperplane LSH.
 
-    Recall < 1.0 by construction (bucket misses); the scale win is that
-    the candidate join is an equi-join on bucket id instead of a cross
-    join. Increase recall with fewer bits or multi-probe (neighboring
-    buckets) — tunables, not semantics.
+    A query is compared only against corpus vectors sharing a bucket in at
+    least one of ``num_tables`` tables: recall ≈ 1-(1-p^num_bits)^num_tables
+    for per-plane agreement p. The scale win: the candidate join is an
+    equi-join on (table, bucket) + dedup, never a cross join. Tune
+    num_bits up for selectivity, num_tables up for recall.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        lsh_signature(F.col(vec_col), num_bits, dim).alias("__bucket"),
-    )
+        F.explode(_lsh_buckets(F.col(vec_col), num_bits, num_tables, dim)).alias("__b"),
+    ).select("neighbor_id", "__cvec", "__b.table", "__b.bucket")
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
-            lsh_signature(F.col(vec_col), num_bits, dim).alias("__bucket"),
-        )
+            F.explode(_lsh_buckets(F.col(vec_col), num_bits, num_tables, dim)).alias("__b"),
+        ).select("query_id", "__qvec", "__b.table", "__b.bucket")
     )
-    scored = q.join(c, ["__bucket"]).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    ).select(
+    candidates = (
+        q.join(c, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
         "query_id",
         "neighbor_id",
         F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),

@@ -815,3 +815,469 @@ def online_lookup_latest_features(spark, sf_dir):
         F.col("event_type").alias("last_event_type"),
         F.round("value", 2).alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: text analysis, dedup families, similarity search.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+           CAST(LEN(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_regex_tokens,
+           ROUND(LENGTH(regexp_replace(TRIM(text), '\s', '', 'g'))
+                 / GREATEST(LEN(regexp_split_to_array(TRIM(text), '\s+')), 1), 6) AS avg_token_len,
+           ROUND(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                                 x -> x IN ('the','a','and','of','to','in','is','it','that','for')))
+                 / GREATEST(LEN(regexp_split_to_array(TRIM(text), '\s+')), 1), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Text analysis: token counts (whitespace + BPE-ish regex), average
+    token length, stopword ratio — all native expressions over the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = TX.token_count("text")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias("n_regex_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.trim(F.col("text")), r"\s", ""))
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+@_q(
+    "text_quality_filter",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             ROUND(LEAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) / 100.0, 1.0) *
+                   (1.0 - LEAST((LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                                / GREATEST(LENGTH(text), 1) * 5.0, 1.0)), 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, lang, quality FROM scored WHERE quality >= 0.5
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    """Quality scoring + filter: length reward × punctuation penalty."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", TX.quality_score("text").alias("quality"))
+        .filter(F.col("quality") >= 0.5)
+    )
+
+
+@_q(
+    "lang_id_heuristic",
+    r"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                             x -> x IN ('the','a','and','of','to','in','is','it','that','for')))
+             / GREATEST(LEN(regexp_split_to_array(TRIM(text), '\s+')), 1)::DOUBLE AS ratio
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN ratio >= 0.15 THEN 'en'
+                WHEN ratio >= 0.05 THEN 'mixed'
+                ELSE 'other' END AS lang_pred
+    FROM r
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID: stopword-hit scoring → deterministic CASE. (The corpus
+    is synthetic word-salad, so the *mechanism* — token scoring + argmax —
+    is the capability under test, not real-language accuracy.)"""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.lang_id("text").alias("lang_pred"))
+
+
+def _docs_with_duplicates(spark, sf_dir):
+    """documents ∪ an id-shifted copy — a corpus with known exact dups."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dups = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
+    return docs.unionByName(dups)
+
+
+@_q(
+    "dedup_exact",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+    )
+    SELECT doc_id, lang FROM corpus
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    headline=True,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup (keep smallest id) over a corpus with planted
+    duplicates; shuffles on sha2(text), not the text itself."""
+    corpus = _docs_with_duplicates(spark, sf_dir)
+    return DD.exact_dedup(corpus, cols=["text"], id_col="doc_id").select("doc_id", "lang")
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(regexp_split_to_array(TRIM(text), '\s+')) AS tokset
+      FROM documents
+    )
+    SELECT * FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(LEN(list_intersect(a.tokset, b.tokset))::DOUBLE
+                 / GREATEST(LEN(list_distinct(list_concat(a.tokset, b.tokset))), 1), 6) AS jaccard_sim
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jaccard_sim >= 0.9
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs, blocked by lang (bounded pair
+    space; LSH is the unblocked-scale path)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", block_cols=["lang"], threshold=0.9
+    )
+
+
+@_q("dedup_minhash_lsh", None, headline=True)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dedup over a corpus with planted near-duplicates
+    (each doc + a mutated copy). Hash-specific → rows-only driver check;
+    pair quality is asserted in tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq extra")).alias("text"),
+    )
+    corpus = docs.unionByName(mutants)
+    return DD.minhash_lsh_duplicates(
+        corpus, text_col="text", id_col="doc_id",
+        num_hashes=32, bands=8, jaccard_threshold=0.8,
+    )
+
+
+@_q("dedup_simhash", None)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures) over the
+    planted-near-dup corpus. Hash-specific → rows-only."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    corpus = docs.unionByName(mutants)
+    return DD.simhash_duplicates(corpus, text_col="text", id_col="doc_id", max_hamming=3)
+
+
+@_q("doc_fingerprint", None)
+def doc_fingerprint(spark, sf_dir):
+    """64-bit xxhash64 document fingerprints (whitespace-normalized).
+    Hash-specific → rows-only; determinism asserted in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+@_q(
+    "ann_brute_force_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5)
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM q JOIN embeddings c ON q.query_id != c.vec_id
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+               c.vec_id ASC) <= 5
+    """,
+    headline=True,
+)
+def ann_brute_force_topk(spark, sf_dir):
+    """Exact cosine top-k: broadcast query set × corpus scan, window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.brute_force_topk(emb, queries, k=5, query_id_col="query_id")
+
+
+@_q("ann_lsh_bucketed_topk", None)
+def ann_lsh_bucketed_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the 100 TB path: equi-join on
+    bucket instead of cross join). xxhash64-derived hyperplanes → no SQL
+    oracle; recall vs brute force asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.lsh_bucketed_topk(emb, queries, k=5, num_bits=4, dim=64)
+
+
+@_q(
+    "embedding_threshold_pairs",
+    """
+    SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine_sim >= 0.25
+    """,
+)
+def embedding_threshold_pairs(spark, sf_dir):
+    """Embedding near-dup: label-blocked cosine-threshold pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.threshold_pairs(emb, threshold=0.25, block_col="label")
+
+
+@_q(
+    "embedding_stats_by_label",
+    """
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(embedding[1]), 6) AS avg_dim0,
+           ROUND(AVG(embedding[2]), 6) AS avg_dim1,
+           ROUND(AVG(SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_stats_by_label(spark, sf_dir):
+    """Vector aggregates per label: element access + norms via native
+    higher-order functions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg(F.element_at("embedding", 1)), 6).alias("avg_dim0"),
+        F.round(F.avg(F.element_at("embedding", 2)), 6).alias("avg_dim1"),
+        F.round(F.avg(V.norm(F.col("embedding"))), 6).alias("avg_norm"),
+    )
+
+
+@_q(
+    "json_codec_roundtrip",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           to_json({'event_id': event_id,
+                    'k': CAST(json_extract(props, '$.k') AS INTEGER)})::VARCHAR AS encoded
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def json_codec_roundtrip(spark, sf_dir):
+    """F6/F7: from_json parse + to_json(named_struct) serialize — the
+    stream codec pair, testable in batch."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    parsed = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return parsed.select(
+        "event_id",
+        "k",
+        F.to_json(F.struct("event_id", "k")).alias("encoded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (ST1-ST7): real streaming runs, bounded by
+# availableNow so the driver's batch harness can consume them.
+# ---------------------------------------------------------------------------
+
+
+
+def _stream_events(spark, sf_dir):
+    """Bounded file-stream over events: the file-stream source requires a
+    DIRECTORY, so stage the single parquet into a temp dir (tiny, test-only
+    shim — production streams read Kafka or a landing directory)."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(src, os.path.join(stage, "events.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+@_q(
+    "stream_tumbling_window_counts",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def stream_tumbling_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation run as a REAL streaming
+    query (file source → window agg → memory sink, availableNow)."""
+    from ..streaming.pipeline import run_bounded_to_memory
+
+    stream = _stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    result = run_bounded_to_memory(agg, output_mode="complete")
+    return result.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@_q(
+    "stream_online_upsert",
+    """
+    SELECT user_id, event_type AS last_event_type, ROUND(value, 2) AS last_value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def stream_online_upsert(spark, sf_dir):
+    """ST6: foreachBatch latest-per-key upsert into the online store (local
+    parquet adapter standing in for Redis), then read the store back."""
+    import os
+    import tempfile
+
+    from ..streaming.pipeline import OnlineStore, run_stream_upsert
+
+    stream = _stream_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    workdir = tempfile.mkdtemp(prefix="online_store_")
+    store = OnlineStore(
+        os.path.join(workdir, "store"), keys=["user_id"], ts="ts", tiebreak=["event_id"]
+    )
+    run_stream_upsert(stream, store, os.path.join(workdir, "chk"))
+    online = store.read(spark)
+    return online.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ali-CCP end-to-end over TESTDATA: bronze CSV encoding synthesized from
+# orders/customer, run through the real bronze_to_silver plan, checked by a
+# direct relational oracle — proves parse+join+filter+merge+project e2e.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "aliccp_bronze_to_silver_e2e",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS sample_id,
+           CAST(c_custkey AS INTEGER) AS user_id,
+           CAST(c_nationkey AS INTEGER) AS user_group,
+           CAST(TRUNC(o_totalprice) AS INTEGER) AS item_id,
+           CAST(o_orderkey % 7 AS INTEGER) AS position,
+           CAST(o_orderkey % 2 AS INTEGER) AS click,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS conversion
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 5 = 0
+      AND NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 = 0)
+    """,
+)
+def aliccp_bronze_to_silver_e2e(spark, sf_dir):
+    """The reference's flagship pipeline (E1) end-to-end on synthesized
+    bronze: kv-encode orders→skeleton and customer→common features, run
+    the REAL bronze_to_silver plan (parse → left join → invalid filter →
+    last-win merge → wide projection), project the populated columns.
+
+    The skeleton plants field 101 with a sentinel that the common map must
+    override (dict.update semantics)."""
+    from .aliccp import bronze_to_silver
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    customer = _t(spark, sf_dir, "customer")
+
+    sep1, sep2, sep3 = F.lit("\x01"), F.lit("\x02"), F.lit("\x03")
+
+    def triplet(fid, val):
+        return F.concat(F.lit(fid), sep2, val.cast("string"), sep3, F.lit("1.0"))
+
+    skeleton = orders.select(
+        F.col("o_orderkey").cast("string").alias("_c0"),
+        (F.col("o_orderkey") % 2).cast("string").alias("_c1"),
+        F.when(F.col("o_orderkey") % 3 == 0, "1").otherwise("0").alias("_c2"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("_c3"),
+        F.lit("3").alias("_c4"),
+        F.concat_ws(
+            "\x01",
+            triplet("101", F.lit(999999)),  # sentinel: common map must win
+            triplet("205", F.col("o_totalprice").cast("int")),
+            triplet("301", F.col("o_orderkey") % 7),
+        ).alias("_c5"),
+    )
+    common = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("_c0"),
+        F.lit("2").alias("_c1"),
+        F.concat_ws(
+            "\x01",
+            triplet("101", F.col("c_custkey")),
+            triplet("122", F.col("c_nationkey")),
+        ).alias("_c2"),
+    )
+    wide = bronze_to_silver(skeleton, common, broadcast_common=True)
+    return wide.select(
+        "sample_id", "user_id", "user_group", "item_id", "position", "click", "conversion"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload columns + mapInPandas decode stubs.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_decode_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END AS media_type,
+           CAST(n_chars AS INTEGER) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_decode_metadata(spark, sf_dir):
+    """Binary media columns through the Arrow-batched decode operator.
+    Payloads are utf-8 text bytes (deterministic stand-in); n_bytes and
+    sha256 are decoder-independent and oracle-checked, the stubbed
+    width/height/n_frames fields are covered by unit tests."""
+    from ..operators.multimodal import attach_binary_payload, decode_media_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
+    meta = decode_media_metadata(media)
+    return meta.select("media_id", "media_type", "n_bytes", "sha256")

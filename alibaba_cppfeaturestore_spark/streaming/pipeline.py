@@ -1,0 +1,134 @@
+"""Structured Streaming surface: bounded replay sources, windowed aggs,
+stateless transform pipelines, and the foreachBatch online-store upsert.
+
+Maps the reference's streaming capabilities (SURVEY.md §2.9) onto
+idiomatic Structured Streaming:
+
+- ST1-ST3: micro-batch triggers / append mode / checkpointing are plain
+  options on ``run_*`` helpers; tests use ``availableNow`` +
+  ``processAllAvailable`` for deterministic bounded runs.
+- ST4: ``withWatermark`` for late data (reference declares 1 minute,
+  ``feast-feature-store/feature-repo/data_sources.py:27``).
+- ST5: dictionary transforms are broadcast joins — streaming-safe, shared
+  batch↔stream (train/serve consistency without MLlib model files).
+- ST6: ``foreachBatch`` upsert of latest-per-key into an "online table"
+  (local parquet standing in for Redis; the adapter boundary is the
+  function, reference ``ingest_stream_to_online_store.py:38-57``).
+- ST7: user transform hook = plain ``DataFrame -> DataFrame`` callable.
+- ST9: replay source = file stream over parquet/json (standing in for the
+  Kafka producer, ``produce_json.py``).
+
+Scale notes: windowed aggregation state is bounded by the watermark;
+foreachBatch upsert rewrites only the online table (|keys| rows), and at
+real scale the sink adapter would be a KV store write, not a file rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import latest_per_key
+
+
+def stream_from_parquet(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """File-stream source over parquet (bounded replay for tests; swap for
+    the Kafka reader in production)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tumbling_window_agg(
+    stream_df: DataFrame,
+    ts_col: str,
+    window: str,
+    watermark: str,
+    group_cols: list[str],
+    aggs: list,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (ST4 + windowed agg)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *group_cols)
+        .agg(*aggs)
+    )
+
+
+def run_bounded_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+) -> DataFrame:
+    """Run a bounded streaming query to a memory sink and return the result
+    table. availableNow + processAllAvailable = deterministic completion."""
+    qname = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(qname)
+
+
+class OnlineStore:
+    """Latest-per-key online table maintained by foreachBatch upserts (ST6).
+
+    Local adapter: a parquet directory (atomic overwrite per micro-batch).
+    The production adapter would push the same ``latest`` frame to Redis —
+    the upsert semantics (newest row per key wins, within and across
+    batches) live here, not in the sink."""
+
+    def __init__(self, path: str, keys: list[str], ts: str, tiebreak: list[str] | None = None):
+        self.path = path
+        self.keys = keys
+        self.ts = ts
+        self.tiebreak = tiebreak
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return spark.read.parquet(self.path)
+
+    def upsert_batch(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
+        spark = batch_df.sparkSession
+        existing = self.read(spark)
+        merged = batch_df if existing is None else existing.unionByName(batch_df)
+        latest = latest_per_key(merged, self.keys, self.ts, self.tiebreak)
+        # Write-then-swap for atomicity of the local adapter.
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        latest.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path)
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        return lambda df, epoch: self.upsert_batch(df, epoch)
+
+
+def run_stream_upsert(
+    stream_df: DataFrame,
+    store: OnlineStore,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> None:
+    """ST6+ST7: optional user transform, then foreachBatch online upsert,
+    bounded (availableNow) with an exactly-once checkpoint."""
+    df = transform(stream_df) if transform else stream_df
+    q = (
+        df.writeStream.foreachBatch(store.foreach_batch())
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,59 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing = full query execution including the action (collect-to-count via
+``df.count()`` after materializing the plan; results are small aggregates,
+so the action cost is the query, not the transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+from alibaba_cppfeaturestore_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    headline = [name for name, qd in QUERIES.items() if qd.headline]
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/codegen once with the cheapest headline query.
+    QUERIES[headline[0]].spark(spark, SF_DIR).count()
+
+    total = 0.0
+    for name in headline:
+        t0 = time.perf_counter()
+        df = QUERIES[name].spark(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Property/golden tests for as-of join, latest-per-key, dictionary encode.
+
+These pin the nonstandard semantics (SURVEY.md §7.3 hard parts): TTL
+boundaries, timestamp ties, unseen dictionary values, null keys.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.operators.aggregates import (
+    latest_per_key,
+    latest_per_key_window,
+)
+from alibaba_cppfeaturestore_spark.operators.dictionary import (
+    decode_with_dictionary,
+    encode_with_dictionaries,
+    fit_dictionary,
+)
+from alibaba_cppfeaturestore_spark.operators.joins import asof_join
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _feature_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T00:00:00"), 10.0),
+            (1, ts("2024-01-05T00:00:00"), 20.0),
+            (1, ts("2024-01-10T00:00:00"), 30.0),
+            (2, ts("2024-01-03T00:00:00"), 99.0),
+        ],
+        ["user_id", "feat_ts", "score"],
+    )
+
+
+def test_asof_basic_picks_latest_at_or_before(spark):
+    feats = _feature_df(spark)
+    entities = spark.createDataFrame(
+        [
+            (1, ts("2024-01-07T00:00:00")),   # between rows -> 20.0
+            (1, ts("2024-01-05T00:00:00")),   # exactly equal -> 20.0
+            (1, ts("2023-12-31T00:00:00")),   # before first -> null
+            (1, ts("2024-02-01T00:00:00")),   # after last -> 30.0
+            (2, ts("2024-01-04T00:00:00")),   # other key -> 99.0
+            (3, ts("2024-01-04T00:00:00")),   # unknown key -> null
+        ],
+        ["user_id", "event_ts"],
+    )
+    out = asof_join(
+        entities, feats, keys=["user_id"], event_ts="event_ts", feature_ts="feat_ts"
+    )
+    got = {(r["user_id"], r["event_ts"].isoformat()): r["score"] for r in out.collect()}
+    assert out.count() == entities.count()  # exactly one row per entity row
+    assert got[(1, "2024-01-07T00:00:00")] == 20.0
+    assert got[(1, "2024-01-05T00:00:00")] == 20.0
+    assert got[(1, "2023-12-31T00:00:00")] is None
+    assert got[(1, "2024-02-01T00:00:00")] == 30.0
+    assert got[(2, "2024-01-04T00:00:00")] == 99.0
+    assert got[(3, "2024-01-04T00:00:00")] is None
+
+
+def test_asof_ttl_boundary(spark):
+    feats = _feature_df(spark)
+    entities = spark.createDataFrame(
+        [
+            (1, ts("2024-01-08T00:00:00")),  # latest within 3d: 20.0@01-05 exactly on boundary
+            (1, ts("2024-01-09T00:00:01")),  # 20.0@01-05 now older than 3d -> null (next is 01-10, future)
+        ],
+        ["user_id", "event_ts"],
+    )
+    out = asof_join(
+        entities, feats, keys=["user_id"], event_ts="event_ts",
+        feature_ts="feat_ts", ttl="3 days",
+    )
+    got = {r["event_ts"].isoformat(): r["score"] for r in out.collect()}
+    assert got["2024-01-08T00:00:00"] == 20.0  # ttl boundary is inclusive
+    assert got["2024-01-09T00:00:01"] is None
+
+
+def test_asof_never_returns_future_or_expired(spark):
+    """Property: result feature ts ∈ [event_ts - ttl, event_ts]."""
+    ev = spark.createDataFrame(
+        [(u, ts(f"2024-01-{d:02d}T12:00:00")) for u in (1, 2) for d in range(1, 15)],
+        ["user_id", "event_ts"],
+    )
+    feats = _feature_df(spark).withColumn("fts_copy", F.col("feat_ts"))
+    out = asof_join(
+        ev, feats, keys=["user_id"], event_ts="event_ts",
+        feature_ts="feat_ts", ttl="4 days", features=["score", "fts_copy"],
+    )
+    bad = out.filter(
+        F.col("fts_copy").isNotNull()
+        & (
+            (F.col("fts_copy") > F.col("event_ts"))
+            | (F.col("fts_copy") < F.col("event_ts") - F.expr("INTERVAL 4 days"))
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_latest_per_key_tie_break_and_equivalence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T00:00:00"), 1, "a"),
+            (1, ts("2024-01-02T00:00:00"), 2, "b"),
+            (1, ts("2024-01-02T00:00:00"), 3, "c"),  # ts tie -> higher seq wins
+            (2, ts("2024-01-01T00:00:00"), 4, "d"),
+        ],
+        ["k", "t", "seq", "v"],
+    )
+    a = latest_per_key(df, ["k"], "t", tiebreak=["seq"])
+    b = latest_per_key_window(df, ["k"], "t", tiebreak=["seq"])
+    got_a = {r["k"]: r["v"] for r in a.collect()}
+    got_b = {r["k"]: r["v"] for r in b.collect()}
+    assert got_a == {1: "c", 2: "d"}
+    assert got_a == got_b  # agg and window formulations agree
+
+
+def test_dictionary_roundtrip_and_unseen(spark):
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("y",), ("z",), ("z",), ("z",)], ["c"]
+    )
+    d = fit_dictionary(df, "c")
+    # freq order: z(3)->0, x(2)->1, y(1)->2
+    assert {(r["value"], r["index"]) for r in d.collect()} == {
+        ("z", 0), ("x", 1), ("y", 2)
+    }
+    new = spark.createDataFrame([("x",), ("unseen",)], ["c"])
+    enc = encode_with_dictionaries(new, {"c": d})
+    assert {r["c"] for r in enc.collect()} == {1, 3}  # unseen -> |vocab|
+    dec = decode_with_dictionary(enc.filter(F.col("c") != 3), "c", d)
+    assert {r["c"] for r in dec.collect()} == {"x"}
+
+
+def test_dictionary_encode_is_bijection_on_seen(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = fit_dictionary(docs, "lang")
+    enc = encode_with_dictionaries(docs.select("doc_id", "lang"), {"lang": d})
+    dec = decode_with_dictionary(enc, "lang", d)
+    orig = {(r["doc_id"], r["lang"]) for r in docs.select("doc_id", "lang").collect()}
+    back = {(r["doc_id"], r["lang"]) for r in dec.collect()}
+    assert orig == back

@@ -1,0 +1,111 @@
+"""Semantic tests for dedup and similarity operators (the rows-only ops).
+
+The driver can only count rows for hash-specific operators; these tests pin
+the actual semantics: planted near-duplicates are found, unrelated docs are
+not, LSH recall tracks brute force, signatures are deterministic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_lsh_duplicates,
+    simhash_duplicates,
+)
+from alibaba_cppfeaturestore_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from alibaba_cppfeaturestore_spark.plans.views import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    out = exact_dedup(corpus, cols=["text"], id_col="doc_id")
+    assert out.count() == docs.count()
+    assert out.agg(F.max("doc_id")).first()[0] < 10_000  # originals win
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    base = docs.limit(50)
+    mutants = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    corpus = base.unionByName(mutants)
+    pairs = minhash_lsh_duplicates(
+        corpus, num_hashes=32, bands=8, jaccard_threshold=0.7
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(r["doc_id"], r["doc_id"] + 10_000) for r in base.collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+    # deduped corpus keeps the originals
+    kept = minhash_lsh_dedup(corpus, num_hashes=32, bands=8, jaccard_threshold=0.7)
+    assert kept.filter(F.col("doc_id") < 10_000).count() == 50
+
+
+def test_minhash_no_false_pairs_between_distinct_docs(spark, docs):
+    pairs = minhash_lsh_duplicates(
+        docs.limit(50), num_hashes=32, bands=8, jaccard_threshold=0.9
+    )
+    # distinct synthetic docs shouldn't be 0.9-jaccard near-dups of each other
+    assert pairs.count() == 0
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    base = docs.limit(30)
+    mutants = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    pairs = simhash_duplicates(base.unionByName(mutants), max_hamming=3)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(r["doc_id"], r["doc_id"] + 10_000) for r in base.collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.5, f"simhash recall too low: {recall}"
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_bucketed_topk(emb, queries, k=5, num_bits=4, num_tables=8, dim=64)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH ANN recall vs brute force too low: {recall}"
+    # approx results must be a subset of legal pairs and deterministic
+    a2 = {(r["query_id"], r["neighbor_id"]) for r in lsh_bucketed_topk(
+        emb, queries, k=5, num_bits=4, num_tables=8, dim=64).collect()}
+    assert a == a2
+
+
+def test_brute_force_topk_self_excluded_and_sorted(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["cosine_sim"])
+    for sims in by_q.values():
+        assert sims == sorted(sims, reverse=True)
+        assert len(sims) == 5

@@ -1,0 +1,70 @@
+"""Multimodal plumbing tests: binary payloads, Arrow-batched decode,
+corrupt-object tolerance, frame sampling row explosion."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from alibaba_cppfeaturestore_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media_metadata,
+    sample_frames,
+)
+
+
+def _media(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine"), (3, "x")], ["doc_id", "text"]
+    )
+    return attach_binary_payload(df, source_col="text", id_col="doc_id")
+
+
+def test_decode_metadata_deterministic(spark):
+    media = _media(spark)
+    out = {r["media_id"]: r.asDict() for r in decode_media_metadata(media).collect()}
+    assert out[1]["n_bytes"] == len(b"hello world")
+    assert out[1]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
+    assert 64 <= out[1]["width"] < 256 and 64 <= out[1]["height"] < 256
+    # deterministic across runs
+    again = {r["media_id"]: r.asDict() for r in decode_media_metadata(media).collect()}
+    assert out == again
+
+
+def test_decode_tolerates_null_and_corrupt(spark):
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+        ]
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(b"ok"), "image/png"), (2, None, "image/png")], schema
+    )
+
+    def angry_decoder(payload: bytes) -> dict:
+        if payload == b"ok":
+            return {"width": 1, "height": 2, "n_frames": 3}
+        raise ValueError("corrupt")
+
+    out = {r["media_id"]: r.asDict() for r in
+           decode_media_metadata(media, decode_fn=angry_decoder).collect()}
+    assert out[1]["width"] == 1 and out[1]["n_frames"] == 3
+    assert out[2]["n_bytes"] is None and out[2]["width"] is None  # row survives
+
+
+def test_sample_frames_explodes_rows(spark):
+    media = _media(spark)
+    frames = sample_frames(media, every_nth=5)
+    rows = frames.collect()
+    assert len(rows) >= 3  # at least frame 0 per media
+    assert all(r["frame_idx"] % 5 == 0 for r in rows)
+    meta = {r["media_id"]: r["n_frames"] for r in decode_media_metadata(media).collect()}
+    per_media = {}
+    for r in rows:
+        per_media[r["media_id"]] = per_media.get(r["media_id"], 0) + 1
+    for mid, n in per_media.items():
+        assert n == len(range(0, meta[mid], 5))

@@ -1,0 +1,147 @@
+"""Streaming tests: bounded micro-batch runs, watermarked windows,
+foreachBatch online upsert, checkpoint/restart idempotency, dictionary
+reuse batch↔stream (ST5 train/serve consistency)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.operators.dictionary import (
+    encode_with_dictionaries,
+    fit_dictionary,
+)
+from alibaba_cppfeaturestore_spark.streaming.pipeline import (
+    OnlineStore,
+    run_bounded_to_memory,
+    run_stream_upsert,
+    stream_from_parquet,
+    tumbling_window_agg,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+    df.write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_windowed_agg_stream_matches_batch(spark, workdir):
+    rows = [
+        (1, ts("2024-01-01T00:10:00"), "view", 1.0),
+        (1, ts("2024-01-01T00:50:00"), "view", 2.0),
+        (2, ts("2024-01-01T01:10:00"), "click", 3.0),
+        (2, ts("2024-01-01T01:20:00"), "view", 4.0),
+        (1, ts("2024-01-01T02:05:00"), "view", 5.0),
+    ]
+    src = os.path.join(workdir, "events")
+    _write_events(spark, src, rows)
+
+    stream = stream_from_parquet(spark, src)
+    agg = tumbling_window_agg(
+        stream, "ts", "1 hour", "10 minutes", ["event_type"],
+        [F.count("*").alias("n"), F.sum("value").alias("total")],
+    )
+    result = run_bounded_to_memory(agg, output_mode="complete")
+    got = {
+        (r["window"]["start"].isoformat(), r["event_type"]): (r["n"], r["total"])
+        for r in result.collect()
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", "view"): (2, 3.0),
+        ("2024-01-01T01:00:00", "click"): (1, 3.0),
+        ("2024-01-01T01:00:00", "view"): (1, 4.0),
+        ("2024-01-01T02:00:00", "view"): (1, 5.0),
+    }
+
+
+def test_online_store_upsert_and_restart_idempotency(spark, workdir):
+    src = os.path.join(workdir, "events")
+    store_path = os.path.join(workdir, "store")
+    chk = os.path.join(workdir, "chk")
+    rows = [
+        (1, ts("2024-01-01T00:00:00"), "view", 1.0),
+        (1, ts("2024-01-01T02:00:00"), "click", 2.0),
+        (2, ts("2024-01-01T01:00:00"), "view", 3.0),
+    ]
+    _write_events(spark, src, rows)
+    store = OnlineStore(store_path, keys=["user_id"], ts="ts")
+
+    stream = stream_from_parquet(spark, src)
+    run_stream_upsert(stream, store, chk)
+    got = {r["user_id"]: (r["event_type"], r["value"]) for r in store.read(spark).collect()}
+    assert got == {1: ("click", 2.0), 2: ("view", 3.0)}
+
+    # Restart with the same checkpoint: no new data -> store unchanged.
+    stream2 = stream_from_parquet(spark, src)
+    run_stream_upsert(stream2, store, chk)
+    got2 = {r["user_id"]: (r["event_type"], r["value"]) for r in store.read(spark).collect()}
+    assert got2 == got
+
+    # New file arrives (late data for user 2, fresh for user 1).
+    more = [
+        (1, ts("2024-01-01T03:00:00"), "purchase", 9.0),
+        (2, ts("2024-01-01T00:30:00"), "click", 8.0),  # older than stored -> ignored
+    ]
+    df = spark.createDataFrame(more, ["user_id", "ts", "event_type", "value"])
+    df.write.mode("append").parquet(src)
+    stream3 = stream_from_parquet(spark, src)
+    run_stream_upsert(stream3, store, chk)
+    got3 = {r["user_id"]: (r["event_type"], r["value"]) for r in store.read(spark).collect()}
+    assert got3 == {1: ("purchase", 9.0), 2: ("view", 3.0)}
+
+
+def test_dictionary_shared_batch_and_stream(spark, workdir):
+    """ST5: the dictionary fit on batch data is applied to a stream via
+    broadcast join inside foreachBatch — train/serve consistency."""
+    batch = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], ["cat"]
+    )
+    d = fit_dictionary(batch, "cat")
+
+    src = os.path.join(workdir, "stream_src")
+    spark.createDataFrame(
+        [(1, ts("2024-01-01T00:00:00"), "a", 0.0),
+         (2, ts("2024-01-01T00:00:01"), "b", 0.0),
+         (3, ts("2024-01-01T00:00:02"), "new", 0.0)],
+        ["id", "ts", "cat", "v"],
+    ).write.mode("overwrite").parquet(src)
+
+    captured = []
+
+    def encode_batch(batch_df, epoch):
+        captured.append(
+            {r["id"]: r["cat"] for r in
+             encode_with_dictionaries(batch_df, {"cat": d}).collect()}
+        )
+
+    stream = stream_from_parquet(spark, src)
+    q = (
+        stream.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", os.path.join(workdir, "chk2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    merged = {}
+    for c in captured:
+        merged.update(c)
+    # a(freq 2)->0, b->1, unseen->2
+    assert merged == {1: 0, 2: 1, 3: 2}
