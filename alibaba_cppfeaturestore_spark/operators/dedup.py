@@ -49,19 +49,53 @@ def exact_dedup(
     )
 
 
+# Universal-hash permutation constants: h_i(x) = (a_i*x + b_i) mod p over a
+# 31-bit Mersenne prime. Products stay < 2^62 so the arithmetic is safe under
+# ANSI overflow checking; constants are fixed (deterministic across runs).
+_MINHASH_PRIME = (1 << 31) - 1
+
+
+def _perm_constants(num_hashes: int, seed: int = 0x5EED) -> tuple[list[int], list[int]]:
+    import random
+
+    rng = random.Random(seed)
+    a = [rng.randrange(1, _MINHASH_PRIME) for _ in range(num_hashes)]
+    b = [rng.randrange(0, _MINHASH_PRIME) for _ in range(num_hashes)]
+    return a, b
+
+
 def minhash_signature(
     text: Column | str, num_hashes: int = 32, shingle_size: int = 5
 ) -> Column:
     """MinHash signature: array of ``num_hashes`` min-over-shingles hashes.
 
-    Each hash function is xxhash64 with a distinct seed; the whole
-    signature is one native expression per row."""
-    sh = char_shingles(text, shingle_size)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
-            for i in range(num_hashes)
-        ]
+    SINGLE-PASS design: each shingle is string-hashed exactly once
+    (xxhash64 → 31-bit), then the ``num_hashes`` permutations are cheap
+    multiply-add-mod folds inside one ``aggregate`` — the shingle array is
+    built and hashed once per row, not once per hash function. (The naive
+    ``array(*[array_min(transform(shingles, hash_i))])`` form duplicates
+    the shingling+hashing subtree num_hashes times, overflows codegen, and
+    falls back to interpreted evaluation — ~100× slower.)"""
+    a, b = _perm_constants(num_hashes)
+    p = F.lit(_MINHASH_PRIME).cast("long")
+    hashed = F.transform(
+        F.array_distinct(char_shingles(text, shingle_size)),
+        lambda s: F.pmod(F.xxhash64(s), p),
+    )
+    init = F.array_repeat(p, num_hashes)
+    return F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.pmod(h * F.lit(ai).cast("long") + F.lit(bi).cast("long"), p)
+                    for ai, bi in zip(a, b)
+                ]
+            ),
+            lambda x, y: F.least(x, y),
+        ),
     )
 
 
@@ -113,15 +147,18 @@ def minhash_lsh_duplicates(
     # Banding shuffles only (id, band, bucket) — never the document text:
     # at 100 TB the banded exchange is |corpus|×bands small rows, and texts
     # are re-joined only for the (much smaller) candidate set.
-    banded = df.select(
+    #
+    # The signature lives in its OWN projection: minhash_bands references it
+    # 32× (once per position), and CollapseProject keeps a multi-referenced
+    # non-trivial alias in a separate project, so the signature is computed
+    # once per row instead of being inlined into every band expression.
+    sigs = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            minhash_bands(
-                minhash_signature(F.col(text_col), num_hashes, shingle_size),
-                bands,
-                rows_per_band,
-            )
-        ).alias("bb"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
     a = banded.alias("a")
@@ -169,36 +206,43 @@ def simhash(text: Column | str, hash_bits: int = 64) -> Column:
     """SimHash signature over whitespace tokens → bigint.
 
     Per-bit vote: each token's xxhash64 contributes +1/-1 to each bit
-    position; the signature sets bits with positive totals. Entirely
-    native: aggregate over the token array carrying a 64-counter array.
-    (Bit positions are compile-time constants — PySpark's shift functions
-    take Python ints, not Columns.)
-    """
-    toks = tokens(text)
+    position; the signature sets bits with positive totals.
+
+    SINGLE-PASS design: tokens are string-hashed exactly once (the hash is
+    bound to a ``transform`` lambda variable), the 64 per-bit votes fold in
+    one ``aggregate``, and the final bigint is assembled by OR-folding
+    vote-masked powers of two — each sub-result appears once in the
+    expression tree, keeping the generated code small enough for
+    whole-stage codegen."""
+    hashed = F.transform(tokens(text), lambda t: F.xxhash64(t))
     init = F.array_repeat(F.lit(0), hash_bits)
 
-    def token_bits(t: Column) -> Column:
+    def token_bits(h: Column) -> Column:
+        # h is a lambda variable (already-computed long) — the 64 shifts
+        # are cheap integer ops, not 64 re-hashes of the token string.
         return F.array(
             *[
-                F.when(
-                    F.shiftright(F.xxhash64(t), p).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
+                (F.shiftright(h, p).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
                 for p in range(hash_bits)
             ]
         )
 
     votes = F.aggregate(
-        toks, init, lambda acc, t: F.zip_with(acc, token_bits(t), lambda x, y: x + y)
+        hashed, init, lambda acc, h: F.zip_with(acc, token_bits(h), lambda x, y: x + y)
     )
-    sig = F.lit(0).cast("long")
-    for p in range(hash_bits):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.element_at(votes, p + 1) > 0,
-                F.shiftleft(F.lit(1).cast("long"), p),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return sig
+    # bit p of the signature = (votes[p] > 0); powers[63] is the sign bit.
+    powers = F.array(
+        *[
+            F.lit(1 << p if p < 63 else -(1 << 63)).cast("long")
+            for p in range(hash_bits)
+        ]
+    )
+    masked = F.zip_with(
+        votes, powers, lambda v, pw: F.when(v > 0, pw).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(
+        masked, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

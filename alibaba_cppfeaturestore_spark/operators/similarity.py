@@ -53,16 +53,20 @@ def brute_force_topk(
     )
 
 
+def _plane_signs(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane weights — plane identity is compile-time
+    (table, plane, i), so the weights are generated driver-side and embedded
+    as literals: zero per-row hashing, reproducible across runs/sessions."""
+    import random
+
+    rng = random.Random((table << 20) ^ (plane << 8) ^ 0xA11CE)
+    return [1.0 if rng.getrandbits(1) else -1.0 for _ in range(dim)]
+
+
 def _lsh_bit(vec: Column, table: int, plane: int, dim: int) -> Column:
-    """Sign bit of <vec, h_plane> where h_plane[i] is a deterministic
-    pseudo-random ±1 weight derived from xxhash64(table, plane, i)."""
-    signs = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.when(
-            F.xxhash64(F.lit(table), F.lit(plane), i).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    """Sign bit of <vec, h_plane>: one fused multiply-add pass over the
+    vector against a literal ±1 array."""
+    signs = F.array(*[F.lit(s) for s in _plane_signs(table, plane, dim)])
     proj = F.aggregate(
         F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
         F.lit(0.0),
