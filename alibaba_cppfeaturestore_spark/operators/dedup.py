@@ -132,9 +132,10 @@ def minhash_lsh_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 4,
     shingle_size: int = 5,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate generation via LSH banding + exact-Jaccard verification.
 
@@ -142,6 +143,18 @@ def minhash_lsh_duplicates(
     Scale shape: signatures are per-row expressions; candidates come from a
     shuffle on (band, bucket); verification re-shingles only candidate
     rows. No corpus-wide cross join anywhere.
+
+    Band geometry matters: with ``b`` bands of ``r`` rows the candidate
+    threshold is ≈ (1/b)^(1/r); the default 4×8 (≈0.84) is tuned to
+    ``jaccard_threshold=0.8``. Wider bands (8×4 ≈ 0.59) flood the
+    verification stage with sub-threshold pairs — 50×+ more candidates on
+    corpora with moderate background similarity.
+
+    ``max_bucket_size`` is the skew guard: a degenerate bucket of m rows
+    (boilerplate/empty docs) contributes m² pairs, so one hot key can
+    dominate the whole job at scale. Buckets above the cap are dropped
+    (their members are still candidates via their other bands); set None
+    to disable.
     """
     rows_per_band = num_hashes // bands
     # Banding shuffles only (id, band, bucket) — never the document text:
@@ -161,6 +174,14 @@ def minhash_lsh_duplicates(
         F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -173,12 +194,34 @@ def minhash_lsh_duplicates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Cheap screen before exact verification: the fraction of agreeing
+    # signature components estimates Jaccard with σ ≈ √(j(1-j)/k) (≈0.07
+    # for k=32), so a 3σ margin below the threshold rejects only pairs
+    # that are (almost surely) sub-threshold — comparing 32 longs instead
+    # of intersecting ~|text| shingle sets per candidate.
+    est_margin = 3.0 * (0.25 / num_hashes) ** 0.5
+    est = (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "__est",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("__est") >= jaccard_threshold - est_margin)
+        .select("id_a", "id_b")
+    )
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(char_shingles(F.col(text_col), shingle_size)).alias("sh"),
     )
     verified = (
-        cand.join(shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        est.join(shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .select(
             "id_a",

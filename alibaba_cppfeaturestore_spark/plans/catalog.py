@@ -966,7 +966,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     corpus = docs.unionByName(mutants)
     return DD.minhash_lsh_duplicates(
         corpus, text_col="text", id_col="doc_id",
-        num_hashes=32, bands=8, jaccard_threshold=0.8,
+        num_hashes=32, bands=4, jaccard_threshold=0.8,
     )
 
 

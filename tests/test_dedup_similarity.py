@@ -47,7 +47,7 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     )
     corpus = base.unionByName(mutants)
     pairs = minhash_lsh_duplicates(
-        corpus, num_hashes=32, bands=8, jaccard_threshold=0.7
+        corpus, num_hashes=32, bands=4, jaccard_threshold=0.7
     )
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     planted = {(r["doc_id"], r["doc_id"] + 10_000) for r in base.collect()}
@@ -57,7 +57,7 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     # a smaller-id original (the sf0.001 corpus contains such a pair:
     # jaccard(doc 8, doc 12) ≈ 0.985) — every found pair is verified by
     # exact Jaccard, so any dropped original must appear as some pair's id_b.
-    kept = minhash_lsh_dedup(corpus, num_hashes=32, bands=8, jaccard_threshold=0.7)
+    kept = minhash_lsh_dedup(corpus, num_hashes=32, bands=4, jaccard_threshold=0.7)
     kept_ids = {r["doc_id"] for r in kept.filter(F.col("doc_id") < 10_000).collect()}
     original_losers = {b for a, b in found if b < 10_000}
     assert kept_ids == {r["doc_id"] for r in base.collect()} - original_losers
@@ -66,7 +66,7 @@ def test_minhash_finds_planted_near_dups(spark, docs):
 
 def test_minhash_no_false_pairs_between_distinct_docs(spark, docs):
     pairs = minhash_lsh_duplicates(
-        docs.limit(50), num_hashes=32, bands=8, jaccard_threshold=0.9
+        docs.limit(50), num_hashes=32, bands=4, jaccard_threshold=0.9
     )
     # Every emitted pair is exact-Jaccard-verified ≥ 0.9, so only true
     # near-dups may appear. The sf0.001 corpus plants exactly one such
