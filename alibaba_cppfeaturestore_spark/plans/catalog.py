@@ -1281,3 +1281,181 @@ def multimodal_decode_metadata(spark, sf_dir):
     media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
     meta = decode_media_metadata(media)
     return meta.select("media_id", "media_type", "n_bytes", "sha256")
+
+
+# ---------------------------------------------------------------------------
+# Silver→Gold end-to-end (reference E2), global sort / sampling (§2.6),
+# sliding-window streaming, frame sampling.
+# ---------------------------------------------------------------------------
+
+
+_GOLD_CLOCK = "2024-01-01 00:00:00"
+
+
+def _synth_silver(spark, sf_dir):
+    """A fully-populated silver-shaped table synthesized from orders ×
+    customer (every GOLD_SELECT_COLUMNS column non-null, so na.drop is a
+    no-op and the flow is oracle-reproducible)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    k = F.col("o_orderkey")
+    return j.select(
+        F.col("o_custkey").alias("user_id"),
+        (k % 1000).alias("item_id"),
+        (k % 50).alias("item_category"),
+        (k % 200).alias("item_shop"),
+        (k % 100).alias("item_brand"),
+        F.col("c_nationkey").alias("user_shops"),
+        (k % 97).alias("user_profile"),
+        (F.col("c_nationkey") % 13).alias("user_group"),
+        (k % 2).alias("user_gender"),
+        (k % 7).alias("user_age"),
+        (k % 3).alias("user_consumption_2"),
+        (k % 2).alias("user_is_occupied"),
+        (F.col("c_nationkey") % 4).alias("user_geography"),
+        (k % 26).alias("user_intentions"),
+        (k % 41).alias("user_brands"),
+        (k % 53).alias("user_categories"),
+        (k % 2).alias("click"),
+    )
+
+
+@_q(
+    "aliccp_silver_to_gold_e2e",
+    f"""
+    WITH silver AS (
+      SELECT o_custkey AS user_id,
+             o_orderkey % 1000 AS item_id,
+             o_orderkey % 50 AS item_category,
+             c_nationkey % 13 AS user_group,
+             o_orderkey % 7 AS user_age,
+             o_orderkey % 2 AS click
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    d_group AS (
+      SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS INTEGER) AS idx
+      FROM (SELECT user_group AS value, COUNT(*) AS cnt FROM silver GROUP BY 1)
+    ),
+    d_cat AS (
+      SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS INTEGER) AS idx
+      FROM (SELECT item_category AS value, COUNT(*) AS cnt FROM silver GROUP BY 1)
+    ),
+    d_age AS (
+      SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS INTEGER) AS idx
+      FROM (SELECT user_age AS value, COUNT(*) AS cnt FROM silver GROUP BY 1)
+    )
+    SELECT s.user_id,
+           s.user_id AS user_id_raw,
+           s.item_id,
+           g.idx AS user_group,
+           c.idx AS item_category,
+           a.idx AS user_age,
+           s.click,
+           CAST('{_GOLD_CLOCK}' AS TIMESTAMP) AS created
+    FROM silver s
+    JOIN d_group g ON s.user_group = g.value
+    JOIN d_cat  c ON s.item_category = c.value
+    JOIN d_age  a ON s.user_age = a.value
+    """,
+)
+def aliccp_silver_to_gold_e2e(spark, sf_dir):
+    """Reference E2 end-to-end: silver wide table → na.drop → raw-id
+    duplication → deterministic categorify via fitted dictionaries
+    (broadcast joins) → injectable clock timestamps. Dictionaries fit on
+    3 of the 16 categorical columns (the mechanism is identical per
+    column; 3 keeps the oracle readable)."""
+    from .aliccp import silver_to_gold
+
+    silver = _synth_silver(spark, sf_dir)
+    dicts = {c: fit_dictionary(silver, c) for c in ["user_group", "item_category", "user_age"]}
+    gold = silver_to_gold(
+        silver, dicts, clock=F.to_timestamp(F.lit(_GOLD_CLOCK))
+    )
+    return gold.select(
+        "user_id", "user_id_raw", "item_id",
+        "user_group", "item_category", "user_age", "click", "created",
+    )
+
+
+@_q(
+    "sort_global_topn",
+    """
+    SELECT o_orderkey, o_orderdate, ROUND(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    headline=True,
+)
+def sort_global_topn(spark, sf_dir):
+    """Global sort + limit (top-N): compiles to TakeOrderedAndProject —
+    per-partition heaps + driver merge, never a full global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@_q("sample_deterministic", None)
+def sample_deterministic(spark, sf_dir):
+    """Seeded, reproducible ~10% sample via content hash (xxhash64 mod) —
+    unlike ``df.sample`` the row set is a pure function of the data, so
+    batch/stream/rerun all agree. Hash-specific → rows-only driver check;
+    fraction and determinism pinned in tests."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.pmod(F.xxhash64("o_orderkey", F.lit(42)), 100) < 10).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@_q(
+    "stream_sliding_window_counts",
+    """
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+    ), x AS (
+      SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts),
+                     time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS window_start,
+             event_type, value
+      FROM e
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window_counts(spark, sf_dir):
+    """Watermarked SLIDING-window aggregation (2 h window, 1 h slide) as a
+    real streaming run — each event lands in two overlapping windows."""
+    from ..streaming.pipeline import run_bounded_to_memory
+
+    stream = _stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    result = run_bounded_to_memory(agg, output_mode="complete")
+    return result.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@_q("multimodal_frame_sample", None)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: 1→N row explosion through mapInPandas with
+    a stable schema (decoder stubbed; every 10th frame kept)."""
+    from ..operators.multimodal import attach_binary_payload, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
+    return sample_frames(media, every_nth=10)

@@ -1,0 +1,33 @@
+"""Tests for the Silver→Gold e2e flow and deterministic sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_silver_to_gold_encodes_and_stamps(spark):
+    out = QUERIES["aliccp_silver_to_gold_e2e"].spark(spark, SF)
+    rows = out.limit(2000).collect()
+    assert rows, "gold output empty"
+    # encoded columns are dense 0-based indexes bounded by vocab size
+    assert all(0 <= r["user_group"] <= 13 for r in rows)
+    assert all(0 <= r["user_age"] < 7 for r in rows)
+    # raw-id duplication survives encoding
+    assert all(r["user_id"] == r["user_id_raw"] for r in rows)
+    # injectable clock: constant, not wall-clock
+    assert len({r["created"] for r in rows}) == 1
+
+
+def test_sample_deterministic_fraction_and_rerun(spark):
+    q = QUERIES["sample_deterministic"].spark
+    total = 1500  # orders rows at sf0.001
+    s1 = q(spark, SF)
+    n1 = s1.count()
+    assert 0.05 * total <= n1 <= 0.15 * total, f"~10% expected, got {n1}/{total}"
+    # pure function of the data: identical row set on re-run
+    s2 = q(spark, SF)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
