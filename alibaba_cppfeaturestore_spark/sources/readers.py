@@ -35,9 +35,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def delta_available(spark: SparkSession) -> bool:
-    """True if the Delta Lake jars are on the classpath."""
+    """True if the Delta Lake jars are on the classpath. (Must use
+    ``Class.forName`` — py4j package traversal like ``_jvm.org.apache...``
+    returns a lazy JavaPackage and never raises for missing classes.)"""
     try:
-        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.delta.DeltaLog"
+        )
         return True
     except Exception:
         return False

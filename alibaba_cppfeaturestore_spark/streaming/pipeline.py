@@ -115,6 +115,35 @@ class OnlineStore:
         return lambda df, epoch: self.upsert_batch(df, epoch)
 
 
+def write_kafka_stream(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 10,
+    partition_by: str | None = None,
+):
+    """Kafka stream sink (reference S7, ``stream_silver_to_gold.py:135-145``):
+    append mode, processing-time trigger, checkpointed. ``df`` must already
+    have a string/binary ``value`` column (use ``F.to_json(F.struct(...))``).
+    ``partition_by`` sets the Kafka message key column (controls broker
+    partition routing, the analogue of the reference's partitionBy).
+    Requires spark-sql-kafka on the classpath; config-builder only in this
+    container (no broker to test against)."""
+    out = df
+    if partition_by is not None:
+        out = out.withColumn("key", F.col(partition_by).cast("string"))
+    writer = (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+    return writer.start()
+
+
 def run_stream_upsert(
     stream_df: DataFrame,
     store: OnlineStore,
