@@ -38,19 +38,8 @@ def brute_force_topk(
         )
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    candidates = q.join(c, F.col("query_id") != F.col("neighbor_id"))
+    return _topk_by_cosine(candidates, k)
 
 
 def _plane_signs(table: int, plane: int, dim: int) -> list[float]:
@@ -133,6 +122,12 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id", "__qvec", "__cvec")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    return _topk_by_cosine(candidates, k)
+
+
+def _topk_by_cosine(candidates: DataFrame, k: int) -> DataFrame:
+    """Shared tail: score candidate (query, neighbor) pairs and keep the
+    top-k per query (ties broken by neighbor id)."""
     scored = candidates.select(
         "query_id",
         "neighbor_id",
@@ -146,6 +141,98 @@ def lsh_bucketed_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Fit IVF coarse-quantizer centroids with MLlib KMeans.
+
+    At 100 TB the fit runs on a seeded sample (centroid quality needs only
+    ~1000× n_centroids vectors), never the full corpus; assignment is then
+    a per-row expression against the broadcast centroid literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = corpus if sample_fraction >= 1.0 else corpus.sample(sample_fraction, seed)
+    vecs = sample.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(vecs)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _nearest_centroid_ids(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """ids of the ``n`` nearest centroids (squared-L2, KMeans' metric) —
+    one expression: per-centroid distance, sort (dist, id) structs, slice."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("dist"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(dists), 1, n), lambda s: s["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer,
+    corpus assigned to its nearest centroid, each query probes its
+    ``n_probe`` nearest cells. The candidate join is an equi-join on
+    centroid id — corpus compared ≈ n_probe/n_centroids of a cross join.
+    Pass precomputed ``centroids`` to reuse a fitted quantizer (the
+    batch↔stream / fit-once-serve-many path).
+
+    IVF vs hyperplane LSH (``lsh_bucketed_topk``): IVF adapts cells to the
+    data distribution (better candidate quality on clustered embeddings)
+    at the cost of a fit job; LSH is fit-free and fully deterministic.
+    """
+    cents = centroids or ivf_fit_centroids(
+        corpus, vec_col, n_centroids, sample_fraction
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.element_at(_nearest_centroid_ids(F.col(vec_col), cents, 1), 1).alias("__cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(_nearest_centroid_ids(F.col(vec_col), cents, n_probe)).alias("__cell"),
+        )
+    )
+    candidates = (
+        q.join(c, "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+    )
+    return _topk_by_cosine(candidates, k)
 
 
 def threshold_pairs(

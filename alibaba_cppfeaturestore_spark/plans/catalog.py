@@ -1459,3 +1459,16 @@ def multimodal_frame_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
     return sample_frames(media, every_nth=10)
+
+
+@_q("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: MLlib-KMeans coarse quantizer (seeded →
+    deterministic), corpus bucketed by nearest cell, queries probe 4 of 16
+    cells. KMeans centroids have no SQL equivalent → rows-only; recall vs
+    brute force asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)

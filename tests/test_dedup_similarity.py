@@ -118,3 +118,26 @@ def test_brute_force_topk_self_excluded_and_sorted(spark):
     for sims in by_q.values():
         assert sims == sorted(sims, reverse=True)
         assert len(sims) == 5
+
+
+def test_ivf_topk_recall_and_reused_centroids(spark):
+    from alibaba_cppfeaturestore_spark.operators.similarity import (
+        ivf_fit_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall vs brute force too low: {recall}"
+    # fit-once-serve-many: precomputed centroids give identical results
+    cents = ivf_fit_centroids(emb, n_centroids=8)
+    a2 = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(
+        emb, queries, k=5, n_probe=3, centroids=cents).collect()}
+    assert a == a2
