@@ -1472,3 +1472,74 @@ def ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@_q(
+    "session_window_stats",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), m AS (
+      SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+      FROM e
+    ), s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_stats(spark, sf_dir):
+    """Native session windows (30-minute gap) in BATCH: Spark's
+    ``session_window`` merges events whose gap is strictly under the
+    timeout; window end = last event + gap. Same construct is
+    streaming-safe (see ``stream_session_window_stats``)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_q("stream_session_window_stats", None)
+def stream_session_window_stats(spark, sf_dir):
+    """Session windows on a REAL stream (watermark + append mode): only
+    watermark-finalized sessions emit, so the bounded run yields the batch
+    result minus the unfinalizable tail — equivalence asserted in
+    tests/test_streaming.py. Rows-only for the driver."""
+    from ..streaming.pipeline import run_bounded_to_memory
+
+    stream = _stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    result = run_bounded_to_memory(agg, output_mode="append")
+    return result.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )

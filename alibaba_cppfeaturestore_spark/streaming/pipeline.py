@@ -115,6 +115,39 @@ class OnlineStore:
         return lambda df, epoch: self.upsert_batch(df, epoch)
 
 
+def stateful_running_count(
+    stream_df: DataFrame,
+    key_col: str,
+    count_col: str = "n_events",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-key cumulative event count that survives across micro-batches
+    (the escape hatch for operators neither windowed aggregation nor
+    ``session_window`` can express).
+
+    Emits (key, running_count) every time a key appears in a micro-batch;
+    state is one long per key — bounded by |keys|, not stream length. At
+    scale add a timeout (``GroupStateTimeout.EventTimeTimeout``) to expire
+    idle keys instead of NoTimeout."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        current = state.get[0] if state.exists else 0
+        current += sum(len(p) for p in pdfs)
+        state.update((current,))
+        yield pd.DataFrame({key_col: [key[0]], count_col: [current]})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} long, {count_col} long",
+        stateStructType=f"{count_col} long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_kafka_stream(
     df: DataFrame,
     bootstrap_servers: str,

@@ -145,3 +145,66 @@ def test_dictionary_shared_batch_and_stream(spark, workdir):
         merged.update(c)
     # a(freq 2)->0, b->1, unseen->2
     assert merged == {1: 0, 2: 1, 3: 2}
+
+
+def test_stateful_running_count_across_batches(spark, workdir):
+    """applyInPandasWithState: state must carry across micro-batches —
+    two staged files + maxFilesPerTrigger=1 force two batches."""
+    from alibaba_cppfeaturestore_spark.streaming.pipeline import (
+        stateful_running_count,
+    )
+
+    rows1 = [(1, ts("2024-01-01T10:00:00"), "view", 1.0),
+             (1, ts("2024-01-01T10:01:00"), "view", 1.0),
+             (2, ts("2024-01-01T10:02:00"), "click", 1.0)]
+    rows2 = [(1, ts("2024-01-01T11:00:00"), "view", 1.0),
+             (3, ts("2024-01-01T11:01:00"), "view", 1.0)]
+    src = os.path.join(workdir, "src")
+    spark.createDataFrame(rows1, ["user_id", "ts", "event_type", "value"]) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, ["user_id", "ts", "event_type", "value"]) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counts = stateful_running_count(stream, "user_id")
+    result = run_bounded_to_memory(counts, output_mode="update")
+    rows = result.collect()
+    # final cumulative count per key == plain batch groupBy count
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["n_events"])
+    assert final == {1: 3, 2: 1, 3: 1}
+    # state carried across batches: user 1 must have been emitted twice
+    # with increasing counts (2 in batch 1, 3 in batch 2) — not 3 at once
+    u1 = sorted(r["n_events"] for r in rows if r["user_id"] == 1)
+    assert u1 == [2, 3], f"expected cross-batch accumulation, got {u1}"
+
+
+def test_stream_session_windows_match_batch_finalized(spark):
+    """Streaming session windows (append mode) == batch session windows
+    restricted to sessions the final watermark could finalize."""
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    batch = QUERIES["session_window_stats"].spark(spark, sf).collect()
+    stream = QUERIES["stream_session_window_stats"].spark(spark, sf).collect()
+
+    max_ts = max(r["session_end"] for r in batch)  # end = last event + 30min
+    # final watermark = max event ts - 1 minute delay; a session emits when
+    # watermark > session_end
+    from datetime import timedelta
+    final_wm = (max_ts - timedelta(minutes=30)) - timedelta(minutes=1)
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch if r["session_end"] < final_wm
+    }
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in stream
+    }
+    assert got == expected
