@@ -64,6 +64,18 @@ def _perm_constants(num_hashes: int, seed: int = 0x5EED) -> tuple[list[int], lis
     return a, b
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism when the scan produced fewer
+    splits. Shingling/hashing is CPU-bound at ~200+ ops/char while input
+    bytes are comparatively tiny, so bytes-based file-split granularity
+    underestimates the work — a single-split file would hash on one core.
+    One exchange of the raw text, reused by every downstream branch."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def minhash_signature(
     text: Column | str, num_hashes: int = 32, shingle_size: int = 5
 ) -> Column:
@@ -121,9 +133,13 @@ def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Jaccard similarity of two arrays (as distinct sets)."""
+    """Jaccard similarity of two DISTINCT arrays (set semantics — callers
+    must pre-``array_distinct``; doing it here would rebuild the hash set
+    per pair). |∪| = |a|+|b|-|∩| avoids materializing the union array.
+    The duplicated ``array_intersect`` collapses under codegen CSE; hot
+    paths split the projection instead (see ``minhash_lsh_duplicates``)."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return inter / F.greatest(union, F.lit(1))
 
 
@@ -157,6 +173,7 @@ def minhash_lsh_duplicates(
     to disable.
     """
     rows_per_band = num_hashes // bands
+    df = _spread(df)
     # Banding shuffles only (id, band, bucket) — never the document text:
     # at 100 TB the banded exchange is |corpus|×bands small rows, and texts
     # are re-joined only for the (much smaller) candidate set.
@@ -169,10 +186,15 @@ def minhash_lsh_duplicates(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("sig"),
     )
+    # The signature rides along with its band rows (4×~256 B per doc — tiny
+    # next to the text we deliberately DON'T shuffle), so candidate pairs
+    # already hold both signatures and the corpus is never re-scanned to
+    # fetch them: one signature computation total instead of three.
     banded = sigs.select(
         "id",
+        "sig",
         F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", "sig", "bb.band", "bb.bucket")
 
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
@@ -191,7 +213,12 @@ def minhash_lsh_duplicates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     # Cheap screen before exact verification: the fraction of agreeing
@@ -201,9 +228,7 @@ def minhash_lsh_duplicates(
     # of intersecting ~|text| shingle sets per candidate.
     est_margin = 3.0 * (0.25 / num_hashes) ** 0.5
     est = (
-        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
-        .withColumn(
+        cand.withColumn(
             "__est",
             F.size(
                 F.filter(
@@ -223,10 +248,20 @@ def minhash_lsh_duplicates(
     verified = (
         est.join(shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        # intersection size in its own projection: referenced twice below,
+        # so CollapseProject keeps it evaluated once per pair.
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).alias("__i"),
+            (F.size(F.col("sh_a")) + F.size(F.col("sh_b"))).alias("__t"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__i") / F.greatest(F.col("__t") - F.col("__i"), F.lit(1)), 6
+            ).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
     )
@@ -302,6 +337,7 @@ def simhash_duplicates(
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks;
     pairs within hamming ≤ 3 share at least one chunk (pigeonhole), so the
     candidate join is an equi-join on (chunk_idx, chunk_value)."""
+    df = _spread(df)
     sigs = df.select(
         F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig")
     )
@@ -353,6 +389,7 @@ def ngram_jaccard_pairs(
     """Token-set Jaccard similarity pairs, blocked by ``block_cols`` to
     bound the pair space (at scale ALWAYS block — unblocked is |corpus|²;
     the LSH variants above are the unblocked-scale path)."""
+    df = _spread(df)
     base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in (block_cols or [])],
