@@ -58,11 +58,14 @@ def encode_with_dictionaries(
     bucket). ``unseen="null"`` leaves them NULL.
 
     Each dictionary is broadcast — no shuffle of the fact table, the joins
-    pipeline inside one stage.
+    pipeline inside one stage. The |vocab| fallback index for unseen values
+    is a lazy one-row aggregate cross-joined (broadcast) onto the fact —
+    NOT a driver-side ``count()``, which would run every dictionary's fit
+    lineage eagerly at plan-build time (one extra job per column, then the
+    broadcast re-runs it).
     """
     out = df
     for col, d in dictionaries.items():
-        vocab_size = d.count()  # small table; cheap action
         dict_renamed = F.broadcast(
             d.select(
                 F.col("value").alias(f"__{col}_value"),
@@ -74,11 +77,15 @@ def encode_with_dictionaries(
         )
         idx = F.col(f"__{col}_index")
         if unseen == "keep":
-            idx = F.coalesce(idx, F.lit(vocab_size))
+            vocab = F.broadcast(
+                d.agg(F.count("*").cast("int").alias(f"__{col}_vocab"))
+            )
+            out = out.crossJoin(vocab)
+            idx = F.coalesce(idx, F.col(f"__{col}_vocab"))
         out = (
             out.drop(col, f"__{col}_value")
             .withColumn(col, idx.cast("int"))
-            .drop(f"__{col}_index")
+            .drop(f"__{col}_index", f"__{col}_vocab")
         )
     return out
 
