@@ -1,0 +1,150 @@
+"""Connected components over a pair list — duplicate-cluster assignment.
+
+The dedup operators (``operators/dedup.py``) emit near-duplicate PAIRS.
+Keep-first dedup on raw pairs is one-hop: with pairs (B,C) and (A,B) it
+drops B and C but never links A–C, so "which rows are the same document"
+is answered per-edge, not per-cluster. This module closes the pairs into
+components so every row gets a cluster id (the component's minimum id) and
+canonical-row selection is transitive.
+
+Engine extra (no counterpart in the reference — its pipeline stops at
+exact row dedup, ``data_processing/batch_processing/batch_process_Bronze_to_Silver.py``
+drop-duplicates semantics); the algorithm is standard iterative min-label
+propagation as published for MapReduce-style systems (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — our variant is
+their hash-to-min specialization on DataFrames).
+
+Scale notes:
+- Each iteration is one shuffle of (|E|+|V|) small (id, lbl) rows — the
+  document text never enters the graph. Iteration count = component
+  diameter; near-dup clusters are shallow (mutant fan-outs, re-posts), so
+  2-4 iterations is typical even at corpus scale.
+- ``localCheckpoint`` after every round truncates the lineage (otherwise
+  plan depth grows linearly and the driver re-optimizes an ever-growing
+  tree). On a real cluster with executor loss concerns, set a reliable
+  checkpoint dir (``spark.sparkContext.setCheckpointDir``) and pass
+  ``reliable=True``.
+- Convergence is detected WITHOUT a labels↔labels join when ids are
+  numeric: labels only ever decrease, so the (count, sum) pair is a
+  fixpoint witness — one scalar action per round. Non-numeric ids fall
+  back to a change-count join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+    reliable: bool = False,
+) -> DataFrame:
+    """Label every node that appears in ``edges`` with the minimum node id
+    reachable from it. Returns ``(id, component)`` — one row per distinct
+    node; callers re-attach isolated nodes (see ``duplicate_clusters``).
+
+    The result is MATERIALIZED (the loop runs actions); treat the call as
+    the job boundary it is, not a lazy plan.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Symmetrize once; every iteration joins against this, so pin it.
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    numeric = isinstance(e.schema["src"].dataType, NumericType)
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
+    labels = _checkpoint(
+        sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    )
+
+    prev_witness = None
+    for _ in range(max_iterations):
+        # Push each node's current label to its neighbors, keep the min of
+        # (own label ∪ neighbor labels). groupBy gets map-side partial
+        # aggregation, so the shuffled volume is bounded by distinct ids
+        # per partition, not |E|.
+        msgs = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "lbl"
+        )
+        new_labels = _checkpoint(
+            msgs.unionByName(labels).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        )
+
+        if numeric:
+            row = new_labels.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"),
+            ).collect()[0]
+            witness = (row["n"], row["s"])
+            changed = witness != prev_witness
+            prev_witness = witness
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .limit(1)
+                .count()
+                > 0
+            )
+        labels = new_labels
+        if not changed:
+            break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — component diameter exceeds the cap; raise "
+            "max_iterations"
+        )
+
+    sym.unpersist()
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Assign every row of ``df`` a ``cluster_id``: the minimum id of its
+    near-duplicate component, or its own id when it duplicates nothing.
+
+    The component table is |nodes-in-pairs| rows — tiny next to the corpus
+    — so the re-attach join broadcasts when small; the corpus itself never
+    shuffles."""
+    comp = connected_components(pairs, src_col, dst_col).withColumnRenamed(
+        "id", id_col
+    )
+    return df.join(comp, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Cluster-aware keep-first dedup: keep exactly one row (the minimum
+    id) per duplicate component — transitive, unlike dropping pair
+    losers, which can keep zero or several rows of a chained cluster."""
+    clustered = duplicate_clusters(df, pairs, id_col, src_col, dst_col)
+    return clustered.filter(F.col(id_col) == F.col("cluster_id")).drop("cluster_id")

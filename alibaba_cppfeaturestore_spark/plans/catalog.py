@@ -36,6 +36,7 @@ from ..functions import text as TX
 from ..functions import vectors as V
 from ..functions.kv import merge_feature_maps, parse_kv_triplets
 from ..operators import dedup as DD
+from ..operators import graph as GR
 from ..operators import similarity as SIM
 from ..operators.aggregates import latest_per_key, top_k_per_group, vocab_sizes
 from ..operators.dictionary import fit_dictionary
@@ -950,6 +951,51 @@ def dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(
         docs, text_col="text", id_col="doc_id", block_cols=["lang"], threshold=0.9
+    )
+
+
+@_q(
+    "dedup_clusters",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang,
+             list_distinct(regexp_split_to_array(TRIM(text), '\s+')) AS tokset
+      FROM documents
+    ),
+    pairs AS (
+      SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               LEN(list_intersect(a.tokset, b.tokset))::DOUBLE
+               / GREATEST(LEN(list_distinct(list_concat(a.tokset, b.tokset))), 1) AS jaccard_sim
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      ) WHERE jaccard_sim >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: ngram-Jaccard pairs (lang-blocked,
+    ≥0.9) closed into connected components; every doc gets cluster_id =
+    min doc id of its component (own id when unique). Oracle: DuckDB
+    recursive-CTE transitive closure over the identical pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", block_cols=["lang"], threshold=0.9
+    )
+    return GR.duplicate_clusters(docs, pairs, id_col="doc_id").select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
     )
 
 
