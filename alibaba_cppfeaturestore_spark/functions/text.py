@@ -82,21 +82,28 @@ def lang_id(text: Column | str) -> Column:
 def char_shingles(text: Column | str, n: int = 5) -> Column:
     """Character n-gram shingles → array<string> (input to MinHash/Jaccard).
     transform(sequence(...)) is a native higher-order function — per-row,
-    no UDF, no shuffle."""
+    no UDF, no shuffle. Text shorter than ``n`` (including empty/null
+    length) has NO n-grams → empty array; the guard matters because
+    ``sequence(1, 0)`` is DESCENDING in Spark ([1, 0]), which would emit
+    two junk shingles and make every too-short doc a near-dup of every
+    other."""
     col = F.col(text) if isinstance(text, str) else text
-    num = F.greatest(F.length(col) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), num)
-    return F.transform(idx, lambda i: col.substr(i, F.lit(n)))
+    num = F.length(col) - F.lit(n - 1)
+    return F.when(num < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), num), lambda i: col.substr(i, F.lit(n)))
+    )
 
 
 def token_shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles → array<string>."""
+    """Word n-gram shingles → array<string>. Fewer than ``n`` tokens →
+    empty array (same descending-sequence guard as ``char_shingles``)."""
     toks = tokens(text)
-    num = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), num)
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
+    num = F.size(toks) - F.lit(n - 1)
+    return F.when(num < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), num),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
+        )
     )
 
 
@@ -106,3 +113,52 @@ def fingerprint(text: Column | str, seed: int = 42) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
     return F.xxhash64(normalized, F.lit(seed))
+
+
+def _let(value: Column, body) -> Column:
+    """Evaluate ``value`` once and bind it as a lambda variable for
+    ``body``. A subexpression captured inside a higher-order-function
+    lambda is re-evaluated on EVERY element; routing it through a
+    1-element ``transform`` makes it a lambda variable, which codegen
+    materializes exactly once per row."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def winnow_fingerprints(
+    text: Column | str, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS rolling-hash scheme): hash every character k-gram, slide a window
+    of ``window`` consecutive hashes, select each window's minimum; the
+    distinct selected hashes are the document's fingerprint set
+    (array<bigint>, sorted for determinism of the column value).
+
+    Guarantee: two documents sharing any substring of length
+    ≥ ``window + k - 1`` share at least one selected fingerprint — the
+    basis for containment/plagiarism detection, robust to where the match
+    sits in the document (unlike whole-doc ``fingerprint``).
+
+    All-native expressions; the k-gram hash array is bound once via
+    ``_let`` so the sliding windows index into it instead of re-hashing.
+    Cost O(len × window) integer ops per row, no shuffle.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    hashed = F.transform(char_shingles(normalized, k), lambda g: F.xxhash64(g))
+    return _let(
+        hashed,
+        lambda h: F.when(F.size(h) == 0, F.array().cast("array<bigint>")).otherwise(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        # fewer grams than the window → one window over all
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size(h) - F.lit(window - 1), F.lit(1)),
+                        ),
+                        lambda i: F.array_min(F.slice(h, i, window)),
+                    )
+                )
+            )
+        ),
+    )

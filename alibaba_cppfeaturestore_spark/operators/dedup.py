@@ -16,10 +16,10 @@ All signature computation is native column expressions (xxhash64 +
 higher-order array functions) — deterministic, no Python in the scan.
 
 Duplicate-resolution semantics: "keep smallest doc_id". A row is dropped
-iff it pairs (above threshold) with ANY smaller-id row. This is one-hop,
-not transitive closure (A~B, B~C, A≁C still drops B and C) — the standard
-near-dedup contract; full clustering would need iterative connected
-components (out of scope, documented).
+iff it pairs (above threshold) with ANY smaller-id row. Pair-loser
+dropping is one-hop; for transitive duplicate CLUSTERS (chains merged,
+one canonical row per component) close the pairs with
+``operators/graph.py::dedup_keep_canonical``.
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles, tokens
+from ..functions.text import char_shingles, tokens, winnow_fingerprints
 
 
 def exact_dedup(
@@ -407,4 +407,64 @@ def ngram_jaccard_pairs(
             F.round(jaccard(F.col("a.tokset"), F.col("b.tokset")), 6).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_postings: int | None = 10_000,
+) -> DataFrame:
+    """Containment pairs via winnowing (rolling-hash) fingerprints: the
+    MOSS pipeline on DataFrames. Returns ``(id_a, id_b, containment)``
+    with id_a < id_b, containment = |shared fingerprints| /
+    min(|fp_a|, |fp_b|) — asymmetric-length-robust, so a document heavily
+    quoting a shorter one still scores high (unlike Jaccard).
+
+    Scale shape: fingerprints are a per-row expression; the inverted
+    index (explode → equi-self-join on the hash) shuffles (id, n, hash)
+    postings — winnowing selects ~2/(window+1) of the k-gram hashes, so
+    the posting volume is a fraction of a shingle-level index. The
+    per-pair overlap count is a groupBy with map-side partial
+    aggregation. ``max_postings`` drops degenerate hashes shared by more
+    than that many docs (boilerplate guard — one hot fingerprint would
+    otherwise contribute |docs|² join rows); affected docs still pair
+    through their other fingerprints.
+    """
+    fps = _spread(df).select(
+        F.col(id_col).alias("id"),
+        winnow_fingerprints(F.col(text_col), k, window).alias("fp"),
+    )
+    posted = fps.select(
+        "id", F.size("fp").alias("n"), F.explode("fp").alias("h")
+    )
+    if max_postings is not None:
+        w = Window.partitionBy("h")
+        posted = (
+            posted.withColumn("__c", F.count("*").over(w))
+            .filter(F.col("__c") <= max_postings)
+            .drop("__c")
+        )
+    a, b = posted.alias("a"), posted.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / F.greatest(F.least("n_a", "n_b"), F.lit(1)), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )

@@ -1029,6 +1029,23 @@ def dedup_simhash(spark, sf_dir):
     return DD.simhash_duplicates(corpus, text_col="text", id_col="doc_id", max_hamming=3)
 
 
+@_q("dedup_winnow_containment", None)
+def dedup_winnow_containment(spark, sf_dir):
+    """Rolling-hash (winnowing/MOSS) containment pairs over a corpus with
+    a planted quoting doc (doc 0's text embedded in a larger doc).
+    Hash-specific → rows-only; the shared-substring guarantee and
+    containment semantics are pinned in tests/test_dedup_similarity.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    quoter = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("prefix words here. "), F.col("text"), F.lit(" trailing commentary")).alias("text"),
+    )
+    corpus = docs.unionByName(quoter)
+    return DD.winnow_containment_pairs(
+        corpus, text_col="text", id_col="doc_id", threshold=0.6
+    )
+
+
 @_q("doc_fingerprint", None)
 def doc_fingerprint(spark, sf_dir):
     """64-bit xxhash64 document fingerprints (whitespace-normalized).

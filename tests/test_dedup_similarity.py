@@ -88,6 +88,64 @@ def test_simhash_finds_planted_near_dups(spark, docs):
     assert recall >= 0.5, f"simhash recall too low: {recall}"
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    from alibaba_cppfeaturestore_spark.functions.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog many many times"
+    rows = [
+        (1, f"AAAA unrelated prefix {shared} unrelated suffix BBBB"),
+        (2, f"zzz totally different framing. {shared}. and more text here"),
+        (3, "nothing in common with the others at all, different words"),
+        (4, ""),
+        (5, "tiny"),  # shorter than k → empty fingerprint set
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=5, window=4).alias("fp")
+        ).collect()
+    }
+    # substring of length ≥ window+k-1 shared → fingerprint sets intersect
+    assert set(out[1]) & set(out[2])
+    # incidental word-level 5-gram overlap (" the ", etc.) is allowed but
+    # must stay far below the containment of the truly-quoting pair
+    def containment(x, y):
+        return len(set(x) & set(y)) / max(min(len(set(x)), len(set(y))), 1)
+
+    assert containment(out[1], out[2]) >= 0.5
+    assert containment(out[1], out[3]) <= 0.25
+    assert out[4] == []
+    assert out[5] == []
+    # deterministic and sorted
+    assert out[1] == sorted(out[1])
+
+
+def test_winnow_containment_finds_quoting_doc(spark, docs):
+    from alibaba_cppfeaturestore_spark.operators.dedup import (
+        winnow_containment_pairs,
+    )
+
+    base = docs.limit(20)
+    quoter = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(
+            F.lit("completely novel preamble sentence goes first. "),
+            F.col("text"),
+            F.lit(" and then a long trailing discussion follows afterwards."),
+        ).alias("text"),
+    )
+    pairs = winnow_containment_pairs(
+        base.unionByName(quoter), threshold=0.6
+    )
+    found = {(r["id_a"], r["id_b"]): r["containment"] for r in pairs.collect()}
+    planted = {(r["doc_id"], r["doc_id"] + 10_000) for r in base.collect()}
+    hit = planted & set(found)
+    assert len(hit) / len(planted) >= 0.9, f"winnow recall too low: {found}"
+    # containment is high for the quoting pairs despite the length asymmetry
+    assert all(found[p] >= 0.6 for p in hit)
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     emb = load_table(spark, SF, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
