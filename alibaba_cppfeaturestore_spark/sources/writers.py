@@ -32,6 +32,47 @@ def write_table(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed (hash-clustered) table write — the co-located-join lever.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle: each task reads bucket i of both sides, so the
+    exchange that dominates a large fact⋈fact join disappears. With
+    ``sort_cols`` the per-bucket sort is also pre-done, so the join plan
+    is scan → join with no Exchange and no Sort. The same applies to
+    ``groupBy(bucket_cols)`` — aggregation runs shuffle-free.
+
+    This is the engine's answer at 100 TB for repeated joins on a stable
+    key (user_id, item_id): pay one clustering write, amortize it over
+    every downstream join/agg. Bucketing requires ``saveAsTable`` (bucket
+    metadata lives in the catalog); the explicit ``path`` keeps the files
+    external and inspectable.
+
+    Pick ``num_buckets`` so one bucket ≈ 100-200 MB at target scale
+    (buckets are not splittable: too few → giant tasks, too many → tiny
+    files). Bucket counts in a ratio (e.g. 32 and 64) still avoid the
+    larger side's shuffle on Spark's coalescing bucket read.
+    """
+    writer = (
+        df.write.format(fmt)
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def export_csv_sample(df: DataFrame, path: str, n: int) -> None:
     """Single-file CSV export of a bounded sample (reference S5,
     ``generate_example_data.py:71-72``). coalesce(1) is safe only because

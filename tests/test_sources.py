@@ -15,6 +15,7 @@ from alibaba_cppfeaturestore_spark.sources.readers import (
 )
 from alibaba_cppfeaturestore_spark.sources.writers import (
     export_csv_sample,
+    write_bucketed,
     write_table,
 )
 
@@ -50,6 +51,45 @@ def test_write_table_partition_by_prunes(spark, tmp_path):
     # partition filter must prune to one directory
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert back.count() == 1
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed+sorted on the join key must
+    join with NO Exchange (shuffle) and NO Sort in the physical plan —
+    the whole point of paying the clustering write."""
+    left = from_collection(
+        spark, [(i, f"u{i}") for i in range(1000)], schema="uid INT, name STRING"
+    )
+    right = from_collection(
+        spark, [(i % 500, i * 10) for i in range(2000)], schema="uid INT, spend INT"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        # the test tables are tiny enough to broadcast (which would be the
+        # right plan in production); force SMJ so the bucketing is what's
+        # under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(left, "b_left", str(tmp_path / "bl"), ["uid"], 4, ["uid"])
+        write_bucketed(right, "b_right", str(tmp_path / "br"), ["uid"], 4, ["uid"])
+        joined = spark.table("b_left").join(spark.table("b_right"), "uid")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 2000
+        # bucketed groupBy is shuffle-free too
+        agg = spark.table("b_right").groupBy("uid").count()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
 
 
 def test_export_csv_sample_single_file(spark, tmp_path):
