@@ -1249,6 +1249,48 @@ def stream_online_upsert(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_interval_join_attribution",
+    """
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           v.event_id AS view_id,
+           CAST(date_diff('second', CAST(v.ts AS TIMESTAMP), CAST(c.ts AS TIMESTAMP)) AS BIGINT)
+             AS secs_before_click
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+     AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+    """,
+)
+def stream_interval_join_attribution(spark, sf_dir):
+    """Stream-stream event-time interval join run as a REAL streaming
+    query: clicks ⋈ views by user within the hour before each click,
+    both sides watermarked so join state is evicted. Bounded inner run ≡
+    the batch interval join — full oracle parity."""
+    from ..streaming.pipeline import run_bounded_to_memory, stream_stream_interval_join
+
+    clicks = _stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    views = _stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    joined = stream_stream_interval_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        watermark="1 minute",
+        before="1 hour",
+        after="0 seconds",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.event_id").alias("view_id"),
+        (F.unix_timestamp("l.ts") - F.unix_timestamp("r.ts")).alias("secs_before_click"),
+    )
+    return run_bounded_to_memory(joined, output_mode="append")
+
+
 # ---------------------------------------------------------------------------
 # Ali-CCP end-to-end over TESTDATA: bronze CSV encoding synthesized from
 # orders/customer, run through the real bronze_to_silver plan, checked by a

@@ -81,6 +81,44 @@ def run_bounded_to_memory(
     return stream_df.sparkSession.table(qname)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str,
+    before: str = "10 minutes",
+    after: str = "0 seconds",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Event-time interval join of two STREAMS (e.g. click↔view
+    attribution: for each click, the views by the same user in the
+    preceding N minutes). Returns the joined stream with sides aliased
+    ``l`` / ``r`` — select with ``F.col("l.x")`` / ``F.col("r.x")``.
+
+    Matches rows where ``r.right_ts ∈ [l.left_ts - before,
+    l.left_ts + after]`` and the key columns are equal.
+
+    State-boundedness is the scale story: BOTH sides carry a watermark
+    and the join condition bounds event-time distance, so Spark derives
+    how long each side's rows can still match and evicts state older
+    than that — without the interval bounds a stream-stream join would
+    buffer both streams forever. Outer variants emit the unmatched row
+    only once the watermark proves no future match can arrive.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = None
+    for k in [on] if isinstance(on, str) else on:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    cond = cond & F.expr(
+        f"r.{right_ts} >= l.{left_ts} - INTERVAL {before}"
+    ) & F.expr(f"r.{right_ts} <= l.{left_ts} + INTERVAL {after}")
+    return l.join(r, cond, join_type)
+
+
 class OnlineStore:
     """Latest-per-key online table maintained by foreachBatch upserts (ST6).
 

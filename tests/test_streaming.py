@@ -21,6 +21,7 @@ from alibaba_cppfeaturestore_spark.streaming.pipeline import (
     run_bounded_to_memory,
     run_stream_upsert,
     stream_from_parquet,
+    stream_stream_interval_join,
     tumbling_window_agg,
 )
 
@@ -183,6 +184,55 @@ def test_stateful_running_count_across_batches(spark, workdir):
     # with increasing counts (2 in batch 1, 3 in batch 2) — not 3 at once
     u1 = sorted(r["n_events"] for r in rows if r["user_id"] == 1)
     assert u1 == [2, 3], f"expected cross-batch accumulation, got {u1}"
+
+
+def test_stream_stream_interval_join_inner_and_outer(spark, workdir):
+    """Inner bounded run ≡ batch interval join; left-outer additionally
+    emits watermark-expired unmatched left rows with null right side."""
+    clicks_path = os.path.join(workdir, "clicks")
+    views_path = os.path.join(workdir, "views")
+    _write_events(spark, clicks_path, [
+        (1, ts("2024-01-01 10:30:00"), "click", 1.0),   # views at 10:05,10:25 match
+        (2, ts("2024-01-01 11:00:00"), "click", 1.0),   # view too old (09:00)
+        (3, ts("2024-01-01 12:00:00"), "click", 1.0),   # no views at all
+        (9, ts("2024-01-02 09:00:00"), "click", 1.0),   # far-future: advances watermark
+    ])
+    _write_events(spark, views_path, [
+        (1, ts("2024-01-01 10:05:00"), "view", 0.0),
+        (1, ts("2024-01-01 10:25:00"), "view", 0.0),
+        (2, ts("2024-01-01 09:00:00"), "view", 0.0),
+        (9, ts("2024-01-02 08:59:00"), "view", 0.0),
+    ])
+
+    def joined(how):
+        j = stream_stream_interval_join(
+            stream_from_parquet(spark, clicks_path),
+            stream_from_parquet(spark, views_path),
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            watermark="1 minute",
+            before="1 hour",
+            join_type=how,
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("click_ts"),
+            F.col("r.ts").alias("view_ts"),
+        )
+        return run_bounded_to_memory(j, output_mode="append").collect()
+
+    inner = {(r["user_id"], r["view_ts"]) for r in joined("inner")}
+    assert inner == {
+        (1, ts("2024-01-01 10:05:00")),
+        (1, ts("2024-01-01 10:25:00")),
+        (9, ts("2024-01-02 08:59:00")),
+    }
+
+    outer = {(r["user_id"], r["view_ts"]) for r in joined("left_outer")}
+    # matched rows identical; clicks 2 and 3 emit with NULL view once the
+    # watermark (driven past them by the day-2 click) proves no match can
+    # arrive
+    assert outer == inner | {(2, None), (3, None)}
 
 
 def test_stream_session_windows_match_batch_finalized(spark):
