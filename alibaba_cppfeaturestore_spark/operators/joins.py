@@ -120,3 +120,73 @@ def semi_join_in(df: DataFrame, ids: DataFrame, key: str) -> DataFrame:
 def anti_join_not_in(df: DataFrame, ids: DataFrame, key: str) -> DataFrame:
     """NOT EXISTS as a left-anti join."""
     return df.join(ids, key, "left_anti")
+
+
+def _as_number(df: DataFrame, col: str) -> Column:
+    """Project a point/bound column to a double for binning: timestamps
+    become epoch seconds (fractional µs preserved), dates midnight epoch,
+    numerics pass through."""
+    from pyspark.sql.types import DateType, TimestampType
+
+    c = F.col(col)
+    dt = df.schema[col].dataType
+    if isinstance(dt, DateType):
+        c = c.cast("timestamp")
+        dt = TimestampType()
+    if isinstance(dt, TimestampType):
+        return c.cast("double")
+    return c.cast("double")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    on: list[str] | None = None,
+    bin_width: float = 3600.0,
+) -> DataFrame:
+    """Point-in-interval join (``i.lo ≤ p.point ≤ i.hi``, bounds
+    inclusive) executed as an EQUI-join on coarse bins. Returns the join
+    with sides aliased ``p`` / ``i`` — select with qualified names.
+
+    Why not ``points.join(intervals, lo <= pt & pt <= hi)``: a pure range
+    predicate gives Catalyst no equi-keys, so the physical plan is
+    BroadcastNestedLoopJoin (or a cartesian product) — |P|×|I| comparisons,
+    unusable at scale. Binning manufactures an equi-key: each point hashes
+    to ``floor(value / bin_width)``; each interval explodes to the bins it
+    overlaps; the join is then a plain shuffled/broadcast hash join on
+    (keys…, bin) and the exact range predicate filters survivors. Each
+    (point, interval) match meets in exactly one bin — the point's — so no
+    post-join dedup is needed.
+
+    ``bin_width`` (seconds for time columns, plain units for numerics)
+    trades replication for selectivity: intervals produce
+    ``len/bin_width + 1`` rows each. Set it near the TYPICAL interval
+    length — e.g. 1-hour windows → 3600 — so replication stays ~2× while
+    bins stay selective. Timestamps/dates are binned on epoch seconds.
+    """
+    on = on or []
+    p_num = _as_number(points, point_col)
+    lo_num = _as_number(intervals, lo_col)
+    hi_num = _as_number(intervals, hi_col)
+    w = F.lit(float(bin_width))
+
+    p = points.withColumn("__bin", F.floor(p_num / w)).alias("p")
+    i = (
+        # hi < lo matches nothing, and would make sequence() DESCEND and
+        # emit junk bins — drop such intervals up front
+        intervals.filter(hi_num >= lo_num)
+        .withColumn(
+            "__bin",
+            F.explode(F.sequence(F.floor(lo_num / w), F.floor(hi_num / w))),
+        )
+        .alias("i")
+    )
+    cond = F.col("p.__bin") == F.col("i.__bin")
+    for k in on:
+        cond = cond & (F.col(f"p.{k}") == F.col(f"i.{k}"))
+    cond = cond & (F.col(f"p.{point_col}") >= F.col(f"i.{lo_col}"))
+    cond = cond & (F.col(f"p.{point_col}") <= F.col(f"i.{hi_col}"))
+    return p.join(i, cond).drop("__bin")

@@ -40,6 +40,7 @@ from ..operators import graph as GR
 from ..operators import similarity as SIM
 from ..operators.aggregates import latest_per_key, top_k_per_group, vocab_sizes
 from ..operators.dictionary import fit_dictionary
+from ..operators import joins as JN
 from ..operators.joins import anti_join_not_in, asof_join, online_lookup, semi_join_in
 from .views import load_table
 
@@ -1246,6 +1247,42 @@ def stream_online_upsert(spark, sf_dir):
         "user_id",
         F.col("event_type").alias("last_event_type"),
         F.round("value", 2).alias("last_value"),
+    )
+
+
+@_q(
+    "range_join_pre_purchase_views",
+    """
+    SELECT b.event_id AS purchase_id,
+           b.user_id,
+           v.event_id AS view_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON v.user_id = b.user_id
+     AND CAST(v.ts AS TIMESTAMP) >= CAST(b.ts AS TIMESTAMP) - INTERVAL 2 HOUR
+     AND CAST(v.ts AS TIMESTAMP) <= CAST(b.ts AS TIMESTAMP)
+    """,
+)
+def range_join_pre_purchase_views(spark, sf_dir):
+    """Batch point-in-interval join via bin-bucketed equi-join: views
+    landing inside each purchase's 2-hour lookback window. The naive
+    range-predicate join would plan as BroadcastNestedLoopJoin; binning
+    turns it into a hash join (asserted in tests)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("lo"),
+        F.col("ts").alias("hi"),
+    )
+    return JN.range_join(
+        views, purchases, point_col="ts", lo_col="lo", hi_col="hi",
+        on=["user_id"], bin_width=7200,
+    ).select(
+        F.col("i.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.event_id").alias("view_id"),
     )
 
 

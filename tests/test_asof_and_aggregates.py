@@ -145,3 +145,67 @@ def test_dictionary_encode_is_bijection_on_seen(spark):
     orig = {(r["doc_id"], r["lang"]) for r in docs.select("doc_id", "lang").collect()}
     back = {(r["doc_id"], r["lang"]) for r in dec.collect()}
     assert orig == back
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    """Bin-bucketed range join ≡ the naive range-predicate join, across
+    bin boundaries, multi-bin intervals, inclusive endpoints, and
+    inverted (hi<lo) intervals; and it must plan as a hash join, not
+    BroadcastNestedLoopJoin."""
+    import random
+
+    from alibaba_cppfeaturestore_spark.operators.joins import range_join
+
+    rng = random.Random(7)
+    points = [(i, rng.uniform(0, 1000.0)) for i in range(300)]
+    ivals = []
+    for j in range(120):
+        lo = rng.uniform(-50, 1000.0)
+        # mix: sub-bin, multi-bin, degenerate (lo==hi), inverted
+        length = rng.choice([0.0, rng.uniform(0, 30), rng.uniform(100, 400), -10.0])
+        ivals.append((j, lo, lo + length))
+    # exact boundary cases
+    points += [(1000, 100.0), (1001, 200.0)]
+    ivals += [(900, 100.0, 200.0)]
+
+    p_df = spark.createDataFrame(points, ["pid", "x"])
+    i_df = spark.createDataFrame(ivals, ["iid", "lo", "hi"])
+
+    got_df = range_join(p_df, i_df, point_col="x", lo_col="lo", hi_col="hi", bin_width=64.0)
+    got = {(r["pid"], r["iid"]) for r in got_df.select("p.pid", "i.iid").collect()}
+    expected = {
+        (pid, iid)
+        for pid, x in points
+        for iid, lo, hi in ivals
+        if lo <= x <= hi
+    }
+    assert got == expected
+    assert (1000, 900) in got and (1001, 900) in got  # inclusive bounds
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_range_join_timestamps_with_keys(spark):
+    from alibaba_cppfeaturestore_spark.operators.joins import range_join
+
+    views = spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01 10:30:00")),
+            (2, 10, ts("2024-01-01 08:00:00")),   # before window
+            (3, 11, ts("2024-01-01 10:30:00")),   # other user
+            (4, 10, ts("2024-01-01 09:00:00")),   # exactly lo
+        ],
+        ["event_id", "user_id", "t"],
+    )
+    wins = spark.createDataFrame(
+        [(100, 10, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00"))],
+        ["win_id", "user_id", "lo", "hi"],
+    )
+    out = range_join(
+        views, wins, point_col="t", lo_col="lo", hi_col="hi",
+        on=["user_id"], bin_width=3600,
+    )
+    got = sorted(r["event_id"] for r in out.select("p.event_id").collect())
+    assert got == [1, 4]
