@@ -448,6 +448,125 @@ def agg_vocab_sizes(spark, sf_dir):
 
 
 @_q(
+    "agg_rollup_order_revenue",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (order_year, o_orderpriority)
+    """,
+)
+def agg_rollup_order_revenue(spark, sf_dir):
+    """OLAP rollup: (year, priority) → (year) → grand total in ONE pass —
+    Spark expands grouping sets map-side, so it costs one shuffle, not
+    one job per level like a UNION ALL of aggregates would."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("order_year"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        .rollup("order_year", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "agg_cube_event_matrix",
+    """
+    SELECT event_type,
+           CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS event_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, event_year)
+    """,
+)
+def agg_cube_event_matrix(spark, sf_dir):
+    """OLAP cube over (event_type, year): all 4 grouping sets in one
+    shuffle (2ⁿ expansion happens before the exchange)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.year("ts").alias("event_year"), "value")
+        .cube("event_type", "event_year")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "agg_pivot_user_event_values",
+    """
+    SELECT user_id,
+           ROUND(COALESCE(SUM(value) FILTER (event_type = 'view'), 0), 2) AS view_value,
+           ROUND(COALESCE(SUM(value) FILTER (event_type = 'click'), 0), 2) AS click_value,
+           ROUND(COALESCE(SUM(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot_user_event_values(spark, sf_dir):
+    """Pivot (long→wide): per-user value totals by event type. With the
+    pivot values DECLARED, Spark needs one pass; leaving them out adds a
+    distinct-scan job to discover them — always declare at scale."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+        .withColumnsRenamed(
+            {"view": "view_value", "click": "click_value", "purchase": "purchase_value"}
+        )
+    )
+
+
+@_q(
+    "agg_quantiles_order_value",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_quantiles_order_value(spark, sf_dir):
+    """Exact continuous percentiles per group (Spark ``percentile``; the
+    approx path is ``agg_approx_stats``). Exact quantiles shuffle the
+    value multiset per group — fine for bounded groups; use the sketch
+    variant when groups are huge."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@_q("agg_approx_stats", None)
+def agg_approx_stats(spark, sf_dir):
+    """Sketch aggregates: HyperLogLog++ distinct counts and t-digest-style
+    approximate percentiles — the 100 TB path where exact
+    distinct/percentile state would blow memory. Sketch outputs are
+    implementation-specific → rows-only; the error bounds vs exact are
+    pinned in tests/test_asof_and_aggregates.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50_value"),
+    )
+
+
+@_q(
     "latest_event_per_user",
     """
     SELECT user_id, event_id,

@@ -209,3 +209,29 @@ def test_range_join_timestamps_with_keys(spark):
     )
     got = sorted(r["event_id"] for r in out.select("p.event_id").collect())
     assert got == [1, 4]
+
+
+def test_approx_sketches_track_exact(spark):
+    """HLL++ distinct and approx percentile stay within declared error of
+    exact, at catalog parameters (rsd=0.02, accuracy=10k)."""
+    from alibaba_cppfeaturestore_spark.plans.views import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact = {
+        r["event_type"]: (r["users"], r["p50"])
+        for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        ).collect()
+    }
+    approx = {
+        r["event_type"]: (r["approx_users"], r["approx_p50_value"])
+        for r in ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10_000).alias("approx_p50_value"),
+        ).collect()
+    }
+    for et, (users, p50) in exact.items():
+        a_users, a_p50 = approx[et]
+        assert abs(a_users - users) / users <= 0.05, (et, users, a_users)
+        assert abs(a_p50 - p50) / max(abs(p50), 1e-9) <= 0.05, (et, p50, a_p50)
