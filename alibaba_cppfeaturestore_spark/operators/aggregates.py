@@ -92,3 +92,43 @@ def top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def top_k_per_group_salted(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: list[str] | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Hot-key-robust top-k per group: two-phase with a salt shard.
+
+    The plain window puts ALL rows of a group in ONE task — a power-law
+    key (one user with 10⁹ events) serializes the job on a single sort.
+    Phase 1 here ranks within (group, salt) shards, cutting each to ≤ k
+    rows; phase 2 merges the ≤ k×salt_buckets survivors per group with
+    the ordinary window. Peak per-task state drops from |hot group| to
+    |hot group|/salt_buckets.
+
+    The salt hashes (order_col, *tiebreak) — values that VARY within a
+    group — so shards are deterministic (same data → same result, no
+    rand()). Result is row-for-row identical to ``top_k_per_group`` when
+    ``tiebreak`` makes the order total; with ties unbroken, which tied
+    row survives may differ (same as the plain version's ambiguity).
+    """
+    salt_src = [F.col(order_col)] + [F.col(c) for c in (tiebreak or [])]
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets))
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        *[F.col(c).asc() for c in (tiebreak or [])],
+    ]
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order)
+    sharded = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    return top_k_per_group(sharded, group_cols, order_col, k, descending, tiebreak)

@@ -414,10 +414,10 @@ def winnow_containment_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 5,
-    window: int = 4,
+    k: int = 12,
+    window: int = 8,
     threshold: float = 0.5,
-    max_postings: int | None = 10_000,
+    max_postings: int | None = 1_000,
 ) -> DataFrame:
     """Containment pairs via winnowing (rolling-hash) fingerprints: the
     MOSS pipeline on DataFrames. Returns ``(id_a, id_b, containment)``
@@ -434,30 +434,65 @@ def winnow_containment_pairs(
     than that many docs (boilerplate guard — one hot fingerprint would
     otherwise contribute |docs|² join rows); affected docs still pair
     through their other fingerprints.
+
+    ``k`` sets gram discriminativeness and is the knob that keeps the
+    inverted index sparse: short grams (k≈5) are common English substrings
+    (" the ") shared across unrelated docs, whose m-doc postings each cost
+    m² join rows — 20× slowdowns on ordinary corpora. k=12 (MOSS uses
+    25-50 for source code) makes incidental collisions rare while any
+    ≥ window+k-1 = 19-char shared run still guarantees a match.
     """
+    from ..functions.text import _let
+
     fps = _spread(df).select(
         F.col(id_col).alias("id"),
         winnow_fingerprints(F.col(text_col), k, window).alias("fp"),
     )
+    # explode_OUTER, not explode: for an inner Generate over a computed
+    # array attribute, InferFiltersFromGenerate adds `size(fp)>0 AND
+    # isnotnull(fp)` below, and predicate pushdown inlines the WHOLE
+    # fingerprint expression into that filter — 3 evaluations per row,
+    # interpreted (20× on this query). Outer generates are exempt from
+    # the rule; the null rows from empty arrays are dropped by a cheap
+    # filter on the OUTPUT column instead.
     posted = fps.select(
-        "id", F.size("fp").alias("n"), F.explode("fp").alias("h")
-    )
+        "id", F.size("fp").alias("n"), F.explode_outer("fp").alias("h")
+    ).filter(F.col("h").isNotNull())
+    # Join-free pair generation: gather each hash's posting list with ONE
+    # groupBy shuffle and emit the C(m,2) pairs from higher-order
+    # expressions — a postings SELF-JOIN would shuffle the 5M-row index
+    # twice more and re-partition it. The cap bounds the worst per-row
+    # expansion at C(max_postings, 2) structs.
+    lists = posted.groupBy("h").agg(F.collect_list(F.struct("id", "n")).alias("ps"))
     if max_postings is not None:
-        w = Window.partitionBy("h")
-        posted = (
-            posted.withColumn("__c", F.count("*").over(w))
-            .filter(F.col("__c") <= max_postings)
-            .drop("__c")
-        )
-    a, b = posted.alias("a"), posted.alias("b")
+        lists = lists.filter(F.size("ps") <= max_postings)
+
+    combos = _let(
+        F.array_sort("ps"),  # canonical id order → id_a < id_b by slicing
+        lambda arr: F.flatten(
+            F.transform(
+                arr,
+                lambda x, i: F.transform(
+                    F.slice(
+                        arr, i + 2, F.greatest(F.size(arr) - i - 1, F.lit(0))
+                    ),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["n"].alias("n_a"),
+                        y["n"].alias("n_b"),
+                    ),
+                ),
+            )
+        ),
+    )
     return (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
+        # explode_outer: same InferFiltersFromGenerate guard as above —
+        # an inner explode would re-expand the C(m,2) combo array twice
+        # more inside an inferred size/isnotnull filter
+        lists.select(F.explode_outer(combos).alias("pr"))
+        .filter(F.col("pr").isNotNull())
+        .groupBy("pr.id_a", "pr.id_b", "pr.n_a", "pr.n_b")
         .agg(F.count("*").alias("shared"))
         .select(
             "id_a",

@@ -180,7 +180,11 @@ def range_join(
         intervals.filter(hi_num >= lo_num)
         .withColumn(
             "__bin",
-            F.explode(F.sequence(F.floor(lo_num / w), F.floor(hi_num / w))),
+            # explode_outer: inner explode of a computed array triggers
+            # InferFiltersFromGenerate, which re-evaluates the sequence
+            # in an inferred size/isnotnull filter; the sequence here is
+            # never empty (hi ≥ lo), so outer emits no null rows
+            F.explode_outer(F.sequence(F.floor(lo_num / w), F.floor(hi_num / w))),
         )
         .alias("i")
     )

@@ -224,7 +224,13 @@ def ivf_topk(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
-            F.explode(_nearest_centroid_ids(F.col(vec_col), cents, n_probe)).alias("__cell"),
+            # explode_outer: an inner explode of this computed array
+            # would get an InferFiltersFromGenerate size/isnotnull
+            # filter that re-runs the per-centroid distance scan twice;
+            # the probe list is never empty, so no null rows to drop
+            F.explode_outer(
+                _nearest_centroid_ids(F.col(vec_col), cents, n_probe)
+            ).alias("__cell"),
         )
     )
     candidates = (

@@ -647,6 +647,27 @@ def topk_orders_per_priority(spark, sf_dir):
 
 
 @_q(
+    "topk_salted_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC
+    ) <= 3
+    """,
+)
+def topk_salted_orders_per_priority(spark, sf_dir):
+    """Two-phase salted top-k (hot-key skew path) — bit-identical results
+    to the plain window (same oracle), shards the per-group sort 16-way."""
+    from ..operators.aggregates import top_k_per_group_salted
+
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice")
+    return top_k_per_group_salted(
+        o, ["o_orderpriority"], "o_totalprice", k=3, tiebreak=["o_orderkey"]
+    )
+
+
+@_q(
     "window_running_user_spend",
     """
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

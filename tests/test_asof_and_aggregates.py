@@ -235,3 +235,25 @@ def test_approx_sketches_track_exact(spark):
         a_users, a_p50 = approx[et]
         assert abs(a_users - users) / users <= 0.05, (et, users, a_users)
         assert abs(a_p50 - p50) / max(abs(p50), 1e-9) <= 0.05, (et, p50, a_p50)
+
+
+def test_salted_topk_identical_to_plain_on_skewed_data(spark):
+    """One hot key with 20k rows + long tail: salted two-phase top-k must
+    return row-for-row what the plain window returns (total order via
+    tiebreak), across salt bucket counts."""
+    from alibaba_cppfeaturestore_spark.operators.aggregates import (
+        top_k_per_group,
+        top_k_per_group_salted,
+    )
+
+    rows = [("hot", i, float(i % 997)) for i in range(20_000)]
+    rows += [(f"k{j}", i, float(i * j % 31)) for j in range(5) for i in range(20)]
+    df = spark.createDataFrame(rows, ["key", "rid", "score"])
+
+    plain = top_k_per_group(df, ["key"], "score", k=5, tiebreak=["rid"])
+    expected = sorted(map(tuple, plain.collect()))
+    for buckets in (2, 16, 64):
+        salted = top_k_per_group_salted(
+            df, ["key"], "score", k=5, tiebreak=["rid"], salt_buckets=buckets
+        )
+        assert sorted(map(tuple, salted.collect())) == expected, buckets
