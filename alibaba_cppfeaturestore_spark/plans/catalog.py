@@ -457,6 +457,7 @@ def agg_vocab_sizes(spark, sf_dir):
     FROM orders
     GROUP BY ROLLUP (order_year, o_orderpriority)
     """,
+    headline=True,
 )
 def agg_rollup_order_revenue(spark, sf_dir):
     """OLAP rollup: (year, priority) → (year) → grand total in ONE pass —
@@ -655,6 +656,7 @@ def topk_orders_per_priority(spark, sf_dir):
       PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC
     ) <= 3
     """,
+    headline=True,
 )
 def topk_salted_orders_per_priority(spark, sf_dir):
     """Two-phase salted top-k (hot-key skew path) — bit-identical results
@@ -1170,7 +1172,7 @@ def dedup_simhash(spark, sf_dir):
     return DD.simhash_duplicates(corpus, text_col="text", id_col="doc_id", max_hamming=3)
 
 
-@_q("dedup_winnow_containment", None)
+@_q("dedup_winnow_containment", None, headline=True)
 def dedup_winnow_containment(spark, sf_dir):
     """Rolling-hash (winnowing/MOSS) containment pairs over a corpus with
     a planted quoting doc (doc 0's text embedded in a larger doc).
@@ -1402,6 +1404,7 @@ def stream_online_upsert(spark, sf_dir):
      AND CAST(v.ts AS TIMESTAMP) >= CAST(b.ts AS TIMESTAMP) - INTERVAL 2 HOUR
      AND CAST(v.ts AS TIMESTAMP) <= CAST(b.ts AS TIMESTAMP)
     """,
+    headline=True,
 )
 def range_join_pre_purchase_views(spark, sf_dir):
     """Batch point-in-interval join via bin-bucketed equi-join: views
