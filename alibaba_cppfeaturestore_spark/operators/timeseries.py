@@ -1,0 +1,153 @@
+"""Time-series operators: hypertable-style rollup cascades and gap-fill.
+
+Engine extras (the reference has no time-series surface) modeled on
+TimescaleDB continuous aggregates / materialized rollups, re-expressed as
+Spark aggregation plans.
+
+The cascade is the scale story: the 1-minute rollup reads the raw table
+ONCE; every coarser level re-aggregates the next-finer level's PARTIAL
+state (sum/count/min/max compose; avg is carried as sum+count and
+finalized per level). At 100 TB the hourly/daily levels therefore cost
+|minutely rows| ≈ |keys| × minutes — typically 4-6 orders of magnitude
+less than the raw scan a naive per-level GROUP BY would repeat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# measures we can re-aggregate losslessly from partial state
+_REAGG = {"sum", "count", "min", "max"}
+
+
+def time_bucket(ts_col, width: str):
+    """Tumbling time bucket start (window-less: pure expression, no agg
+    state) — equivalent to DuckDB ``time_bucket(INTERVAL w, ts)``."""
+    return F.window(ts_col, width)["start"]
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str,
+    levels: list[str],
+    group_cols: list[str] | None = None,
+    measures: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Multi-granularity rollup: one row per (level, bucket, *group_cols)
+    with columns ``level`` (the width string), ``bucket_start``, ``n``
+    (row count) and one column per measure.
+
+    ``levels`` must be ordered finest→coarsest, each coarser width an
+    integer multiple of the previous (e.g. ``["1 minute", "1 hour",
+    "1 day"]``) so buckets nest exactly. ``measures`` maps output column →
+    (input column, agg) with agg ∈ {sum, count, min, max, avg}.
+
+    Only the FINEST level touches ``df``; each coarser level aggregates
+    the previous level's partial state (avg carried as sum+count,
+    finalized at the end). The whole cascade is one logical plan — Spark
+    runs level k+1 on level k's shuffled output, so the raw table is
+    scanned exactly once.
+    """
+    group_cols = group_cols or []
+    measures = measures or {}
+    for out, (_, agg) in measures.items():
+        if agg not in _REAGG | {"avg"}:
+            raise ValueError(f"measure {out}: agg '{agg}' cannot re-aggregate")
+
+    def partial_aggs(src_is_raw: bool):
+        aggs = [
+            (F.count("*") if src_is_raw else F.sum("n")).alias("n")
+        ]
+        for out, (col, agg) in measures.items():
+            if agg == "avg":
+                # carry partial state: sum + count of non-nulls
+                s = F.sum(col if src_is_raw else f"__{out}_sum").alias(f"__{out}_sum")
+                c = (
+                    F.count(col) if src_is_raw else F.sum(f"__{out}_cnt")
+                ).alias(f"__{out}_cnt")
+                aggs += [s, c]
+            else:
+                fn = getattr(F, agg)
+                src = col if src_is_raw else out
+                if agg == "count" and not src_is_raw:
+                    fn = F.sum  # counts re-aggregate by summing
+                aggs.append(fn(src).alias(out))
+        return aggs
+
+    finest = (
+        df.withColumn("__bucket", time_bucket(F.col(ts_col), levels[0]))
+        .groupBy("__bucket", *group_cols)
+        .agg(*partial_aggs(src_is_raw=True))
+        .withColumn("__level", F.lit(levels[0]))
+    )
+
+    tiers = [finest]
+    for width in levels[1:]:
+        prev = tiers[-1]
+        tiers.append(
+            prev.withColumn("__bucket", time_bucket(F.col("__bucket"), width))
+            .groupBy("__bucket", *group_cols)
+            .agg(*partial_aggs(src_is_raw=False))
+            .withColumn("__level", F.lit(width))
+        )
+
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+
+    # finalize avgs, drop partial-state columns
+    for name, (_, agg) in measures.items():
+        if agg == "avg":
+            out = out.withColumn(
+                name,
+                F.col(f"__{name}_sum") / F.col(f"__{name}_cnt"),
+            ).drop(f"__{name}_sum", f"__{name}_cnt")
+    return out.select(
+        F.col("__level").alias("level"),
+        F.col("__bucket").alias("bucket_start"),
+        *group_cols,
+        "n",
+        *measures.keys(),
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    bucket_width_seconds: int,
+    group_cols: list[str] | None = None,
+    fill: dict[str, float] | None = None,
+) -> DataFrame:
+    """Densify a bucketed time series: emit one row per ``bucket_width``
+    step between each group's min and max bucket, filling missing buckets
+    with ``fill`` constants (NULL where unspecified).
+
+    ``df`` must already be bucketed (one row per (group, bucket_start));
+    the generated spine is |span/width| rows per group — built with
+    ``sequence`` + explode, joined back left. Per-group spans bound the
+    explode, so a group's cost is its own time range, not the global one.
+    """
+    group_cols = group_cols or []
+    fill = fill or {}
+
+    spans = df.groupBy(*group_cols).agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    spine = spans.select(
+        *group_cols,
+        # explode_outer: inner explode of a computed sequence triggers
+        # InferFiltersFromGenerate re-evaluation (see operators/dedup.py)
+        F.explode_outer(
+            F.sequence(
+                F.col("__lo").cast("timestamp"),
+                F.col("__hi").cast("timestamp"),
+                F.expr(f"INTERVAL {bucket_width_seconds} SECONDS"),
+            )
+        ).alias(ts_col),
+    ).filter(F.col(ts_col).isNotNull())
+
+    out = spine.join(df, [*group_cols, ts_col], "left")
+    for col, v in fill.items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
+    return out

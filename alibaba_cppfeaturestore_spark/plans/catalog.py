@@ -1393,6 +1393,94 @@ def stream_online_upsert(spark, sf_dir):
 
 
 @_q(
+    "timeseries_rollup_cascade",
+    """
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS bucket_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS total_value,
+             ROUND(AVG(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS bucket_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS total_value,
+             ROUND(AVG(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT '1 hour' AS level, * FROM hourly
+    UNION ALL
+    SELECT '1 day' AS level, * FROM daily
+    """,
+)
+def timeseries_rollup_cascade(spark, sf_dir):
+    """Hypertable-style continuous-aggregate cascade: hourly rollup from
+    the raw scan, DAILY re-aggregated from the hourly PARTIALS (avg
+    carried as sum+count) — the oracle recomputes each level directly
+    from raw, proving the re-aggregation is lossless."""
+    from ..operators.timeseries import rollup_cascade
+
+    ev = _t(spark, sf_dir, "events")
+    out = rollup_cascade(
+        ev,
+        "ts",
+        levels=["1 hour", "1 day"],
+        group_cols=["event_type"],
+        measures={"total_value": ("value", "sum"), "avg_value": ("value", "avg")},
+    )
+    return out.select(
+        "level",
+        "bucket_start",
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+@_q(
+    "timeseries_gap_fill",
+    """
+    WITH b AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS bucket_start,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (SELECT event_type, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi FROM b GROUP BY 1),
+    spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+      FROM s
+    )
+    SELECT spine.event_type, spine.bucket_start, COALESCE(b.n, 0) AS n
+    FROM spine LEFT JOIN b USING (event_type, bucket_start)
+    """,
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """Densified hourly counts per event type: a sequence-exploded spine
+    per group fills silent hours with 0 — resample/gap-fill for
+    training-window features."""
+    from ..operators.timeseries import gap_fill, time_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    bucketed = (
+        ev.withColumn("bucket_start", time_bucket(F.col("ts"), "1 hour"))
+        .groupBy("event_type", "bucket_start")
+        .agg(F.count("*").alias("n"))
+    )
+    return gap_fill(
+        bucketed,
+        "bucket_start",
+        3600,
+        group_cols=["event_type"],
+        fill={"n": 0},
+    )
+
+
+@_q(
     "range_join_pre_purchase_views",
     """
     SELECT b.event_id AS purchase_id,

@@ -1,0 +1,98 @@
+"""Time-series rollup cascade and gap-fill semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.operators.timeseries import (
+    gap_fill,
+    rollup_cascade,
+    time_bucket,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def series(spark):
+    rows = [
+        ("a", ts("2024-01-01 10:05:00"), 1.0),
+        ("a", ts("2024-01-01 10:55:00"), 3.0),
+        ("a", ts("2024-01-01 11:10:00"), 5.0),
+        ("a", ts("2024-01-02 00:30:00"), 7.0),
+        ("b", ts("2024-01-01 10:20:00"), 10.0),
+        ("b", ts("2024-01-01 23:59:59"), None),  # null measure
+    ]
+    return spark.createDataFrame(rows, ["k", "t", "v"])
+
+
+def test_cascade_levels_match_direct_aggregation(spark, series):
+    out = rollup_cascade(
+        series,
+        "t",
+        levels=["1 hour", "1 day"],
+        group_cols=["k"],
+        measures={
+            "sv": ("v", "sum"),
+            "av": ("v", "avg"),
+            "mx": ("v", "max"),
+            "mn": ("v", "min"),
+            "cv": ("v", "count"),
+        },
+    )
+    for level, width in [("1 hour", "1 hour"), ("1 day", "1 day")]:
+        direct = {
+            tuple(r[:2]): r[2:]
+            for r in series.groupBy(
+                "k", time_bucket(F.col("t"), width).alias("b")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v").alias("sv"),
+                F.avg("v").alias("av"),
+                F.max("v").alias("mx"),
+                F.min("v").alias("mn"),
+                F.count("v").alias("cv"),
+            )
+            .select("k", "b", "n", "sv", "av", "mx", "mn", "cv")
+            .collect()
+        }
+        got = {
+            (r["k"], r["bucket_start"]): (
+                r["n"], r["sv"], r["av"], r["mx"], r["mn"], r["cv"]
+            )
+            for r in out.filter(F.col("level") == level).collect()
+        }
+        assert got == direct, level
+
+
+def test_cascade_rejects_non_reaggregable(spark, series):
+    with pytest.raises(ValueError, match="cannot re-aggregate"):
+        rollup_cascade(
+            series, "t", ["1 hour", "1 day"],
+            measures={"d": ("v", "stddev")},
+        )
+
+
+def test_gap_fill_densifies_per_group(spark, series):
+    bucketed = (
+        series.withColumn("b", time_bucket(F.col("t"), "1 hour"))
+        .groupBy("k", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    out = gap_fill(bucketed, "b", 3600, group_cols=["k"], fill={"n": 0})
+    rows = {(r["k"], r["b"]): r["n"] for r in out.collect()}
+    # group a spans 10:00 day1 → 00:00 day2 inclusive = 15 hourly buckets
+    a = {b for (k, b) in rows if k == "a"}
+    assert len(a) == 15
+    assert rows[("a", ts("2024-01-01 10:00:00"))] == 2
+    assert rows[("a", ts("2024-01-01 12:00:00"))] == 0  # filled gap
+    # group b's spine is its own span (10:00 → 23:00 = 14 buckets), not a's
+    b = {bb for (k, bb) in rows if k == "b"}
+    assert len(b) == 14
+    assert rows[("b", ts("2024-01-01 23:00:00"))] == 1
