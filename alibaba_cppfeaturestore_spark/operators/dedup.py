@@ -172,38 +172,10 @@ def minhash_lsh_duplicates(
     (their members are still candidates via their other bands); set None
     to disable.
     """
-    rows_per_band = num_hashes // bands
-    df = _spread(df)
-    # Banding shuffles only (id, band, bucket) — never the document text:
-    # at 100 TB the banded exchange is |corpus|×bands small rows, and texts
-    # are re-joined only for the (much smaller) candidate set.
-    #
-    # The signature lives in its OWN projection: minhash_bands references it
-    # 32× (once per position), and CollapseProject keeps a multi-referenced
-    # non-trivial alias in a separate project, so the signature is computed
-    # once per row instead of being inlined into every band expression.
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("sig"),
+    banded = minhash_band_index(
+        df, text_col, id_col, num_hashes, bands, shingle_size
     )
-    # The signature rides along with its band rows (4×~256 B per doc — tiny
-    # next to the text we deliberately DON'T shuffle), so candidate pairs
-    # already hold both signatures and the corpus is never re-scanned to
-    # fetch them: one signature computation total instead of three.
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
-
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bsz", F.count("*").over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
-
+    banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -221,13 +193,68 @@ def minhash_lsh_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Cheap screen before exact verification: the fraction of agreeing
-    # signature components estimates Jaccard with σ ≈ √(j(1-j)/k) (≈0.07
-    # for k=32), so a 3σ margin below the threshold rejects only pairs
-    # that are (almost surely) sub-threshold — comparing 32 longs instead
-    # of intersecting ~|text| shingle sets per candidate.
+    est = _signature_screen(cand, num_hashes, jaccard_threshold)
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return _exact_verify(est, texts, shingle_size, jaccard_threshold)
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """LSH band index rows ``(id, sig, band, bucket)`` for a corpus —
+    ``bands`` rows per document. Materialize once (ideally bucketed on
+    (band, bucket) via ``write_bucketed``) and reuse with
+    ``minhash_lsh_duplicates_incremental`` so history is never re-hashed.
+
+    Banding shuffles only (id, sig, band, bucket) — never the document
+    text: at 100 TB the banded exchange is |corpus|×bands small rows.
+
+    The signature lives in its OWN projection: minhash_bands references
+    it 32× (once per position), and CollapseProject keeps a
+    multi-referenced non-trivial alias in a separate project, so the
+    signature is computed once per row instead of being inlined into
+    every band expression. It then rides along with its band rows
+    (4×~256 B per doc), so candidate pairs already hold both signatures
+    for screening without re-scanning the corpus.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = _spread(df).select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("sig"),
+    )
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("__bsz", F.count("*").over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
+def _signature_screen(
+    cand: DataFrame, num_hashes: int, jaccard_threshold: float
+) -> DataFrame:
+    """Cheap screen before exact verification: the fraction of agreeing
+    signature components estimates Jaccard with σ ≈ √(j(1-j)/k) (≈0.07
+    for k=32), so a 3σ margin below the threshold rejects only pairs
+    that are (almost surely) sub-threshold — comparing 32 longs instead
+    of intersecting ~|text| shingle sets per candidate."""
     est_margin = 3.0 * (0.25 / num_hashes) ** 0.5
-    est = (
+    return (
         cand.withColumn(
             "__est",
             F.size(
@@ -241,11 +268,21 @@ def minhash_lsh_duplicates(
         .filter(F.col("__est") >= jaccard_threshold - est_margin)
         .select("id_a", "id_b")
     )
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(char_shingles(F.col(text_col), shingle_size)).alias("sh"),
+
+
+def _exact_verify(
+    est: DataFrame,
+    texts: DataFrame,
+    shingle_size: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs against a
+    ``(id, text)`` source covering every candidate id."""
+    shingled = texts.select(
+        "id",
+        F.array_distinct(char_shingles(F.col("text"), shingle_size)).alias("sh"),
     )
-    verified = (
+    return (
         est.join(shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         # intersection size in its own projection: referenced twice below,
@@ -265,7 +302,70 @@ def minhash_lsh_duplicates(
         )
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
     )
-    return verified
+
+
+def minhash_lsh_duplicates_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    history_texts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_size: int = 5,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Dedup an INGEST BATCH against an already-materialized LSH band
+    index (``minhash_band_index`` output) plus within itself — the
+    daily-ingestion pattern: history is never re-hashed, and its text is
+    scanned only for the candidate ids the band join surfaces.
+
+    Returns pairs (id_a, id_b, jaccard_sim), id_a < id_b, where at least
+    one side is a new document. Ids must be unique across history ∪ new.
+    ``history_texts`` is the historical ``(id_col, text_col)`` source used
+    for exact verification (candidate-id join → pruned/bloom-filtered
+    scan, not a full pass). The hash parameters MUST match the ones the
+    index was built with.
+
+    Equivalence: on history H and batch N, this returns exactly the
+    pairs of ``minhash_lsh_duplicates(H ∪ N)`` that touch N (modulo the
+    bucket cap, which here applies to the union's bucket sizes the same
+    way). Proven in tests.
+    """
+    new_banded = minhash_band_index(
+        new_df, text_col, id_col, num_hashes, bands, shingle_size
+    ).withColumn("__new", F.lit(True))
+    union_banded = _cap_buckets(
+        index.select("id", "sig", "band", "bucket").withColumn("__new", F.lit(False)).unionByName(new_banded),
+        max_bucket_size,
+    )
+    a = union_banded.alias("a")
+    b = union_banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.__new") | F.col("b.__new")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = _signature_screen(cand, num_hashes, jaccard_threshold)
+    texts = (
+        history_texts.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .unionByName(
+            new_df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        )
+    )
+    return _exact_verify(est, texts, shingle_size, jaccard_threshold)
 
 
 def minhash_lsh_dedup(

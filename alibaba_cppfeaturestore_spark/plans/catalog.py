@@ -1159,6 +1159,24 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@_q("dedup_minhash_incremental", None)
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental ingest-batch dedup against a materialized LSH band
+    index: history (documents) is indexed once and never re-hashed; the
+    batch (mutated copies) pairs against it. Hash-specific → rows-only;
+    equivalence to full-corpus pairs is proven in
+    tests/test_dedup_similarity.py::test_incremental_minhash_matches_full_corpus."""
+    history = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = history.limit(100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq extra")).alias("text"),
+    )
+    index = DD.minhash_band_index(history)
+    return DD.minhash_lsh_duplicates_incremental(
+        batch, index, history, num_hashes=32, bands=4, jaccard_threshold=0.8
+    )
+
+
 @_q("dedup_simhash", None)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures) over the

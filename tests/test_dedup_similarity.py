@@ -199,3 +199,45 @@ def test_ivf_topk_recall_and_reused_centroids(spark):
     a2 = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(
         emb, queries, k=5, n_probe=3, centroids=cents).collect()}
     assert a == a2
+
+
+def test_incremental_minhash_matches_full_corpus(spark, docs):
+    """Incremental dedup of a batch against a materialized band index ==
+    the full-corpus pairs restricted to pairs touching the batch."""
+    from alibaba_cppfeaturestore_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_duplicates_incremental,
+    )
+
+    history = docs.limit(40)
+    # batch: mutants of history docs (cross-pairs) + fresh near-dup pair
+    batch = history.limit(10).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    extra = spark.createDataFrame(
+        [(20_001, "a brand new document " * 30), (20_002, "a brand new document " * 30 + "tail")],
+        ["doc_id", "text"],
+    )
+    batch = batch.unionByName(extra)
+
+    kw = dict(num_hashes=32, bands=4, jaccard_threshold=0.7)
+    full = minhash_lsh_duplicates(history.unionByName(batch), **kw)
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+    expected = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in full.collect()
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+
+    index = minhash_band_index(history)
+    got = {
+        tuple(r)
+        for r in minhash_lsh_duplicates_incremental(
+            batch, index, history, **kw
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) >= 11  # 10 cross-pairs + the fresh in-batch pair
+    # no history-history pairs leak in
+    assert all(a in batch_ids or b in batch_ids for a, b, _ in got)
