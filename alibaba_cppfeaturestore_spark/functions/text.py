@@ -115,6 +115,19 @@ def fingerprint(text: Column | str, seed: int = 42) -> Column:
     return F.xxhash64(normalized, F.lit(seed))
 
 
+def clean_text(text: Column | str) -> Column:
+    """LLM-corpus text normalization, all in the scan stage: strip markup
+    tags, drop ASCII control characters, map exotic unicode spaces
+    (NBSP, en/em/zero-width, ideographic) to plain space, collapse
+    whitespace runs, trim. Order matters: tags → controls → unicode
+    spaces → collapse."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    c = F.regexp_replace(c, "[  -​　]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def _let(value: Column, body) -> Column:
     """Evaluate ``value`` once and bind it as a lambda variable for
     ``body``. A subexpression captured inside a higher-order-function

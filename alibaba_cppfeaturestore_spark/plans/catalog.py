@@ -1803,6 +1803,60 @@ def sample_deterministic(spark, sf_dir):
 
 
 @_q(
+    "sample_stratified",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE event_id % 1000 < CASE event_type
+        WHEN 'view' THEN 50
+        WHEN 'click' THEN 300
+        WHEN 'purchase' THEN 1000
+        ELSE 0 END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (class rebalancing for training
+    sets): per-class keep-fractions applied by a systematic id-mod rule —
+    a pure row-local filter, no shuffle, no RNG state, identical across
+    batch/stream/reruns. Downsamples the majority class (views 5%),
+    keeps all of the rare positive class (purchases)."""
+    fractions = {"view": 50, "click": 300, "purchase": 1000}
+    ev = _t(spark, sf_dir, "events")
+    keep = F.lit(0)
+    for cls, permille in fractions.items():
+        keep = F.when(F.col("event_type") == cls, F.lit(permille)).otherwise(keep)
+    return ev.filter(F.pmod(F.col("event_id"), 1000) < keep).select(
+        "event_id", "event_type"
+    )
+
+
+@_q(
+    "text_clean_normalize",
+    r"""
+    SELECT doc_id,
+           TRIM(regexp_replace(
+             regexp_replace(
+               regexp_replace('<p class="x">' || text || '</p>' || chr(9) || ' trailing',
+                              '<[^>]*>', ' ', 'g'),
+               '[\x{00A0}\x{2000}-\x{200B}\x{3000}]', ' ', 'g'),
+             '\s+', ' ', 'g')) AS text
+    FROM documents
+    """,
+)
+def text_clean_normalize(spark, sf_dir):
+    """LLM-corpus text cleaning: strip markup tags, normalize exotic
+    unicode spaces, collapse whitespace runs, trim — all native regexp
+    expressions in the scan stage (dirty input synthesized by wrapping
+    the corpus in markup). Oracle runs the identical normalization in
+    DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit('<p class="x">'), F.col("text"), F.lit("</p>\t trailing")
+    )
+    return docs.select("doc_id", TX.clean_text(dirty).alias("text"))
+
+
+@_q(
     "stream_sliding_window_counts",
     """
     WITH e AS (

@@ -241,3 +241,20 @@ def test_incremental_minhash_matches_full_corpus(spark, docs):
     assert len(got) >= 11  # 10 cross-pairs + the fresh in-batch pair
     # no history-history pairs leak in
     assert all(a in batch_ids or b in batch_ids for a, b, _ in got)
+
+
+def test_clean_text_normalization(spark):
+    from alibaba_cppfeaturestore_spark.functions.text import clean_text
+
+    rows = [
+        (1, "<div><b>Hello</b>\x00\x07 world</div>"),
+        (2, "a b c​d　e"),
+        (3, "  already   clean  text  "),
+        (4, "<a href='x'>link</a>tail"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {r["id"]: r["c"] for r in df.select("id", clean_text("t").alias("c")).collect()}
+    assert out[1] == "Hello world"
+    assert out[2] == "a b c d e"
+    assert out[3] == "already clean text"
+    assert out[4] == "link tail"

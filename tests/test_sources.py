@@ -99,3 +99,19 @@ def test_export_csv_sample_single_file(spark, tmp_path):
     parts = [f for f in os.listdir(path) if f.startswith("part-")]
     assert len(parts) == 1
     assert read_csv(spark, path, schema="v INT", header=True).count() == 10
+
+
+def test_compact_parquet_reduces_files_preserving_data(spark, tmp_path):
+    from alibaba_cppfeaturestore_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = from_collection(spark, [(i, f"v{i}") for i in range(5000)], schema="id INT, v STRING")
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) == 40
+    n = compact_parquet(spark, path, target_file_mb=128, sort_within_by=["id"])
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after) == n == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(5000))
