@@ -106,6 +106,109 @@ def decode_media_metadata(
     return media.mapInPandas(decode_batches, MEDIA_META_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize contract: binary→binary transform with declared output dims
+    (``media_id, payload, width, height``). The stub derives a
+    deterministic pseudo-payload (hash-chained to the requested size);
+    pass ``resize_fn(payload, w, h) -> bytes`` to plug PIL/ffmpeg.
+    Corrupt/null payloads pass through as null payload rows."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+
+    def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        return hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
+
+    fn = resize_fn or fake_resize
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                out = None
+                if payload is not None:
+                    try:
+                        out = fn(bytes(payload), width, height)
+                    except Exception:
+                        out = None
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "payload": out,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
+
+    return media.mapInPandas(gen, schema)
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 64,
+    embed_fn: Callable[[bytes], list] | None = None,
+) -> DataFrame:
+    """Feature extraction contract: payload → dense float embedding
+    (``media_id, embedding array<float>``) — the bridge from media columns
+    into the similarity operators (``operators/similarity.py``). The stub
+    derives a deterministic pseudo-embedding from the payload hash; pass
+    ``embed_fn(payload) -> list[float]`` to plug a real model runtime.
+    Output vectors are L2-normalized so cosine = dot downstream."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def fake_embed(payload: bytes) -> list:
+        # hash-chained pseudo-floats in [-1, 1]: deterministic, spread
+        raw = b""
+        seed = hashlib.sha256(payload).digest()
+        while len(raw) < dim:
+            seed = hashlib.sha256(seed).digest()
+            raw += seed
+        return [raw[i] / 127.5 - 1.0 for i in range(dim)]
+
+    fn = embed_fn or fake_embed
+
+    def gen(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                vec = None
+                if payload is not None:
+                    try:
+                        v = [float(x) for x in fn(bytes(payload))]
+                        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+                        vec = [x / norm for x in v]
+                    except Exception:
+                        vec = None
+                rows.append({"media_id": row["media_id"], "embedding": vec})
+            yield pd.DataFrame(rows, columns=["media_id", "embedding"])
+
+    return media.mapInPandas(gen, schema)
+
+
 def sample_frames(
     media: DataFrame,
     every_nth: int = 10,

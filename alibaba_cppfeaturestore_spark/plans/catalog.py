@@ -1906,6 +1906,23 @@ def multimodal_frame_sample(spark, sf_dir):
     return sample_frames(media, every_nth=10)
 
 
+@_q("multimodal_embed_topk", None)
+def multimodal_embed_topk(spark, sf_dir):
+    """Media → embedding → similarity search, end-to-end: binary payloads
+    run through the Arrow feature-extraction stage (codec stubbed,
+    L2-normalized output) and straight into brute-force cosine top-k.
+    Embeddings are stub-specific → rows-only; the contract (dims,
+    normalization, null tolerance, ANN composition) is pinned in
+    tests/test_multimodal.py."""
+    from ..operators.multimodal import attach_binary_payload, extract_features
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
+    corpus = extract_features(media, dim=32).withColumnRenamed("media_id", "vec_id")
+    queries = corpus.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return SIM.brute_force_topk(corpus, queries, k=5)
+
+
 @_q("ann_ivf_topk", None)
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: MLlib-KMeans coarse quantizer (seeded →

@@ -68,3 +68,42 @@ def test_sample_frames_explodes_rows(spark):
         per_media[r["media_id"]] = per_media.get(r["media_id"], 0) + 1
     for mid, n in per_media.items():
         assert n == len(range(0, meta[mid], 5))
+
+
+def test_resize_contract_and_null_tolerance(spark):
+    from alibaba_cppfeaturestore_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, b"imagebytes", "image/png"), (2, None, "image/png")],
+        "media_id LONG, payload BINARY, media_type STRING",
+    )
+    out = {r["media_id"]: r for r in resize_media(df, 224, 224).collect()}
+    assert out[1]["payload"] is not None and (out[1]["width"], out[1]["height"]) == (224, 224)
+    assert out[2]["payload"] is None  # null passes through, row kept
+    # deterministic: same input -> same bytes
+    again = {r["media_id"]: r["payload"] for r in resize_media(df, 224, 224).collect()}
+    assert bytes(out[1]["payload"]) == bytes(again[1])
+
+
+def test_extract_features_feeds_similarity_search(spark):
+    from alibaba_cppfeaturestore_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+    from alibaba_cppfeaturestore_spark.operators.similarity import brute_force_topk
+    from alibaba_cppfeaturestore_spark.plans.views import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    emb = extract_features(media, dim=16)
+    rows = emb.collect()
+    assert len(rows) == 30
+    import math
+    for r in rows:
+        assert len(r["embedding"]) == 16
+        assert abs(math.sqrt(sum(x * x for x in r["embedding"])) - 1.0) < 1e-5
+    # end-to-end: media-derived embeddings flow into ANN search
+    corpus = emb.withColumnRenamed("media_id", "vec_id")
+    queries = corpus.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    topk = brute_force_topk(corpus, queries, k=3)
+    assert topk.count() == 9
