@@ -494,11 +494,20 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in (block_cols or [])],
         F.array_distinct(tokens(F.col(text_col))).alias("tokset"),
-    )
+    ).withColumn("sz", F.size("tokset"))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     for c in block_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # Size filter (set-similarity-join standard): J(a,b) ≤ min/max of the
+    # set sizes, so J ≥ t requires min ≥ t·max. Evaluated in the join
+    # condition on two ints, it prunes the bulk of the blocked pair space
+    # before any O(|set|) intersection is attempted — same output, the
+    # oracle is unchanged.
+    cond = cond & (
+        F.least(F.col("a.sz"), F.col("b.sz"))
+        >= F.greatest(F.col("a.sz"), F.col("b.sz")) * F.lit(threshold)
+    )
     return (
         a.join(b, cond)
         .select(
