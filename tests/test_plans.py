@@ -39,7 +39,11 @@ EAGER = {name for name in QUERIES if name.startswith("stream_")} | {
 PYTHON_OK = {"multimodal_decode_metadata", "multimodal_frame_sample", "ann_ivf_topk"}
 
 # the deliberate exhaustive baseline (queries are broadcast, corpus streams)
-NESTED_LOOP_OK = {"ann_brute_force_topk", "embedding_threshold_pairs"}
+NESTED_LOOP_OK = {
+    "ann_brute_force_topk",
+    "embedding_threshold_pairs",
+    "multimodal_embed_topk",  # composes the brute-force baseline
+}
 
 
 def _plan(spark, name: str) -> str:
