@@ -132,3 +132,42 @@ def top_k_per_group_salted(
         .drop("__rn", "__salt")
     )
     return top_k_per_group(sharded, group_cols, order_col, k, descending, tiebreak)
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change stream: one
+    row per (key, version) with ``valid_from`` / ``valid_to`` /
+    ``is_current`` — the feature-history layout that the as-of join
+    (``operators/joins.py::asof_join``) consumes.
+
+    Consecutive rows whose ``attrs`` are unchanged are collapsed (no-op
+    updates produce no version); ``valid_to`` is the next version's
+    ``valid_from`` (half-open intervals), NULL for the current row.
+
+    Scale shape: two window passes over the same (keys, ts) partitioning
+    — Spark reuses one sort/exchange for both — and state per key is one
+    row of lag values, not the history.
+    """
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in (tiebreak or [])]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    # a version starts at the first row or where any tracked attribute
+    # differs from its lag — eqNullSafe so NULL↔value transitions count
+    # as changes and NULL↔NULL does not
+    changed = F.row_number().over(w) == 1
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    versions = df.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return versions.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

@@ -1536,6 +1536,59 @@ def range_join_pre_purchase_views(spark, sf_dir):
 
 
 @_q(
+    "scd2_user_event_history",
+    """
+    WITH v AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    versions AS (SELECT * FROM v WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM versions
+    """,
+)
+def scd2_user_event_history(spark, sf_dir):
+    """SCD2 feature history: per-user event_type change versions with
+    half-open [valid_from, valid_to) validity — the history layout the
+    as-of join consumes. No-op updates collapse; NULL↔value transitions
+    count as changes (eqNullSafe)."""
+    from ..operators.aggregates import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        keys=["user_id"],
+        ts_col="ts",
+        attrs=["event_type"],
+        tiebreak=["event_id"],
+    ).select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+
+
+@_q(
+    "stream_dedup_exact",
+    """
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM events
+    """,
+)
+def stream_dedup_exact(spark, sf_dir):
+    """Streaming dedup with watermark-bounded state: the event stream
+    unioned with a replayed copy of itself (at-least-once delivery), run
+    through ``dropDuplicatesWithinWatermark`` — the bounded result is
+    exactly the original events."""
+    from ..streaming.pipeline import run_bounded_to_memory, stream_dedup
+
+    doubled = _stream_events(spark, sf_dir).unionByName(_stream_events(spark, sf_dir))
+    deduped = stream_dedup(doubled, keys=["event_id"], ts_col="ts", watermark="1 minute")
+    out = run_bounded_to_memory(deduped, output_mode="append")
+    return out.select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@_q(
     "stream_interval_join_attribution",
     """
     SELECT c.event_id AS click_id,

@@ -81,6 +81,25 @@ def run_bounded_to_memory(
     return stream_df.sparkSession.table(qname)
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str,
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only
+    until the watermark passes it, so at-least-once sources (Kafka
+    replays, retried producers) are de-duplicated without the unbounded
+    state of plain ``dropDuplicates`` on a stream. Duplicates are
+    guaranteed dropped when they arrive within the watermark delay of
+    the first occurrence — size the delay to the source's redelivery
+    window."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -257,3 +257,30 @@ def test_salted_topk_identical_to_plain_on_skewed_data(spark):
             df, ["key"], "score", k=5, tiebreak=["rid"], salt_buckets=buckets
         )
         assert sorted(map(tuple, salted.collect())) == expected, buckets
+
+
+def test_scd2_history_versions_and_null_transitions(spark):
+    from alibaba_cppfeaturestore_spark.operators.aggregates import scd2_history
+
+    rows = [
+        (1, ts("2024-01-01 00:00:00"), "bronze", 10),
+        (1, ts("2024-01-02 00:00:00"), "bronze", 11),  # no-op for tier
+        (1, ts("2024-01-03 00:00:00"), "silver", 12),
+        (1, ts("2024-01-04 00:00:00"), None, 13),      # value -> NULL is a change
+        (1, ts("2024-01-05 00:00:00"), None, 14),      # NULL -> NULL is not
+        (1, ts("2024-01-06 00:00:00"), "gold", 15),
+        (2, ts("2024-01-01 00:00:00"), "silver", 20),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "t", "tier", "seq"])
+    out = scd2_history(df, keys=["uid"], ts_col="t", attrs=["tier"], tiebreak=["seq"])
+    got = [
+        (r["uid"], r["tier"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.orderBy("uid", "valid_from").collect()
+    ]
+    assert got == [
+        (1, "bronze", ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"), False),
+        (1, "silver", ts("2024-01-03 00:00:00"), ts("2024-01-04 00:00:00"), False),
+        (1, None,     ts("2024-01-04 00:00:00"), ts("2024-01-06 00:00:00"), False),
+        (1, "gold",   ts("2024-01-06 00:00:00"), None, True),
+        (2, "silver", ts("2024-01-01 00:00:00"), None, True),
+    ]

@@ -258,3 +258,21 @@ def test_stream_session_windows_match_batch_finalized(spark):
         for r in stream
     }
     assert got == expected
+
+
+def test_stream_dedup_drops_redelivered_rows(spark, workdir):
+    from alibaba_cppfeaturestore_spark.streaming.pipeline import stream_dedup
+
+    path = os.path.join(workdir, "dup_events")
+    _write_events(spark, path, [
+        (1, ts("2024-01-01 10:00:00"), "view", 1.0),
+        (2, ts("2024-01-01 10:00:30"), "view", 2.0),
+        (3, ts("2024-01-01 10:01:00"), "click", 3.0),
+    ])
+    src = stream_from_parquet(spark, path)
+    doubled = src.unionByName(src)  # at-least-once redelivery
+    out = run_bounded_to_memory(
+        stream_dedup(doubled, keys=["user_id"], ts_col="ts", watermark="1 minute"),
+        output_mode="append",
+    ).collect()
+    assert sorted(r["user_id"] for r in out) == [1, 2, 3]
