@@ -519,6 +519,94 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_indexed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT token-set Jaccard pairs ≥ threshold with NO blocking column
+    and no quadratic pair space — the prefix-filtering set-similarity
+    join (PPJoin family, Xiao et al., WWW'08), on DataFrames.
+
+    Guarantee (with the size filter min ≥ t·max): any qualifying pair
+    overlaps in ≥ ⌈t·|a|⌉ tokens, so the two sets MUST share a token in
+    each other's first ``|x| − ⌈t·|x|⌉ + 1`` tokens under one global
+    order. Ordering tokens rarest-first makes those prefix tokens the
+    most selective ones, so the inverted-index join stays sparse.
+
+    Plan shape (all linear in corpus size except the candidate join):
+    tokenize → global token-frequency rank (one agg over exploded
+    tokens) → re-assemble each doc's rank-sorted token array → explode
+    only the PREFIX into postings → equi-self-join on token (+ size
+    filter) → exact verify on the full sorted arrays. Output is
+    identical to the quadratic formulation — same oracle.
+    """
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    )
+    exploded = base.select("id", F.explode_outer("toks").alias("tok")).filter(
+        F.col("tok").isNotNull()
+    )
+    vocab_w = Window.orderBy(F.col("cnt").asc(), F.col("tok").asc())
+    # rank runs over the AGGREGATED vocab (|vocab| rows), not the corpus;
+    # rarest-first so prefixes carry the most selective tokens
+    ranks = (
+        exploded.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .select("tok", F.row_number().over(vocab_w).alias("rank"))
+    )
+    sorted_docs = (
+        exploded.join(ranks, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks"),
+        )
+        .withColumn("sz", F.size("toks"))
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
+    postings = sorted_docs.select(
+        "id",
+        "sz",
+        F.explode_outer(F.slice("toks", 1, prefix_len)).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+
+    a, b = postings.alias("a"), postings.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * F.lit(threshold)
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(
+            sorted_docs.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a")),
+            "id_a",
+        )
+        .join(
+            sorted_docs.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("t_a"), F.col("t_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
 def winnow_containment_pairs(
     df: DataFrame,
     text_col: str = "text",

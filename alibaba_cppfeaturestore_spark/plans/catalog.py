@@ -1159,6 +1159,33 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_ngram_jaccard_indexed",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(TRIM(text), '\s+')) AS tokset
+      FROM documents
+    )
+    SELECT * FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(LEN(list_intersect(a.tokset, b.tokset))::DOUBLE
+                 / GREATEST(LEN(list_distinct(list_concat(a.tokset, b.tokset))), 1), 6) AS jaccard_sim
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    ) WHERE jaccard_sim >= 0.9
+    """,
+)
+def dedup_ngram_jaccard_indexed(spark, sf_dir):
+    """EXACT unblocked Jaccard pairs via the prefix-filtered
+    set-similarity join (PPJoin-style rarest-first token index) — no
+    blocking column, no |corpus|² pair space, yet bit-identical to the
+    all-pairs oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs_indexed(
+        docs, text_col="text", id_col="doc_id", threshold=0.9
+    )
+
+
 @_q("dedup_minhash_incremental", None)
 def dedup_minhash_incremental(spark, sf_dir):
     """Incremental ingest-batch dedup against a materialized LSH band

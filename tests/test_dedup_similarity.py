@@ -258,3 +258,34 @@ def test_clean_text_normalization(spark):
     assert out[2] == "a b c d e"
     assert out[3] == "already clean text"
     assert out[4] == "link tail"
+
+
+def test_prefix_indexed_jaccard_equals_quadratic(spark, docs):
+    """The prefix-filtered set-similarity join must return EXACTLY the
+    pairs of the naive all-pairs formulation — same ids, same scores."""
+    from alibaba_cppfeaturestore_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_indexed,
+    )
+
+    base = docs.limit(80)
+    mutants = base.limit(30).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    corpus = base.unionByName(mutants)
+    for t in (0.7, 0.9):
+        quad = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                corpus, text_col="text", id_col="doc_id", block_cols=None, threshold=t
+            ).collect()
+        }
+        idx = {
+            tuple(r)
+            for r in ngram_jaccard_pairs_indexed(
+                corpus, text_col="text", id_col="doc_id", threshold=t
+            ).collect()
+        }
+        assert idx == quad, f"t={t}: {idx ^ quad}"
+        assert len(idx) >= 30  # the planted mutants are found
