@@ -1,0 +1,104 @@
+"""Deterministic feature scaling and binning (fit/apply).
+
+Engine-native equivalents of MLlib's StandardScaler / MinMaxScaler /
+QuantileDiscretizer, in the same spirit as the dictionary operators
+(``operators/dictionary.py``): the fitted state is a plain DataFrame /
+dict of numbers — inspectable, oracle-checkable, identical between batch
+and streaming application — rather than an opaque model object.
+
+Scale shape: every fit is ONE aggregation over the data (all columns in
+the same pass); application is a pure per-row projection (no shuffle, no
+UDF). Fitted state is tiny (per-column scalars / edge lists) and travels
+to executors as literals, so streaming micro-batches and huge batch
+scans apply it identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_standard_scaler(df: DataFrame, columns: list[str]) -> dict[str, dict[str, float]]:
+    """Per-column mean/stddev (population) in one aggregation pass."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.avg(c).alias(f"{c}__mean"),
+            F.stddev_pop(c).alias(f"{c}__std"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    return {
+        c: {"mean": row[f"{c}__mean"], "std": row[f"{c}__std"]} for c in columns
+    }
+
+
+def apply_standard_scaler(
+    df: DataFrame, stats: dict[str, dict[str, float]]
+) -> DataFrame:
+    """z-score columns in place: (x − mean) / std; zero-variance columns
+    scale to 0.0 (not NaN)."""
+    out = df
+    for c, s in stats.items():
+        std = s["std"] or 0.0
+        scaled = (
+            F.lit(0.0)
+            if std == 0.0
+            else (F.col(c) - F.lit(s["mean"])) / F.lit(std)
+        )
+        out = out.withColumn(c, scaled)
+    return out
+
+
+def fit_minmax_scaler(df: DataFrame, columns: list[str]) -> dict[str, dict[str, float]]:
+    """Per-column min/max in one pass."""
+    aggs = []
+    for c in columns:
+        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    row = df.agg(*aggs).collect()[0]
+    return {c: {"min": row[f"{c}__min"], "max": row[f"{c}__max"]} for c in columns}
+
+
+def apply_minmax_scaler(
+    df: DataFrame, stats: dict[str, dict[str, float]]
+) -> DataFrame:
+    """Rescale columns to [0, 1]; constant columns map to 0.0."""
+    out = df
+    for c, s in stats.items():
+        span = (s["max"] or 0.0) - (s["min"] or 0.0)
+        scaled = (
+            F.lit(0.0)
+            if span == 0.0
+            else (F.col(c) - F.lit(s["min"])) / F.lit(span)
+        )
+        out = out.withColumn(c, scaled)
+    return out
+
+
+def fit_quantile_bins(
+    df: DataFrame, column: str, n_bins: int
+) -> list[float]:
+    """Exact-percentile bin edges (n_bins − 1 interior cut points) —
+    deterministic, unlike QuantileDiscretizer's approx sketch default.
+    One aggregation; use ``percentile_approx`` manually when the column
+    is too hot for exact."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    row = df.agg(
+        F.expr(
+            f"percentile({column}, array({', '.join(str(q) for q in qs)}))"
+        ).alias("qs")
+    ).collect()[0]
+    return [float(x) for x in row["qs"]]
+
+
+def apply_quantile_bins(
+    df: DataFrame, column: str, edges: list[float], out_col: str | None = None
+) -> DataFrame:
+    """Assign bin index 0..len(edges): bin i ⟺ edges[i−1] < x ≤ edges[i]
+    (NULL stays NULL). Pure CASE expression — no shuffle, streaming-safe."""
+    out_col = out_col or f"{column}_bin"
+    expr = F.when(F.col(column).isNull(), F.lit(None))
+    for i, e in enumerate(edges):
+        expr = expr.when(F.col(column) <= F.lit(e), F.lit(i))
+    expr = expr.otherwise(F.lit(len(edges)))
+    return df.withColumn(out_col, expr.cast("int"))

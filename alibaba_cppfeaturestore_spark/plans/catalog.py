@@ -568,6 +568,51 @@ def agg_approx_stats(spark, sf_dir):
 
 
 @_q(
+    "feature_standard_scale",
+    """
+    SELECT o_orderkey,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER ())
+                 / STDDEV_POP(o_totalprice) OVER (), 6) AS price_z
+    FROM orders
+    """,
+)
+def feature_standard_scale(spark, sf_dir):
+    """Deterministic StandardScaler fit/apply: one-pass mean/stddev fit,
+    pure-projection apply (literals to executors — identical in batch and
+    streaming micro-batches)."""
+    from ..operators.scaling import apply_standard_scaler, fit_standard_scaler
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    stats = fit_standard_scaler(o, ["o_totalprice"])
+    return apply_standard_scaler(o, stats).select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("price_z")
+    )
+
+
+@_q(
+    "feature_quantile_bins",
+    """
+    WITH e AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS q FROM events)
+    SELECT event_id,
+           CASE WHEN value IS NULL THEN NULL
+                WHEN value <= q[1] THEN 0
+                WHEN value <= q[2] THEN 1
+                WHEN value <= q[3] THEN 2
+                ELSE 3 END AS value_bin
+    FROM events, e
+    """,
+)
+def feature_quantile_bins(spark, sf_dir):
+    """Deterministic QuantileDiscretizer: exact-percentile edges (one
+    agg), CASE-expression apply (no shuffle, streaming-safe)."""
+    from ..operators.scaling import apply_quantile_bins, fit_quantile_bins
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    edges = fit_quantile_bins(ev, "value", n_bins=4)
+    return apply_quantile_bins(ev, "value", edges).select("event_id", "value_bin")
+
+
+@_q(
     "latest_event_per_user",
     """
     SELECT user_id, event_id,

@@ -284,3 +284,38 @@ def test_scd2_history_versions_and_null_transitions(spark):
         (1, "gold",   ts("2024-01-06 00:00:00"), None, True),
         (2, "silver", ts("2024-01-01 00:00:00"), None, True),
     ]
+
+
+def test_scalers_and_bins_deterministic_and_sane(spark):
+    from alibaba_cppfeaturestore_spark.operators.scaling import (
+        apply_minmax_scaler,
+        apply_quantile_bins,
+        apply_standard_scaler,
+        fit_minmax_scaler,
+        fit_quantile_bins,
+        fit_standard_scaler,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i), 5.0, None if i == 3 else float(i * i)) for i in range(1, 11)],
+        ["id", "x", "const", "y"],
+    )
+    zs = apply_standard_scaler(df, fit_standard_scaler(df, ["x", "const"]))
+    rows = {r["id"]: (r["x"], r["const"]) for r in zs.collect()}
+    xs = [rows[i][0] for i in range(1, 11)]
+    assert abs(sum(xs)) < 1e-9  # zero mean
+    assert all(rows[i][1] == 0.0 for i in rows)  # zero-variance -> 0, not NaN
+
+    mm = apply_minmax_scaler(df, fit_minmax_scaler(df, ["x"]))
+    mx = {r["id"]: r["x"] for r in mm.collect()}
+    assert mx[1] == 0.0 and mx[10] == 1.0 and 0 < mx[5] < 1
+
+    edges = fit_quantile_bins(df, "x", n_bins=5)
+    assert edges == sorted(edges) and len(edges) == 4
+    binned = {r["id"]: r["x_bin"] for r in apply_quantile_bins(df, "x", edges).collect()}
+    assert sorted(set(binned.values())) == [0, 1, 2, 3, 4]  # all bins used
+    assert binned[1] == 0 and binned[10] == 4
+    # nulls stay null
+    ybin = {r["id"]: r["y_bin"] for r in apply_quantile_bins(
+        df, "y", fit_quantile_bins(df, "y", 3)).collect()}
+    assert ybin[3] is None
