@@ -36,3 +36,63 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 def l2_distance(a: Column, b: Column) -> Column:
     diffs = F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def quantize_int8(v: Column) -> Column:
+    """Scalar int8 quantization: struct(scale float, q array<tinyint>)
+    with q = round(x / scale), scale = max|x| / 127.
+
+    The storage lever for vector corpora: 4 bytes/dim float32 → 1
+    byte/dim (+1 scalar), so a 100 TB embedding store reads/shuffles 4×
+    less. Zero vectors quantize to scale 0 / all-zero q. All native
+    expressions — quantize on write, search on the quantized form via
+    ``cosine_int8``, keep originals cold."""
+    from .text import _let
+
+    amax_expr = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    # bind amax once: referenced per-element in the transform, a captured
+    # aggregate subexpression would re-scan the vector per component
+    return _let(
+        amax_expr,
+        lambda amax: F.struct(
+            (amax / F.lit(127.0)).cast("float").alias("scale"),
+            F.when(
+                amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+            )
+            .otherwise(
+                F.transform(
+                    v,
+                    lambda x: F.round(x.cast("double") * F.lit(127.0) / amax).cast(
+                        "tinyint"
+                    ),
+                )
+            )
+            .alias("q"),
+        ),
+    )
+
+
+def dequantize_int8(qv: Column) -> Column:
+    """Inverse of ``quantize_int8``: array<float> ≈ original (max
+    per-component error = scale/2 = max|x|/254)."""
+    return F.transform(qv["q"], lambda x: (x.cast("double") * qv["scale"]).cast("float"))
+
+
+def cosine_int8(qa: Column, qb: Column) -> Column:
+    """Cosine similarity computed directly on int8-quantized vectors —
+    scales cancel, so this is integer dot / integer norms; no
+    dequantized array is materialized."""
+    d = F.aggregate(
+        F.zip_with(qa["q"], qb["q"], lambda x, y: (x.cast("double") * y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(qa["q"], F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(qb["q"], F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return d / F.greatest(na * nb, F.lit(1e-12))

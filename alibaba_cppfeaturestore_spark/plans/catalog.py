@@ -2048,6 +2048,35 @@ def multimodal_embed_topk(spark, sf_dir):
     return SIM.brute_force_topk(corpus, queries, k=5)
 
 
+@_q("ann_quantized_topk", None)
+def ann_quantized_topk(spark, sf_dir):
+    """Brute-force cosine top-k over int8-QUANTIZED vectors (4× smaller
+    scan/shuffle; cosine computed on the integer form, scales cancel).
+    Quantized scores are representation-specific → rows-only; round-trip
+    error and cosine drift bounds are pinned in tests."""
+    from ..functions.vectors import cosine_int8, quantize_int8
+    from ..operators.aggregates import top_k_per_group
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("qv"))
+    queries = q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(q)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_int8(F.col("q_qv"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored, ["query_id"], "cosine_sim", k=5, tiebreak=["neighbor_id"]
+    )
+
+
 @_q("ann_ivf_topk", None)
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: MLlib-KMeans coarse quantizer (seeded →

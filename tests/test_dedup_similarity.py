@@ -289,3 +289,43 @@ def test_prefix_indexed_jaccard_equals_quadratic(spark, docs):
         }
         assert idx == quad, f"t={t}: {idx ^ quad}"
         assert len(idx) >= 30  # the planted mutants are found
+
+
+def test_int8_quantization_roundtrip_and_cosine(spark):
+    from alibaba_cppfeaturestore_spark.functions.vectors import (
+        cosine_int8,
+        cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    q = emb.select("vec_id", "embedding", quantize_int8(F.col("embedding")).alias("qv"))
+    # round-trip error bounded by scale/2 per component
+    err = q.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                dequantize_int8(F.col("qv")),
+                lambda a, b: F.abs(a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("maxerr"),
+        (F.col("qv.scale") / 2 + 1e-9).alias("bound"),
+    )
+    bad = err.filter(F.col("maxerr") > F.col("bound")).count()
+    assert bad == 0
+    # quantized cosine tracks exact cosine
+    pairs = (
+        q.alias("a")
+        .crossJoin(q.alias("b"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .limit(200)
+        .select(
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("exact"),
+            cosine_int8(F.col("a.qv"), F.col("b.qv")).alias("approx"),
+        )
+    )
+    worst = pairs.agg(F.max(F.abs(F.col("exact") - F.col("approx")))).first()[0]
+    assert worst < 0.02, f"quantized cosine drifts too far: {worst}"
