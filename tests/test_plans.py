@@ -43,6 +43,7 @@ NESTED_LOOP_OK = {
     "ann_brute_force_topk",
     "embedding_threshold_pairs",
     "multimodal_embed_topk",  # composes the brute-force baseline
+    "ann_quantized_topk",  # brute-force on the quantized form, by design
 }
 
 
