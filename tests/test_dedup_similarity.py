@@ -329,3 +329,35 @@ def test_int8_quantization_roundtrip_and_cosine(spark):
     )
     worst = pairs.agg(F.max(F.abs(F.col("exact") - F.col("approx")))).first()[0]
     assert worst < 0.02, f"quantized cosine drifts too far: {worst}"
+
+
+def test_shingle_jaccard_matches_python_reference(spark):
+    """Differential test: the native shingle + Jaccard expressions must
+    agree with a plain-Python set implementation on random strings
+    (unicode, whitespace runs, short/empty edge cases)."""
+    import random
+
+    from alibaba_cppfeaturestore_spark.functions.text import char_shingles
+    from alibaba_cppfeaturestore_spark.operators.dedup import jaccard
+
+    rng = random.Random(123)
+    alphabet = "ab cd\teé日 xyz"
+    strs = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+            for _ in range(300)]
+    rows = [(i, strs[i], strs[(i * 7 + 3) % 300]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["i", "sa", "sb"])
+    out = df.select(
+        "i",
+        jaccard(
+            F.array_distinct(char_shingles("sa", 5)),
+            F.array_distinct(char_shingles("sb", 5)),
+        ).alias("j"),
+    ).collect()
+
+    def py_shingles(s, n=5):
+        return {s[i : i + n] for i in range(max(len(s) - n + 1, 0))}
+
+    for r in out:
+        a, b = py_shingles(rows[r["i"]][1]), py_shingles(rows[r["i"]][2])
+        expected = len(a & b) / max(len(a | b), 1)
+        assert abs(r["j"] - expected) < 1e-9, (rows[r["i"]], r["j"], expected)
