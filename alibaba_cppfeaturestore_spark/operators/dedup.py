@@ -661,6 +661,9 @@ def winnow_containment_pairs(
     # twice more and re-partition it. The cap bounds the worst per-row
     # expansion at C(max_postings, 2) structs.
     lists = posted.groupBy("h").agg(F.collect_list(F.struct("id", "n")).alias("ps"))
+    # singleton posting lists generate no pairs — drop them before the
+    # combo expansion (~30% of hashes on a typical corpus)
+    lists = lists.filter(F.size("ps") >= 2)
     if max_postings is not None:
         lists = lists.filter(F.size("ps") <= max_postings)
 
