@@ -115,3 +115,43 @@ def test_compact_parquet_reduces_files_preserving_data(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 5000
     assert back.agg(F.sum("id")).first()[0] == sum(range(5000))
+
+
+def test_zorder_write_improves_multicolumn_skipping(spark, tmp_path):
+    """The signature of Z-order: per-file (span_x × span_y) is far below
+    a linear sort's — files are selective on BOTH columns at once."""
+    import random
+
+    from alibaba_cppfeaturestore_spark.sources.writers import zorder_write
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(100_000), rng.randrange(100_000)) for _ in range(40_000)]
+    df = from_collection(spark, rows, schema="x LONG, y LONG")
+
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_write(df, zpath, ["x", "y"], bits=8, n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    def avg_spans(path):
+        sx, sy, n = 0, 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            part = spark.read.parquet(os.path.join(path, f))
+            r = part.agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            ).first()
+            sx, sy, n = sx + r["sx"], sy + r["sy"], n + 1
+        return sx / n, sy / n
+
+    zx, zy = avg_spans(zpath)
+    lx, ly = avg_spans(lpath)
+    # linear sort: x-span tiny but y-span ≈ full range (zero pruning for
+    # y-filters). Z-order makes files selective on BOTH dimensions: each
+    # spans a fraction of the range in x AND y.
+    assert ly > 90_000, ly          # linear layout can't prune y
+    assert zy < 0.5 * ly, (zy, ly)  # z-order files can
+    assert zx < 0.5 * 100_000, zx   # while staying selective on x too
+    # and the data survives intact
+    assert spark.read.parquet(zpath).count() == 40_000
