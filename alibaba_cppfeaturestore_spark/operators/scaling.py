@@ -102,3 +102,28 @@ def apply_quantile_bins(
         expr = expr.when(F.col(column) <= F.lit(e), F.lit(i))
     expr = expr.otherwise(F.lit(len(edges)))
     return df.withColumn(out_col, expr.cast("int"))
+
+
+def fit_winsor_bounds(
+    df: DataFrame, column: str, lower: float = 0.01, upper: float = 0.99
+) -> tuple[float, float]:
+    """Exact lower/upper percentile clip bounds in one pass."""
+    row = df.agg(
+        F.expr(f"percentile({column}, array({lower}, {upper}))").alias("b")
+    ).collect()[0]
+    return float(row["b"][0]), float(row["b"][1])
+
+
+def winsorize(
+    df: DataFrame, column: str, bounds: tuple[float, float]
+) -> DataFrame:
+    """Clip a column to the fitted percentile bounds (outlier taming for
+    training features; NULLs untouched). Pure projection."""
+    lo, hi = bounds
+    return df.withColumn(
+        column,
+        F.when(
+            F.col(column).isNotNull(),
+            F.least(F.greatest(F.col(column), F.lit(lo)), F.lit(hi)),
+        ),
+    )

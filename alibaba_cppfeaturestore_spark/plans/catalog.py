@@ -448,6 +448,71 @@ def agg_vocab_sizes(spark, sf_dir):
 
 
 @_q(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter→agg, every predicate pushed to the
+    parquet scan (range on shipdate, between on discount, lt on qty) —
+    the canonical scan-efficiency probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q(
+    "q14_promo_revenue_share",
+    """
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-04-01'
+    """,
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: filtered fact ⋈ broadcast part dim + conditional
+    aggregate ratio."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01"))
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@_q(
     "agg_rollup_order_revenue",
     """
     SELECT CAST(year(o_orderdate) AS INT) AS order_year,
@@ -610,6 +675,27 @@ def feature_quantile_bins(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
     edges = fit_quantile_bins(ev, "value", n_bins=4)
     return apply_quantile_bins(ev, "value", edges).select("event_id", "value_bin")
+
+
+@_q(
+    "feature_winsorize",
+    """
+    WITH b AS (SELECT quantile_cont(o_totalprice, [0.05, 0.95]) AS q FROM orders)
+    SELECT o_orderkey,
+           ROUND(LEAST(GREATEST(o_totalprice, q[1]), q[2]), 4) AS price_clipped
+    FROM orders, b
+    """,
+)
+def feature_winsorize(spark, sf_dir):
+    """Winsorization: clip to exact p05/p95 (one-pass fit, projection
+    apply) — outlier taming before scaling/binning."""
+    from ..operators.scaling import fit_winsor_bounds, winsorize
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bounds = fit_winsor_bounds(o, "o_totalprice", 0.05, 0.95)
+    return winsorize(o, "o_totalprice", bounds).select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("price_clipped")
+    )
 
 
 @_q(
@@ -1605,6 +1691,58 @@ def range_join_pre_purchase_views(spark, sf_dir):
         F.col("p.user_id").alias("user_id"),
         F.col("p.event_id").alias("view_id"),
     )
+
+
+@_q(
+    "snapshot_diff_cdc",
+    """
+    WITH old AS (
+      SELECT event_id, user_id, ROUND(value, 2) AS value FROM events
+      WHERE event_id % 97 <> 0
+    ),
+    new AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 31 = 0 THEN ROUND(value + 1.0, 2)
+                  ELSE ROUND(value, 2) END AS value
+      FROM events
+      UNION ALL
+      SELECT event_id + 5000000, user_id, 1.0 FROM events WHERE event_id % 211 = 0
+    )
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'insert'
+                WHEN n.event_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           o.user_id AS old_user_id, o.value AS old_value,
+           n.user_id AS new_user_id, n.value AS new_value
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL
+       OR (o.user_id, o.value) IS DISTINCT FROM (n.user_id, n.value)
+    """,
+)
+def snapshot_diff_cdc(spark, sf_dir):
+    """Snapshot CDC: planted deletes (id%97), updates (id%31), and
+    inserts (id%211 clones) between two event-table states; the diff
+    emits exactly the change feed. Null-safe struct comparison; one
+    full-outer join."""
+    from ..operators.diff import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 2).alias("value")
+    )
+    old = ev.filter(F.col("event_id") % 97 != 0)
+    new = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 31 == 0, F.round(F.col("value") + 1.0, 2)).otherwise(
+            F.col("value")
+        ),
+    ).unionByName(
+        ev.filter(F.col("event_id") % 211 == 0).select(
+            (F.col("event_id") + 5000000).alias("event_id"),
+            "user_id",
+            F.lit(1.0).alias("value"),
+        )
+    )
+    return snapshot_diff(old, new, keys=["event_id"])
 
 
 @_q(

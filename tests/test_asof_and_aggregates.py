@@ -319,3 +319,29 @@ def test_scalers_and_bins_deterministic_and_sane(spark):
     ybin = {r["id"]: r["y_bin"] for r in apply_quantile_bins(
         df, "y", fit_quantile_bins(df, "y", 3)).collect()}
     assert ybin[3] is None
+
+
+def test_snapshot_diff_ops_and_null_safety(spark):
+    import pytest as _pytest
+
+    from alibaba_cppfeaturestore_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),      # unchanged -> no row
+         (2, "b", 2.0),      # NULL -> value = update
+         (4, None, 4.0),     # NULL == NULL -> unchanged
+         (5, "e", 5.0)],     # insert
+        ["k", "s", "v"],
+    )                         # 3 deleted
+    out = {r["k"]: r for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert {k: r["op"] for k, r in out.items()} == {2: "update", 3: "delete", 5: "insert"}
+    assert out[2]["old_v"] is None and out[2]["new_v"] == 2.0
+    assert out[3]["new_s"] is None and out[3]["old_s"] == "c"
+    assert out[5]["old_s"] is None and out[5]["new_s"] == "e"
+
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_diff(old, new.drop("v"), keys=["k"])
