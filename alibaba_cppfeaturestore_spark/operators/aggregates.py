@@ -171,3 +171,39 @@ def scd2_history(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass data-profiling report: per column a row of
+    ``(column, n_rows, n_nulls, n_distinct, min_value, max_value)``
+    (min/max as strings so heterogeneous types share one schema).
+
+    ALL columns profile in a single aggregation over one scan — the
+    reference's style of one job per metric per column multiplies scans;
+    this is the audit-before-training primitive at 100 TB. The wide
+    1-row aggregate is unpivoted driver-side-free via ``stack``.
+    """
+    aggs = [F.count("*").alias("__n")]
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in columns
+    )
+    return wide.selectExpr(
+        "__n",
+        f"stack({len(columns)}, {stack_args}) as "
+        "(column, __nn, n_distinct, min_value, max_value)",
+    ).select(
+        "column",
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

@@ -699,6 +699,44 @@ def feature_winsorize(spark, sf_dir):
 
 
 @_q(
+    "profile_events_table",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM events)
+    SELECT * FROM (
+      SELECT 'event_type' AS column, n_rows,
+             (SELECT COUNT(*) FROM events WHERE event_type IS NULL) AS n_nulls,
+             (SELECT COUNT(DISTINCT event_type) FROM events) AS n_distinct,
+             (SELECT CAST(MIN(event_type) AS VARCHAR) FROM events) AS min_value,
+             (SELECT CAST(MAX(event_type) AS VARCHAR) FROM events) AS max_value
+      FROM n
+      UNION ALL
+      SELECT 'user_id', n_rows,
+             (SELECT COUNT(*) FROM events WHERE user_id IS NULL),
+             (SELECT COUNT(DISTINCT user_id) FROM events),
+             (SELECT CAST(MIN(user_id) AS VARCHAR) FROM events),
+             (SELECT CAST(MAX(user_id) AS VARCHAR) FROM events)
+      FROM n
+      UNION ALL
+      SELECT 'value', n_rows,
+             (SELECT COUNT(*) FROM events WHERE value IS NULL),
+             (SELECT COUNT(DISTINCT value) FROM events),
+             (SELECT CAST(MIN(value) AS VARCHAR) FROM events),
+             (SELECT CAST(MAX(value) AS VARCHAR) FROM events)
+      FROM n
+    )
+    """,
+)
+def profile_events_table(spark, sf_dir):
+    """Data-profiling audit: null counts, distinct counts, min/max for
+    every column in ONE aggregation pass (the oracle spells each metric
+    out; the engine computes them all in a single scan + stack unpivot)."""
+    from ..operators.aggregates import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_table(ev, ["event_type", "user_id", "value"])
+
+
+@_q(
     "latest_event_per_user",
     """
     SELECT user_id, event_id,
