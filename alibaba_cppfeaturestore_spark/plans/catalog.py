@@ -390,12 +390,19 @@ def join_semi_in_subquery(spark, sf_dir):
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     """,
 )
 def join_anti_not_exists(spark, sf_dir):
+    """Customers with NO urgent order (anti join; the urgent restriction
+    keeps the result non-trivially non-empty on the synthetic data)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return anti_join_not_in(c, o, "c_custkey").select("c_custkey", "c_name")
 
 
@@ -1078,12 +1085,18 @@ def set_intersect_keys(spark, sf_dir):
     """
     SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS custkey FROM orders
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def set_except_keys(spark, sf_dir):
+    """EXCEPT over key sets (urgent-order restriction keeps it
+    non-empty on the synthetic data)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return c.exceptAll(o).distinct()
 
 
