@@ -167,26 +167,34 @@ def ivf_fit_centroids(
 
 
 def _nearest_centroid_ids(vec: Column, centroids: list[list[float]], n: int) -> Column:
-    """ids of the ``n`` nearest centroids (squared-L2, KMeans' metric) —
-    one expression: per-centroid distance, sort (dist, id) structs, slice."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, d: acc + d,
-                ).alias("dist"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    """ids of the ``n`` nearest centroids (squared-L2, KMeans' metric).
+
+    The centroid set is ONE literal matrix and the distance is ONE
+    ``transform`` lambda over it — inlining a separate distance
+    expression per centroid (16× aggregate(zip_with)) overflows the
+    generated method size and drops the whole projection out of
+    whole-stage codegen (~10× slower on the corpus-assignment scan)."""
+    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dists = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with(
+                vec,
+                c,
+                lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
     )
-    return F.transform(F.slice(F.array_sort(dists), 1, n), lambda s: s["cid"])
+    ranked = F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, i: F.struct(d.alias("dist"), i.alias("cid")),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["cid"])
 
 
 def ivf_topk(
