@@ -73,16 +73,50 @@ def lsh_signature(vec: Column, num_bits: int, dim: int, table: int = 0) -> Colum
 
 
 def _lsh_buckets(vec: Column, num_bits: int, num_tables: int, dim: int) -> Column:
-    """array<struct<table:int,bucket:int>> — one bucket per hash table."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                lsh_signature(vec, num_bits, dim, table=t).alias("bucket"),
+    """array<struct<table:int,bucket:int>> — one bucket per hash table.
+
+    All num_tables×num_bits hyperplanes live in ONE literal matrix and
+    project through ONE ``transform`` lambda; inlining a projection
+    expression per plane (the ``lsh_signature`` formulation) overflows
+    generated-code limits at 8×4 planes and drops the scan out of
+    whole-stage codegen. Bucket ids then assemble from the flat sign
+    array with cheap element_at/shift arithmetic (``_let``-bound so the
+    projections evaluate once)."""
+    from ..functions.text import _let
+
+    planes = [
+        _plane_signs(t, p, dim)
+        for t in range(num_tables)
+        for p in range(num_bits)
+    ]
+    pmat = F.array(*[F.array(*[F.lit(s) for s in pl]) for pl in planes])
+    bits = F.transform(
+        pmat,
+        lambda pl: F.when(
+            F.aggregate(
+                F.zip_with(vec, pl, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-            for t in range(num_tables)
-        ]
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     )
+
+    def assemble(b: Column) -> Column:
+        out = []
+        for t in range(num_tables):
+            bucket = F.lit(0)
+            for p in range(num_bits):
+                bucket = bucket + F.shiftleft(
+                    F.element_at(b, t * num_bits + p + 1), p
+                )
+            out.append(
+                F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+            )
+        return F.array(*out)
+
+    return _let(bits, assemble)
 
 
 def lsh_bucketed_topk(
@@ -104,16 +138,24 @@ def lsh_bucketed_topk(
     equi-join on (table, bucket) + dedup, never a cross join. Tune
     num_bits up for selectivity, num_tables up for recall.
     """
+    # explode_outer: the bucket array is a computed expression (the _let
+    # binding), so an inner explode would re-evaluate all plane
+    # projections inside an InferFiltersFromGenerate size/isnotnull
+    # filter (see operators/dedup.py); the array is never empty
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        F.explode(_lsh_buckets(F.col(vec_col), num_bits, num_tables, dim)).alias("__b"),
+        F.explode_outer(
+            _lsh_buckets(F.col(vec_col), num_bits, num_tables, dim)
+        ).alias("__b"),
     ).select("neighbor_id", "__cvec", "__b.table", "__b.bucket")
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
-            F.explode(_lsh_buckets(F.col(vec_col), num_bits, num_tables, dim)).alias("__b"),
+            F.explode_outer(
+                _lsh_buckets(F.col(vec_col), num_bits, num_tables, dim)
+            ).alias("__b"),
         ).select("query_id", "__qvec", "__b.table", "__b.bucket")
     )
     candidates = (
@@ -260,10 +302,14 @@ def threshold_pairs(
 
     Optionally blocked on ``block_col``; unblocked is |corpus|² — at scale
     pair it with LSH buckets (see ``lsh_bucketed_topk``) instead."""
+    from ..functions.vectors import dot, norm
+
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    base = corpus.select(*cols)
+    # norms computed ONCE PER ROW before the pair join — cosine per pair
+    # then costs one dot pass instead of three array aggregates
+    base = corpus.select(*cols).withColumn("nrm", norm(F.col("v")))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
@@ -273,7 +319,11 @@ def threshold_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / F.greatest(F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12)),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
