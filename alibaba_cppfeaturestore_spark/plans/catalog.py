@@ -1930,6 +1930,57 @@ def snapshot_diff_cdc(spark, sf_dir):
 
 
 @_q(
+    "feature_store_historical_retrieval",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    ), step1 AS (
+      SELECT c.event_id, c.user_id, c.event_timestamp,
+             ROUND(CASE WHEN p.ts >= c.event_timestamp - INTERVAL 2 HOUR
+                        THEN p.value END, 2) AS purchase_value
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts <= c.event_timestamp
+    )
+    SELECT s.event_id, s.user_id, s.event_timestamp, s.purchase_value,
+           ROUND(v.value, 2) AS view_value
+    FROM step1 s ASOF LEFT JOIN views v
+      ON s.user_id = v.user_id AND v.ts <= s.event_timestamp
+    """,
+)
+def feature_store_historical_retrieval(spark, sf_dir):
+    """Feast-style training-set assembly through the FeatureView
+    registry: two TTL'd views (purchase features, 2 h TTL; view features,
+    unbounded) chained as point-in-time joins onto a click entity frame —
+    the engine's ``get_historical_features``
+    (reference ``feature_retrieval/get_fv.py:32-47``)."""
+    from .feature_views import FeatureStore, FeatureView
+
+    ev = _t(spark, sf_dir, "events")
+    fs = FeatureStore()
+    fs.register(
+        FeatureView("user_purchase", ["user_id"], "ts", ["purchase_value"], ttl="2 hours"),
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.round("value", 2).alias("purchase_value")
+        ),
+    )
+    fs.register(
+        FeatureView("user_view", ["user_id"], "ts", ["view_value"]),
+        ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.round("value", 2).alias("view_value")
+        ),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("event_timestamp")
+    )
+    return fs.get_historical_features(clicks, ["user_purchase", "user_view"])
+
+
+@_q(
     "scd2_user_event_history",
     """
     WITH v AS (

@@ -345,3 +345,41 @@ def test_snapshot_diff_ops_and_null_safety(spark):
 
     with _pytest.raises(ValueError, match="schema mismatch"):
         snapshot_diff(old, new.drop("v"), keys=["k"])
+
+
+def test_feature_store_registry_online_and_validation(spark):
+    import pytest as _pytest
+
+    from alibaba_cppfeaturestore_spark.plans.feature_views import (
+        FeatureStore,
+        FeatureView,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 1.0),
+            (1, ts("2024-01-01 12:00:00"), 2.0),
+            (2, ts("2024-01-01 11:00:00"), 5.0),
+        ],
+        ["user_id", "ts", "spend"],
+    )
+    fs = FeatureStore()
+    fs.register(FeatureView("spend", ["user_id"], "ts", ["spend"]), src)
+
+    online = {r["user_id"]: r["spend"] for r in fs.materialize_online("spend").collect()}
+    assert online == {1: 2.0, 2: 5.0}
+
+    keys = spark.createDataFrame([(1,), (99,)], ["user_id"])
+    looked = {r["user_id"]: r["spend"] for r in fs.get_online_features(keys, "spend").collect()}
+    assert looked == {1: 2.0, 99: None}  # unknown key -> NULL (Feast semantics)
+
+    # historical: event before any feature row -> NULL
+    entities = spark.createDataFrame(
+        [(100, 1, ts("2024-01-01 11:00:00")), (101, 1, ts("2024-01-01 09:00:00"))],
+        ["eid", "user_id", "event_timestamp"],
+    )
+    hist = {r["eid"]: r["spend"] for r in fs.get_historical_features(entities, ["spend"]).collect()}
+    assert hist == {100: 1.0, 101: None}
+
+    with _pytest.raises(ValueError, match="lacks columns"):
+        fs.register(FeatureView("bad", ["user_id"], "ts", ["nope"]), src)
