@@ -1,0 +1,87 @@
+"""Quickstart: the engine's main surfaces in one runnable script.
+
+    PYTHONPATH=. python examples/quickstart.py [SF_DIR]
+
+Runs against the generated TPC-H-ish test tables (default
+/root/testdata/sf0.001) and prints a sample from each flow: SQL over
+registered views, the Ali-CCP pipeline operators, feature-store
+retrieval, dedup, similarity search, and a bounded streaming window.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_duplicates,
+)
+from alibaba_cppfeaturestore_spark.operators.dictionary import (
+    encode_with_dictionaries,
+    fit_dictionaries,
+)
+from alibaba_cppfeaturestore_spark.operators.graph import dedup_keep_canonical
+from alibaba_cppfeaturestore_spark.operators.similarity import brute_force_topk
+from alibaba_cppfeaturestore_spark.plans.feature_views import (
+    FeatureStore,
+    FeatureView,
+)
+from alibaba_cppfeaturestore_spark.plans.views import register_views
+from alibaba_cppfeaturestore_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="quickstart")
+    register_views(spark, SF_DIR)
+
+    print("== SQL over registered views ==")
+    spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1 ORDER BY 1
+        """
+    ).show()
+
+    print("== Dictionary encode (categorify) ==")
+    ev = spark.table("events")
+    dicts = fit_dictionaries(ev, ["event_type"])
+    encode_with_dictionaries(ev, dicts).select("event_id", "event_type").show(5)
+
+    print("== Feature store: historical (leakage-free) retrieval ==")
+    fs = FeatureStore()
+    fs.register(
+        FeatureView("user_spend", ["user_id"], "ts", ["value"], ttl="2 hours"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("event_timestamp")
+    )
+    fs.get_historical_features(clicks, ["user_spend"]).show(5)
+
+    print("== Near-duplicate detection + transitive dedup ==")
+    docs = spark.table("documents").select("doc_id", "text")
+    pairs = minhash_lsh_duplicates(docs, jaccard_threshold=0.8)
+    pairs.show(5)
+    kept = dedup_keep_canonical(docs, pairs, id_col="doc_id")
+    print(f"corpus {docs.count()} -> {kept.count()} after cluster dedup; "
+          f"exact dedup -> {exact_dedup(docs, ['text'], 'doc_id').count()}")
+
+    print("== Similarity search over embeddings ==")
+    emb = spark.table("embeddings")
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    brute_force_topk(emb, queries, k=3).show()
+
+    print("== Bounded streaming window ==")
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    QUERIES["stream_tumbling_window_counts"].spark(spark, SF_DIR).show(5)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
