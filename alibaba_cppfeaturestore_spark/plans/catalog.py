@@ -1930,6 +1930,73 @@ def snapshot_diff_cdc(spark, sf_dir):
 
 
 @_q(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+                    JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(1 + (s2.t2 IS NOT NULL)::INT + (s3.t3 IS NOT NULL)::INT AS INT) AS depth
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """First-touch funnel view → click → purchase within 7 days of the
+    first view: CEP-lite ordered-sequence detection as chained filtered
+    aggregations (step i shuffles only step-i events)."""
+    from ..operators.funnel import funnel_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, "user_id", "event_type", "ts",
+        steps=["view", "click", "purchase"], within="7 days",
+    )
+
+
+@_q(
+    "cohort_weekly_retention",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             time_bucket(INTERVAL 1 WEEK, CAST(ts AS TIMESTAMP),
+                         TIMESTAMP '1970-01-01') AS p
+      FROM events
+    ),
+    first AS (SELECT user_id, MIN(p) AS cohort FROM active GROUP BY user_id)
+    SELECT f.cohort,
+           CAST(FLOOR(date_diff('second', f.cohort, a.p) / 604800.0) AS BIGINT)
+             AS periods_since,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS retained
+    FROM active a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over user activity."""
+    from ..operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period="1 week")
+
+
+@_q(
     "feature_store_historical_retrieval",
     """
     WITH clicks AS (

@@ -383,3 +383,44 @@ def test_feature_store_registry_online_and_validation(spark):
 
     with _pytest.raises(ValueError, match="lacks columns"):
         fs.register(FeatureView("bad", ["user_id"], "ts", ["nope"]), src)
+
+
+def test_funnel_ordering_window_and_depth(spark):
+    from alibaba_cppfeaturestore_spark.operators.funnel import funnel_conversion
+
+    rows = [
+        # u1: full conversion inside window
+        (1, "view", ts("2024-01-01 00:00:00")),
+        (1, "click", ts("2024-01-02 00:00:00")),
+        (1, "purchase", ts("2024-01-03 00:00:00")),
+        # u2: click BEFORE first view — ordering violated -> depth 1
+        (2, "click", ts("2024-01-01 00:00:00")),
+        (2, "view", ts("2024-01-02 00:00:00")),
+        # u3: purchase outside the 7-day window -> depth 2
+        (3, "view", ts("2024-01-01 00:00:00")),
+        (3, "click", ts("2024-01-02 00:00:00")),
+        (3, "purchase", ts("2024-01-20 00:00:00")),
+        # u4: purchase without click — step order enforced -> depth 1
+        (4, "view", ts("2024-01-01 00:00:00")),
+        (4, "purchase", ts("2024-01-02 00:00:00")),
+        # u5: never viewed -> not in output
+        (5, "click", ts("2024-01-01 00:00:00")),
+        # u6: earliest qualifying events picked (two clicks)
+        (6, "view", ts("2024-01-01 00:00:00")),
+        (6, "click", ts("2024-01-03 00:00:00")),
+        (6, "click", ts("2024-01-02 00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "etype", "t"])
+    out = {
+        r["uid"]: (r["depth"], r["t2"], r["t3"])
+        for r in funnel_conversion(
+            df, "uid", "etype", "t",
+            steps=["view", "click", "purchase"], within="7 days",
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 6}
+    assert out[1][0] == 3
+    assert out[2] == (1, None, None)
+    assert out[3][0] == 2 and out[3][2] is None
+    assert out[4] == (1, None, None)
+    assert out[6][1] == ts("2024-01-02 00:00:00")  # earliest click after view
