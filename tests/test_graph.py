@@ -98,3 +98,42 @@ def test_cluster_ids_match_real_corpus_near_dups(spark):
     c = {r["doc_id"]: r["cluster_id"] for r in out.filter(
         F.col("doc_id").isin(8, 12)).collect()}
     assert c[8] == c[12] and c[8] <= 8
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    """5000-node random graph vs a driver-side union-find reference —
+    catches propagation bugs that tiny hand-built graphs can't."""
+    import random
+
+    rng = random.Random(42)
+    n_nodes, n_edges = 5000, 6000
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id per component
+    comp_min = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    touched = {x for a, b in edges if a != b for x in (a, b)}
+    expected = {x: comp_min[find(x)] for x in touched}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, max_iterations=50).collect()
+    }
+    assert got == expected
