@@ -155,3 +155,25 @@ def test_zorder_write_improves_multicolumn_skipping(spark, tmp_path):
     assert zx < 0.5 * 100_000, zx   # while staying selective on x too
     # and the data survives intact
     assert spark.read.parquet(zpath).count() == 40_000
+
+
+def test_write_with_metrics_single_job_audit(spark, tmp_path):
+    from alibaba_cppfeaturestore_spark.sources.writers import write_with_metrics
+
+    path = str(tmp_path / "audited")
+    df = from_collection(
+        spark,
+        [(i, None if i % 5 == 0 else float(i)) for i in range(100)],
+        schema="id INT, v DOUBLE",
+    )
+    got = write_with_metrics(
+        df,
+        path,
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.count(F.lit(1)) - F.count("v"),
+            "sum_id": F.sum("id"),
+        },
+    )
+    assert got == {"n_rows": 100, "n_null_v": 20, "sum_id": sum(range(100))}
+    assert spark.read.parquet(path).count() == 100
