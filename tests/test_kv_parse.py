@@ -119,3 +119,44 @@ def test_bronze_to_silver_no_python_udf(spark):
     skeleton, common = _mk_bronze(spark)
     plan = bronze_to_silver(skeleton, common)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_kv_parse_fuzz_vs_python_reference(spark):
+    """Property fuzz: the native kv parser must agree with a direct
+    Python transliteration of the reference's UDF (split on control
+    bytes, stride-3 gather, last-win duplicate keys, drop incomplete
+    trailing triplets) on arbitrary byte soup."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from alibaba_cppfeaturestore_spark.functions.kv import parse_kv_triplets
+
+    token = st.text(alphabet="abc019 _", min_size=0, max_size=4)
+    sep = st.sampled_from(["\x01", "\x02", "\x03"])
+    pieces = st.lists(st.one_of(token, sep), min_size=0, max_size=24)
+    cases = st.lists(pieces.map("".join), min_size=1, max_size=8)
+
+    def py_reference(s: str) -> dict:
+        toks = re.split("[\x01\x02\x03]", s)
+        keys = toks[0::3]
+        vals = toks[1::3]
+        n = min(len(keys), len(vals))
+        out = {}
+        for k, v in zip(keys[:n], vals[:n]):
+            out[k] = v  # last-win
+        return out
+
+    @settings(max_examples=15, deadline=None)
+    @given(cases)
+    def check(strings):
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], ["i", "s"])
+        got = {
+            r["i"]: (dict(r["m"]) if r["m"] is not None else None)
+            for r in df.select("i", parse_kv_triplets("s").alias("m")).collect()
+        }
+        for i, s in enumerate(strings):
+            assert got[i] == py_reference(s), (repr(s), got[i], py_reference(s))
+
+    check()
