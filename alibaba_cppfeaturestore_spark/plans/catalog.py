@@ -1930,6 +1930,68 @@ def snapshot_diff_cdc(spark, sf_dir):
 
 
 @_q(
+    "ab_test_group_summary",
+    """
+    WITH g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 6) AS mean_value,
+           ROUND(STDDEV_SAMP(value), 6) AS std_value,
+           ROUND(STDDEV_SAMP(value) / SQRT(COUNT(*)), 6) AS sem
+    FROM g GROUP BY grp
+    """,
+)
+def ab_test_group_summary(spark, sf_dir):
+    """Experiment readout: per-arm n / mean / sample stddev / standard
+    error in one aggregation (deterministic hash-split arms). The z-score
+    between arms is a driver-side subtraction of two rows — no second
+    scan."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    g = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"), "value"
+    )
+    return g.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        F.round(F.stddev_samp("value") / F.sqrt(F.count("*")), 6).alias("sem"),
+    )
+
+
+@_q(
+    "histogram_order_values",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 50000) AS INT), 0), 9) AS bin
+      FROM orders
+    )
+    SELECT bin,
+           CAST(bin * 50000 AS DOUBLE) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bin
+    """,
+)
+def histogram_order_values(spark, sf_dir):
+    """Fixed-width histogram (10 × 50k bins, clamped tails) — one
+    groupBy on a computed bin, the profiling companion to
+    ``profile_table``."""
+    o = _t(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(0)),
+        F.lit(9),
+    )
+    return (
+        o.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select("bin", (F.col("bin") * 50000.0).alias("bin_lo"), "n")
+    )
+
+
+@_q(
     "funnel_view_click_purchase",
     """
     WITH s1 AS (
