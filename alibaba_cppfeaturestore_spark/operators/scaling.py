@@ -127,3 +127,56 @@ def winsorize(
             F.least(F.greatest(F.col(column), F.lit(lo)), F.lit(hi)),
         ),
     )
+
+
+def one_hot(df: DataFrame, column: str, values: list[str]) -> DataFrame:
+    """One-hot encode with a DECLARED vocabulary: one 0/1 int column
+    ``{column}_{value}`` per listed value (unlisted values encode as all
+    zeros — the StringIndexer 'keep' bucket collapsed). Declaring the
+    vocabulary keeps this a pure projection — discovering it would add a
+    distinct-scan job and make the output schema data-dependent, which
+    breaks streaming reuse."""
+    out = df
+    for v in values:
+        out = out.withColumn(
+            f"{column}_{v}", (F.col(column) == v).cast("int")
+        )
+    return out
+
+
+def fit_target_encoding(
+    df: DataFrame, cat_col: str, label_col: str, smoothing: float = 10.0
+) -> DataFrame:
+    """m-estimate target encoding: per-category smoothed label mean
+    ``(sum + m·global_mean) / (n + m)`` — the shrinkage keeps rare
+    categories near the global mean instead of memorizing noise. The fit
+    is one aggregation; the (|vocab|-row) table broadcasts on apply."""
+    stats = df.groupBy(F.col(cat_col).alias("value")).agg(
+        F.sum(label_col).alias("s"), F.count(label_col).alias("n")
+    )
+    overall = df.agg(F.avg(label_col).alias("g"))
+    return stats.crossJoin(F.broadcast(overall)).select(
+        "value",
+        (
+            (F.col("s") + F.lit(smoothing) * F.col("g"))
+            / (F.col("n") + F.lit(smoothing))
+        ).alias("encoding"),
+    )
+
+
+def apply_target_encoding(
+    df: DataFrame, cat_col: str, encoding: DataFrame, out_col: str | None = None
+) -> DataFrame:
+    """Broadcast-join the fitted encoding onto the fact table (unseen
+    categories → NULL; coalesce with the global mean downstream if
+    needed)."""
+    out_col = out_col or f"{cat_col}_te"
+    enc = F.broadcast(
+        encoding.select(
+            F.col("value").alias(f"__{cat_col}_v"),
+            F.col("encoding").alias(out_col),
+        )
+    )
+    return df.join(
+        enc, df[cat_col] == enc[f"__{cat_col}_v"], "left"
+    ).drop(f"__{cat_col}_v")

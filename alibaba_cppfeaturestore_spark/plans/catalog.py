@@ -1930,6 +1930,50 @@ def snapshot_diff_cdc(spark, sf_dir):
 
 
 @_q(
+    "feature_one_hot_events",
+    """
+    SELECT event_id,
+           CAST(event_type = 'view' AS INT) AS event_type_view,
+           CAST(event_type = 'click' AS INT) AS event_type_click,
+           CAST(event_type = 'purchase' AS INT) AS event_type_purchase
+    FROM events
+    """,
+)
+def feature_one_hot_events(spark, sf_dir):
+    """One-hot with declared vocabulary — pure projection, stable schema
+    (no distinct-discovery job), streaming-safe."""
+    from ..operators.scaling import one_hot
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return one_hot(ev, "event_type", ["view", "click", "purchase"]).drop("event_type")
+
+
+@_q(
+    "feature_target_encoding",
+    """
+    WITH g AS (SELECT AVG(value) AS gm FROM events),
+    enc AS (
+      SELECT event_type AS value,
+             (SUM(events.value) + 10.0 * g.gm) / (COUNT(events.value) + 10.0) AS encoding
+      FROM events, g GROUP BY event_type, g.gm
+    )
+    SELECT e.event_id, ROUND(enc.encoding, 6) AS event_type_te
+    FROM events e LEFT JOIN enc ON e.event_type = enc.value
+    """,
+)
+def feature_target_encoding(spark, sf_dir):
+    """m-estimate target encoding (smoothing=10): one-agg fit, broadcast
+    apply — rare categories shrink toward the global mean."""
+    from ..operators.scaling import apply_target_encoding, fit_target_encoding
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    enc = fit_target_encoding(ev, "event_type", "value", smoothing=10.0)
+    return apply_target_encoding(ev, "event_type", enc).select(
+        "event_id", F.round("event_type_te", 6).alias("event_type_te")
+    )
+
+
+@_q(
     "ab_test_group_summary",
     """
     WITH g AS (

@@ -424,3 +424,27 @@ def test_funnel_ordering_window_and_depth(spark):
     assert out[3][0] == 2 and out[3][2] is None
     assert out[4] == (1, None, None)
     assert out[6][1] == ts("2024-01-02 00:00:00")  # earliest click after view
+
+
+def test_target_encoding_shrinks_rare_categories(spark):
+    from alibaba_cppfeaturestore_spark.operators.scaling import (
+        apply_target_encoding,
+        fit_target_encoding,
+        one_hot,
+    )
+
+    rows = [("common", 10.0)] * 50 + [("rare", 100.0)]
+    df = spark.createDataFrame([(i, c, v) for i, (c, v) in enumerate(rows)], ["id", "cat", "y"])
+    enc = {r["value"]: r["encoding"] for r in
+           fit_target_encoding(df, "cat", "y", smoothing=10.0).collect()}
+    gm = (50 * 10.0 + 100.0) / 51
+    assert abs(enc["common"] - (500 + 10 * gm) / 60) < 1e-9
+    # the single-observation category lands far from its raw mean of 100
+    assert abs(enc["rare"] - (100 + 10 * gm) / 11) < 1e-9
+    assert enc["rare"] < 30
+
+    applied = apply_target_encoding(df, "cat", fit_target_encoding(df, "cat", "y"))
+    assert applied.filter(F.col("cat_te").isNull()).count() == 0
+
+    oh = one_hot(df.limit(1), "cat", ["common", "rare", "absent"]).collect()[0]
+    assert (oh["cat_common"], oh["cat_rare"], oh["cat_absent"]) == (1, 0, 0)
