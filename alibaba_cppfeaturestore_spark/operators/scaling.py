@@ -154,11 +154,13 @@ def fit_target_encoding(
     stats = df.groupBy(F.col(cat_col).alias("value")).agg(
         F.sum(label_col).alias("s"), F.count(label_col).alias("n")
     )
-    overall = df.agg(F.avg(label_col).alias("g"))
+    # "__scalar_" prefix marks a deliberate 1-row broadcast cross join
+    # (the plan audit allows BroadcastNestedLoopJoin only for these)
+    overall = df.agg(F.avg(label_col).alias("__scalar_gm"))
     return stats.crossJoin(F.broadcast(overall)).select(
         "value",
         (
-            (F.col("s") + F.lit(smoothing) * F.col("g"))
+            (F.col("s") + F.lit(smoothing) * F.col("__scalar_gm"))
             / (F.col("n") + F.lit(smoothing))
         ).alias("encoding"),
     )

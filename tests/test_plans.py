@@ -78,10 +78,13 @@ def test_no_unbounded_join_products(plans):
             continue
         assert "CartesianProduct" not in p, f"{n} plans a cartesian product"
         if "BroadcastNestedLoopJoin" in p:
-            # 1-row broadcast aggregates (lazy vocab-size fallback) are the
-            # only legitimate BNLJ shape — anything joining real relations
+            # 1-row broadcast aggregates (lazy vocab-size fallback, the
+            # "__scalar_"-prefixed global-stat joins) are the only
+            # legitimate BNLJ shapes — anything joining real relations
             # nested-loop is a scale bug
-            assert "vocab" in p, f"{n} plans BroadcastNestedLoopJoin:\n{p}"
+            assert "vocab" in p or "__scalar_" in p, (
+                f"{n} plans BroadcastNestedLoopJoin:\n{p}"
+            )
 
 
 def test_dimension_joins_broadcast(plans):
