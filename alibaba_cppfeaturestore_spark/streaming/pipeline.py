@@ -81,6 +81,72 @@ def run_bounded_to_memory(
     return stream_df.sparkSession.table(qname)
 
 
+def run_stream_near_dedup(
+    stream_df: DataFrame,
+    history_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> None:
+    """Streaming NEAR-duplicate filtering against all history: each
+    micro-batch is deduped with the incremental LSH path
+    (``operators/dedup.py::minhash_lsh_duplicates_incremental``) against
+    the persisted history index + within itself, and only novel
+    documents are appended to the history table. Exactly the daily-
+    ingest dedup loop, but continuous.
+
+    ``history_path`` holds the accepted corpus as parquet
+    ``(id, text, sig, band, bucket)`` band rows — the index IS the
+    history, so batches never re-hash accepted documents; their text is
+    read back only for candidate verification (id-pruned scan).
+    """
+    import os
+
+    from ..operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_dedup,
+        minhash_lsh_duplicates_incremental,
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # in-batch dedup first (keep smallest id of each in-batch cluster)
+        batch = minhash_lsh_dedup(batch_df, text_col, id_col, **lsh_kwargs)
+        if os.path.exists(history_path):
+            hist = spark.read.parquet(history_path)
+            index = hist.select("id", "sig", "band", "bucket")
+            texts = hist.select(
+                F.col("id").alias(id_col), F.col("text").alias(text_col)
+            ).dropDuplicates([id_col])
+            pairs = minhash_lsh_duplicates_incremental(
+                batch, index, texts, text_col, id_col, **lsh_kwargs
+            )
+            dup_ids = (
+                pairs.select(F.col("id_a").alias(id_col))
+                .union(pairs.select(F.col("id_b").alias(id_col)))
+                .join(
+                    batch.select(id_col), id_col, "left_semi"
+                )
+                .distinct()
+            )
+            batch = batch.join(dup_ids, id_col, "left_anti")
+        novel = minhash_band_index(batch, text_col, id_col).join(
+            batch.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+            "id",
+        )
+        novel.write.mode("append").parquet(history_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def stream_dedup(
     stream_df: DataFrame,
     keys: list[str],

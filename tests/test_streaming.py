@@ -276,3 +276,40 @@ def test_stream_dedup_drops_redelivered_rows(spark, workdir):
         output_mode="append",
     ).collect()
     assert sorted(r["user_id"] for r in out) == [1, 2, 3]
+
+
+def test_stream_near_dedup_filters_against_history(spark, workdir):
+    """Cross-micro-batch near-dedup: batch 2's near-copy of a batch-1 doc
+    is rejected; novel docs are accepted and indexed."""
+    from alibaba_cppfeaturestore_spark.streaming.pipeline import run_stream_near_dedup
+
+    base_a = "the quick brown fox jumps over the lazy dog " * 20
+    base_b = "completely different content about databases and engines " * 20
+    base_c = "a third novel document concerning streaming systems " * 20
+
+    src = os.path.join(workdir, "docs_src")
+    hist = os.path.join(workdir, "docs_history")
+    spark.createDataFrame(
+        [(1, base_a), (2, base_b)], ["doc_id", "text"]
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [
+            (10, base_a + " tiny suffix"),   # near-dup of doc 1 -> rejected
+            (11, base_c),                    # novel -> accepted
+            (12, base_c + " x"),             # near-dup within batch -> keep-first drops it
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    run_stream_near_dedup(
+        stream, hist, os.path.join(workdir, "chk"),
+        num_hashes=32, bands=4, jaccard_threshold=0.7,
+    )
+    kept = {
+        r["id"] for r in spark.read.parquet(hist).select("id").distinct().collect()
+    }
+    assert kept == {1, 2, 11}
