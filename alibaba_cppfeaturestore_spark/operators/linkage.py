@@ -1,0 +1,69 @@
+"""Record linkage / entity resolution: blocked fuzzy matching.
+
+Engine extra: tabular dedup for entity records (customers, merchants)
+where the near-duplicates are typos and formatting drift, not shared
+text — the complement of the document-dedup family in
+``operators/dedup.py``. Classic Fellegi-Sunter-style scoring reduced to
+its deterministic core: per-field string similarity (normalized
+Levenshtein), weighted sum, threshold.
+
+Scale shape: ALWAYS blocked — candidate pairs come from an equi-join on
+``block_cols`` (postcode, nation, phonetic key...), so the pair space is
+Σ|block|², never |table|². Levenshtein is a native JVM expression
+(``F.levenshtein``), evaluated only on in-block pairs. For text-heavy
+fields at larger block sizes, pre-screen with the LSH machinery and feed
+the survivors here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def field_similarity(a: Column, b: Column) -> Column:
+    """Normalized Levenshtein similarity in [0, 1]: 1 − dist/max_len.
+    NULL on either side scores 0 (a missing field never supports a
+    match)."""
+    sim = F.lit(1.0) - F.levenshtein(a, b) / F.greatest(
+        F.length(a), F.length(b), F.lit(1)
+    )
+    return F.when(a.isNull() | b.isNull(), F.lit(0.0)).otherwise(sim)
+
+
+def record_linkage_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    fields: dict[str, float],
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate record pairs scoring ≥ ``threshold``: equi-join on the
+    blocking keys, weighted mean of per-field similarities (weights
+    normalized to sum 1). Returns (id_a, id_b, score), id_a < id_b.
+    Close the pairs with ``operators/graph.py::duplicate_clusters`` for
+    golden-record selection."""
+    if not block_cols:
+        raise ValueError("record linkage requires blocking columns")
+    total = sum(fields.values())
+    cols = [F.col(id_col).alias("id"), *[F.col(c) for c in block_cols],
+            *[F.col(f) for f in fields]]
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    score = F.lit(0.0)
+    for f, w in fields.items():
+        score = score + F.lit(w / total) * field_similarity(
+            F.col(f"a.{f}"), F.col(f"b.{f}")
+        )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

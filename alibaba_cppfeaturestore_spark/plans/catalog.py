@@ -1930,6 +1930,56 @@ def snapshot_diff_cdc(spark, sf_dir):
 
 
 @_q(
+    "record_linkage_customers",
+    """
+    WITH corpus AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             SUBSTR(c_name, 1, LENGTH(c_name) - 2) || 'X',
+             c_nationkey, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           ROUND(0.8 * (1.0 - levenshtein(a.c_name, b.c_name)
+                        / GREATEST(LENGTH(a.c_name), LENGTH(b.c_name), 1))
+               + 0.2 * (1.0 - levenshtein(a.c_mktsegment, b.c_mktsegment)
+                        / GREATEST(LENGTH(a.c_mktsegment), LENGTH(b.c_mktsegment), 1)),
+                 6) AS score
+    FROM corpus a JOIN corpus b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE 0.8 * (1.0 - levenshtein(a.c_name, b.c_name)
+                 / GREATEST(LENGTH(a.c_name), LENGTH(b.c_name), 1))
+        + 0.2 * (1.0 - levenshtein(a.c_mktsegment, b.c_mktsegment)
+                 / GREATEST(LENGTH(a.c_mktsegment), LENGTH(b.c_mktsegment), 1)) >= 0.85
+    """,
+)
+def record_linkage_customers(spark, sf_dir):
+    """Entity resolution over customer records with planted typo'd
+    clones (every 10th customer, name mangled): nation-blocked pairs,
+    weighted normalized-Levenshtein score on (name 0.8, segment 0.2)."""
+    from ..operators.linkage import record_linkage_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    mutants = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, 16), F.lit("X")
+        ).alias("c_name"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    corpus = c.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment").unionByName(mutants)
+    return record_linkage_pairs(
+        corpus,
+        id_col="c_custkey",
+        block_cols=["c_nationkey"],
+        fields={"c_name": 0.8, "c_mktsegment": 0.2},
+        threshold=0.85,
+    )
+
+
+@_q(
     "feature_one_hot_events",
     """
     SELECT event_id,

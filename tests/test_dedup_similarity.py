@@ -361,3 +361,37 @@ def test_shingle_jaccard_matches_python_reference(spark):
         a, b = py_shingles(rows[r["i"]][1]), py_shingles(rows[r["i"]][2])
         expected = len(a & b) / max(len(a | b), 1)
         assert abs(r["j"] - expected) < 1e-9, (rows[r["i"]], r["j"], expected)
+
+
+def test_record_linkage_typos_and_nulls(spark):
+    from alibaba_cppfeaturestore_spark.operators.linkage import (
+        field_similarity,
+        record_linkage_pairs,
+    )
+
+    rows = [
+        (1, "Jonathan Smith", "NY", "gold"),
+        (2, "Jonathon Smith", "NY", "gold"),    # 1-char typo, same block
+        (3, "Jonathan Smith", "CA", "gold"),    # identical name, other block
+        (4, "Maria Gonzalez", "NY", "silver"),
+        (5, None, "NY", "gold"),                # null name can't match
+    ]
+    df = spark.createDataFrame(rows, ["rid", "name", "state", "tier"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in record_linkage_pairs(
+            df, "rid", ["state"], {"name": 0.9, "tier": 0.1}, threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.9
+    assert all(a != 3 and b != 3 for a, b in pairs)  # blocking respected
+    assert all(5 not in p for p in pairs)            # null field -> no match
+    assert (1, 4) not in pairs
+
+    # similarity function bounds
+    sims = spark.range(1).select(
+        field_similarity(F.lit("abc"), F.lit("abc")).alias("same"),
+        field_similarity(F.lit("abc"), F.lit("xyz")).alias("diff"),
+        field_similarity(F.lit(None).cast("string"), F.lit("abc")).alias("nul"),
+    ).collect()[0]
+    assert sims["same"] == 1.0 and sims["diff"] == 0.0 and sims["nul"] == 0.0
