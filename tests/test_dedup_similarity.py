@@ -395,3 +395,27 @@ def test_record_linkage_typos_and_nulls(spark):
         field_similarity(F.lit(None).cast("string"), F.lit("abc")).alias("nul"),
     ).collect()[0]
     assert sims["same"] == 1.0 and sims["diff"] == 0.0 and sims["nul"] == 0.0
+
+
+def test_golden_records_survivorship(spark):
+    from alibaba_cppfeaturestore_spark.operators.linkage import golden_records
+
+    rows = [
+        # cluster {1,2,3}: 2 is most complete; 1 donates phone via backfill
+        (1, None, "NY", "555-1234"),
+        (2, "Jon Smith", "NY", None),
+        (3, None, None, None),
+        # singleton passes through
+        (9, "Maria", "CA", "555-9999"),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "name", "state", "phone"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = {r["rid"]: r for r in golden_records(df, pairs, "rid").collect()}
+    assert set(out) == {1, 9}
+    g = out[1]
+    # base = record 2 (fewest nulls), phone back-filled from record 1
+    assert (g["name"], g["state"], g["phone"], g["n_merged"]) == (
+        "Jon Smith", "NY", "555-1234", 3
+    )
+    s = out[9]
+    assert (s["name"], s["phone"], s["n_merged"]) == ("Maria", "555-9999", 1)
