@@ -1930,6 +1930,48 @@ def snapshot_diff_cdc(spark, sf_dir):
 
 
 @_q(
+    "dq_key_violations",
+    """
+    WITH corpus AS (
+      SELECT event_id FROM events
+      UNION ALL
+      SELECT event_id FROM events WHERE event_id % 40 = 0
+    )
+    SELECT event_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM corpus GROUP BY event_id HAVING COUNT(*) > 1
+    """,
+)
+def dq_key_violations(spark, sf_dir):
+    """Uniqueness audit over a corpus with planted duplicate keys (every
+    40th event re-appended): returns exactly the violated keys."""
+    from ..operators.quality import key_violations
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    corpus = ev.unionByName(ev.filter(F.col("event_id") % 40 == 0))
+    return key_violations(corpus, ["event_id"])
+
+
+@_q(
+    "dq_referential_violations",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+    """,
+)
+def dq_referential_violations(spark, sf_dir):
+    """Referential-integrity audit: orders whose customer is missing
+    from a (half-deleted) parent table — the orphans a feature join
+    would silently null out."""
+    from ..operators.quality import referential_violations
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
+    return referential_violations(o, c, {"o_custkey": "c_custkey"})
+
+
+@_q(
     "record_linkage_customers",
     """
     WITH corpus AS (

@@ -448,3 +448,22 @@ def test_target_encoding_shrinks_rare_categories(spark):
 
     oh = one_hot(df.limit(1), "cat", ["common", "rare", "absent"]).collect()[0]
     assert (oh["cat_common"], oh["cat_rare"], oh["cat_absent"]) == (1, 0, 0)
+
+
+def test_quality_checks_nulls_and_mappings(spark):
+    from alibaba_cppfeaturestore_spark.operators.quality import (
+        key_violations,
+        referential_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d"), (None, "e")], ["k", "v"]
+    )
+    viol = {r["k"]: r["n_rows"] for r in key_violations(df, ["k"]).collect()}
+    assert viol == {1: 2, None: 2}  # null keys can violate uniqueness too
+
+    child = spark.createDataFrame([(1, 10), (2, 99), (3, None)], ["id", "fk"])
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    orphans = [r["id"] for r in referential_violations(
+        child, parent, {"fk": "pk"}).collect()]
+    assert orphans == [2]  # NULL fk is not a violation
