@@ -207,3 +207,20 @@ def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def melt(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Unpivot (wide→long), the inverse of ``groupBy().pivot()``: one row
+    per (id, value column). Pure ``stack`` projection — no shuffle, no
+    UDF; value columns are cast to a common type by Spark's stack
+    resolution, so mixed numeric widths melt cleanly."""
+    pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    exprs = [*[f"`{c}`" for c in id_cols],
+             f"stack({len(value_cols)}, {pairs}) as (`{var_name}`, `{value_name}`)"]
+    return df.selectExpr(*exprs)

@@ -2066,6 +2066,38 @@ def feature_target_encoding(spark, sf_dir):
 
 
 @_q(
+    "melt_lineitem_charges",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS component,
+           ROUND(l_extendedprice, 2) AS amount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 2)
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', ROUND(l_tax, 2)
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def melt_lineitem_charges(spark, sf_dir):
+    """Unpivot wide→long (the inverse of pivot): one stack projection,
+    no shuffle."""
+    from ..operators.aggregates import melt
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        F.round("l_discount", 2).alias("l_discount"),
+        F.round("l_tax", 2).alias("l_tax"),
+    )
+    return melt(
+        li, ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        var_name="component", value_name="amount",
+    )
+
+
+@_q(
     "ab_test_group_summary",
     """
     WITH g AS (
