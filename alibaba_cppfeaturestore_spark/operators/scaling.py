@@ -182,3 +182,24 @@ def apply_target_encoding(
     return df.join(
         enc, df[cat_col] == enc[f"__{cat_col}_v"], "left"
     ).drop(f"__{cat_col}_v")
+
+
+def fit_imputer(
+    df: DataFrame, columns: list[str], strategy: str = "mean"
+) -> dict[str, float]:
+    """Per-column fill values in one pass: 'mean' or 'median' (exact
+    percentile). The fitted dict applies identically to batch and
+    streaming frames."""
+    if strategy == "mean":
+        aggs = [F.avg(c).alias(c) for c in columns]
+    elif strategy == "median":
+        aggs = [F.expr(f"percentile({c}, 0.5)").alias(c) for c in columns]
+    else:
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    row = df.agg(*aggs).collect()[0]
+    return {c: row[c] for c in columns}
+
+
+def apply_imputer(df: DataFrame, fills: dict[str, float]) -> DataFrame:
+    """Fill nulls with the fitted values — pure projection."""
+    return df.fillna(fills)

@@ -2022,6 +2022,31 @@ def record_linkage_customers(spark, sf_dir):
 
 
 @_q(
+    "feature_impute_missing",
+    """
+    WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events WHERE event_id % 7 <> 0)
+    SELECT event_id,
+           ROUND(CASE WHEN event_id % 7 = 0 THEN m.med ELSE value END, 6) AS value
+    FROM events, m
+    """,
+)
+def feature_impute_missing(spark, sf_dir):
+    """Median imputation: nulls planted on every 7th event, filled with
+    the exact median of the observed values (one-agg fit, projection
+    apply)."""
+    from ..operators.scaling import apply_imputer, fit_imputer
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value")).alias("value"),
+    )
+    fills = fit_imputer(ev, ["value"], strategy="median")
+    return apply_imputer(ev, fills).select(
+        "event_id", F.round("value", 6).alias("value")
+    )
+
+
+@_q(
     "feature_one_hot_events",
     """
     SELECT event_id,
@@ -2308,6 +2333,66 @@ def scd2_user_event_history(spark, sf_dir):
         attrs=["event_type"],
         tiebreak=["event_id"],
     ).select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+
+
+@_q(
+    "scd2_interval_lookup",
+    """
+    WITH v AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    versions AS (SELECT * FROM v WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+    hist AS (
+      SELECT user_id, event_type AS state_at_purchase, ts AS valid_from,
+             COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      TIMESTAMP '2100-01-01') AS valid_to
+      FROM versions
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, h.state_at_purchase
+    FROM purchases p JOIN hist h
+      ON p.user_id = h.user_id
+     AND p.pts >= h.valid_from AND p.pts < h.valid_to
+    """,
+)
+def scd2_interval_lookup(spark, sf_dir):
+    """Composition: SCD2 history (half-open validity intervals) ⋈
+    purchase facts via the bin-bucketed range join — 'what state was the
+    user in when they purchased', the dimension-as-of-fact-time lookup
+    that SCD2 exists for. Strict upper bound keeps each fact matching
+    exactly ONE version."""
+    from ..operators.aggregates import scd2_history
+    from ..operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        keys=["user_id"], ts_col="ts", attrs=["event_type"],
+        tiebreak=["event_id"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state_at_purchase"),
+        "valid_from",
+        F.coalesce(F.col("valid_to"), F.lit("2100-01-01").cast("timestamp")).alias("valid_to"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    # range_join bounds are inclusive on both ends; SCD2 intervals are
+    # half-open [from, to) — shave the upper bound by one microsecond
+    hist = hist.withColumn(
+        "valid_to_incl", F.col("valid_to") - F.expr("INTERVAL 1 MICROSECOND")
+    )
+    return range_join(
+        purchases, hist, point_col="pts", lo_col="valid_from",
+        hi_col="valid_to_incl", on=["user_id"], bin_width=7 * 86400,
+    ).select("p.purchase_id", "p.user_id", "i.state_at_purchase")
 
 
 @_q(
