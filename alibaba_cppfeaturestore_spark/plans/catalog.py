@@ -2123,6 +2123,63 @@ def melt_lineitem_charges(spark, sf_dir):
 
 
 @_q(
+    "wow_revenue_change",
+    """
+    WITH weekly AS (
+      SELECT time_bucket(INTERVAL 1 WEEK, CAST(o_orderdate AS TIMESTAMP),
+                         TIMESTAMP '1970-01-01') AS week_start,
+             SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT week_start,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY week_start), 2) AS wow_change,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY week_start))
+                 / LAG(revenue) OVER (ORDER BY week_start) * 100, 4) AS wow_pct
+    FROM weekly
+    """,
+)
+def wow_revenue_change(spark, sf_dir):
+    """Week-over-week deltas: lag over the (small) weekly rollup — the
+    window runs on |weeks| rows, never the fact table."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    weekly = (
+        o.groupBy(F.window("o_orderdate", "1 week")["start"].alias("week_start"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = W.orderBy("week_start")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week_start",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") - prev, 2).alias("wow_change"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("wow_pct"),
+    )
+
+
+@_q(
+    "feature_correlations",
+    """
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+           ROUND(corr(l_discount, l_extendedprice), 6) AS disc_price,
+           ROUND(corr(l_quantity, l_tax), 6) AS qty_tax
+    FROM lineitem
+    """,
+)
+def feature_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations for declared feature pairs in ONE
+    aggregation pass (feature-selection screen; no |cols|² shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("disc_price"),
+        F.round(F.corr("l_quantity", "l_tax"), 6).alias("qty_tax"),
+    )
+
+
+@_q(
     "ab_test_group_summary",
     """
     WITH g AS (
