@@ -13,8 +13,8 @@ map_from_arrays) that stay inside whole-stage codegen — no Python worker.
 
 Merge semantics (``merge_feature_maps``) replicate Python ``dict.update``:
 the *right-most* map wins on key collisions (reference ``:80-82`` — common
-features override skeleton features). Requires
-``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set by ``session.get_spark``).
+features override skeleton features). Conf-independent: works under any
+``spark.sql.mapKeyDedupPolicy`` (duplicates are filtered before concat).
 """
 
 from __future__ import annotations
@@ -55,11 +55,25 @@ def merge_feature_maps(*maps: Column) -> Column:
     (``batch_process_Bronze_to_Silver.py:80-82``). Pass maps in increasing
     priority order. NULL maps are treated as empty so a LEFT-join miss on
     the common side does not null out the whole merged map.
+
+    Session-conf-independent: duplicate keys are removed from the
+    lower-priority side *before* ``map_concat``, so the merge works under any
+    SparkSession regardless of ``spark.sql.mapKeyDedupPolicy`` (the default
+    EXCEPTION policy throws DUPLICATED_MAP_KEY when map_concat sees a key
+    twice).
     """
     safe = [
         F.coalesce(m, F.from_json(F.lit("{}"), "map<string,string>")) for m in maps
     ]
-    return F.map_concat(*safe)
+    merged = safe[0]
+    for nxt in safe[1:]:
+        # Keys present in the higher-priority map shadow the accumulator, so
+        # map_concat never sees a duplicate key under any dedup policy.
+        merged = F.map_concat(
+            F.map_filter(merged, lambda k, _v: ~F.map_contains_key(nxt, k)),
+            nxt,
+        )
+    return merged
 
 
 def labels_map(click: Column, conversion: Column) -> Column:

@@ -115,6 +115,17 @@ def fingerprint(text: Column | str, seed: int = 42) -> Column:
     return F.xxhash64(normalized, F.lit(seed))
 
 
+def fingerprint_md5(text: Column | str) -> Column:
+    """128-bit portable fingerprint: md5 hex over the same normalized text
+    as ``fingerprint``. md5 exists in every SQL engine (Spark, DuckDB,
+    Trino, Postgres), so cross-engine dedup ledgers interoperate; prefer
+    ``fingerprint`` (xxhash64, 8 bytes vs 32-hex) when the ledger stays
+    inside Spark and compactness wins."""
+    col = F.col(text) if isinstance(text, str) else text
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.md5(normalized)
+
+
 def clean_text(text: Column | str) -> Column:
     """LLM-corpus text normalization, all in the scan stage: strip markup
     tags, drop ASCII control characters, map exotic unicode spaces

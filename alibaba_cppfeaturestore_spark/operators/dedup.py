@@ -541,7 +541,19 @@ def ngram_jaccard_pairs_indexed(
     only the PREFIX into postings → equi-self-join on token (+ size
     filter) → exact verify on the full sorted arrays. Output is
     identical to the quadratic formulation — same oracle.
+
+    The rank-sorted index (``sorted_docs``) and its prefix postings are
+    PERSISTED: the index is consumed five times downstream (both sides of
+    the candidate self-join re-derive postings; the verify step joins the
+    full arrays back twice) and the paper's model is precisely "build the
+    index once, probe it". Without persistence Spark re-runs the
+    tokenize→rank→sort pipeline per consumer — 3× wall-clock on a
+    duplicate-heavy corpus. MEMORY_AND_DISK so a 100 TB index spills
+    instead of OOMing; callers that keep the result lazy inherit the
+    materialized index on first action.
     """
+    from pyspark import StorageLevel
+
     base = _spread(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
@@ -557,23 +569,37 @@ def ngram_jaccard_pairs_indexed(
         .agg(F.count("*").alias("cnt"))
         .select("tok", F.row_number().over(vocab_w).alias("rank"))
     )
+    # Dictionary-encode: every token is replaced by its frequency RANK and
+    # all downstream work — postings join key, prefix slice, verify
+    # intersection — runs on array<int> instead of array<string>. Ranks
+    # sort ascending = rarest-first (no struct sort needed), integer
+    # equality beats UTF8 comparison in the hot verify loop, and the
+    # shuffled index bytes shrink by ~the average token length. Jaccard is
+    # invariant under the bijection, so the output is unchanged.
+    # The explicit repartition pins the CACHED index at cluster
+    # parallelism: the index is small in BYTES (ranks, not strings), so
+    # AQE would coalesce the groupBy's shuffle to one partition — and
+    # every downstream stage that probes the cache (candidate join,
+    # prefix explode) would inherit that single partition and serialize.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     sorted_docs = (
         exploded.join(ranks, "tok")
         .groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("rank", "tok"))),
-                lambda s: s["tok"],
-            ).alias("toks"),
-        )
+        .agg(F.array_sort(F.collect_list("rank")).alias("toks"))
         .withColumn("sz", F.size("toks"))
+        .repartition(parallelism, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
-    postings = sorted_docs.select(
-        "id",
-        "sz",
-        F.explode_outer(F.slice("toks", 1, prefix_len)).alias("tok"),
-    ).filter(F.col("tok").isNotNull())
+    postings = (
+        sorted_docs.select(
+            "id",
+            "sz",
+            F.explode_outer(F.slice("toks", 1, prefix_len)).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     a, b = postings.alias("a"), postings.alias("b")
     cand = (
@@ -588,6 +614,15 @@ def ngram_jaccard_pairs_indexed(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # The candidate rows are two longs — tiny bytes-per-row — so AQE
+        # coalesces the dedup shuffle toward ONE partition, which then
+        # serializes the expensive per-pair array_intersect verify onto a
+        # single core (measured 38 s of single-task CPU at sf0.1; 4× the
+        # whole rest of the query). Explicitly repartitioning by id_a keeps
+        # the verify data-parallel AND pre-clusters the first verify join
+        # key. Bytes are the wrong coalesce signal when downstream
+        # cost-per-row dwarfs row width.
+        .repartition(parallelism, "id_a")
     )
     return (
         cand.join(

@@ -176,12 +176,15 @@ def extract_features(
     )
 
     def fake_embed(payload: bytes) -> list:
-        # hash-chained pseudo-floats in [-1, 1]: deterministic, spread
+        # hash-chained pseudo-floats in [-1, 1]: deterministic, spread.
+        # The chain feeds HEX digests back in (not raw bytes) so any
+        # engine exposing sha256(varchar) — DuckDB, Trino — reproduces
+        # the exact vectors for differential checks.
         raw = b""
-        seed = hashlib.sha256(payload).digest()
+        seed = hashlib.sha256(payload).hexdigest()
         while len(raw) < dim:
-            seed = hashlib.sha256(seed).digest()
-            raw += seed
+            seed = hashlib.sha256(seed.encode("ascii")).hexdigest()
+            raw += bytes.fromhex(seed)
         return [raw[i] / 127.5 - 1.0 for i in range(dim)]
 
     fn = embed_fn or fake_embed

@@ -189,21 +189,27 @@ def ivf_fit_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
     n_centroids: int = 16,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     seed: int = 42,
+    max_fit_rows: int = 1000 * 16,
 ) -> list[list[float]]:
     """Fit IVF coarse-quantizer centroids with MLlib KMeans.
 
-    At 100 TB the fit runs on a seeded sample (centroid quality needs only
-    ~1000× n_centroids vectors), never the full corpus; assignment is then
-    a per-row expression against the broadcast centroid literals."""
+    Scale-safe BY DEFAULT: the fit input is always capped at
+    ``max_fit_rows`` (≈1000× n_centroids — coarse-quantizer quality
+    saturates well below that), so calling this on a 100 TB corpus never
+    runs a full-corpus KMeans. Pass ``sample_fraction`` to thin a huge
+    corpus uniformly before the cap (seeded, reproducible); assignment
+    afterwards is a per-row expression against broadcast centroid
+    literals, never a model invocation."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    sample = corpus if sample_fraction >= 1.0 else corpus.sample(sample_fraction, seed)
+    sample = corpus if sample_fraction is None else corpus.sample(sample_fraction, seed)
+    cap = max(max_fit_rows, 10 * n_centroids)
     vecs = sample.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
+    ).limit(cap)
     model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(vecs)
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
@@ -249,7 +255,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids: list[list[float]] | None = None,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans coarse quantizer,
     corpus assigned to its nearest centroid, each query probes its

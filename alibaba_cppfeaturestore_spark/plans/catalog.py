@@ -758,17 +758,42 @@ def agg_quantiles_order_value(spark, sf_dir):
     )
 
 
-@_q("agg_approx_stats", None)
+@_q(
+    "agg_approx_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_users_ok,
+           TRUE AS approx_p50_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_stats(spark, sf_dir):
-    """Sketch aggregates: HyperLogLog++ distinct counts and t-digest-style
-    approximate percentiles — the 100 TB path where exact
-    distinct/percentile state would blow memory. Sketch outputs are
-    implementation-specific → rows-only; the error bounds vs exact are
-    pinned in tests/test_asof_and_aggregates.py."""
+    """Sketch aggregates with an accuracy audit: HyperLogLog++ distinct
+    counts and quantile-sketch percentiles — the 100 TB path where exact
+    distinct/percentile state would blow memory. Sketch values are
+    implementation-specific, so the driver-checked output carries the
+    exact anchor plus booleans asserting the sketches land inside their
+    published error bounds (3σ for HLL rsd=0.02; ±1% rank for
+    percentile_approx accuracy=10000, vs a ±1e-4 guarantee). Tight error
+    distributions are additionally pinned in
+    tests/test_asof_and_aggregates.py."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50_value"),
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.count_distinct("user_id")
+            )
+            <= 0.06 * F.count_distinct("user_id")
+        ).alias("approx_users_ok"),
+        F.percentile_approx("value", 0.5, 10_000)
+        .between(
+            F.expr("percentile(value, 0.49)"), F.expr("percentile(value, 0.51)")
+        )
+        .alias("approx_p50_ok"),
     )
 
 
@@ -1416,7 +1441,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "dedup_clusters",
     r"""
     WITH RECURSIVE t AS (
-      SELECT doc_id, lang,
+      SELECT doc_id,
              list_distinct(regexp_split_to_array(TRIM(text), '\s+')) AS tokset
       FROM documents
     ),
@@ -1425,7 +1450,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                LEN(list_intersect(a.tokset, b.tokset))::DOUBLE
                / GREATEST(LEN(list_distinct(list_concat(a.tokset, b.tokset))), 1) AS jaccard_sim
-        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
       ) WHERE jaccard_sim >= 0.9
     ),
     edges AS (
@@ -1444,13 +1469,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """,
 )
 def dedup_clusters(spark, sf_dir):
-    """Transitive duplicate clusters: ngram-Jaccard pairs (lang-blocked,
-    ≥0.9) closed into connected components; every doc gets cluster_id =
-    min doc id of its component (own id when unique). Oracle: DuckDB
-    recursive-CTE transitive closure over the identical pair set."""
+    """Transitive duplicate clusters: EXACT unblocked Jaccard pairs from
+    the prefix-filtered set-similarity index (PPJoin — the 100 TB edge
+    generator: no blocking column, no |corpus|² pair space) closed into
+    connected components; every doc gets cluster_id = min doc id of its
+    component (own id when unique). Oracle: DuckDB recursive-CTE
+    transitive closure over the all-pairs formulation, which the prefix
+    filter provably reproduces exactly."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(
-        docs, text_col="text", id_col="doc_id", block_cols=["lang"], threshold=0.9
+    pairs = DD.ngram_jaccard_pairs_indexed(
+        docs, text_col="text", id_col="doc_id", threshold=0.9
     )
     return GR.duplicate_clusters(docs, pairs, id_col="doc_id").select(
         "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
@@ -1476,6 +1504,8 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @_q(
     "dedup_ngram_jaccard_indexed",
+    # headline: the oracle-checked scale-path dedup (prefix-filtered
+    # set-similarity join); replaced oracle-less winnow in the bench set.
     r"""
     WITH t AS (
       SELECT doc_id,
@@ -1489,6 +1519,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     FROM t a JOIN t b ON a.doc_id < b.doc_id
     ) WHERE jaccard_sim >= 0.9
     """,
+    headline=True,
 )
 def dedup_ngram_jaccard_indexed(spark, sf_dir):
     """EXACT unblocked Jaccard pairs via the prefix-filtered
@@ -1532,7 +1563,7 @@ def dedup_simhash(spark, sf_dir):
     return DD.simhash_duplicates(corpus, text_col="text", id_col="doc_id", max_hamming=3)
 
 
-@_q("dedup_winnow_containment", None, headline=True)
+@_q("dedup_winnow_containment", None)
 def dedup_winnow_containment(spark, sf_dir):
     """Rolling-hash (winnowing/MOSS) containment pairs over a corpus with
     a planted quoting doc (doc 0's text embedded in a larger doc).
@@ -1549,12 +1580,22 @@ def dedup_winnow_containment(spark, sf_dir):
     )
 
 
-@_q("doc_fingerprint", None)
+@_q(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
 def doc_fingerprint(spark, sf_dir):
-    """64-bit xxhash64 document fingerprints (whitespace-normalized).
-    Hash-specific → rows-only; determinism asserted in tests."""
+    """Portable document fingerprints: md5 over whitespace-collapsed,
+    lowercased text — every engine computes the identical hex, so dedup
+    ledgers built here verify anywhere. The 8-byte xxhash64 variant
+    (``TX.fingerprint``) is the compact Spark-internal path; its
+    determinism is pinned in tests."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+    return docs.select("doc_id", TX.fingerprint_md5("text").alias("fingerprint"))
 
 
 @_q(
@@ -1581,11 +1622,54 @@ def ann_brute_force_topk(spark, sf_dir):
     return SIM.brute_force_topk(emb, queries, k=5, query_id_col="query_id")
 
 
-@_q("ann_lsh_bucketed_topk", None)
+def _lsh_ann_oracle() -> str:
+    """The LSH hyperplanes are seed-derived literal constants, so the
+    oracle embeds the SAME ±1 matrix and replays bucketing + scoring as
+    plain SQL arithmetic — an exact differential check of the whole
+    approximate pipeline (buckets, candidate join, dedup, scoring)."""
+    from ..operators.similarity import _plane_signs
+
+    rows = ",\n          ".join(
+        "({t}, {p}, [{w}])".format(
+            t=t, p=p, w=",".join("1" if x > 0 else "-1" for x in _plane_signs(t, p, 64))
+        )
+        for t in range(8)
+        for p in range(4)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      SELECT e.vec_id, p.tbl,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, CAST(p.w AS DOUBLE[])) >= 0
+                           THEN (1 << p.plane) ELSE 0 END) AS INTEGER) AS bucket
+      FROM e, (VALUES
+          {rows}) AS p(tbl, plane, w)
+      GROUP BY e.vec_id, p.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM b qb JOIN b cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+      WHERE qb.vec_id < 5 AND qb.vec_id != cb.vec_id
+    ),
+    s AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_cosine_similarity(eq.v, ec.v), 6) AS cosine_sim
+      FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                JOIN e ec ON ec.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) <= 5
+    """
+
+
+@_q("ann_lsh_bucketed_topk", _lsh_ann_oracle())
 def ann_lsh_bucketed_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (the 100 TB path: equi-join on
-    bucket instead of cross join). xxhash64-derived hyperplanes → no SQL
-    oracle; recall vs brute force asserted in tests."""
+    bucket instead of cross join). The seed-derived hyperplanes are
+    compile-time literals, so the identical ±1 matrix is embedded in the
+    DuckDB oracle — the approximate result is still exactly
+    differential-checkable. Recall vs brute force asserted in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2727,16 +2811,26 @@ def sort_global_topn(spark, sf_dir):
     )
 
 
-@_q("sample_deterministic", None)
+@_q(
+    "sample_deterministic",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE ((((o_orderkey % 2147483648) * 2654435761) % 4294967296) // 65536) % 100 < 10
+    """,
+)
 def sample_deterministic(spark, sf_dir):
-    """Seeded, reproducible ~10% sample via content hash (xxhash64 mod) —
-    unlike ``df.sample`` the row set is a pure function of the data, so
-    batch/stream/rerun all agree. Hash-specific → rows-only driver check;
-    fraction and determinism pinned in tests."""
+    """Seeded, reproducible ~10% sample via a Knuth multiplicative hash of
+    the key — unlike ``df.sample`` the row set is a pure function of the
+    data, so batch/stream/rerun (and any other engine: the hash is plain
+    64-bit integer arithmetic) all agree. High bits of k*2654435761 mod
+    2^32 carry the mixing, so the bucket is taken from bits 16+. A pure
+    row-local filter: no shuffle, no RNG state; fraction and determinism
+    pinned in tests."""
     o = _t(spark, sf_dir, "orders")
-    return o.filter(F.pmod(F.xxhash64("o_orderkey", F.lit(42)), 100) < 10).select(
-        "o_orderkey", "o_custkey"
-    )
+    h = F.pmod(F.pmod(F.col("o_orderkey"), F.lit(2147483648)) * F.lit(2654435761), F.lit(4294967296))
+    bucket = F.pmod(F.floor(h / F.lit(65536)), F.lit(100))
+    return o.filter(bucket < 10).select("o_orderkey", "o_custkey")
 
 
 @_q(
@@ -2832,10 +2926,24 @@ def stream_sliding_window_counts(spark, sf_dir):
     )
 
 
-@_q("multimodal_frame_sample", None)
+@_q(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             1 + (CAST('0x' || substr(sha256(text), 5, 2) AS INTEGER) % 30) AS n_frames
+      FROM documents
+    )
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx
+    FROM (SELECT media_id, UNNEST(range(0, n_frames, 10)) AS frame_idx FROM m)
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: 1→N row explosion through mapInPandas with
-    a stable schema (decoder stubbed; every 10th frame kept)."""
+    a stable schema (decoder stubbed; every 10th frame kept). The stub
+    derives n_frames from byte 2 of sha256(payload), which DuckDB can
+    reproduce from the hex digest — a full value oracle for the
+    explosion contract despite the stubbed codec."""
     from ..operators.multimodal import attach_binary_payload, sample_frames
 
     docs = _t(spark, sf_dir, "documents")
@@ -2843,29 +2951,86 @@ def multimodal_frame_sample(spark, sf_dir):
     return sample_frames(media, every_nth=10)
 
 
-@_q("multimodal_embed_topk", None)
+@_q(
+    "multimodal_embed_topk",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, sha256(sha256(text)) AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    e AS (
+      SELECT media_id,
+             list_transform(range(0, 32), i ->
+               CAST('0x' || substr(h, CAST(2*i+1 AS INTEGER), 2) AS INTEGER)
+               / 127.5 - 1.0) AS v
+      FROM d
+    ),
+    n AS (
+      SELECT media_id,
+             list_transform(v, x ->
+               CAST(CAST(x / sqrt(list_dot_product(v, v)) AS REAL) AS DOUBLE)) AS ev
+      FROM e
+    ),
+    s AS (
+      SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.ev, c.ev), 6) AS cosine_sim
+      FROM n q JOIN n c ON q.media_id < 5 AND q.media_id != c.media_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) <= 5
+    """,
+)
 def multimodal_embed_topk(spark, sf_dir):
     """Media → embedding → similarity search, end-to-end: binary payloads
     run through the Arrow feature-extraction stage (codec stubbed,
-    L2-normalized output) and straight into brute-force cosine top-k.
-    Embeddings are stub-specific → rows-only; the contract (dims,
-    normalization, null tolerance, ANN composition) is pinned in
-    tests/test_multimodal.py."""
+    L2-normalized float32 output) and straight into brute-force cosine
+    top-k. The stub chains sha256 hex digests, so DuckDB reproduces the
+    exact vectors (including the float32 narrowing) — full value oracle
+    for the whole media→ANN composition; dims/normalization/null
+    tolerance are additionally pinned in tests/test_multimodal.py."""
     from ..operators.multimodal import attach_binary_payload, extract_features
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
     corpus = extract_features(media, dim=32).withColumnRenamed("media_id", "vec_id")
-    queries = corpus.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
     return SIM.brute_force_topk(corpus, queries, k=5)
 
 
-@_q("ann_quantized_topk", None)
+@_q(
+    "ann_quantized_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+    qt AS (
+      SELECT vec_id,
+             CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> round(x * 127.0 / amax)) END AS q
+      FROM a
+    ),
+    s AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qa.q, qb.q)
+                   / GREATEST(sqrt(list_dot_product(qa.q, qa.q))
+                              * sqrt(list_dot_product(qb.q, qb.q)), 1e-12),
+                   6) AS cosine_sim
+      FROM qt qa JOIN qt qb ON qa.vec_id < 5 AND qa.vec_id != qb.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) <= 5
+    """,
+)
 def ann_quantized_topk(spark, sf_dir):
     """Brute-force cosine top-k over int8-QUANTIZED vectors (4× smaller
     scan/shuffle; cosine computed on the integer form, scales cancel).
-    Quantized scores are representation-specific → rows-only; round-trip
-    error and cosine drift bounds are pinned in tests."""
+    The quantize/score math is plain arithmetic (round(x*127/max|x|),
+    integer dot / norms), so DuckDB replicates it bit-for-bit — a full
+    value oracle, not rows-only. Round-trip error and cosine drift
+    bounds are pinned in tests."""
     from ..functions.vectors import cosine_int8, quantize_int8
     from ..operators.aggregates import top_k_per_group
 
@@ -2946,12 +3111,37 @@ def session_window_stats(spark, sf_dir):
     )
 
 
-@_q("stream_session_window_stats", None)
+@_q(
+    "stream_session_window_stats",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS w FROM e),
+    m AS (
+      SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+      FROM e
+    ), s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ), g AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM g, wm WHERE g.session_end <= wm.w
+    """,
+)
 def stream_session_window_stats(spark, sf_dir):
     """Session windows on a REAL stream (watermark + append mode): only
-    watermark-finalized sessions emit, so the bounded run yields the batch
-    result minus the unfinalizable tail — equivalence asserted in
-    tests/test_streaming.py. Rows-only for the driver."""
+    watermark-finalized sessions emit. The bounded run's final no-data
+    batch advances the watermark to max(ts) - delay, so the emitted set
+    is EXACTLY the batch sessions with session_end <= that watermark
+    (boundary is inclusive — pinned empirically) — which is what the
+    oracle computes. Batch equivalence also asserted in
+    tests/test_streaming.py."""
     from ..streaming.pipeline import run_bounded_to_memory
 
     stream = _stream_events(spark, sf_dir)

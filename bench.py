@@ -33,6 +33,9 @@ def main() -> None:
 
     total = 0.0
     for name in headline:
+        # isolate queries: operators that persist an internal index
+        # (set-similarity join) must not warm or pressure later queries
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = QUERIES[name].spark(spark, SF_DIR)
         n = df.count()
