@@ -701,6 +701,14 @@ def winnow_containment_pairs(
     lists = lists.filter(F.size("ps") >= 2)
     if max_postings is not None:
         lists = lists.filter(F.size("ps") <= max_postings)
+    # AQE coalesces the posting-list shuffle by BYTES, but each list row
+    # fans out C(|ps|,2) pair structs — cost-per-row dwarfs row width, and
+    # a coalesced handful of partitions serializes the expansion (measured
+    # 5 tasks doing 8.3M-pair expansion at sf0.1). Pin the expansion at
+    # cluster parallelism; `h` keeps sibling pairs of one hash together.
+    lists = lists.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "h"
+    )
 
     combos = _let(
         F.array_sort("ps"),  # canonical id order → id_a < id_b by slicing

@@ -105,3 +105,36 @@ def decode_with_dictionary(
         out.drop(column, f"__{column}_index")
         .withColumnRenamed(f"__{column}_value", column)
     )
+
+
+def fit_dictionary_mllib(df: DataFrame, column: str) -> DataFrame:
+    """MLlib-compat fit (SURVEY §7.3): the same ``(value, index)``
+    dictionary shape, produced by an actual
+    ``StringIndexer(handleInvalid="keep", stringOrderType="frequencyDesc")``
+    fit — the estimator the reference pipelines 16× of
+    (``batch_process_Silver_to_Gold.py:106-121``).
+
+    Use this ONLY when an existing MLlib artifact must be matched
+    bit-for-bit: StringIndexer's order among equal-frequency values is
+    unspecified (JVM hash order), so its output is not a pure function of
+    the data and cannot be oracle-checked. ``fit_dictionary`` (count desc,
+    value asc — pinned) is the default path; where all frequencies are
+    distinct the two agree exactly (asserted in tests).
+
+    The fitted labels are |vocab|-sized driver metadata (same payload an
+    MLlib PipelineModel persists), re-emitted as a DataFrame so
+    ``encode_with_dictionaries`` / ``decode_with_dictionary`` work
+    unchanged on either fit path.
+    """
+    from pyspark.ml.feature import StringIndexer
+
+    model = StringIndexer(
+        inputCol=column,
+        outputCol="__idx",
+        handleInvalid="keep",
+        stringOrderType="frequencyDesc",
+    ).fit(df.select(column).where(F.col(column).isNotNull()))
+    labels = model.labelsArray[0]
+    return df.sparkSession.createDataFrame(
+        [(v, i) for i, v in enumerate(labels)], schema="value string, index int"
+    )

@@ -31,3 +31,29 @@ def test_sample_deterministic_fraction_and_rerun(spark):
     # pure function of the data: identical row set on re-run
     s2 = q(spark, SF)
     assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+
+
+def test_mllib_stringindexer_compat_matches_native(spark):
+    """Where frequencies are all distinct, the MLlib StringIndexer fit and
+    the native pinned-tie-break fit must produce the identical dictionary,
+    and encoding through either must agree row-for-row."""
+    from alibaba_cppfeaturestore_spark.operators.dictionary import (
+        encode_with_dictionaries,
+        fit_dictionary,
+        fit_dictionary_mllib,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [("d",)] * 1,
+        "v string",
+    )
+    native = {r["value"]: r["index"] for r in fit_dictionary(df, "v").collect()}
+    mllib = {r["value"]: r["index"] for r in fit_dictionary_mllib(df, "v").collect()}
+    assert native == mllib == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    probe = spark.createDataFrame([("a",), ("d",), ("zzz-unseen",)], "v string")
+    enc_native = encode_with_dictionaries(probe, {"v": fit_dictionary(df, "v")})
+    enc_mllib = encode_with_dictionaries(probe, {"v": fit_dictionary_mllib(df, "v")})
+    assert sorted(r["v"] for r in enc_native.collect()) == sorted(
+        r["v"] for r in enc_mllib.collect()
+    ) == [0, 3, 4]  # unseen -> |vocab|
