@@ -33,14 +33,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # family, sessionization, timeseries rollup/gap-fill, range join, CDC,
 # SCD2, data quality, record linkage, feature engineering, reshape,
 # analytics (WoW/corr/AB/funnel/cohort), feature-store retrieval, both
-# Ali-CCP end-to-end pipelines, multimodal plumbing, sampling, and text
-# cleaning. Every one of the 50 carries a DuckDB oracle. Entries whose
-# outputs are inherently non-portable (minhash/simhash/winnow signatures,
-# KMeans cells) follow after, in catalog order.
+# Ali-CCP end-to-end pipelines, multimodal plumbing, sampling, text
+# cleaning, PII redaction, repetition quality gates, and benchmark
+# contamination. Every one of the 50 carries a DuckDB oracle. Entries
+# whose outputs are inherently non-portable (minhash/simhash/winnow
+# signatures, KMeans cells) follow after, in catalog order; family
+# variants already driver-green in round 1 (q14, join_broadcast_dim_agg,
+# sample_stratified, q10/q18/q19, text_stats…) yielded their slots to
+# never-driver-checked entries — their green rows stand in
+# CORRECTNESS_r01 and their semantics stay pinned by pytest parity.
 _DRIVER_WINDOW = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q14_promo_revenue_share",
-    "join_semi_in_subquery", "join_broadcast_dim_agg",
+    "q6_forecast_revenue",
+    "join_semi_in_subquery",
     "agg_approx_stats",
     "kv_merge_lastwin",
     "dedup_ngram_jaccard_indexed", "dedup_clusters", "doc_fingerprint",
@@ -63,8 +68,9 @@ _DRIVER_WINDOW = [
     "feature_store_historical_retrieval",
     "aliccp_bronze_to_silver_e2e", "aliccp_silver_to_gold_e2e",
     "multimodal_decode_metadata", "multimodal_frame_sample", "multimodal_embed_topk",
-    "sample_deterministic", "sample_stratified",
+    "sample_deterministic",
     "text_clean_normalize",
+    "text_pii_redact", "text_repetition_rules", "contamination_ngram_overlap",
 ]
 
 

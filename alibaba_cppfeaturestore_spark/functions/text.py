@@ -186,3 +186,78 @@ def winnow_fingerprints(
             )
         ),
     )
+
+# PII patterns are deliberately written in the common subset of Java regex
+# (Spark) and RE2 (DuckDB, Go tooling): no lookaround, no backrefs — so the
+# exact same pattern string redacts identically in every engine touching
+# the corpus. Order matters: emails first (their user part can look like a
+# phone), then IPv4 (dotted digits would half-match the phone pattern),
+# then phones.
+PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_REGEX = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_REGEX = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Redact emails / IPv4 addresses / phone-like digit runs with typed
+    placeholder tokens — the standard pre-training scrub pass. Pure
+    ``regexp_replace`` chain: runs in the scan stage, no UDF, no shuffle;
+    at 100 TB this is embarrassingly parallel and whole-stage-codegen'd."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, PII_EMAIL_REGEX, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_REGEX, "<IP>")
+    c = F.regexp_replace(c, PII_PHONE_REGEX, "<PHONE>")
+    return c
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column, Column]:
+    """Per-document match counts (email, ipv4, phone) for audit reports —
+    counted on the PRE-redaction text with the same shared patterns."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_REGEX), F.lit(0))),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_REGEX), F.lit(0))),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(
+                    F.regexp_replace(c, PII_EMAIL_REGEX, "<EMAIL>"),
+                    PII_IPV4_REGEX,
+                    "<IP>",
+                ),
+                F.lit(PII_PHONE_REGEX),
+                F.lit(0),
+            )
+        ),
+    )
+
+
+def top_token_ratio(text: Column | str) -> Column:
+    """Fraction of the document occupied by its single most frequent token
+    (Gopher's repetition signal: boilerplate/spam pages repeat one word).
+    Per-row higher-order functions over the token array — O(distinct ×
+    total) comparisons per row, no shuffle, no UDF."""
+    toks = tokens(text)
+    return _let(
+        toks,
+        lambda t: F.when(F.size(t) < 1, F.lit(0.0)).otherwise(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(t),
+                    lambda d: F.size(F.filter(t, lambda x: x == d)),
+                )
+            ).cast("double")
+            / F.size(t)
+        ),
+    )
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    """|distinct tokens| / |tokens| — low values mean heavy repetition
+    (the Gopher 'fraction of unique words' rule)."""
+    toks = tokens(text)
+    return _let(
+        toks,
+        lambda t: F.when(F.size(t) < 1, F.lit(0.0)).otherwise(
+            F.size(F.array_distinct(t)).cast("double") / F.size(t)
+        ),
+    )

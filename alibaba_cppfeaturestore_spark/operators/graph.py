@@ -54,10 +54,17 @@ def connected_components(
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     # Symmetrize once; every iteration joins against this, so pin it.
+    # The explicit repartition both pre-clusters the per-iteration join key
+    # AND holds the edge list at cluster parallelism: edge rows are two
+    # ids, so AQE would coalesce the distinct()'s shuffle by bytes and
+    # every iteration's join+aggregate would inherit near-serial
+    # partitioning from the cache.
+    parallelism = edges.sparkSession.sparkContext.defaultParallelism
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .repartition(parallelism, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 

@@ -110,7 +110,16 @@ def record_linkage_pairs(
     cols = [F.col(id_col).alias("id"), *[F.col(c) for c in block_cols],
             *[F.col(f) for f in fields]]
     base = df.select(*cols)
-    a, b = base.alias("a"), base.alias("b")
+    # Pair scoring is CPU-bound (two Levenshteins per candidate), so the
+    # probe side must carry cluster parallelism even when the input scan
+    # produced few splits (a small dim table is one parquet split — the
+    # whole blocked join would run on ONE core; measured 40 s at sf0.1).
+    # Round-robin, NOT by block key: blocking keys are few/skewed by
+    # design, and the build side broadcasts, so the probe needs no
+    # co-partitioning.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(parallelism).alias("a")
+    b = base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))

@@ -1393,6 +1393,170 @@ def _docs_with_duplicates(spark, sf_dir):
 
 
 @_q(
+    "text_pii_redact",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com at 192.168.' || CAST(doc_id % 200 AS VARCHAR)
+                    || '.42 or call +1 555-01' || CAST(doc_id % 90 AS VARCHAR) || '9'
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+           CAST(LEN(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(LEN(regexp_extract_all(text,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
+           CAST(LEN(regexp_extract_all(
+               regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS INTEGER) AS n_phone
+    FROM synth
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing — the standard pre-training redaction pass: emails,
+    IPv4s, phone-like digit runs replaced with typed placeholders, plus
+    per-doc audit counts. The patterns live in the Java-regex ∩ RE2 subset
+    (functions/text.py) so any engine redacts identically — the DuckDB
+    oracle replays them verbatim. PII is synthesized deterministically
+    onto every 5th doc (the corpus has none), so the redaction paths are
+    exercised on real matches, not vacuously. Pure regexp chain in the
+    scan stage: no UDF, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 192.168."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".42 or call +1 555-01"),
+                (F.col("doc_id") % 90).cast("string"),
+                F.lit("9"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n_email, n_ip, n_phone = TX.pii_counts("text")
+    return synth.select(
+        "doc_id",
+        TX.redact_pii("text").alias("redacted"),
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        n_phone.alias("n_phone"),
+    )
+
+
+@_q(
+    "text_repetition_rules",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS word_count,
+             ROUND(list_max(list_transform(list_distinct(toks),
+                     d -> len(list_filter(toks, x -> x = d))))::DOUBLE / LEN(toks), 6) AS top_token_ratio,
+             ROUND(LEN(list_distinct(toks))::DOUBLE / LEN(toks), 6) AS distinct_token_ratio
+      FROM t
+    )
+    SELECT doc_id, word_count, top_token_ratio, distinct_token_ratio,
+           (word_count BETWEEN 20 AND 500
+            AND top_token_ratio <= 0.12
+            AND distinct_token_ratio >= 0.45) AS keep
+    FROM m
+    """,
+)
+def text_repetition_rules(spark, sf_dir):
+    """Gopher-style repetition quality gates: single-most-frequent-token
+    share, distinct-token share, and word-count bounds, combined into a
+    keep verdict. All per-row higher-order functions (no shuffle) — the
+    100 TB path is a pure scan-stage filter. Complements
+    ``text_quality_filter`` (length/punctuation) with the repetition
+    signals that catch boilerplate and keyword-stuffed spam."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = TX.token_count("text")
+    ttr = F.round(TX.top_token_ratio("text"), 6)
+    dtr = F.round(TX.distinct_token_ratio("text"), 6)
+    return docs.select(
+        "doc_id",
+        wc.alias("word_count"),
+        ttr.alias("top_token_ratio"),
+        dtr.alias("distinct_token_ratio"),
+        (
+            wc.between(20, 500) & (ttr <= 0.12) & (dtr >= 0.45)
+        ).alias("keep"),
+    )
+
+
+@_q(
+    "contamination_ngram_overlap",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN LEN(toks) >= 5 THEN
+               list_distinct(list_transform(range(1, LEN(toks) - 3), i ->
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                         || toks[i+3] || ' ' || toks[i+4]))
+             ELSE []::VARCHAR[] END AS sh
+      FROM t
+    )
+    SELECT c.doc_id, b.doc_id AS bench_id,
+           ROUND(LEN(list_intersect(c.sh, b.sh))::DOUBLE / LEN(c.sh), 6) AS overlap_frac
+    FROM s c JOIN s b ON b.doc_id < 20 AND c.doc_id != b.doc_id
+    WHERE LEN(c.sh) > 0
+      AND ROUND(LEN(list_intersect(c.sh, b.sh))::DOUBLE / LEN(c.sh), 6) >= 0.5
+    """,
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark-contamination detection: which corpus documents contain
+    ≥50% of their 5-gram token shingles from a benchmark document
+    (here: docs 0-19 stand in for the eval set). Plan shape is the scale
+    path: the BENCHMARK side's exploded shingles are broadcast (eval sets
+    are small by definition), the corpus side streams — one scan, no
+    corpus self-join; overlap counting is a map-side-combined groupBy.
+    The DuckDB oracle is the quadratic corpus×benchmark formulation —
+    exact same pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(TX.token_shingles("text", 5)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    exploded = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    bench = exploded.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), F.col("g").alias("g")
+    )
+    overlap = (
+        exploded.join(F.broadcast(bench), "g")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "n_sh", "bench_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return overlap.select(
+        "doc_id",
+        "bench_id",
+        F.round(F.col("shared") / F.col("n_sh"), 6).alias("overlap_frac"),
+    ).filter(F.col("overlap_frac") >= 0.5)
+
+
+@_q(
     "dedup_exact",
     """
     WITH corpus AS (
