@@ -313,3 +313,47 @@ def test_stream_near_dedup_filters_against_history(spark, workdir):
         r["id"] for r in spark.read.parquet(hist).select("id").distinct().collect()
     }
     assert kept == {1, 2, 11}
+
+
+def test_pii_redaction_shared_batch_and_stream(spark, workdir):
+    """ST5 companion: the PII scrub is a pure column expression, so the
+    SAME redact_pii call runs unchanged on a batch frame and inside a
+    structured stream — and produces identical redactions for identical
+    payloads (the train/serve-consistency property for corpus scrubbing)."""
+    from alibaba_cppfeaturestore_spark.functions.text import redact_pii
+
+    rows = [
+        (1, ts("2024-01-01T00:00:00"), "mail me at bob@corp.io today", 0.0),
+        (2, ts("2024-01-01T00:00:01"), "server 10.0.0.1 is down", 0.0),
+        (3, ts("2024-01-01T00:00:02"), "call +1 555-0199 now", 0.0),
+        (4, ts("2024-01-01T00:00:03"), "nothing sensitive here", 0.0),
+    ]
+    src = os.path.join(workdir, "pii_src")
+    df = spark.createDataFrame(rows, ["id", "ts", "text", "v"])
+    df.write.mode("overwrite").parquet(src)
+
+    batch_out = {
+        r["id"]: r["red"]
+        for r in df.select("id", redact_pii("text").alias("red")).collect()
+    }
+    assert batch_out[1] == "mail me at <EMAIL> today"
+    assert batch_out[2] == "server <IP> is down"
+    assert batch_out[3] == "call <PHONE> now"
+    assert batch_out[4] == "nothing sensitive here"
+
+    captured = {}
+
+    def scrub(batch_df, epoch):
+        for r in batch_df.select("id", redact_pii("text").alias("red")).collect():
+            captured[r["id"]] = r["red"]
+
+    stream = stream_from_parquet(spark, src)
+    q = (
+        stream.writeStream.foreachBatch(scrub)
+        .option("checkpointLocation", os.path.join(workdir, "chk_pii"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert captured == batch_out
