@@ -50,7 +50,7 @@ _DRIVER_WINDOW = [
     "kv_merge_lastwin",
     "dedup_ngram_jaccard_indexed", "dedup_clusters", "doc_fingerprint",
     "ann_brute_force_topk", "ann_quantized_topk", "ann_lsh_bucketed_topk",
-    "embedding_threshold_pairs",
+    "dedup_semantic_embedding",
     "json_codec_roundtrip",
     "stream_tumbling_window_counts", "stream_online_upsert",
     "stream_dedup_exact", "stream_interval_join_attribution",

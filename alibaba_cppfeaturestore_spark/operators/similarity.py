@@ -339,7 +339,13 @@ def threshold_pairs(
     # norms computed ONCE PER ROW before the pair join — cosine per pair
     # then costs one dot pass instead of three array aggregates
     base = corpus.select(*cols).withColumn("nrm", norm(F.col("v")))
-    a, b = base.alias("a"), base.alias("b")
+    # Per-pair dot products are CPU-bound; a small corpus scanning as one
+    # parquet split would run the whole pair join on one core — round-robin
+    # the probe side to cluster parallelism (build side broadcasts).
+    a = base.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).alias("a")
+    b = base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))

@@ -1860,6 +1860,71 @@ def embedding_threshold_pairs(spark, sf_dir):
 
 
 @_q(
+    "dedup_semantic_embedding",
+    """
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+      FROM embeddings WHERE vec_id < 25
+    ),
+    pairs AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        FROM corpus a JOIN corpus b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+      ) WHERE cosine_sim >= 0.95
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+    SELECT c.vec_id, CAST(COALESCE(p.component, c.vec_id) AS BIGINT) AS cluster_id,
+           (CAST(COALESCE(p.component, c.vec_id) AS BIGINT) = c.vec_id) AS is_canonical
+    FROM corpus c LEFT JOIN comp p ON c.vec_id = p.id
+    """,
+)
+def dedup_semantic_embedding(spark, sf_dir):
+    """Semantic (embedding-cosine) dedup, SemDeDup-style: cosine-threshold
+    pairs closed into duplicate clusters, each vector labeled with its
+    cluster id and whether it is the canonical (minimum-id) member — the
+    keep/drop decision a semantic dedup pass feeds downstream. Scaled
+    CLONES of the first 25 vectors are planted in-query (cosine is
+    scale-invariant, so each clone pairs with its source at exactly 1.0;
+    the synthetic corpus has no natural ≥0.95 neighbors) — the mutant
+    pattern used by dedup_exact/record_linkage. Cast to double BEFORE the
+    clone transform so both engines run identical IEEE arithmetic. At
+    100 TB the pair stage swaps to LSH-bucketed blocking
+    (``lsh_bucketed_topk``) — the clustering and canonical selection are
+    unchanged."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    clones = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones)
+    pairs = SIM.threshold_pairs(corpus, threshold=0.95, block_col="label")
+    clustered = GR.duplicate_clusters(corpus, pairs, id_col="vec_id")
+    return clustered.select(
+        "vec_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("cluster_id") == F.col("vec_id")).alias("is_canonical"),
+    )
+
+
+@_q(
     "embedding_stats_by_label",
     """
     SELECT label,
