@@ -177,3 +177,34 @@ def test_write_with_metrics_single_job_audit(spark, tmp_path):
     )
     assert got == {"n_rows": 100, "n_null_v": 20, "sum_id": sum(range(100))}
     assert spark.read.parquet(path).count() == 100
+
+
+def test_write_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S4 (reference batch_process_Silver_to_Gold.py:166-172): the REAL
+    JDBC write path, exercised against embedded Derby (ships in Spark's
+    jars — no external server needed). Overwrite replaces, append adds;
+    read-back goes through the same JDBC relation."""
+    from alibaba_cppfeaturestore_spark.sources.writers import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/featdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    df = from_collection(
+        spark, [(1, "click"), (2, "view")], schema="user_id INT, event STRING"
+    )
+    write_jdbc(df, url, "features", properties=props)
+    back = spark.read.jdbc(url, "features", properties=props)
+    assert sorted((r[0], r[1]) for r in back.collect()) == [(1, "click"), (2, "view")]
+
+    write_jdbc(
+        from_collection(spark, [(3, "purchase")], schema="user_id INT, event STRING"),
+        url, "features", mode="append", properties=props,
+    )
+    assert spark.read.jdbc(url, "features", properties=props).count() == 3
+
+    write_jdbc(
+        from_collection(spark, [(9, "reset")], schema="user_id INT, event STRING"),
+        url, "features", mode="overwrite", properties=props,
+    )
+    back = spark.read.jdbc(url, "features", properties=props)
+    assert [(r[0], r[1]) for r in back.collect()] == [(9, "reset")]
