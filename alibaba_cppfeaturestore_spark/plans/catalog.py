@@ -3063,6 +3063,105 @@ def sample_deterministic(spark, sf_dir):
 
 
 @_q(
+    "corpus_mixture_resample",
+    """
+    WITH c AS (SELECT lang, COUNT(*)::DOUBLE AS c FROM documents GROUP BY lang),
+    t AS (SELECT MIN(c / 0.2) AS t FROM c),
+    a AS (SELECT lang, 0.2 * t.t / c.c AS accept FROM c, t),
+    h AS (
+      SELECT doc_id, lang,
+             ((((doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT h.doc_id, h.lang FROM h JOIN a USING (lang)
+    WHERE h.bucket < CAST(FLOOR(a.accept * 10000) AS BIGINT)
+    """,
+)
+def corpus_mixture_resample(spark, sf_dir):
+    """Domain/language mixture resampling — hit a TARGET corpus mixture
+    (uniform 20% per language here) by downsampling over-represented
+    groups: feasible total = min over groups of count/weight (the
+    scarcest group caps the corpus, keeping 100% of itself), per-group
+    accept rate = weight × total / count, membership decided by the same
+    portable multiplicative hash as ``sample_deterministic`` — so the
+    resample is a pure function of the data, reproducible across engines
+    and runs. One tiny aggregate (|groups| rows, broadcast back) + a
+    row-local filter: no shuffle of the corpus, holds at 100 TB. The
+    double arithmetic mirrors the oracle expression-for-expression so
+    FLOOR boundaries agree bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    w = 0.2
+    counts = docs.groupBy("lang").agg(F.count("*").cast("double").alias("c"))
+    feasible = counts.agg(F.min(F.col("c") / F.lit(w)).alias("t"))
+    accept = counts.crossJoin(F.broadcast(feasible)).select(
+        "lang", (F.lit(w) * F.col("t") / F.col("c")).alias("accept")
+    )
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    bucket = F.pmod(F.floor(h / F.lit(65536)), F.lit(10000))
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .join(F.broadcast(accept), "lang")
+        .filter(F.col("bucket") < F.floor(F.col("accept") * 10000).cast("long"))
+        .select("doc_id", "lang")
+    )
+
+
+@_q(
+    "sequence_packing_plan",
+    r"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS INTEGER) AS shard, n_tokens,
+           start_offset, CAST(start_offset // 2048 AS INTEGER) AS seq_id
+    FROM c
+    """,
+)
+def sequence_packing_plan(spark, sf_dir):
+    """Training-sequence packing plan: assign every document a shard, a
+    byte-deterministic position (cumulative token offset within the
+    shard), and the 2048-token context window (seq_id) its first token
+    lands in — the metadata a packing writer needs to concatenate docs
+    into fixed-length training sequences. Sharding first (doc_id mod 8)
+    is what makes this scale: the running-sum window is PARTITIONED, so
+    no global single-partition sort exists at any size; each shard packs
+    independently and in parallel, and shard count scales with the
+    cluster. Token counts are whitespace tokens here — swap in a real
+    tokenizer count column without changing the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = TX.token_count("text").cast("bigint")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / 2048).cast("int").alias("seq_id"),
+    )
+
+
+@_q(
     "sample_stratified",
     """
     SELECT event_id, event_type
