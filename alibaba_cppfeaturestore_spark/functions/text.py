@@ -96,14 +96,26 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
 
 def token_shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles → array<string>. Fewer than ``n`` tokens →
-    empty array (same descending-sequence guard as ``char_shingles``)."""
-    toks = tokens(text)
-    num = F.size(toks) - F.lit(n - 1)
-    return F.when(num < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), num),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
-        )
+    empty array (same descending-sequence guard as ``char_shingles``).
+
+    The token array is bound ONCE via ``_let``: captured directly, the
+    split expression re-evaluates inside the transform lambda — n
+    ``element_at`` calls × every shingle re-run the whole tokenization,
+    O(n·len²) per row (measured 10× on the contamination query)."""
+    return _let(
+        tokens(text),
+        lambda toks: _let(
+            F.size(toks) - F.lit(n - 1),
+            lambda num: F.when(num < 1, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), num),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(toks, (i + j).cast("int")) for j in range(n)],
+                    ),
+                )
+            ),
+        ),
     )
 
 
