@@ -3092,9 +3092,11 @@ def corpus_mixture_resample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     w = 0.2
     counts = docs.groupBy("lang").agg(F.count("*").cast("double").alias("c"))
-    feasible = counts.agg(F.min(F.col("c") / F.lit(w)).alias("t"))
+    # "__scalar_" marks the 1-row broadcast join for the plan audit
+    # (tests/test_plans.py::test_no_unbounded_join_products)
+    feasible = counts.agg(F.min(F.col("c") / F.lit(w)).alias("__scalar_total"))
     accept = counts.crossJoin(F.broadcast(feasible)).select(
-        "lang", (F.lit(w) * F.col("t") / F.col("c")).alias("accept")
+        "lang", (F.lit(w) * F.col("__scalar_total") / F.col("c")).alias("accept")
     )
     h = F.pmod(
         F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
