@@ -125,16 +125,16 @@ def anti_join_not_in(df: DataFrame, ids: DataFrame, key: str) -> DataFrame:
 def _as_number(df: DataFrame, col: str) -> Column:
     """Project a point/bound column to a double for binning: timestamps
     become epoch seconds (fractional µs preserved), dates midnight epoch,
-    numerics pass through."""
-    from pyspark.sql.types import DateType, TimestampType
+    numerics pass through. TIMESTAMP_NTZ has no epoch, so it is first
+    reinterpreted in the session zone (monotonic, and both join sides get
+    the identical mapping — only bin CO-location matters, the exact range
+    predicate still runs on the original columns)."""
+    from pyspark.sql.types import DateType, TimestampNTZType
 
     c = F.col(col)
     dt = df.schema[col].dataType
-    if isinstance(dt, DateType):
+    if isinstance(dt, DateType) or isinstance(dt, TimestampNTZType):
         c = c.cast("timestamp")
-        dt = TimestampType()
-    if isinstance(dt, TimestampType):
-        return c.cast("double")
     return c.cast("double")
 
 

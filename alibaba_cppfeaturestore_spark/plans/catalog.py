@@ -1056,7 +1056,7 @@ def sessionize_events(spark, sf_dir):
     new_session = (
         F.when(
             lag_ts.isNull()
-            | (F.col("ts").cast("long") - lag_ts.cast("long") > 30 * 60),
+            | (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTES")),
             1,
         )
         .otherwise(0)
@@ -1995,7 +1995,16 @@ def _stream_events(spark, sf_dir):
     shutil.copy(src, os.path.join(stage, "events.parquet"))
     raw_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage)
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # ts arrives as INT64-nanos (legacy testdata, nanosAsLong), as
+    # TIMESTAMP_NTZ (plain parquet timestamp), or as TIMESTAMP — normalize
+    # to TIMESTAMP here: watermarks reject NTZ event time
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and wall-clock values survive
+    # the NTZ→LTZ reinterpretation within any one session.
+    if raw_schema["ts"].dataType.simpleString() == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 @_q(
