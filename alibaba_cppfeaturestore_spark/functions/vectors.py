@@ -96,3 +96,45 @@ def cosine_int8(qa: Column, qb: Column) -> Column:
         F.aggregate(qb["q"], F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
     return d / F.greatest(na * nb, F.lit(1e-12))
+
+
+def projection_signs(out_dim: int, in_dim: int, seed: int = 0x5EED) -> list[list[float]]:
+    """Deterministic ±1 random-projection matrix (Achlioptas 2003: the
+    sign matrix satisfies the Johnson–Lindenstrauss lemma with the same
+    distortion bounds as Gaussian entries, at integer-add cost). Derived
+    from a seeded PRNG driver-side, so the same (dims, seed) always yields
+    the same matrix — across runs, across batch/streaming, and inside the
+    DuckDB oracle that replays the identical literals."""
+    import random
+
+    rng = random.Random((out_dim << 24) ^ (in_dim << 8) ^ seed)
+    return [
+        [1.0 if rng.getrandbits(1) else -1.0 for _ in range(in_dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def random_projection(v: Column, signs: list[list[float]]) -> Column:
+    """Project array<float> through a literal ±sign matrix →
+    array<double> of len(signs) components: p_j = Σ_i signs[j][i]·v_i,
+    scaled by 1/√out_dim to preserve expected norms.
+
+    The whole matrix is ONE literal array-of-arrays folded through ONE
+    ``transform`` lambda (the codegen-safe shape proven for the IVF
+    centroid distance): per-row expression, no shuffle, no UDF. This is
+    the storage/CPU lever ahead of ANN at 100 TB — a 1024-dim corpus
+    projected to 64 dims shrinks every downstream signature/index/scan
+    16×, with pairwise distances preserved within JL distortion."""
+    import math
+
+    smat = F.array(*[F.array(*[F.lit(s) for s in row]) for row in signs])
+    scale = F.lit(1.0 / math.sqrt(len(signs)))
+    return F.transform(
+        smat,
+        lambda row: scale
+        * F.aggregate(
+            F.zip_with(v, row, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )

@@ -1,0 +1,142 @@
+"""Lexical retrieval over document corpora — BM25 scoring, term stats.
+
+Not in the reference (its data is tabular); first-class engine capability
+for LLM-training-data pipelines: scoring a corpus against query terms is
+the standard primitive for quality-targeted sampling ("keep documents
+similar to this reference set"), contamination auditing, and plain search
+over a 100 TB text lake.
+
+Scale shape of ``bm25_topk``: ONE corpus scan (tokenize → explode →
+filter to the query terms — the filter lands before the shuffle, so only
+matching postings move), one small groupBy per (doc, term), per-term
+document frequencies from that same tiny postings set, and corpus-level
+scalars (N, avgdl) as a 1-row broadcast join. Nothing driver-side, no
+|corpus|² anything; the only full-corpus cost is the scan every retrieval
+engine pays. Query terms are compile-time literals (an IN filter), so
+Catalyst folds them into the scan predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import tokens
+
+# Lucene-standard BM25 parameters.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    corpus: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-document BM25 score against ``query_terms``.
+
+    Returns (id_col, bm25) for every document matching ≥1 term —
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (Lucene's non-negative
+    form), tf component = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).select("id", "toks", F.size("toks").alias("dl"))
+
+    # Corpus scalars: one tiny agg, broadcast as a 1-row cross join (the
+    # repo-standard "__scalar_" pattern — no collect, stays one job, and
+    # the plan audit recognizes the prefix as a sanctioned 1-row BNLJ).
+    scalars = base.agg(
+        F.count("*").alias("__scalar_n_docs"), F.avg("dl").alias("__scalar_avgdl")
+    )
+
+    postings = (
+        base.select("id", "dl", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(list(query_terms)))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
+
+    scored = (
+        postings.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__scalar_n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "component",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__scalar_avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(F.sum("component").alias("bm25")).select(
+        F.col("id").alias(id_col), "bm25"
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    query_terms: list[str],
+    k: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents by BM25 — global orderBy(limit k) on the (tiny)
+    scored set; ties broken by ascending doc id so the cut is
+    deterministic across engines and runs."""
+    scores = bm25_scores(corpus, query_terms, text_col, id_col, k1, b)
+    return (
+        scores.select(id_col, F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def top_terms(
+    corpus: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus term-frequency head: top-k tokens with total count, document
+    frequency, and 1-based frequency rank (count desc, token asc — pinned
+    ties). The Zipf head is the first diagnostic over any new crawl
+    (boilerplate detection, stopword calibration, tokenizer sanity).
+
+    One explode + one groupBy over (token): |corpus tokens| shuffle rows
+    with map-side combine. The top-k cut uses ``orderBy().limit(k)`` —
+    Spark's TakeOrdered, a per-partition partial top-k merged on the
+    driver — NOT an unpartitioned rank window, which would funnel the
+    entire vocabulary (billions of tokens at crawl scale) through one
+    task. Only the k survivors see a window, and k is tiny."""
+    from pyspark.sql import Window
+
+    exploded = corpus.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = exploded.groupBy("tok").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("id").alias("n_docs"),
+    )
+    head = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("tok").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+    return head.withColumn("rank", F.row_number().over(w)).select(
+        "rank", F.col("tok").alias("token"), "n_occurrences", "n_docs"
+    )

@@ -4154,3 +4154,156 @@ def q22_dormant_high_balance(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: CSV codec (S1), lexical retrieval (BM25), corpus term
+# stats, and JL random projection over embeddings.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "csv_codec_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           date_trunc('second', o_orderdate) AS o_orderdate
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def csv_codec_roundtrip(spark, sf_dir):
+    """S1 (CSV scan semantics — delimiter + explicit schema): serialize
+    typed columns to a delimited line, parse it back with ``from_csv``
+    under a declared schema and custom delimiter, recover the typed
+    values. The reference's raw-CSV ingestion is exactly this codec
+    (``batch_process_Bronze_to_Silver.py:89,176`` — delimiter option +
+    schema'd read); the oracle checks the values straight from parquet,
+    so the round-trip must be lossless. Native expressions end-to-end —
+    the CSV parser runs JVM-side inside codegen, no Python."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    line = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+    )
+    schema = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP"
+    parsed = o.select(
+        F.from_csv(
+            line,
+            schema,
+            {"sep": "|", "timestampFormat": "yyyy-MM-dd HH:mm:ss"},
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.o_orderkey").alias("o_orderkey"),
+        F.col("r.o_orderstatus").alias("o_orderstatus"),
+        F.round("r.o_totalprice", 2).alias("o_totalprice"),
+        F.col("r.o_orderdate").alias("o_orderdate"),
+    )
+
+
+# Query terms span the frequency spectrum so idf actually differentiates;
+# they are compile-time literals on both sides.
+_BM25_TERMS = ["join", "filter", "window"]
+
+@_q(
+    "bm25_topk_retrieval",
+    f"""
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+      FROM documents
+    ),
+    b2 AS (SELECT doc_id, toks, LEN(toks) AS dl FROM b),
+    scal AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM b2),
+    post AS (
+      SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+      FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM b2)
+      WHERE tok IN ('join', 'filter', 'window')
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY tok),
+    comp AS (
+      SELECT p.doc_id,
+             LN(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)) AS c
+      FROM post p JOIN dfreq d USING (tok) CROSS JOIN scal s
+    )
+    SELECT doc_id, ROUND(SUM(c), 6) AS bm25
+    FROM comp GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+    """,
+    headline=True,
+)
+def bm25_topk_retrieval(spark, sf_dir):
+    """Lexical retrieval: BM25 top-15 documents for a literal term query
+    (Lucene idf/tf form, k1=1.2 b=0.75). One corpus scan with the term
+    filter applied before the shuffle; corpus scalars (N, avgdl) ride a
+    1-row broadcast; ties pinned by doc id."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=15)
+
+
+@_q(
+    "corpus_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+      FROM toks GROUP BY tok
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, tok ASC) AS INT) AS rank,
+           tok AS token, n_occurrences, n_docs
+    FROM c ORDER BY n_occurrences DESC, tok ASC LIMIT 50
+    """,
+)
+def corpus_top_terms(spark, sf_dir):
+    """Zipf head of the corpus: top-50 tokens by total occurrences with
+    document frequency — the first diagnostic over a new crawl. The cut
+    is TakeOrdered (per-partition partial top-k), never a full-vocab
+    window."""
+    from ..operators.retrieval import top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_terms(docs, k=50)
+
+
+# The 4×64 ±1 JL sign matrix is generated ONCE driver-side and embedded
+# as literals in the Spark plan AND replayed as explicit arithmetic in the
+# oracle — both sides provably share the same matrix.
+_RP_SIGNS = V.projection_signs(4, 64)
+_RP_ORACLE = "SELECT vec_id, " + ", ".join(
+    "ROUND((0.0"
+    + "".join(
+        (" + " if s > 0 else " - ") + f"embedding[{i + 1}]::DOUBLE"
+        for i, s in enumerate(row)
+    )
+    + f") * 0.5, 6) AS p{j}"
+    for j, row in enumerate(_RP_SIGNS)
+) + " FROM embeddings"
+
+
+@_q("embedding_random_projection", _RP_ORACLE)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 random projection 64→4 dims (Achlioptas
+    sign matrix, 1/√4 scale): the dimensionality-reduction stage ahead of
+    ANN indexing at 100 TB. One literal matrix, one ``transform`` pass per
+    row — no shuffle, no UDF; oracle replays the identical arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id", V.random_projection(F.col("embedding"), _RP_SIGNS).alias("p")
+    )
+    return proj.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("p", j + 1), 6).alias(f"p{j}")
+            for j in range(len(_RP_SIGNS))
+        ],
+    )

@@ -1,0 +1,131 @@
+"""Lexical retrieval (BM25, term stats) and JL random projection.
+
+Oracle parity at sf0.01 is covered by test_oracle_parity; these tests pin
+the SEMANTICS on tiny hand-computable corpora and the determinism
+contracts (seeded matrices, pinned ties).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.functions.vectors import (
+    projection_signs,
+    random_projection,
+)
+from alibaba_cppfeaturestore_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    bm25_scores,
+    bm25_topk,
+    top_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    rows = [
+        (1, "spark joins data with data"),
+        (2, "joins joins joins everywhere"),
+        (3, "nothing relevant here at all"),
+        (4, "data data data data data data"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _bm25_expected(corpus_tokens: dict[int, list[str]], terms: list[str]) -> dict[int, float]:
+    n = len(corpus_tokens)
+    avgdl = sum(len(t) for t in corpus_tokens.values()) / n
+    dfreq = {
+        t: sum(1 for toks in corpus_tokens.values() if t in toks) for t in terms
+    }
+    out: dict[int, float] = {}
+    for doc, toks in corpus_tokens.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * (BM25_K1 + 1)) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * len(toks) / avgdl)
+            )
+        if s > 0:
+            out[doc] = s
+    return out
+
+
+def test_bm25_matches_hand_formula(tiny_corpus):
+    terms = ["joins", "data"]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(tiny_corpus, terms).collect()
+    }
+    toks = {
+        1: "spark joins data with data".split(),
+        2: "joins joins joins everywhere".split(),
+        3: "nothing relevant here at all".split(),
+        4: "data data data data data data".split(),
+    }
+    want = _bm25_expected(toks, terms)
+    assert set(got) == set(want)  # doc 3 matches no term -> absent
+    for doc, score in want.items():
+        assert got[doc] == pytest.approx(score, rel=1e-9)
+
+
+def test_bm25_topk_cut_and_tiebreak(tiny_corpus):
+    rows = bm25_topk(tiny_corpus, ["joins", "data"], k=2).collect()
+    assert len(rows) == 2
+    # scores strictly ordered desc; ties would fall back to doc_id asc
+    assert rows[0]["bm25"] >= rows[1]["bm25"]
+
+
+def test_top_terms_counts_and_rank(tiny_corpus):
+    rows = top_terms(tiny_corpus, k=3).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    head = rows[0]
+    # 'data' occurs 8 times across docs 1 and 4
+    assert head["token"] == "data"
+    assert head["n_occurrences"] == 8
+    assert head["n_docs"] == 2
+    # rank 2: 'joins' (4 occurrences, docs 1 and 2)
+    assert rows[1]["token"] == "joins"
+    assert rows[1]["n_occurrences"] == 4
+
+
+def test_projection_signs_deterministic_and_shaped():
+    a = projection_signs(4, 64)
+    b = projection_signs(4, 64)
+    assert a == b
+    assert len(a) == 4 and all(len(r) == 64 for r in a)
+    assert all(s in (1.0, -1.0) for r in a for s in r)
+    # a different seed/dims pair gives a different matrix
+    assert projection_signs(4, 64, seed=1) != a
+
+
+def test_random_projection_of_basis_vectors(spark):
+    """Projecting unit basis vector e_i must yield signs[:, i] / sqrt(out):
+    the projection is exactly the matrix column."""
+    signs = projection_signs(4, 8)
+    basis = [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(basis, ["i", "v"])
+    out = df.select(
+        "i", random_projection(F.col("v"), signs).alias("p")
+    ).collect()
+    for row in out:
+        expect = [signs[j][row["i"]] / math.sqrt(4) for j in range(4)]
+        assert row["p"] == pytest.approx(expect, abs=1e-12)
+
+
+def test_random_projection_preserves_scaled_norm(spark):
+    """E[|p|^2] = |v|^2 under the Achlioptas scaling — for the all-ones
+    vector the projection components are (row sums)/sqrt(out), checkable
+    exactly."""
+    signs = projection_signs(4, 16)
+    df = spark.createDataFrame([([1.0] * 16,)], ["v"])
+    (row,) = df.select(random_projection(F.col("v"), signs).alias("p")).collect()
+    expect = [sum(r) / math.sqrt(4) for r in signs]
+    assert row["p"] == pytest.approx(expect, abs=1e-12)
