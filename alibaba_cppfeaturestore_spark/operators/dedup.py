@@ -626,17 +626,35 @@ def ngram_jaccard_pairs_indexed(
     )
     return (
         cand.join(
-            sorted_docs.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a")),
+            sorted_docs.select(
+                F.col("id").alias("id_a"),
+                F.col("toks").alias("t_a"),
+                F.col("sz").alias("__sz_a"),
+            ),
             "id_a",
         )
         .join(
-            sorted_docs.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b")),
+            sorted_docs.select(
+                F.col("id").alias("id_b"),
+                F.col("toks").alias("t_b"),
+                F.col("sz").alias("__sz_b"),
+            ),
             "id_b",
         )
+        # |A∪B| = |A|+|B|−|A∩B| — the sizes already ride the index, so the
+        # verify computes ONE array_intersect per candidate instead of an
+        # intersect AND a union (array_union re-hashes both arrays); on a
+        # dense corpus the verify touches millions of candidates, so
+        # halving the per-pair array work matters.
+        .withColumn("__inter", F.size(F.array_intersect("t_a", "t_b")))
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("t_a"), F.col("t_b")), 6).alias("jaccard_sim"),
+            F.round(
+                F.col("__inter")
+                / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")),
+                6,
+            ).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
