@@ -138,3 +138,29 @@ def random_projection(v: Column, signs: list[list[float]]) -> Column:
             lambda acc, x: acc + x,
         ),
     )
+
+
+def cosine_similarity_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine — the sanctioned ``pandas_udf`` tier for
+    WIDE vectors (≳4k dims), where the per-element expression tree above
+    loses to one numpy fused kernel per Arrow batch. Semantics are
+    identical to ``cosine_similarity`` (float64 accumulation); an
+    equivalence test pins the two paths against each other, so callers
+    can switch on dimensionality without a correctness cliff."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: this file uses `from __future__ import annotations`, so inline
+    # type hints are strings that pandas_udf cannot resolve against
+    # function-local imports — declare the signature via __annotations__
+    # with the real classes instead.
+    def _cos(xs, ys):
+        xm = np.stack(xs.to_numpy()).astype("float64")
+        ym = np.stack(ys.to_numpy()).astype("float64")
+        num = (xm * ym).sum(axis=1)
+        den = np.sqrt((xm * xm).sum(axis=1)) * np.sqrt((ym * ym).sum(axis=1))
+        return pd.Series(num / den)
+
+    _cos.__annotations__ = {"xs": pd.Series, "ys": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(_cos)(a, b)

@@ -151,3 +151,48 @@ def gap_fill(
     for col, v in fill.items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
     return out
+
+
+def grouped_ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (adjust=False
+    recurrence: y_0 = v_0, y_i = α·v_i + (1−α)·y_{i−1}) over rows ordered
+    by ``order_cols`` within each key.
+
+    This is the engine's grouped-map (``applyInPandas``) tier: the EWMA
+    recurrence is inherently SEQUENTIAL per key — no fixed-depth window
+    or aggregate expresses it, and the power-weight closed form
+    Σ v_j·(1−α)^{i−j} underflows/overflows as a prefix-sum rewrite — so a
+    vectorized per-group pandas kernel (``Series.ewm``) is the sanctioned
+    shape. Scale: one shuffle on the key (same as any groupBy); each
+    group processes independently as an Arrow batch; skew bounded by the
+    largest single key's history, identical to any stateful per-key op.
+
+    Output columns: key, *order_cols, value, ``out_col`` (double).
+    """
+    import pandas as pd
+
+    schema_fields = ", ".join(
+        f"`{c}` {t}"
+        for c, t in df.select(key_col, *order_cols, value_col).dtypes
+    )
+    schema = f"{schema_fields}, `{out_col}` double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().astype("float64")
+        )
+        return pdf
+
+    return (
+        df.select(key_col, *order_cols, value_col)
+        .groupBy(key_col)
+        .applyInPandas(kernel, schema)
+    )

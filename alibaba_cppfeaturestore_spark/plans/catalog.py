@@ -16,9 +16,12 @@ wall-clock, no RNG. Column names match exactly between Spark and oracle
 (the driver sorts columns by name and hashes values).
 
 DuckDB-vs-Spark gotchas handled here:
-- ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it via
-  ``load_table`` (nanosAsLong + ``div 1000``); oracles use
-  ``CAST(ts AS TIMESTAMP)`` — both exact µs (data has zero sub-µs digits).
+- ``events.ts`` drifts between testdata generations — INT64
+  TIMESTAMP(NANOS) (round 1) vs native parquet timestamp → TIMESTAMP_NTZ
+  (round 2+). ``load_table`` normalizes both; queries never do numeric
+  arithmetic on ``ts`` (NTZ casts to neither BIGINT nor DOUBLE) and
+  streams cast it to TIMESTAMP before ``withWatermark`` (NTZ event time
+  is rejected). Oracles use ``CAST(ts AS TIMESTAMP)`` — exact µs either way.
 - double aggregates are rounded on both sides (accumulation-order noise).
 - DuckDB ``SUM(int)`` returns HUGEINT/DECIMAL → oracles cast to BIGINT.
 - DuckDB ``row_number()`` is BIGINT, Spark's is INT → oracles cast.
@@ -4307,3 +4310,37 @@ def embedding_random_projection(spark, sf_dir):
             for j in range(len(_RP_SIGNS))
         ],
     )
+
+
+@_q(
+    "ewma_user_value",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+      FROM events
+    ),
+    y AS (
+      SELECT a.user_id, a.event_id,
+             SUM(b.value * CASE WHEN b.i = 0 THEN POWER(0.5, a.i)
+                                ELSE 0.5 * POWER(0.5, a.i - b.i) END) AS ewma
+      FROM e a JOIN e b ON a.user_id = b.user_id AND b.i <= a.i
+      GROUP BY a.user_id, a.event_id
+    )
+    SELECT user_id, event_id, ROUND(ewma, 6) AS ewma FROM y
+    """,
+)
+def ewma_user_value(spark, sf_dir):
+    """Per-user EWMA of event values (α=0.5, adjust=False recurrence) —
+    the grouped-map ``applyInPandas`` tier (U4/U5): the recurrence is
+    sequential per key, so each user's ordered history runs through a
+    vectorized pandas kernel behind one shuffle on the key. The oracle
+    replays the closed form Σ v_j·w_ij as an O(n² per key) weighted
+    self-join — tractable for the oracle, sequential-time in the engine."""
+    from ..operators.timeseries import grouped_ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = grouped_ewma(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.5, out_col="ewma"
+    )
+    return out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))

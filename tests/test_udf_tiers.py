@@ -1,0 +1,77 @@
+"""The engine's three sanctioned Python tiers, pinned against native paths:
+
+- scalar ``pandas_udf`` (Arrow batch): wide-vector cosine ≡ native HOF cosine
+- grouped-map ``applyInPandas``: per-key EWMA ≡ hand recurrence
+(``mapInPandas`` and ``applyInPandasWithState`` are pinned in
+test_multimodal / test_streaming.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.functions.vectors import (
+    cosine_similarity,
+    cosine_similarity_arrow,
+)
+from alibaba_cppfeaturestore_spark.operators.timeseries import grouped_ewma
+from alibaba_cppfeaturestore_spark.plans.views import load_table
+
+
+def test_arrow_cosine_equals_native(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    pairs = emb.alias("a").crossJoin(emb.alias("b")).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("native"),
+        cosine_similarity_arrow(F.col("a.embedding"), F.col("b.embedding")).alias("arrow"),
+    )
+    rows = pairs.collect()
+    assert len(rows) == 2500
+    for r in rows:
+        assert r["arrow"] == pytest.approx(r["native"], rel=1e-12)
+
+
+def test_grouped_ewma_matches_recurrence(spark):
+    rows = [
+        ("u1", 1, 10.0),
+        ("u1", 2, 20.0),
+        ("u1", 3, 0.0),
+        ("u2", 1, 4.0),
+        ("u2", 2, 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    got = {
+        (r["k"], r["i"]): r["ewma"]
+        for r in grouped_ewma(df, "k", ["i"], "v", alpha=0.5).collect()
+    }
+
+    def rec(vals, a=0.5):
+        y, out = None, []
+        for v in vals:
+            y = v if y is None else a * v + (1 - a) * y
+            out.append(y)
+        return out
+
+    want = {}
+    for k, vals in [("u1", [10.0, 20.0, 0.0]), ("u2", [4.0, 8.0])]:
+        for i, y in enumerate(rec(vals), start=1):
+            want[(k, i)] = y
+    assert set(got) == set(want)
+    for key, y in want.items():
+        assert got[key] == pytest.approx(y, rel=1e-12)
+
+
+def test_grouped_ewma_order_independence_of_input(spark):
+    """Shuffled input order must not change the result — the kernel sorts
+    by the declared order columns inside each group."""
+    rows = [("u1", 3, 1.0), ("u1", 1, 9.0), ("u1", 2, 5.0)]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    got = sorted(
+        (r["i"], r["ewma"])
+        for r in grouped_ewma(df, "k", ["i"], "v", alpha=0.5).collect()
+    )
+    assert got[0] == (1, pytest.approx(9.0))
+    assert got[1] == (2, pytest.approx(7.0))
+    assert got[2] == (3, pytest.approx(4.0))
