@@ -1607,12 +1607,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
 @_q(
     "dedup_clusters",
     r"""
-    WITH RECURSIVE t AS (
+    WITH RECURSIVE t AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(regexp_split_to_array(TRIM(text), '\s+')) AS tokset
       FROM documents
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT * FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                LEN(list_intersect(a.tokset, b.tokset))::DOUBLE
@@ -1620,7 +1620,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
         FROM t a JOIN t b ON a.doc_id < b.doc_id
       ) WHERE jaccard_sim >= 0.9
     ),
-    edges AS (
+    -- MATERIALIZED: without it the recursive reach CTE re-evaluates the
+    -- all-pairs jaccard per fixpoint iteration (~5x oracle wall-clock)
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs
