@@ -764,3 +764,68 @@ def winnow_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def bottomk_sketch_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 16,
+    min_shared: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via a bottom-k sketch with a
+    PORTABLE hash (md5 hex, lexicographic min) — the oracle-checkable
+    member of the sketch-dedup family.
+
+    MinHash/SimHash here key on xxhash64, which no external engine
+    reproduces, so their driver checks are rows-only. The bottom-k
+    sketch trades k permutations for ONE hash function + the k smallest
+    distinct values (Cohen's bottom-k estimator: |B_k(A) ∩ B_k(B)| / k
+    estimates Jaccard with the same concentration as k-permutation
+    MinHash). md5 exists bit-identically in Spark and DuckDB, so the
+    ENTIRE pipeline — sketch, inverted index, shared-hash counts — has a
+    full value oracle.
+
+    Scale shape = the LSH-band pattern: explode each doc's ≤ k sketch
+    hashes into postings, equi-self-join on the hash (only docs sharing
+    a bottom hash ever meet — no |corpus|² pair space), count shared
+    hashes per pair with map-side combine. ``max_bucket_size`` caps
+    degenerate hash buckets (boilerplate guard, same lever as winnow's
+    ``max_postings``); leave None when the output must match the
+    capless oracle.
+    """
+    from ..functions.text import token_shingles
+
+    sk = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        token_shingles(F.col(text_col), shingle_n),
+                        lambda s: F.md5(s),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("sketch"),
+    )
+    posts = sk.select("id", F.explode("sketch").alias("h"))
+    if max_bucket_size is not None:
+        hot = (
+            posts.groupBy("h")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("h")
+        )
+        posts = posts.join(F.broadcast(hot), "h", "left_anti")
+    a, b = posts.alias("a"), posts.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_hashes"))
+        .filter(F.col("shared_hashes") >= min_shared)
+    )

@@ -4346,3 +4346,40 @@ def ewma_user_value(spark, sf_dir):
         ev, "user_id", ["ts", "event_id"], "value", alpha=0.5, out_col="ewma"
     )
     return out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+
+
+@_q(
+    "dedup_bottomk_sketch",
+    r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents
+    ),
+    sk AS (
+      SELECT doc_id,
+             list_slice(
+               list_sort(list_distinct(list_transform(
+                 list_transform(range(1, GREATEST(LEN(toks) - 1, 1)),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                 s -> md5(s)))),
+               1, 16) AS sketch
+      FROM base
+    ),
+    posts AS (SELECT doc_id, UNNEST(sketch) AS h FROM sk)
+    SELECT id_a, id_b, shared_hashes FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_hashes
+      FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ) WHERE shared_hashes >= 8
+    """,
+)
+def dedup_bottomk_sketch(spark, sf_dir):
+    """Sketch-family dedup with a FULL value oracle: bottom-16 md5
+    sketches over word trigrams, inverted-index join on shared bottom
+    hashes, pairs with ≥8/16 shared (Cohen's bottom-k Jaccard estimator
+    ≈ 0.5). The portable-hash counterpart to the xxhash64 MinHash/SimHash
+    paths (which are rows-only checkable) — same LSH-style scale shape:
+    docs only meet through a shared sketch hash, never |corpus|²."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.bottomk_sketch_pairs(
+        docs, text_col="text", id_col="doc_id", shingle_n=3, k=16, min_shared=8
+    )

@@ -129,3 +129,37 @@ def test_random_projection_preserves_scaled_norm(spark):
     (row,) = df.select(random_projection(F.col("v"), signs).alias("p")).collect()
     expect = [sum(r) / math.sqrt(4) for r in signs]
     assert row["p"] == pytest.approx(expect, abs=1e-12)
+
+
+def test_bottomk_sketch_estimates_jaccard(spark):
+    """Identical docs share the full sketch; disjoint docs share none;
+    a doc overlapping half its shingles lands in between."""
+    from alibaba_cppfeaturestore_spark.operators.dedup import bottomk_sketch_pairs
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    b = a  # exact duplicate
+    c = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    rows = bottomk_sketch_pairs(
+        df, shingle_n=3, k=16, min_shared=1
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["shared_hashes"] for r in rows}
+    # the exact-duplicate pair shares its whole (distinct-shingle) sketch
+    assert (1, 2) in got and got[(1, 2)] >= 10
+    # the disjoint doc pairs with nobody
+    assert all(3 not in pair for pair in got)
+
+
+def test_bottomk_sketch_bucket_cap_drops_hot_hash(spark):
+    from alibaba_cppfeaturestore_spark.operators.dedup import bottomk_sketch_pairs
+
+    boiler = "common boiler plate text repeated everywhere always " * 2
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(6)], ["doc_id", "text"]
+    )
+    uncapped = bottomk_sketch_pairs(df, min_shared=1).count()
+    capped = bottomk_sketch_pairs(df, min_shared=1, max_bucket_size=3).count()
+    assert uncapped == 15  # 6 choose 2
+    assert capped == 0  # every bucket is hotter than the cap
