@@ -42,6 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # sample_stratified, q10/q18/q19, text_stats…) yielded their slots to
 # never-driver-checked entries — their green rows stand in
 # CORRECTNESS_r01 and their semantics stay pinned by pytest parity.
+# Round-3 rotation note: once CORRECTNESS_r02 lands green for this
+# window, rotate in the round-2 additions that have never had a driver
+# row (csv_codec_roundtrip, bm25_topk_retrieval, corpus_top_terms,
+# embedding_random_projection, ewma_user_value, dedup_bottomk_sketch) in
+# place of entries r02 just proved, keeping one representative per family.
 _DRIVER_WINDOW = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue",
