@@ -75,6 +75,17 @@ def main() -> None:
     queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
     brute_force_topk(emb, queries, k=3).show()
 
+    print("== Lexical retrieval (BM25) + corpus term stats ==")
+    from alibaba_cppfeaturestore_spark.operators.retrieval import bm25_topk, top_terms
+
+    bm25_topk(docs, ["join", "filter", "window"], k=5).show()
+    top_terms(docs, k=5).show()
+
+    print("== Portable bottom-k sketch dedup ==")
+    from alibaba_cppfeaturestore_spark.operators.dedup import bottomk_sketch_pairs
+
+    bottomk_sketch_pairs(docs, min_shared=8).show(5)
+
     print("== Bounded streaming window ==")
     from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
 
