@@ -140,3 +140,45 @@ def top_terms(
     return head.withColumn("rank", F.row_number().over(w)).select(
         "rank", F.col("tok").alias("token"), "n_occurrences", "n_docs"
     )
+
+
+def unigram_logprob_scores(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-free perplexity proxy: per-document mean log-probability of
+    its tokens under the corpus's own unigram distribution
+    (perplexity = exp(−score)). The standard cheap quality gate in
+    training-data pipelines — documents full of tokens the corpus rarely
+    produces (OCR noise, foreign-script spill, markup debris) score far
+    below the corpus mode and can be quarantined without any external
+    model.
+
+    Two corpus scans, both linear: (1) unigram counts — one groupBy with
+    map-side combine; the corpus total rides a 1-row broadcast
+    (``__scalar_`` pattern); (2) tokens re-exploded and joined to the
+    unigram table (broadcast for bounded vocabularies, shuffled hash
+    join at web scale — Catalyst/AQE decides), then mean log p per doc.
+    Every token is in-vocabulary by construction (the distribution comes
+    from the same corpus), so no smoothing term is needed.
+
+    Output: (id_col, n_tokens, avg_logprob).
+    """
+    exploded = corpus.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    unigrams = exploded.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = unigrams.agg(F.sum("cnt").alias("__scalar_total"))
+    probs = unigrams.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("cnt") / F.col("__scalar_total")).alias("logp")
+    )
+    return (
+        exploded.join(probs, "tok")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("logp").alias("avg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
+    )

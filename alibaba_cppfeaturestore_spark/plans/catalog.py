@@ -4383,3 +4383,35 @@ def dedup_bottomk_sketch(spark, sf_dir):
     return DD.bottomk_sketch_pairs(
         docs, text_col="text", id_col="doc_id", shingle_n=3, k=16, min_shared=8
     )
+
+
+@_q(
+    "quality_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      FROM documents
+    ),
+    uni AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM uni),
+    p AS (SELECT tok, LN(cnt / total) AS logp FROM uni CROSS JOIN tot)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(p.logp), 6) AS avg_logprob
+    FROM toks t JOIN p USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def quality_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score: mean log-probability of each
+    document's tokens under the corpus unigram distribution — the
+    model-free quality gate (low scorers = OCR noise / markup debris /
+    off-distribution text). Two linear scans; vocabulary table broadcast
+    or hash-joined by Catalyst."""
+    from ..operators.retrieval import unigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_logprob_scores(docs)
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
+    )

@@ -163,3 +163,31 @@ def test_bottomk_sketch_bucket_cap_drops_hot_hash(spark):
     capped = bottomk_sketch_pairs(df, min_shared=1, max_bucket_size=3).count()
     assert uncapped == 15  # 6 choose 2
     assert capped == 0  # every bucket is hotter than the cap
+
+
+def test_unigram_logprob_orders_quality(spark):
+    """A doc made of corpus-typical tokens must outscore a doc of
+    singleton junk tokens; values match the hand-computed distribution."""
+    import math
+
+    from alibaba_cppfeaturestore_spark.operators.retrieval import (
+        unigram_logprob_scores,
+    )
+
+    rows = [
+        (1, "the the the cat"),
+        (2, "the cat"),
+        (3, "zxqv jkwp"),  # junk: each token occurs once in the corpus
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob_scores(df).collect()
+    }
+    # corpus: the=4, cat=2, zxqv=1, jkwp=1, total=8
+    lp = lambda c: math.log(c / 8)
+    want1 = (3 * lp(4) + lp(2)) / 4
+    want3 = lp(1)
+    assert got[1][0] == 4 and got[1][1] == pytest.approx(want1, rel=1e-12)
+    assert got[3][1] == pytest.approx(want3, rel=1e-12)
+    assert got[1][1] > got[3][1]  # typical text beats junk
