@@ -48,6 +48,13 @@ def rollup_cascade(
     finalized at the end). The whole cascade is one logical plan — Spark
     runs level k+1 on level k's shuffled output, so the raw table is
     scanned exactly once.
+
+    Float caveat: double addition is NOT associative, so a coarser level's
+    re-aggregated double sum can differ in the last ulp from a direct
+    aggregation of the raw rows — enough to flip a ROUND boundary. Feed a
+    DECIMAL measure column when exact cross-order (or cross-engine)
+    reproducibility matters: decimal addition is associative, so the
+    cascade's sums equal the direct sums bit-for-bit at any level.
     """
     group_cols = group_cols or []
     measures = measures or {}
@@ -96,12 +103,17 @@ def rollup_cascade(
     for t in tiers[1:]:
         out = out.unionByName(t)
 
-    # finalize avgs, drop partial-state columns
+    # finalize avgs, drop partial-state columns. The sum is cast to double
+    # BEFORE the division: for double inputs this is a no-op, and for
+    # decimal inputs (the hash-exact mode — see timeseries_rollup_cascade
+    # in plans/catalog.py) it yields IEEE-deterministic double division of
+    # an exact decimal sum instead of an engine-specific decimal-division
+    # precision rule.
     for name, (_, agg) in measures.items():
         if agg == "avg":
             out = out.withColumn(
                 name,
-                F.col(f"__{name}_sum") / F.col(f"__{name}_cnt"),
+                F.col(f"__{name}_sum").cast("double") / F.col(f"__{name}_cnt"),
             ).drop(f"__{name}_sum", f"__{name}_cnt")
     return out.select(
         F.col("__level").alias("level"),

@@ -2082,35 +2082,54 @@ def stream_online_upsert(spark, sf_dir):
 @_q(
     "timeseries_rollup_cascade",
     """
-    WITH hourly AS (
-      SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS bucket_start,
+    WITH src AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ),
+    hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
              event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
-             ROUND(SUM(value), 2) AS total_value,
-             ROUND(AVG(value), 6) AS avg_value
-      FROM events GROUP BY 1, 2
+             SUM(v) AS sv, COUNT(v) AS cv
+      FROM src GROUP BY 1, 2
     ),
     daily AS (
-      SELECT time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS bucket_start,
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket_start,
              event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
-             ROUND(SUM(value), 2) AS total_value,
-             ROUND(AVG(value), 6) AS avg_value
-      FROM events GROUP BY 1, 2
+             SUM(v) AS sv, COUNT(v) AS cv
+      FROM src GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT '1 hour' AS level, * FROM hourly
+      UNION ALL
+      SELECT '1 day' AS level, * FROM daily
     )
-    SELECT '1 hour' AS level, * FROM hourly
-    UNION ALL
-    SELECT '1 day' AS level, * FROM daily
+    SELECT level, bucket_start, event_type, n,
+           ROUND(CAST(sv AS DOUBLE), 2) AS total_value,
+           ROUND(CAST(sv AS DOUBLE) / cv, 6) AS avg_value
+    FROM u
     """,
 )
 def timeseries_rollup_cascade(spark, sf_dir):
     """Hypertable-style continuous-aggregate cascade: hourly rollup from
     the raw scan, DAILY re-aggregated from the hourly PARTIALS (avg
     carried as sum+count) — the oracle recomputes each level directly
-    from raw, proving the re-aggregation is lossless."""
+    from raw, proving the re-aggregation is lossless.
+
+    The measure is cast to DECIMAL(18,6) up front on BOTH sides: decimal
+    addition is associative, so the cascade's re-aggregated sums match a
+    direct raw aggregation exactly regardless of partial order (the r02
+    driver hash-fail was a double-addition ulp flipping a ROUND boundary
+    on regenerated data). Finalization casts the exact decimal sum to
+    double before ROUND / division, which is IEEE-deterministic and
+    engine-independent."""
     from ..operators.timeseries import rollup_cascade
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
     out = rollup_cascade(
         ev,
         "ts",
@@ -2123,7 +2142,7 @@ def timeseries_rollup_cascade(spark, sf_dir):
         "bucket_start",
         "event_type",
         "n",
-        F.round("total_value", 2).alias("total_value"),
+        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
         F.round("avg_value", 6).alias("avg_value"),
     )
 
