@@ -55,6 +55,20 @@ def exact_dedup(
 _MINHASH_PRIME = (1 << 31) - 1
 
 
+def portable_hash60(col: Column) -> Column:
+    """md5-derived 60-bit non-negative integer hash, reproducible
+    bit-identically by any engine with md5: the first 15 hex chars of
+    md5(s) parsed base-16. DuckDB replay:
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``.
+
+    This is the PORTABLE base hash behind ``portable=True`` on the
+    MinHash/SimHash operators — it trades xxhash64's one-pass speed
+    (md5 is ~3-4× slower per byte) for a full cross-engine value oracle,
+    the ``bottomk_sketch_pairs`` pattern generalized. Production default
+    stays xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _perm_constants(num_hashes: int, seed: int = 0x5EED) -> tuple[list[int], list[int]]:
     import random
 
@@ -77,22 +91,28 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def minhash_signature(
-    text: Column | str, num_hashes: int = 32, shingle_size: int = 5
+    text: Column | str,
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+    portable: bool = False,
 ) -> Column:
     """MinHash signature: array of ``num_hashes`` min-over-shingles hashes.
 
     SINGLE-PASS design: each shingle is string-hashed exactly once
-    (xxhash64 → 31-bit), then the ``num_hashes`` permutations are cheap
-    multiply-add-mod folds inside one ``aggregate`` — the shingle array is
-    built and hashed once per row, not once per hash function. (The naive
+    (xxhash64 → 31-bit; ``portable=True`` swaps in :func:`portable_hash60`
+    so the whole signature replays in DuckDB SQL), then the ``num_hashes``
+    permutations are cheap multiply-add-mod folds inside one ``aggregate``
+    — the shingle array is built and hashed once per row, not once per
+    hash function. (The naive
     ``array(*[array_min(transform(shingles, hash_i))])`` form duplicates
     the shingling+hashing subtree num_hashes times, overflows codegen, and
     falls back to interpreted evaluation — ~100× slower.)"""
     a, b = _perm_constants(num_hashes)
     p = F.lit(_MINHASH_PRIME).cast("long")
+    base = portable_hash60 if portable else F.xxhash64
     hashed = F.transform(
         F.array_distinct(char_shingles(text, shingle_size)),
-        lambda s: F.pmod(F.xxhash64(s), p),
+        lambda s: F.pmod(base(s), p),
     )
     init = F.array_repeat(p, num_hashes)
     return F.aggregate(
@@ -111,13 +131,18 @@ def minhash_signature(
     )
 
 
-def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """Hash each band of the signature → array<struct<band:int,bucket:long>>."""
+def minhash_bands(
+    signature: Column, bands: int, rows_per_band: int, portable: bool = False
+) -> Column:
+    """Hash each band of the signature → array<struct<band:int,bucket:long>>.
+    ``portable=True`` buckets with :func:`portable_hash60` over the same
+    comma-joined band string (DuckDB: ``string_agg(v, ',' ORDER BY i)``)."""
+    bucket_hash = portable_hash60 if portable else F.xxhash64
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
+                bucket_hash(
                     F.concat_ws(
                         ",",
                         *[
@@ -152,6 +177,7 @@ def minhash_lsh_duplicates(
     shingle_size: int = 5,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = 10_000,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate generation via LSH banding + exact-Jaccard verification.
 
@@ -173,7 +199,7 @@ def minhash_lsh_duplicates(
     to disable.
     """
     banded = minhash_band_index(
-        df, text_col, id_col, num_hashes, bands, shingle_size
+        df, text_col, id_col, num_hashes, bands, shingle_size, portable=portable
     )
     banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
@@ -205,6 +231,7 @@ def minhash_band_index(
     num_hashes: int = 32,
     bands: int = 4,
     shingle_size: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH band index rows ``(id, sig, band, bucket)`` for a corpus —
     ``bands`` rows per document. Materialize once (ideally bucketed on
@@ -225,12 +252,16 @@ def minhash_band_index(
     rows_per_band = num_hashes // bands
     sigs = _spread(df).select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("sig"),
+        minhash_signature(
+            F.col(text_col), num_hashes, shingle_size, portable=portable
+        ).alias("sig"),
     )
     return sigs.select(
         "id",
         "sig",
-        F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bb"),
+        F.explode(
+            minhash_bands(F.col("sig"), bands, rows_per_band, portable=portable)
+        ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
 
 
@@ -315,6 +346,7 @@ def minhash_lsh_duplicates_incremental(
     shingle_size: int = 5,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = 10_000,
+    portable: bool = False,
 ) -> DataFrame:
     """Dedup an INGEST BATCH against an already-materialized LSH band
     index (``minhash_band_index`` output) plus within itself — the
@@ -334,7 +366,7 @@ def minhash_lsh_duplicates_incremental(
     way). Proven in tests.
     """
     new_banded = minhash_band_index(
-        new_df, text_col, id_col, num_hashes, bands, shingle_size
+        new_df, text_col, id_col, num_hashes, bands, shingle_size, portable=portable
     ).withColumn("__new", F.lit(True))
     union_banded = _cap_buckets(
         index.select("id", "sig", "band", "bucket").withColumn("__new", F.lit(False)).unionByName(new_banded),
@@ -380,11 +412,14 @@ def minhash_lsh_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash(text: Column | str, hash_bits: int = 64) -> Column:
+def simhash(text: Column | str, hash_bits: int = 64, portable: bool = False) -> Column:
     """SimHash signature over whitespace tokens → bigint.
 
     Per-bit vote: each token's xxhash64 contributes +1/-1 to each bit
     position; the signature sets bits with positive totals.
+    ``portable=True`` votes on :func:`portable_hash60` instead — callers
+    should then pass ``hash_bits=60`` (the portable hash has 60 random
+    bits; bits 60-63 of it are always zero and would vote uniformly).
 
     SINGLE-PASS design: tokens are string-hashed exactly once (the hash is
     bound to a ``transform`` lambda variable), the 64 per-bit votes fold in
@@ -392,7 +427,8 @@ def simhash(text: Column | str, hash_bits: int = 64) -> Column:
     vote-masked powers of two — each sub-result appears once in the
     expression tree, keeping the generated code small enough for
     whole-stage codegen."""
-    hashed = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    base = portable_hash60 if portable else F.xxhash64
+    hashed = F.transform(tokens(text), lambda t: base(t))
     init = F.array_repeat(F.lit(0), hash_bits)
 
     def token_bits(h: Column) -> Column:
@@ -433,13 +469,24 @@ def simhash_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks;
     pairs within hamming ≤ 3 share at least one chunk (pigeonhole), so the
-    candidate join is an equi-join on (chunk_idx, chunk_value)."""
+    candidate join is an equi-join on (chunk_idx, chunk_value).
+
+    ``portable=True`` uses 60-bit md5-derived signatures (chunks of
+    16/16/16/12 effective bits — the pigeonhole argument is unchanged:
+    4 chunks still partition every signature bit, so hamming ≤ 3 implies
+    a shared chunk) and replays fully in DuckDB SQL."""
     df = _spread(df)
     sigs = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig")
+        F.col(id_col).alias("id"),
+        simhash(
+            F.col(text_col),
+            hash_bits=60 if portable else 64,
+            portable=portable,
+        ).alias("sig"),
     )
     chunks = sigs.select(
         "id",

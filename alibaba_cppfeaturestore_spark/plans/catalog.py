@@ -1654,11 +1654,79 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
-@_q("dedup_minhash_lsh", None, headline=True)
+# Permutation constants shared verbatim between the Spark MinHash operator
+# and the DuckDB oracle replay (single source of truth: the operator's
+# _perm_constants seed).
+_MH_A, _MH_B = DD._perm_constants(32)
+_MH_PERM_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+)
+
+# Full DuckDB replay of the portable MinHash-LSH pipeline over a corpus CTE
+# named `corpus(doc_id, text)` supplied by the caller: portable_hash60 base
+# hash → 32 multiply-add-mod permutations → min per permutation → 4 bands
+# of 8 → md5-bucket equi-join → signature screen → exact shingle-Jaccard
+# verify. {extra} narrows the final pair set (incremental variant).
+_MINHASH_ORACLE_TAIL = r"""
+docs AS (SELECT doc_id AS id, text FROM corpus),
+shl AS (
+  SELECT id,
+         list_distinct(list_transform(range(1, GREATEST(LEN(text) - 3, 1)),
+                                      i -> substr(text, i, 5))) AS sh
+  FROM docs
+),
+h AS (
+  SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h0
+  FROM (SELECT id, UNNEST(sh) AS s FROM shl)
+),
+sig AS (
+  SELECT id, i, MIN((h0 * pa + pb) % 2147483647) AS v
+  FROM h CROSS JOIN perms GROUP BY id, i
+),
+band AS (
+  SELECT id, i // 8 AS band,
+         CAST('0x' || substr(md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)), 1, 15) AS BIGINT) AS bucket
+  FROM sig GROUP BY id, i // 8
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+est AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sig sa ON sa.id = c.id_a
+  JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+  GROUP BY c.id_a, c.id_b
+  HAVING SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 32.0 >= 0.8 - 3 * sqrt(0.25 / 32.0)
+)
+SELECT id_a, id_b, jaccard_sim FROM (
+  SELECT e.id_a, e.id_b,
+         ROUND(LEN(list_intersect(a.sh, b.sh))::DOUBLE
+               / GREATEST(LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard_sim
+  FROM est e JOIN shl a ON a.id = e.id_a JOIN shl b ON b.id = e.id_b
+) WHERE jaccard_sim >= 0.8{extra}
+"""
+
+
+@_q(
+    "dedup_minhash_lsh",
+    "WITH perms(i, pa, pb) AS (VALUES " + _MH_PERM_VALUES + """),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz qq extra' AS text FROM documents
+),""" + _MINHASH_ORACLE_TAIL.format(extra=""),
+    headline=True,
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dedup over a corpus with planted near-duplicates
-    (each doc + a mutated copy). Hash-specific → rows-only driver check;
-    pair quality is asserted in tests/test_dedup.py."""
+    (each doc + a mutated copy), in PORTABLE hash mode (md5-derived
+    60-bit base hash + md5 band buckets) so the entire pipeline —
+    signatures, banding, candidate join, signature screen, exact verify —
+    replays as a DuckDB value oracle. Production calls keep the default
+    xxhash64 (same plan shape, ~3× cheaper base hash); the two modes are
+    asserted equivalent-in-structure in tests/test_dedup_similarity.py."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutants = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -1667,7 +1735,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     corpus = docs.unionByName(mutants)
     return DD.minhash_lsh_duplicates(
         corpus, text_col="text", id_col="doc_id",
-        num_hashes=32, bands=4, jaccard_threshold=0.8,
+        num_hashes=32, bands=4, jaccard_threshold=0.8, portable=True,
     )
 
 
@@ -1701,43 +1769,107 @@ def dedup_ngram_jaccard_indexed(spark, sf_dir):
     )
 
 
-@_q("dedup_minhash_incremental", None)
+@_q(
+    "dedup_minhash_incremental",
+    "WITH perms(i, pa, pb) AS (VALUES " + _MH_PERM_VALUES + """),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz qq extra' AS text
+  FROM documents WHERE doc_id < 100
+),"""
+    + _MINHASH_ORACLE_TAIL.format(
+        extra=" AND (id_a >= 1000000 OR id_b >= 1000000)"
+    ),
+)
 def dedup_minhash_incremental(spark, sf_dir):
     """Incremental ingest-batch dedup against a materialized LSH band
     index: history (documents) is indexed once and never re-hashed; the
-    batch (mutated copies) pairs against it. Hash-specific → rows-only;
-    equivalence to full-corpus pairs is proven in
-    tests/test_dedup_similarity.py::test_incremental_minhash_matches_full_corpus."""
+    batch (mutated copies of docs 0-99 — a deterministic filter, so the
+    oracle can rebuild the same batch) pairs against it. PORTABLE hash
+    mode: the oracle replays the FULL-corpus portable pipeline and keeps
+    pairs touching the batch — exactly what the incremental operator
+    guarantees (equivalence also pinned in
+    tests/test_dedup_similarity.py::test_incremental_minhash_matches_full_corpus)."""
     history = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    batch = history.limit(100).select(
+    batch = history.filter(F.col("doc_id") < 100).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz qq extra")).alias("text"),
     )
-    index = DD.minhash_band_index(history)
+    index = DD.minhash_band_index(history, portable=True)
     return DD.minhash_lsh_duplicates_incremental(
-        batch, index, history, num_hashes=32, bands=4, jaccard_threshold=0.8
+        batch, index, history,
+        num_hashes=32, bands=4, jaccard_threshold=0.8, portable=True,
     )
 
 
-@_q("dedup_simhash", None)
+@_q(
+    "dedup_simhash",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id AS id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      FROM corpus
+    ),
+    h AS (SELECT id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+    votes AS (
+      SELECT id, p, SUM(CASE WHEN (h >> p) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN range(0, 60) t(p)
+      GROUP BY id, p
+    ),
+    sig AS (
+      SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+      FROM votes GROUP BY id
+    ),
+    chunks AS (
+      SELECT id, sig, ci, (sig >> (ci * 16)) & 65535 AS cv
+      FROM sig CROSS JOIN range(0, 4) t(ci)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+      FROM chunks a JOIN chunks b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming FROM cand
+    ) WHERE hamming <= 3
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures) over the
-    planted-near-dup corpus. Hash-specific → rows-only."""
+    """SimHash near-dup pairs (hamming ≤ 3) over the planted-near-dup
+    corpus, in PORTABLE mode: 60-bit md5-derived token hashes vote per
+    bit, the signature chunks into 4 pieces for the pigeonhole candidate
+    join, and the whole pipeline — votes, signature assembly, chunk join,
+    hamming filter — replays as a DuckDB value oracle. Production default
+    stays 64-bit xxhash64 (same plan, cheaper hash)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutants = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
     )
     corpus = docs.unionByName(mutants)
-    return DD.simhash_duplicates(corpus, text_col="text", id_col="doc_id", max_hamming=3)
+    return DD.simhash_duplicates(
+        corpus, text_col="text", id_col="doc_id", max_hamming=3, portable=True
+    )
 
 
 @_q("dedup_winnow_containment", None)
 def dedup_winnow_containment(spark, sf_dir):
     """Rolling-hash (winnowing/MOSS) containment pairs over a corpus with
     a planted quoting doc (doc 0's text embedded in a larger doc).
-    Hash-specific → rows-only; the shared-substring guarantee and
-    containment semantics are pinned in tests/test_dedup_similarity.py."""
+
+    PERMANENTLY pytest-pinned (one of exactly two oracle-less entries,
+    with ann_ivf_topk): the winnowing window-minimum selection over a
+    rolling xxhash64 stream has no portable SQL replay — unlike
+    MinHash/SimHash (which gained md5-portable modes), the *selection* of
+    which k-grams survive depends on the hash ordering itself, so an
+    md5 swap changes the output set rather than re-encoding it. The
+    shared-substring guarantee and containment semantics are pinned in
+    tests/test_dedup_similarity.py."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     quoter = docs.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -3421,8 +3553,12 @@ def ann_quantized_topk(spark, sf_dir):
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: MLlib-KMeans coarse quantizer (seeded →
     deterministic), corpus bucketed by nearest cell, queries probe 4 of 16
-    cells. KMeans centroids have no SQL equivalent → rows-only; recall vs
-    brute force asserted in tests."""
+    cells.
+
+    PERMANENTLY pytest-pinned (one of exactly two oracle-less entries,
+    with dedup_winnow_containment): the Lloyd's-iteration KMeans fit has
+    no SQL replay, and the probe set — hence the output — depends on the
+    learned centroids. Recall vs brute force is asserted in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -419,3 +419,48 @@ def test_golden_records_survivorship(spark):
     )
     s = out[9]
     assert (s["name"], s["phone"], s["n_merged"]) == ("Maria", "555-9999", 1)
+
+
+def test_portable_minhash_matches_default_pairs(spark, docs):
+    """portable=True swaps the base/bucket hash family (xxhash64 →
+    md5-derived, DuckDB-replayable) but not the pipeline: shingling,
+    permutations, band geometry, screen, and exact verification are
+    shared. The final pair set is exact-Jaccard-verified, so on a
+    planted-near-dup corpus both hash families must surface the same
+    pairs with the same (hash-independent) jaccard_sim values."""
+    base = docs.limit(50)
+    mutants = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    corpus = base.unionByName(mutants)
+    kw = dict(num_hashes=32, bands=4, jaccard_threshold=0.7)
+    default = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_lsh_duplicates(corpus, **kw).collect()
+    }
+    portable = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_lsh_duplicates(corpus, portable=True, **kw).collect()
+    }
+    assert default == portable
+
+
+def test_portable_simhash_finds_planted_near_dups(spark, docs):
+    """Portable SimHash (60-bit md5-derived votes) keeps the semantic
+    guarantees of the default: planted near-dups recalled via the chunk
+    pigeonhole, hamming bounded by max_hamming."""
+    base = docs.limit(30)
+    mutants = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    pairs = simhash_duplicates(
+        base.unionByName(mutants), max_hamming=3, portable=True
+    )
+    rows = pairs.collect()
+    found = {(r["id_a"], r["id_b"]) for r in rows}
+    planted = {(r["doc_id"], r["doc_id"] + 10_000) for r in base.collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.5, f"portable simhash recall too low: {recall}"
+    assert all(0 <= r["hamming"] <= 3 for r in rows)
