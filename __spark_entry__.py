@@ -25,57 +25,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
 
 
-# The first 50 entries form a COVERING SET across every SURVEY.md §2
-# operator family and every LLM-pipeline extension (the driver checks a
-# 50-query prefix): TPC-H relational core, joins, sketch/exact aggregates,
-# kv parsing+merge, exact/indexed/clustered dedup, fingerprints, ANN
-# (exact, quantized, LSH), embedding pairs, JSON codecs, every streaming
-# family, sessionization, timeseries rollup/gap-fill, range join, CDC,
-# SCD2, data quality, record linkage, feature engineering, reshape,
-# analytics (WoW/corr/AB/funnel/cohort), feature-store retrieval, both
-# Ali-CCP end-to-end pipelines, multimodal plumbing, sampling, text
-# cleaning, PII redaction, repetition quality gates, and benchmark
-# contamination. Every one of the 50 carries a DuckDB oracle. Entries
-# whose outputs are inherently non-portable (minhash/simhash/winnow
-# signatures, KMeans cells) follow after, in catalog order; family
-# variants already driver-green in round 1 (q14, join_broadcast_dim_agg,
-# sample_stratified, q10/q18/q19, text_stats…) yielded their slots to
-# never-driver-checked entries — their green rows stand in
-# CORRECTNESS_r01 and their semantics stay pinned by pytest parity.
-# Round-3 rotation note: once CORRECTNESS_r02 lands green for this
-# window, rotate in the round-2 additions that have never had a driver
-# row (csv_codec_roundtrip, bm25_topk_retrieval, corpus_top_terms,
-# embedding_random_projection, ewma_user_value, dedup_bottomk_sketch) in
-# place of entries r02 just proved, keeping one representative per family.
+# The first 50 entries are the driver's check window (the driver runs a
+# 50-query prefix; every one of the 50 carries a DuckDB oracle). Round-3
+# rotation, executed as planned in round 2: the r02-green entries yielded
+# their slots to the 37 entries with no green driver row yet — the 2
+# non-green from r02 (timeseries_rollup_cascade, now decimal+integer-
+# exact; dedup_minhash_lsh, now portable-hash oracle-backed), the newly
+# oracle-backed dedup_minhash_incremental/dedup_simhash, the new S3/ST3
+# round-trip proofs (write_ignore_roundtrip, stream_checkpoint_restart),
+# the new Delta-semantics txlog + incremental-agg entries, all 14
+# never-checked TPC-H shapes, and the round-2 additions (BM25, bottom-k,
+# JL projection, EWMA, packing, resample, unigram-LM, CSV codec,
+# sliding/session windows, embedding pairs/stats, stratified sample,
+# global top-n). The remaining 13 slots keep one r02-proven
+# representative per family as regression pins. Entries rotated out stay
+# green in CORRECTNESS_r01/r02 and remain pinned by pytest oracle-parity
+# over the full catalog. The only oracle-less entries
+# (dedup_winnow_containment, ann_ivf_topk — permanently pytest-pinned,
+# see their docstrings) sit in the tail, outside the window.
 _DRIVER_WINDOW = [
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue",
+    # -- never green before round 3 (35) --
+    "timeseries_rollup_cascade",
+    "dedup_minhash_lsh", "dedup_minhash_incremental", "dedup_simhash",
+    "write_ignore_roundtrip", "stream_checkpoint_restart",
+    "txlog_time_travel", "incremental_agg_maintenance",
+    "q2_min_cost_supplier", "q4_late_order_priority",
+    "q7_nation_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "q11_important_part_values", "q12_priority_line_mix",
+    "q13_customer_order_distribution", "q15_top_revenue_supplier",
+    "q16_brand_supplier_counts", "q17_small_quantity_revenue",
+    "q20_dominant_part_suppliers", "q21_sole_late_suppliers",
+    "q22_dormant_high_balance",
+    "csv_codec_roundtrip",
+    "bm25_topk_retrieval", "corpus_top_terms", "quality_unigram_logprob",
+    "dedup_bottomk_sketch",
+    "embedding_random_projection", "embedding_threshold_pairs",
+    "embedding_stats_by_label",
+    "ewma_user_value",
+    "sort_global_topn", "sample_stratified",
+    "corpus_mixture_resample", "sequence_packing_plan",
+    "stream_sliding_window_counts", "session_window_stats",
+    # -- r02-proven family representatives (13) --
     "join_semi_in_subquery",
-    "agg_approx_stats",
     "kv_merge_lastwin",
-    "dedup_ngram_jaccard_indexed", "dedup_clusters", "doc_fingerprint",
-    "ann_brute_force_topk", "ann_quantized_topk", "ann_lsh_bucketed_topk",
-    "dedup_semantic_embedding",
-    "json_codec_roundtrip",
+    "dedup_ngram_jaccard_indexed",
+    "ann_brute_force_topk",
     "stream_tumbling_window_counts", "stream_online_upsert",
-    "stream_dedup_exact", "stream_interval_join_attribution",
-    "stream_session_window_stats",
-    "timeseries_rollup_cascade", "timeseries_gap_fill",
+    "timeseries_gap_fill",
     "range_join_pre_purchase_views",
-    "snapshot_diff_cdc", "scd2_user_event_history", "scd2_interval_lookup",
-    "dq_key_violations", "dq_referential_violations",
+    "scd2_user_event_history",
     "record_linkage_customers",
-    "feature_impute_missing", "feature_one_hot_events", "feature_target_encoding",
-    "melt_lineitem_charges",
-    "wow_revenue_change", "feature_correlations", "ab_test_group_summary",
-    "histogram_order_values",
-    "funnel_view_click_purchase", "cohort_weekly_retention",
-    "feature_store_historical_retrieval",
     "aliccp_bronze_to_silver_e2e", "aliccp_silver_to_gold_e2e",
-    "multimodal_decode_metadata", "multimodal_frame_sample", "multimodal_embed_topk",
-    "sample_deterministic",
-    "text_clean_normalize",
-    "text_pii_redact", "text_repetition_rules", "contamination_ngram_overlap",
+    "multimodal_decode_metadata",
 ]
 
 

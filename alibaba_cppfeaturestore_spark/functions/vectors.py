@@ -143,10 +143,14 @@ def random_projection(v: Column, signs: list[list[float]]) -> Column:
 def cosine_similarity_arrow(a: Column, b: Column) -> Column:
     """Arrow-vectorized cosine — the sanctioned ``pandas_udf`` tier for
     WIDE vectors (≳4k dims), where the per-element expression tree above
-    loses to one numpy fused kernel per Arrow batch. Semantics are
-    identical to ``cosine_similarity`` (float64 accumulation); an
-    equivalence test pins the two paths against each other, so callers
-    can switch on dimensionality without a correctness cliff."""
+    loses to one numpy fused kernel per Arrow batch. Semantics match
+    ``cosine_similarity`` (float64 accumulation; NULL on either side →
+    NULL result — null rows are masked out before the ``np.stack``, which
+    would otherwise raise on them); an equivalence test pins the two
+    paths against each other, so callers can switch on dimensionality
+    without a correctness cliff. Precondition shared with the native
+    path: non-null vectors within one batch must have equal length
+    (ragged inputs raise rather than silently zero-pad)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -156,11 +160,16 @@ def cosine_similarity_arrow(a: Column, b: Column) -> Column:
     # function-local imports — declare the signature via __annotations__
     # with the real classes instead.
     def _cos(xs, ys):
-        xm = np.stack(xs.to_numpy()).astype("float64")
-        ym = np.stack(ys.to_numpy()).astype("float64")
-        num = (xm * ym).sum(axis=1)
-        den = np.sqrt((xm * xm).sum(axis=1)) * np.sqrt((ym * ym).sum(axis=1))
-        return pd.Series(num / den)
+        mask = (xs.notna() & ys.notna()).to_numpy()
+        out = pd.array(np.full(len(xs), np.nan), dtype="Float64")
+        out[~mask] = pd.NA
+        if mask.any():
+            xm = np.stack(xs.to_numpy()[mask]).astype("float64")
+            ym = np.stack(ys.to_numpy()[mask]).astype("float64")
+            num = (xm * ym).sum(axis=1)
+            den = np.sqrt((xm * xm).sum(axis=1)) * np.sqrt((ym * ym).sum(axis=1))
+            out[mask] = num / den
+        return pd.Series(out)
 
     _cos.__annotations__ = {"xs": pd.Series, "ys": pd.Series, "return": pd.Series}
     return pandas_udf("double")(_cos)(a, b)

@@ -823,17 +823,20 @@ def bottomk_sketch_pairs(
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via a bottom-k sketch with a
-    PORTABLE hash (md5 hex, lexicographic min) — the oracle-checkable
-    member of the sketch-dedup family.
+    PORTABLE hash (md5 hex, lexicographic min) — the original
+    oracle-checkable member of the sketch-dedup family (MinHash/SimHash
+    have since gained ``portable=True`` modes built on the same idea).
 
-    MinHash/SimHash here key on xxhash64, which no external engine
-    reproduces, so their driver checks are rows-only. The bottom-k
-    sketch trades k permutations for ONE hash function + the k smallest
-    distinct values (Cohen's bottom-k estimator: |B_k(A) ∩ B_k(B)| / k
-    estimates Jaccard with the same concentration as k-permutation
-    MinHash). md5 exists bit-identically in Spark and DuckDB, so the
-    ENTIRE pipeline — sketch, inverted index, shared-hash counts — has a
-    full value oracle.
+    The sketch trades k permutations for ONE hash function + the k
+    smallest distinct values. NB the pairing statistic |B_k(A) ∩ B_k(B)|
+    is a RECALL-ORIENTED CANDIDATE score, not Cohen's bottom-k Jaccard
+    estimator (which intersects each sketch with B_k(A ∪ B)); counting
+    raw sketch overlap OVERestimates Jaccard, so ``min_shared`` maps to a
+    somewhat lower true-similarity cutoff than min_shared/k suggests —
+    fine for candidate generation feeding an exact verify, not for
+    reporting similarity values. md5 exists bit-identically in Spark and
+    DuckDB, so the ENTIRE pipeline — sketch, inverted index, shared-hash
+    counts — has a full value oracle.
 
     Scale shape = the LSH-band pattern: explode each doc's ≤ k sketch
     hashes into postings, equi-self-join on the hash (only docs sharing

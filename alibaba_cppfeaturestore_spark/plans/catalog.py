@@ -208,7 +208,7 @@ def q5(spark, sf_dir):
     "proj_select_cast",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(TRUNC(l_quantity) AS INTEGER) AS qty_int,
            CAST(l_extendedprice AS VARCHAR) AS price_str,
            l_returnflag AS flag
     FROM lineitem
@@ -217,7 +217,13 @@ def q5(spark, sf_dir):
 )
 def proj_select_cast(spark, sf_dir):
     """P1/P7/P8: projection + casts + rename. Deterministic hash-mod
-    'sample' keeps the result small without RNG."""
+    'sample' keeps the result small without RNG.
+
+    Oracle note: Spark's double→int cast TRUNCATES toward zero while
+    DuckDB's rounds half-even, so the oracle must spell TRUNC() — the
+    difference is invisible on integral quantities (two green rounds)
+    but flips ~50% of rows on perturbed data (caught by
+    ``driver_sim --perturb``)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(F.col("l_orderkey") % 100 == 0).select(
         "l_orderkey",
@@ -2212,6 +2218,237 @@ def stream_online_upsert(spark, sf_dir):
 
 
 @_q(
+    "write_ignore_roundtrip",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS m
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           (CASE WHEN m >= 0 THEN (m + 5000) // 10000
+                 ELSE -((-m + 5000) // 10000) END) / 100.0 AS total_value
+    FROM g
+    """,
+)
+def write_ignore_roundtrip(spark, sf_dir):
+    """S3: idempotent table write, driver-visible (reference Delta
+    ``mode("ignore")``, batch_process_Bronze_to_Silver.py:317; parquet
+    fallback in this container). The per-type summary is written once;
+    then a CORRUPTED frame (doubled counts) is written to the same path
+    with mode=ignore — that second write MUST be skipped because the
+    target exists. The read-back matches the direct batch oracle iff
+    ignore-idempotency held; a re-run that overwrote would double
+    n_events. Decimal-exact sum on both sides (associativity-proof, see
+    timeseries_rollup_cascade)."""
+    import os
+    import tempfile
+
+    from ..sources.writers import write_table
+
+    ev = _t(spark, sf_dir, "events")
+    summary = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+            ).alias("m"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            # half-up at scale 2 in exact integer arithmetic (see
+            # timeseries_rollup_cascade for why ROUND(double) is unsafe
+            # on decimal sums)
+            F.expr(
+                "(CASE WHEN m >= 0 THEN (m + 5000) div 10000"
+                " ELSE -((-m + 5000) div 10000) END) / CAST(100 AS DOUBLE)"
+            ).alias("total_value"),
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ignore_write_"), "summary")
+    write_table(summary, path, mode="ignore")
+    corrupted = summary.withColumn("n_events", F.col("n_events") * 2)
+    write_table(corrupted, path, mode="ignore")  # no-op: target exists
+    return spark.read.parquet(path)
+
+
+@_q(
+    "stream_checkpoint_restart",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_checkpoint_restart(spark, sf_dir):
+    """ST3: checkpointed exactly-once file sink proven through a RESTART,
+    driver-visible (reference stream_silver_to_gold.py:144's
+    checkpointLocation). The checkpointed append run processes the staged
+    source once (availableNow); a second start from the SAME checkpoint
+    over the SAME source directory must replay zero batches — file-source
+    offsets and the sink's _spark_metadata commit log live in the
+    checkpoint. The sink's per-type counts equal the batch oracle iff
+    exactly-once held: a lost/ignored checkpoint would double every row
+    (n_events = 2 × n_distinct)."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    workdir = tempfile.mkdtemp(prefix="chk_restart_")
+    stage = os.path.join(workdir, "src")
+    os.makedirs(stage)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    schema = spark.read.parquet(stage).schema
+    sink = os.path.join(workdir, "sink")
+    chk = os.path.join(workdir, "chk")
+    for _ in range(2):  # initial run + restart from the same checkpoint
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .select("event_id", "event_type")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    out = spark.read.parquet(sink)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
+@_q(
+    "txlog_time_travel",
+    """
+    WITH v0 AS (
+      SELECT 0 AS version, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+    ),
+    v1 AS (
+      SELECT 1 AS version, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    v2 AS (
+      SELECT 2 AS version, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE value >= 1.0 GROUP BY event_type
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+)
+def txlog_time_travel(spark, sf_dir):
+    """Delta-semantics substitute, driver-visible (delta-spark is absent
+    from this container every round — ``sources/txlog.py`` closes the
+    semantic gap instead): three commits against a transaction-logged
+    table — append (even-id counts), append (odd-id counts), overwrite
+    (value≥1 counts) — then an ``ignore``-mode write of a corrupted
+    frame that MUST no-op, then snapshot reads of versions 0/1/2 (v2 via
+    the LATEST pointer, proving the ignore added nothing). The oracle
+    recomputes each version's state straight from events: version 0 =
+    even-id counts, version 1 = even+odd appended (= full counts),
+    version 2 = the overwrite. Any torn commit, non-atomic overwrite,
+    honored-ignore, or wrong time-travel fold breaks a version's rows."""
+    import os
+    import tempfile
+
+    from ..sources.txlog import TxTable
+
+    ev = _t(spark, sf_dir, "events")
+    by_type = lambda df: df.groupBy("event_type").agg(  # noqa: E731
+        F.count("*").alias("n_events")
+    )
+    t = TxTable(os.path.join(tempfile.mkdtemp(prefix="txlog_"), "table"))
+    assert t.commit(by_type(ev.filter(F.col("event_id") % 2 == 0)), "append") == 0
+    assert t.commit(by_type(ev.filter(F.col("event_id") % 2 == 1)), "append") == 1
+    assert t.commit(by_type(ev.filter(F.col("value") >= 1.0)), "overwrite") == 2
+    corrupted = by_type(ev).withColumn("n_events", F.col("n_events") * 10)
+    assert t.commit(corrupted, "ignore") is None  # table exists → no-op
+
+    snapshots = []
+    for v, as_of in ((0, 0), (1, 1), (2, None)):  # v2 read via latest
+        snapshots.append(
+            t.read(spark, version=as_of)
+            .groupBy("event_type")
+            .agg(F.sum("n_events").alias("n_events"))
+            .select(F.lit(v).alias("version"), "event_type", "n_events")
+        )
+    out = snapshots[0]
+    for s in snapshots[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+@_q(
+    "incremental_agg_maintenance",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS m,
+             CAST(COUNT(value) AS BIGINT) AS cv
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CASE WHEN m >= 0 THEN (m + 5000) // 10000
+                 ELSE -((-m + 5000) // 10000) END) / 100.0 AS total_value,
+           (CASE WHEN m >= 0 THEN (2 * m + cv) // (2 * cv)
+                 ELSE -((-2 * m + cv) // (2 * cv)) END) / 1000000.0 AS avg_value
+    FROM g
+    """,
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Materialized-view maintenance without re-scanning the base table
+    (``operators/incremental.py``): per-key partial state is built from
+    the historical two-thirds of events, then the remaining third folds
+    in as a delta via partial-state merge (O(|delta|), the base is never
+    re-read). The oracle recomputes the aggregate directly over ALL rows
+    — green iff the incremental merge is lossless. Decimal partials +
+    integer-exact half-up rounding, per the timeseries_rollup_cascade
+    exactness notes."""
+    from ..operators.incremental import (
+        build_agg_state,
+        finalize_agg_state,
+        merge_agg_state,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    keys = ["event_type"]
+    measures = {"total_value": ("value", "sum"), "value_cnt": ("value", "count")}
+    hist = ev.filter(F.col("event_id") % 3 != 2)
+    delta = ev.filter(F.col("event_id") % 3 == 2)
+    state = build_agg_state(hist, keys, measures)
+    merged = merge_agg_state(state, delta, keys, measures)
+    final = finalize_agg_state(merged, keys, measures)
+    final = final.withColumn("m", F.expr("CAST(total_value * 1000000 AS BIGINT)"))
+    return final.select(
+        "event_type",
+        "n",
+        F.expr(
+            "(CASE WHEN m >= 0 THEN (m + 5000) div 10000"
+            " ELSE -((-m + 5000) div 10000) END) / CAST(100 AS DOUBLE)"
+        ).alias("total_value"),
+        F.expr(
+            "(CASE WHEN m >= 0 THEN (2 * m + value_cnt) div (2 * value_cnt)"
+            " ELSE -((-2 * m + value_cnt) div (2 * value_cnt)) END)"
+            " / CAST(1000000 AS DOUBLE)"
+        ).alias("avg_value"),
+    )
+
+
+@_q(
     "timeseries_rollup_cascade",
     """
     WITH src AS (
@@ -2237,26 +2474,34 @@ def stream_online_upsert(spark, sf_dir):
       SELECT '1 hour' AS level, * FROM hourly
       UNION ALL
       SELECT '1 day' AS level, * FROM daily
-    )
+    ),
+    scaled AS (SELECT *, CAST(sv * 1000000 AS BIGINT) AS m FROM u)
     SELECT level, bucket_start, event_type, n,
-           ROUND(CAST(sv AS DOUBLE), 2) AS total_value,
-           ROUND(CAST(sv AS DOUBLE) / cv, 6) AS avg_value
-    FROM u
+           (CASE WHEN m >= 0 THEN (m + 5000) // 10000
+                 ELSE -((-m + 5000) // 10000) END) / 100.0 AS total_value,
+           (CASE WHEN m >= 0 THEN (2 * m + cv) // (2 * cv)
+                 ELSE -((-2 * m + cv) // (2 * cv)) END) / 1000000.0 AS avg_value
+    FROM scaled
     """,
 )
 def timeseries_rollup_cascade(spark, sf_dir):
     """Hypertable-style continuous-aggregate cascade: hourly rollup from
-    the raw scan, DAILY re-aggregated from the hourly PARTIALS (avg
-    carried as sum+count) — the oracle recomputes each level directly
-    from raw, proving the re-aggregation is lossless.
+    the raw scan, DAILY re-aggregated from the hourly PARTIALS (sum and
+    count compose losslessly; avg finalized from them) — the oracle
+    recomputes each level directly from raw, proving the re-aggregation
+    is lossless.
 
-    The measure is cast to DECIMAL(18,6) up front on BOTH sides: decimal
-    addition is associative, so the cascade's re-aggregated sums match a
-    direct raw aggregation exactly regardless of partial order (the r02
-    driver hash-fail was a double-addition ulp flipping a ROUND boundary
-    on regenerated data). Finalization casts the exact decimal sum to
-    double before ROUND / division, which is IEEE-deterministic and
-    engine-independent."""
+    Exactness, two layers (both bitten in practice, r02 + perturbed
+    replay): (1) the measure is cast to DECIMAL(18,6) up front on BOTH
+    sides — decimal addition is associative, so re-aggregated partial
+    sums match direct sums regardless of order (double addition is not:
+    the r02 driver hash-fail). (2) Rounding happens in EXACT INTEGER
+    arithmetic on the ×10⁶-scaled sum (half-up via (2m+c)//(2c)), never
+    ROUND(double): a decimal sum over a small group lands EXACTLY on a
+    round-6 half-boundary (e.g. 132.542005/2 = 66.2710025), where
+    Spark's BigDecimal HALF_UP and DuckDB's binary-double rounding
+    disagree — 12/3535 rows flipped under --perturb. Identical integers
+    divided by 100.0 / 1e6 give bit-identical doubles in any engine."""
     from ..operators.timeseries import rollup_cascade
 
     ev = _t(spark, sf_dir, "events").withColumn(
@@ -2267,15 +2512,23 @@ def timeseries_rollup_cascade(spark, sf_dir):
         "ts",
         levels=["1 hour", "1 day"],
         group_cols=["event_type"],
-        measures={"total_value": ("value", "sum"), "avg_value": ("value", "avg")},
+        measures={"total_value": ("value", "sum"), "value_cnt": ("value", "count")},
     )
+    out = out.withColumn("m", F.expr("CAST(total_value * 1000000 AS BIGINT)"))
     return out.select(
         "level",
         "bucket_start",
         "event_type",
         "n",
-        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
-        F.round("avg_value", 6).alias("avg_value"),
+        F.expr(
+            "(CASE WHEN m >= 0 THEN (m + 5000) div 10000"
+            " ELSE -((-m + 5000) div 10000) END) / CAST(100 AS DOUBLE)"
+        ).alias("total_value"),
+        F.expr(
+            "(CASE WHEN m >= 0 THEN (2 * m + value_cnt) div (2 * value_cnt)"
+            " ELSE -((-2 * m + value_cnt) div (2 * value_cnt)) END)"
+            " / CAST(1000000 AS DOUBLE)"
+        ).alias("avg_value"),
     )
 
 
@@ -4365,8 +4618,10 @@ def csv_codec_roundtrip(spark, sf_dir):
 
 
 # Query terms span the frequency spectrum so idf actually differentiates;
-# they are compile-time literals on both sides.
+# they are compile-time literals on both sides — the oracle SQL below
+# interpolates THIS list, so editing it cannot desync the two sides.
 _BM25_TERMS = ["join", "filter", "window"]
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 @_q(
     "bm25_topk_retrieval",
@@ -4380,7 +4635,7 @@ _BM25_TERMS = ["join", "filter", "window"]
     post AS (
       SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
       FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM b2)
-      WHERE tok IN ('join', 'filter', 'window')
+      WHERE tok IN ({_BM25_TERMS_SQL})
       GROUP BY doc_id, tok
     ),
     dfreq AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY tok),
@@ -4472,19 +4727,18 @@ def embedding_random_projection(spark, sf_dir):
 @_q(
     "ewma_user_value",
     """
-    WITH e AS (
+    WITH RECURSIVE e AS (
       SELECT user_id, event_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
       FROM events
     ),
-    y AS (
-      SELECT a.user_id, a.event_id,
-             SUM(b.value * CASE WHEN b.i = 0 THEN POWER(0.5, a.i)
-                                ELSE 0.5 * POWER(0.5, a.i - b.i) END) AS ewma
-      FROM e a JOIN e b ON a.user_id = b.user_id AND b.i <= a.i
-      GROUP BY a.user_id, a.event_id
+    r AS (
+      SELECT user_id, event_id, i, value, value AS ewma FROM e WHERE i = 0
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.i, e.value, 0.5 * e.value + 0.5 * r.ewma
+      FROM e JOIN r ON e.user_id = r.user_id AND e.i = r.i + 1
     )
-    SELECT user_id, event_id, ROUND(ewma, 6) AS ewma FROM y
+    SELECT user_id, event_id, ewma FROM r
     """,
 )
 def ewma_user_value(spark, sf_dir):
@@ -4492,15 +4746,27 @@ def ewma_user_value(spark, sf_dir):
     the grouped-map ``applyInPandas`` tier (U4/U5): the recurrence is
     sequential per key, so each user's ordered history runs through a
     vectorized pandas kernel behind one shuffle on the key. The oracle
-    replays the closed form Σ v_j·w_ij as an O(n² per key) weighted
-    self-join — tractable for the oracle, sequential-time in the engine."""
+    replays the SAME recurrence step-by-step as a recursive CTE
+    (``0.5·v + 0.5·y``): multiplication by the dyadic α=0.5 is exact in
+    IEEE doubles, so each step incurs exactly one rounding in an
+    identical operation order and the two engines agree BIT-FOR-BIT
+    (verified: pandas ``ewm(adjust=False)`` ≡ the plain recurrence ≡ the
+    DuckDB CTE, bitwise). The earlier closed-form POWER() self-join
+    oracle was equal only to ~1e-12 — a coin-flip at exact-hash ROUND
+    boundaries (caught by ``driver_sim --strict``).
+
+    No ROUND on either side, deliberately: the doubles are bit-identical,
+    and EWMA values on 2-decimal inputs are exact dyadic rationals that
+    land ON round-6 half-boundaries, where Spark's BigDecimal HALF_UP
+    and DuckDB's binary rounding of the SAME double disagree — rounding
+    an already-bit-equal surface only adds divergence."""
     from ..operators.timeseries import grouped_ewma
 
     ev = _t(spark, sf_dir, "events")
     out = grouped_ewma(
         ev, "user_id", ["ts", "event_id"], "value", alpha=0.5, out_col="ewma"
     )
-    return out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+    return out.select("user_id", "event_id", "ewma")
 
 
 @_q(
@@ -4530,10 +4796,13 @@ def ewma_user_value(spark, sf_dir):
 def dedup_bottomk_sketch(spark, sf_dir):
     """Sketch-family dedup with a FULL value oracle: bottom-16 md5
     sketches over word trigrams, inverted-index join on shared bottom
-    hashes, pairs with ≥8/16 shared (Cohen's bottom-k Jaccard estimator
-    ≈ 0.5). The portable-hash counterpart to the xxhash64 MinHash/SimHash
-    paths (which are rows-only checkable) — same LSH-style scale shape:
-    docs only meet through a shared sketch hash, never |corpus|²."""
+    hashes, pairs with ≥8/16 shared bottom hashes — a recall-oriented
+    candidate score (raw sketch overlap overestimates Jaccard vs Cohen's
+    estimator, so the true-similarity cutoff sits somewhat below 0.5;
+    see bottomk_sketch_pairs). The original portable-hash member of the
+    sketch family (MinHash/SimHash now have portable modes too) — same
+    LSH-style scale shape: docs only meet through a shared sketch hash,
+    never |corpus|²."""
     docs = _t(spark, sf_dir, "documents")
     return DD.bottomk_sketch_pairs(
         docs, text_col="text", id_col="doc_id", shingle_n=3, k=16, min_shared=8

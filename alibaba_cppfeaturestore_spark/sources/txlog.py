@@ -1,0 +1,148 @@
+"""Minimal transaction-logged parquet table — Delta-protocol-shaped.
+
+The reference persists its lake tables as Delta with idempotent writes
+(``data_processing/batch_processing/batch_process_Bronze_to_Silver.py:317``,
+``.mode("ignore")``); delta-spark is not installable in this container
+(re-verified every round), so ``sources/readers.py`` falls back to plain
+parquet. This module closes the SEMANTIC gap instead of the dependency
+gap: an ordered JSON commit log over immutable parquet data files, giving
+
+- **atomic commits** — a commit is one ``O_CREAT|O_EXCL`` file create of
+  ``_txlog/<version>.json``; readers either see the whole commit or none
+  of it, and two concurrent writers racing for the same version lose
+  deterministically (optimistic concurrency, same as Delta's protocol);
+- **write modes** — ``append`` / ``overwrite`` / ``ignore`` (the
+  reference's mode: first write wins, later writes are no-ops) /
+  ``error``;
+- **snapshot-isolated reads** — a read resolves the live file set from
+  the log, never from directory listing, so concurrent appends can't
+  tear a scan;
+- **time travel** — ``read(spark, version=N)`` reconstructs any
+  historical snapshot.
+
+Scale notes (the reason Delta exists at 100 TB, reproduced here): the
+reader lists ONE small log directory and then opens exactly the data
+files named by the manifest — no O(files) object-store LIST per query;
+data files are immutable, so caches/replicas never invalidate; an
+``overwrite`` is a logical pointer swap, leaving old files in place for
+readers pinned to older versions (vacuuming is a separate concern, as in
+Delta). The log grows O(commits); real Delta checkpoints it every N
+commits — the hook is ``_live_files``'s fold, which a checkpoint would
+seed, noted rather than built since catalog-scale commit counts here are
+tiny.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TxTable:
+    """A transaction-logged parquet table rooted at ``path``.
+
+    Layout::
+
+        path/
+          _txlog/00000000000000000001.json   # {"mode": ..., "add": [files]}
+          part-<uuid>/...parquet             # immutable data file groups
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_txlog")
+
+    # -- log plumbing -------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _read_commit(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version:020d}.json")) as f:
+            return json.load(f)
+
+    def _live_files(self, as_of: int | None = None) -> list[str]:
+        """Fold the log into the live file set: ``overwrite`` resets,
+        ``append`` extends. A periodic checkpoint would seed this fold
+        with a precomputed set (Delta's `_last_checkpoint`); linear here."""
+        live: list[str] = []
+        for v in self._versions():
+            if as_of is not None and v > as_of:
+                break
+            commit = self._read_commit(v)
+            if commit["mode"] == "overwrite":
+                live = list(commit["add"])
+            else:
+                live.extend(commit["add"])
+        return live
+
+    # -- writes -------------------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int | None:
+        """Write ``df`` as a new immutable file group, then publish it
+        with one atomic log-file create. Returns the committed version,
+        or None for a skipped ``ignore`` write.
+
+        ``ignore`` short-circuits BEFORE writing data (the reference's
+        idempotent-load semantics: if the table exists, the load already
+        happened). The data write lands in an unreferenced directory
+        until the log create succeeds, so a crash mid-write leaves
+        garbage files but never a torn table."""
+        if mode not in ("append", "overwrite", "ignore", "error"):
+            raise ValueError(f"unknown mode: {mode}")
+        existing = self.latest_version()
+        if mode == "ignore" and existing is not None:
+            return None
+        if mode == "error" and existing is not None:
+            raise FileExistsError(f"TxTable at {self.path} already has commits")
+
+        group = f"part-{uuid.uuid4().hex}"
+        data_path = os.path.join(self.path, group)
+        df.write.mode("error").parquet(data_path)
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        version = (existing if existing is not None else -1) + 1
+        record = {
+            "mode": "overwrite" if mode == "overwrite" else "append",
+            "add": [group],
+        }
+        # O_EXCL create = the atomic commit point; a concurrent writer
+        # that claimed this version first makes this raise (caller may
+        # re-resolve and retry — optimistic concurrency).
+        fd = os.open(
+            os.path.join(self.log_dir, f"{version:020d}.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump(record, f)
+        return version
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read as of ``version`` (default: latest). The file
+        set comes from the log — concurrent commits after the fold
+        cannot affect this scan."""
+        files = self._live_files(as_of=version)
+        if not files:
+            raise FileNotFoundError(f"TxTable at {self.path} is empty")
+        return spark.read.parquet(*[os.path.join(self.path, g) for g in files])
+
+    def history(self) -> list[dict]:
+        """Commit history (newest last): version, mode, file groups."""
+        return [
+            {"version": v, **self._read_commit(v)} for v in self._versions()
+        ]

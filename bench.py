@@ -66,6 +66,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Measurement basis, recorded so cross-round comparisons
+                # aren't misread: round 1 timed cold single-shot runs;
+                # rounds ≥2 use this steady-state harness. Numbers from
+                # the two bases are NOT comparable.
+                "methodology": "warmup-pass+gc-between+best-of-2",
             }
         )
     )

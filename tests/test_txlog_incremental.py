@@ -1,0 +1,145 @@
+"""Tests for the transaction-logged table (Delta-semantics substitute)
+and incremental aggregate maintenance."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.operators.incremental import (
+    build_agg_state,
+    finalize_agg_state,
+    merge_agg_state,
+)
+from alibaba_cppfeaturestore_spark.plans.views import load_table
+from alibaba_cppfeaturestore_spark.sources.txlog import TxTable
+
+
+@pytest.fixture
+def tx(tmp_path):
+    return TxTable(str(tmp_path / "table"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+def test_append_overwrite_time_travel(spark, tx):
+    assert tx.commit(_df(spark, [("a", 1)]), "append") == 0
+    assert tx.commit(_df(spark, [("b", 2)]), "append") == 1
+    assert tx.commit(_df(spark, [("c", 3)]), "overwrite") == 2
+    assert tx.commit(_df(spark, [("d", 4)]), "append") == 3
+
+    def rows(version=None):
+        return {
+            (r["k"], r["v"]) for r in tx.read(spark, version=version).collect()
+        }
+
+    assert rows(0) == {("a", 1)}
+    assert rows(1) == {("a", 1), ("b", 2)}
+    assert rows(2) == {("c", 3)}  # overwrite resets the live set
+    assert rows() == {("c", 3), ("d", 4)}
+    assert [h["version"] for h in tx.history()] == [0, 1, 2, 3]
+
+
+def test_ignore_is_noop_and_error_raises(spark, tx):
+    assert tx.commit(_df(spark, [("a", 1)]), "ignore") == 0  # first write lands
+    assert tx.commit(_df(spark, [("X", 99)]), "ignore") is None  # then no-ops
+    assert {(r["k"], r["v"]) for r in tx.read(spark).collect()} == {("a", 1)}
+    with pytest.raises(FileExistsError):
+        tx.commit(_df(spark, [("Y", 0)]), "error")
+
+
+def test_commit_collision_loses_deterministically(spark, tx):
+    """Optimistic concurrency: a writer that computed the same next
+    version as a racer that already published must fail at the atomic
+    log create, leaving the table at the racer's state."""
+    tx.commit(_df(spark, [("a", 1)]), "append")
+    # simulate the racer: claim version 1 directly in the log
+    os.makedirs(tx.log_dir, exist_ok=True)
+    with open(os.path.join(tx.log_dir, f"{1:020d}.json"), "x") as f:
+        json.dump({"mode": "append", "add": []}, f)
+    with pytest.raises(FileExistsError):
+        # loser resolves latest=1 → next=2? No: patch _versions to the
+        # stale view a concurrent writer would hold (it resolved before
+        # the racer published), forcing the same version number.
+        stale = tx.latest_version
+        tx.latest_version = lambda: 0
+        try:
+            tx.commit(_df(spark, [("b", 2)]), "append")
+        finally:
+            tx.latest_version = stale
+    assert {r["k"] for r in tx.read(spark).collect()} == {"a"}
+
+
+def test_read_empty_raises(spark, tx):
+    with pytest.raises(FileNotFoundError):
+        tx.read(spark)
+
+
+def test_manifest_read_ignores_unreferenced_files(spark, tx):
+    """Reads resolve from the log, not directory listing: a data-file
+    group written but never committed (crash between data write and log
+    publish) is invisible."""
+    tx.commit(_df(spark, [("a", 1)]), "append")
+    orphan = os.path.join(tx.path, "part-orphan")
+    _df(spark, [("zzz", 666)]).write.parquet(orphan)
+    assert {r["k"] for r in tx.read(spark).collect()} == {"a"}
+
+
+MEASURES = {"total": ("value", "sum"), "vcnt": ("value", "count")}
+
+
+def test_incremental_merge_equals_direct(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    hist = ev.filter(F.col("event_id") % 3 != 2)
+    delta = ev.filter(F.col("event_id") % 3 == 2)
+    merged = finalize_agg_state(
+        merge_agg_state(
+            build_agg_state(hist, ["event_type"], MEASURES),
+            delta,
+            ["event_type"],
+            MEASURES,
+        ),
+        ["event_type"],
+        MEASURES,
+    )
+    direct = finalize_agg_state(
+        build_agg_state(ev, ["event_type"], MEASURES), ["event_type"], MEASURES
+    )
+    m = {r["event_type"]: (r["n"], r["total"], r["vcnt"]) for r in merged.collect()}
+    d = {r["event_type"]: (r["n"], r["total"], r["vcnt"]) for r in direct.collect()}
+    assert m == d  # decimal partials → EXACT equality, not approximate
+
+
+def test_incremental_merge_handles_new_keys(spark):
+    state = build_agg_state(
+        spark.createDataFrame([("a", 1.0)], ["k", "value"]), ["k"], MEASURES
+    )
+    delta = spark.createDataFrame([("a", 2.0), ("b", 5.0)], ["k", "value"])
+    out = {
+        r["k"]: (r["n"], r["total"])
+        for r in finalize_agg_state(
+            merge_agg_state(state, delta, ["k"], MEASURES), ["k"], MEASURES
+        ).collect()
+    }
+    assert out == {"a": (2, 3.0), "b": (1, 5.0)}
+
+
+def test_incremental_avg_measure_finalizes(spark):
+    measures = {"avg_v": ("value", "avg")}
+    df1 = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["k", "value"])
+    df2 = spark.createDataFrame([("a", 6.0)], ["k", "value"])
+    out = finalize_agg_state(
+        merge_agg_state(build_agg_state(df1, ["k"], measures), df2, ["k"], measures),
+        ["k"],
+        measures,
+    ).collect()
+    assert out[0]["avg_v"] == pytest.approx(3.0)
+    with pytest.raises(ValueError):
+        build_agg_state(df1, ["k"], {"x": ("value", "median")})
