@@ -45,9 +45,10 @@ def rollup_cascade(
 
     Only the FINEST level touches ``df``; each coarser level aggregates
     the previous level's partial state (avg carried as sum+count,
-    finalized at the end). The whole cascade is one logical plan — Spark
-    runs level k+1 on level k's shuffled output, so the raw table is
-    scanned exactly once.
+    finalized at the end), with intermediate tiers PERSISTED so the raw
+    table is scanned exactly once (each tier has two consumers — the
+    next tier and the output union — and without materialization Spark
+    would recompute the whole chain per consumer; see inline note).
 
     Float caveat: double addition is NOT associative, so a coarser level's
     re-aggregated double sum can differ in the last ulp from a direct
@@ -82,6 +83,8 @@ def rollup_cascade(
                 aggs.append(fn(src).alias(out))
         return aggs
 
+    from pyspark import StorageLevel
+
     finest = (
         df.withColumn("__bucket", time_bucket(F.col(ts_col), levels[0]))
         .groupBy("__bucket", *group_cols)
@@ -89,9 +92,20 @@ def rollup_cascade(
         .withColumn("__level", F.lit(levels[0]))
     )
 
+    # Every tier except the last is consumed TWICE — by the next-coarser
+    # tier's re-aggregation AND by the final union. Without persistence
+    # Spark compiles both consumers independently and the raw table is
+    # scanned once per union branch (verified: 2 FileScans, no exchange
+    # reuse even under AQE) — exactly the repeated-scan cost the cascade
+    # exists to avoid. Persisting each intermediate tier pins the
+    # one-raw-scan property; tiers are |keys|×buckets rows (orders of
+    # magnitude smaller than the input), MEMORY_AND_DISK so a huge key
+    # space spills instead of OOMing. Plan-asserted in
+    # tests/test_txlog_incremental.py::test_rollup_cascade_scans_raw_once.
     tiers = [finest]
     for width in levels[1:]:
-        prev = tiers[-1]
+        prev = tiers[-1].persist(StorageLevel.MEMORY_AND_DISK)
+        tiers[-1] = prev
         tiers.append(
             prev.withColumn("__bucket", time_bucket(F.col("__bucket"), width))
             .groupBy("__bucket", *group_cols)

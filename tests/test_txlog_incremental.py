@@ -143,3 +143,24 @@ def test_incremental_avg_measure_finalizes(spark):
     assert out[0]["avg_v"] == pytest.approx(3.0)
     with pytest.raises(ValueError):
         build_agg_state(df1, ["k"], {"x": ("value", "median")})
+
+
+def test_rollup_cascade_scans_raw_once(spark):
+    """The cascade's reason to exist: coarser tiers re-aggregate the
+    finer tier's PERSISTED partials, so the raw table is read only when
+    the cache populates — once. Both consumers of the finest tier (the
+    daily re-aggregation and the output union) must compile to
+    InMemoryTableScan over the shared cached relation; without the
+    persist each branch recompiles the chain and scans raw per level
+    (observed: 2 independent FileScans, no exchange reuse under AQE).
+    NB the plan STRING still shows a FileScan per InMemoryTableScan —
+    that's the cached relation's definition printed inline, not an
+    execution scan."""
+    from alibaba_cppfeaturestore_spark.operators.timeseries import rollup_cascade
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = rollup_cascade(
+        ev, "ts", ["1 hour", "1 day"], ["event_type"], {"t": ("value", "sum")}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 2
