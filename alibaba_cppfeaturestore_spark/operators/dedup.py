@@ -178,8 +178,12 @@ def minhash_lsh_duplicates(
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = 10_000,
     portable: bool = False,
+    prune_verify_texts: bool = False,
 ) -> DataFrame:
     """Candidate generation via LSH banding + exact-Jaccard verification.
+    ``prune_verify_texts``: shingle only candidate rows in the verify
+    stage — enable at scale / low duplicate density (see
+    ``_exact_verify`` for the measured tradeoff; output identical).
 
     Returns duplicate pairs ``(id_a, id_b, jaccard_sim)`` with id_a < id_b.
     Scale shape: signatures are per-row expressions; candidates come from a
@@ -198,10 +202,22 @@ def minhash_lsh_duplicates(
     (their members are still candidates via their other bands); set None
     to disable.
     """
+    from pyspark import StorageLevel
+
     banded = minhash_band_index(
         df, text_col, id_col, num_hashes, bands, shingle_size, portable=portable
     )
-    banded = _cap_buckets(banded, max_bucket_size)
+    # The band index feeds BOTH sides of the candidate self-join, and
+    # Spark compiles each side independently (no ReusedExchange fires —
+    # verified on the executed plan), so without materialization the
+    # corpus is scanned and signature-hashed TWICE. Persist the index
+    # (|corpus|×bands small rows — ids + signatures, never the text);
+    # MEMORY_AND_DISK so a 100 TB corpus's index spills instead of
+    # OOMing. Same reasoning as ngram_jaccard_pairs_indexed's persisted
+    # prefix index.
+    banded = _cap_buckets(banded, max_bucket_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -221,7 +237,9 @@ def minhash_lsh_duplicates(
     )
     est = _signature_screen(cand, num_hashes, jaccard_threshold)
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    return _exact_verify(est, texts, shingle_size, jaccard_threshold)
+    return _exact_verify(
+        est, texts, shingle_size, jaccard_threshold, prune_texts=prune_verify_texts
+    )
 
 
 def minhash_band_index(
@@ -306,9 +324,39 @@ def _exact_verify(
     texts: DataFrame,
     shingle_size: int,
     jaccard_threshold: float,
+    prune_texts: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs against a
-    ``(id, text)`` source covering every candidate id."""
+    ``(id, text)`` source covering every candidate id.
+
+    ``prune_texts`` picks the verify shape by CANDIDATE DENSITY, and the
+    default is deliberate (both shapes measured at sf0.1):
+
+    - False (default): shingle the full text source and hash-join the
+      single-consumer candidate stream through it. Costs two full
+      shingle passes (one per join side — Spark compiles them
+      independently), but everything pipelines and nothing blocks.
+      Right when candidates ≈ corpus — on the synthetic 7.7%-duplicate
+      bench corpus this runs 3.6 s vs 10.5 s for the pruned shape,
+      whose est materialization (~10⁶ pairs) and blocking semi-join
+      dominate.
+    - True: persist the candidate pairs, semi-join the text source down
+      to candidate ids, shingle only those. Right when candidates ≪
+      corpus — the 100 TB production case (dup density a few %), where
+      two FULL shingle passes are the dominant cost and the pruned scan
+      touches a tiny fraction of rows. Callers at scale should enable
+      this; the pair OUTPUT is identical either way (asserted in
+      tests/test_dedup_similarity.py)."""
+    from pyspark import StorageLevel
+
+    if prune_texts:
+        est = est.persist(StorageLevel.MEMORY_AND_DISK)
+        cand_ids = (
+            est.select(F.col("id_a").alias("id"))
+            .unionByName(est.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        texts = texts.join(cand_ids, "id", "left_semi")
     shingled = texts.select(
         "id",
         F.array_distinct(char_shingles(F.col("text"), shingle_size)).alias("sh"),
@@ -347,6 +395,7 @@ def minhash_lsh_duplicates_incremental(
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = 10_000,
     portable: bool = False,
+    prune_verify_texts: bool = True,
 ) -> DataFrame:
     """Dedup an INGEST BATCH against an already-materialized LSH band
     index (``minhash_band_index`` output) plus within itself — the
@@ -365,13 +414,18 @@ def minhash_lsh_duplicates_incremental(
     bucket cap, which here applies to the union's bucket sizes the same
     way). Proven in tests.
     """
+    from pyspark import StorageLevel
+
     new_banded = minhash_band_index(
         new_df, text_col, id_col, num_hashes, bands, shingle_size, portable=portable
     ).withColumn("__new", F.lit(True))
+    # persisted for the same two-sided-self-join reason as
+    # minhash_lsh_duplicates: without it the batch is re-hashed (and the
+    # index re-read) once per join side
     union_banded = _cap_buckets(
         index.select("id", "sig", "band", "bucket").withColumn("__new", F.lit(False)).unionByName(new_banded),
         max_bucket_size,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = union_banded.alias("a")
     b = union_banded.alias("b")
     cand = (
@@ -397,7 +451,13 @@ def minhash_lsh_duplicates_incremental(
             new_df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         )
     )
-    return _exact_verify(est, texts, shingle_size, jaccard_threshold)
+    # prune_verify_texts defaults True HERE (unlike the full-corpus path):
+    # every candidate pair touches the small batch, so candidates ≪
+    # history and the semi-join makes "history text is scanned only for
+    # candidate ids" literally true.
+    return _exact_verify(
+        est, texts, shingle_size, jaccard_threshold, prune_texts=prune_verify_texts
+    )
 
 
 def minhash_lsh_dedup(
@@ -488,6 +548,8 @@ def simhash_duplicates(
             portable=portable,
         ).alias("sig"),
     )
+    from pyspark import StorageLevel
+
     chunks = sigs.select(
         "id",
         "sig",
@@ -504,7 +566,12 @@ def simhash_duplicates(
                 ]
             )
         ).alias("c"),
-    ).select("id", "sig", "c.chunk_idx", "c.chunk_val")
+    # persisted: the chunk index feeds both self-join sides; without it
+    # every document's signature (a full token-hash vote fold) is
+    # computed twice (no ReusedExchange fires — see minhash note)
+    ).select("id", "sig", "c.chunk_idx", "c.chunk_val").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -863,7 +930,13 @@ def bottomk_sketch_pairs(
             k,
         ).alias("sketch"),
     )
-    posts = sk.select("id", F.explode("sketch").alias("h"))
+    from pyspark import StorageLevel
+
+    # persisted: postings feed both self-join sides (same recompute trap
+    # as the minhash band index — the md5 sketch would be built twice)
+    posts = sk.select("id", F.explode("sketch").alias("h")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if max_bucket_size is not None:
         hot = (
             posts.groupBy("h")

@@ -464,3 +464,27 @@ def test_portable_simhash_finds_planted_near_dups(spark, docs):
     recall = len(found & planted) / len(planted)
     assert recall >= 0.5, f"portable simhash recall too low: {recall}"
     assert all(0 <= r["hamming"] <= 3 for r in rows)
+
+
+def test_verify_prune_shape_output_identical(spark, docs):
+    """prune_verify_texts changes the verify PLAN (shingle only
+    candidate rows behind a semi-join) but never the output — the
+    candidate set and the per-pair exact Jaccard are shape-independent."""
+    base = docs.limit(50)
+    mutants = base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    corpus = base.unionByName(mutants)
+    kw = dict(num_hashes=32, bands=4, jaccard_threshold=0.7)
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_lsh_duplicates(corpus, **kw).collect()
+    }
+    pruned = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in minhash_lsh_duplicates(
+            corpus, prune_verify_texts=True, **kw
+        ).collect()
+    }
+    assert plain == pruned
