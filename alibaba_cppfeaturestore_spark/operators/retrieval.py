@@ -163,12 +163,23 @@ def unigram_logprob_scores(
     Every token is in-vocabulary by construction (the distribution comes
     from the same corpus), so no smoothing term is needed.
 
+    The (|vocab|-row) unigram table is PERSISTED: it has two consumers
+    (the total and the probability table), and without materialization
+    each recompiles the tokenize→explode→groupBy chain — a third full
+    corpus scan for one scalar.
+
     Output: (id_col, n_tokens, avg_logprob).
     """
+    from pyspark import StorageLevel
+
     exploded = corpus.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    unigrams = exploded.groupBy("tok").agg(F.count("*").alias("cnt"))
+    unigrams = (
+        exploded.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     total = unigrams.agg(F.sum("cnt").alias("__scalar_total"))
     probs = unigrams.crossJoin(F.broadcast(total)).select(
         "tok", F.log(F.col("cnt") / F.col("__scalar_total")).alias("logp")

@@ -149,20 +149,42 @@ def fit_target_encoding(
 ) -> DataFrame:
     """m-estimate target encoding: per-category smoothed label mean
     ``(sum + m·global_mean) / (n + m)`` — the shrinkage keeps rare
-    categories near the global mean instead of memorizing noise. The fit
-    is one aggregation; the (|vocab|-row) table broadcasts on apply."""
-    stats = df.groupBy(F.col(cat_col).alias("value")).agg(
-        F.sum(label_col).alias("s"), F.count(label_col).alias("n")
+    categories near the global mean instead of memorizing noise.
+
+    The fit is LITERALLY one aggregation: a ROLLUP grouping set computes
+    the per-category partials and the grand total in the same scan
+    (Spark expands grouping sets map-side), and the global mean is the
+    grand-total row's sum/count — a separate ``df.agg(avg)`` would scan
+    the base table a second time for one number. The (|vocab|+1)-row
+    result is persisted because both the category slice and the
+    grand-total slice consume it; the (|vocab|-row) table broadcasts on
+    apply."""
+    from pyspark import StorageLevel
+
+    agg = (
+        df.rollup(F.col(cat_col).alias("value"))
+        .agg(
+            F.sum(label_col).alias("s"),
+            F.count(label_col).alias("n"),
+            F.grouping_id().alias("__gid"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # "__scalar_" prefix marks a deliberate 1-row broadcast cross join
     # (the plan audit allows BroadcastNestedLoopJoin only for these)
-    overall = df.agg(F.avg(label_col).alias("__scalar_gm"))
-    return stats.crossJoin(F.broadcast(overall)).select(
-        "value",
-        (
-            (F.col("s") + F.lit(smoothing) * F.col("__scalar_gm"))
-            / (F.col("n") + F.lit(smoothing))
-        ).alias("encoding"),
+    overall = agg.filter(F.col("__gid") == 1).select(
+        (F.col("s") / F.col("n")).alias("__scalar_gm")
+    )
+    return (
+        agg.filter(F.col("__gid") == 0)
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "value",
+            (
+                (F.col("s") + F.lit(smoothing) * F.col("__scalar_gm"))
+                / (F.col("n") + F.lit(smoothing))
+            ).alias("encoding"),
+        )
     )
 
 

@@ -3509,7 +3509,16 @@ def corpus_mixture_resample(spark, sf_dir):
     FLOOR boundaries agree bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
     w = 0.2
-    counts = docs.groupBy("lang").agg(F.count("*").cast("double").alias("c"))
+    # persisted: the tiny |groups|-row count table feeds both the
+    # feasible-total scalar and the accept-rate table — unpersisted,
+    # each consumer would rescan the corpus
+    from pyspark import StorageLevel
+
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count("*").cast("double").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # "__scalar_" marks the 1-row broadcast join for the plan audit
     # (tests/test_plans.py::test_no_unbounded_join_products)
     feasible = counts.agg(F.min(F.col("c") / F.lit(w)).alias("__scalar_total"))
