@@ -40,10 +40,42 @@ def fit_dictionary(df: DataFrame, column: str) -> DataFrame:
 
 
 def fit_dictionaries(df: DataFrame, columns: list[str]) -> dict[str, DataFrame]:
-    """Fit dictionaries for many columns. Each is an independent small
-    aggregate; Spark schedules them as separate jobs sharing the scan via
-    parquet column pruning."""
-    return {c: fit_dictionary(df, c) for c in columns}
+    """Fit dictionaries for many columns in ONE pass over ``df``: a
+    GROUPING SETS aggregation ((c1), (c2), …, (ck)) computes every
+    column's vocabulary counts in a single scan (Spark expands grouping
+    sets map-side), where per-column ``fit_dictionary`` calls would scan
+    the input k times — at 100 TB the difference between one read of the
+    fact table and sixteen. The combined (Σ|vocab_i|)-row result is
+    persisted (every column's slice consumes it); each slice then ranks
+    under the same (count desc, value asc) window as the single-column
+    fit, so the output dictionaries are IDENTICAL to k independent fits
+    (asserted in tests/test_gold_and_sampling.py)."""
+    if len(columns) == 1:
+        return {columns[0]: fit_dictionary(df, columns[0])}
+    from pyspark import StorageLevel
+
+    k = len(columns)
+    agg = (
+        df.groupingSets(
+            [[F.col(c)] for c in columns], *[F.col(c) for c in columns]
+        )
+        .agg(F.count("*").alias("cnt"), F.grouping_id().alias("__gid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out = {}
+    for i, c in enumerate(columns):
+        # grouping_id bit j (MSB-first over the grouping columns) is set
+        # when column j is aggregated away → the {c_i}-only set has every
+        # bit set except bit i
+        gid = sum(1 << (k - 1 - j) for j in range(k) if j != i)
+        counts = agg.filter(F.col("__gid") == gid).select(
+            F.col(c).alias("value"), "cnt"
+        )
+        w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+        out[c] = counts.select(
+            "value", (F.row_number().over(w) - F.lit(1)).alias("index")
+        )
+    return out
 
 
 def encode_with_dictionaries(

@@ -57,3 +57,25 @@ def test_mllib_stringindexer_compat_matches_native(spark):
     assert sorted(r["v"] for r in enc_native.collect()) == sorted(
         r["v"] for r in enc_mllib.collect()
     ) == [0, 3, 4]  # unseen -> |vocab|
+
+
+def test_one_pass_fit_dictionaries_equals_per_column(spark):
+    """fit_dictionaries computes every column's vocabulary in ONE
+    grouping-sets scan; the resulting dictionaries must be identical to
+    k independent fit_dictionary calls (same counts, same deterministic
+    (count desc, value asc) ranking)."""
+    from alibaba_cppfeaturestore_spark.operators.dictionary import (
+        fit_dictionaries,
+        fit_dictionary,
+    )
+    from alibaba_cppfeaturestore_spark.plans.views import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id", "props"
+    )
+    cols = ["event_type", "user_id", "props"]
+    combined = fit_dictionaries(ev, cols)
+    for c in cols:
+        one = {r["value"]: r["index"] for r in fit_dictionary(ev, c).collect()}
+        multi = {r["value"]: r["index"] for r in combined[c].collect()}
+        assert multi == one, c
