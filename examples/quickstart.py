@@ -91,6 +91,35 @@ def main() -> None:
 
     QUERIES["stream_tumbling_window_counts"].spark(spark, SF_DIR).show(5)
 
+    print("== Transaction-logged table: commits, ignore, time travel ==")
+    import tempfile
+
+    from alibaba_cppfeaturestore_spark.sources.txlog import TxTable
+
+    t = TxTable(tempfile.mkdtemp(prefix="qs_txlog_") + "/table")
+    ev = spark.table("events")
+    t.commit(ev.groupBy("event_type").count(), "append")
+    t.commit(ev.filter(F.col("value") >= 1.0).groupBy("event_type").count(), "overwrite")
+    t.commit(ev.limit(0).groupBy("event_type").count(), "ignore")  # no-op
+    print("history:", [(h["version"], h["mode"]) for h in t.history()])
+    t.read(spark, version=0).show(3)  # time travel to the first commit
+
+    print("== Incremental aggregate maintenance (no base re-scan) ==")
+    from alibaba_cppfeaturestore_spark.operators.incremental import (
+        build_agg_state,
+        finalize_agg_state,
+        merge_agg_state,
+    )
+
+    measures = {"total_value": ("value", "sum")}
+    state = build_agg_state(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], measures
+    )
+    merged = merge_agg_state(
+        state, ev.filter(F.col("event_id") % 2 == 1), ["event_type"], measures
+    )
+    finalize_agg_state(merged, ["event_type"], measures).show(5)
+
     spark.stop()
 
 
