@@ -28,16 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # The first 50 entries are the driver's check window (the driver runs a
 # 50-query prefix; every one of the 50 carries a DuckDB oracle). Round-3
 # rotation, executed as planned in round 2: the r02-green entries yielded
-# their slots to the 37 entries with no green driver row yet — the 2
+# their slots to the 39 entries with no green driver row yet — the 2
 # non-green from r02 (timeseries_rollup_cascade, now decimal+integer-
 # exact; dedup_minhash_lsh, now portable-hash oracle-backed), the newly
 # oracle-backed dedup_minhash_incremental/dedup_simhash, the new S3/ST3
 # round-trip proofs (write_ignore_roundtrip, stream_checkpoint_restart),
-# the new Delta-semantics txlog + incremental-agg entries, all 14
+# the Delta-semantics txlog entries (time travel + MERGE upsert),
+# incremental-agg maintenance, percentile bands, all 14
 # never-checked TPC-H shapes, and the round-2 additions (BM25, bottom-k,
 # JL projection, EWMA, packing, resample, unigram-LM, CSV codec,
 # sliding/session windows, embedding pairs/stats, stratified sample,
-# global top-n). The remaining 13 slots keep one r02-proven
+# global top-n). The remaining 11 slots keep one r02-proven
 # representative per family as regression pins. Entries rotated out stay
 # green in CORRECTNESS_r01/r02 and remain pinned by pytest oracle-parity
 # over the full catalog. The only oracle-less entries
@@ -48,7 +49,8 @@ _DRIVER_WINDOW = [
     "timeseries_rollup_cascade",
     "dedup_minhash_lsh", "dedup_minhash_incremental", "dedup_simhash",
     "write_ignore_roundtrip", "stream_checkpoint_restart",
-    "txlog_time_travel", "incremental_agg_maintenance",
+    "txlog_time_travel", "txlog_merge_upsert",
+    "incremental_agg_maintenance", "analytics_percentile_bands",
     "q2_min_cost_supplier", "q4_late_order_priority",
     "q7_nation_volume_shipping", "q8_market_share", "q9_product_type_profit",
     "q11_important_part_values", "q12_priority_line_mix",
@@ -65,14 +67,12 @@ _DRIVER_WINDOW = [
     "sort_global_topn", "sample_stratified",
     "corpus_mixture_resample", "sequence_packing_plan",
     "stream_sliding_window_counts", "session_window_stats",
-    # -- r02-proven family representatives (13) --
+    # -- r02-proven family representatives (11) --
     "join_semi_in_subquery",
     "kv_merge_lastwin",
     "dedup_ngram_jaccard_indexed",
     "ann_brute_force_topk",
     "stream_tumbling_window_counts", "stream_online_upsert",
-    "timeseries_gap_fill",
-    "range_join_pre_purchase_views",
     "scd2_user_event_history",
     "record_linkage_customers",
     "aliccp_bronze_to_silver_e2e", "aliccp_silver_to_gold_e2e",

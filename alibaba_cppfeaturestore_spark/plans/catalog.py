@@ -2391,6 +2391,94 @@ def txlog_time_travel(spark, sf_dir):
 
 
 @_q(
+    "txlog_merge_upsert",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             (user_id % 7 = 0) AS del
+      FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+    )
+    SELECT user_id, n_events FROM t
+    WHERE user_id NOT IN (SELECT user_id FROM s)
+    UNION ALL
+    SELECT user_id, n_events FROM s WHERE NOT del
+    """,
+)
+def txlog_merge_upsert(spark, sf_dir):
+    """Delta MERGE INTO semantics on the transaction-logged table: a
+    per-user base state is committed, then a CDC-style changeset (rows
+    from the odd-id half: whole-row updates for existing users, inserts
+    for new ones, deletes flagged for user_id % 7 = 0) merges in as a
+    new overwrite version. The oracle recomputes the post-merge state
+    relationally: base keys untouched by the source, plus non-deleted
+    source rows. Wrong anti-join semantics, an honored delete, or a
+    non-atomic version swap each break the row set."""
+    import os
+    import tempfile
+
+    from ..sources.txlog import TxTable
+
+    ev = _t(spark, sf_dir, "events")
+    t = TxTable(os.path.join(tempfile.mkdtemp(prefix="txmerge_"), "table"))
+    base = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    t.commit(base, "append")
+    source = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("__deleted", F.col("user_id") % 7 == 0)
+    )
+    assert t.merge_upsert(source, ["user_id"], delete_col="__deleted") == 1
+    return t.read(spark)
+
+
+@_q(
+    "analytics_percentile_bands",
+    """
+    SELECT CAST(band AS INTEGER) AS band, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM (SELECT o_orderpriority, o_totalprice,
+                 NTILE(4) OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS band
+          FROM orders)
+    GROUP BY band, o_orderpriority
+    """,
+)
+def analytics_percentile_bands(spark, sf_dir):
+    """Quartile banding per order priority: NTILE over a per-group total
+    order (o_orderkey tiebreak → deterministic), then band boundaries.
+    PARTITION BY keeps the window parallel (one task per priority, no
+    global sort); a GLOBAL ntile would serialize into a single window
+    task at scale — for whole-table quantiles use the approx_percentile
+    sketch path (agg_approx_stats). lo/hi are raw column doubles —
+    bit-identical across engines, no ROUND needed."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("band"),
+        )
+        .groupBy("band", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@_q(
     "incremental_agg_maintenance",
     """
     WITH g AS (

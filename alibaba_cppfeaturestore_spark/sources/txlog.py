@@ -146,3 +146,33 @@ class TxTable:
         return [
             {"version": v, **self._read_commit(v)} for v in self._versions()
         ]
+
+    def merge_upsert(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        delete_col: str | None = None,
+    ) -> int:
+        """Delta ``MERGE INTO`` semantics against the latest snapshot:
+        a source row UPDATES the target row with its key (whole-row
+        replace), INSERTS if the key is absent, and DELETES it when
+        ``delete_col`` (a boolean column on the source, dropped from the
+        output) is true. Commits the merged state as a new ``overwrite``
+        version — old snapshots stay time-travelable, exactly like
+        Delta's MERGE producing a new table version.
+
+        Plan shape: one anti join (target keys surviving untouched) +
+        one filter + union — no full-outer row matching, because the
+        update rule is whole-row replace (the common CDC-apply case).
+        At scale both sides shuffle on ``keys`` once; with the target
+        bucketed on keys the anti join is exchange-free."""
+        from pyspark.sql import functions as F
+
+        spark = source.sparkSession
+        target = self.read(spark)
+        survivors = target.join(source.select(*keys), keys, "left_anti")
+        incoming = source
+        if delete_col is not None:
+            incoming = incoming.filter(~F.col(delete_col)).drop(delete_col)
+        merged = survivors.unionByName(incoming)
+        return self.commit(merged, "overwrite")

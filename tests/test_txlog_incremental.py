@@ -164,3 +164,22 @@ def test_rollup_cascade_scans_raw_once(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") == 2
+
+
+def test_merge_upsert_updates_inserts_deletes(spark, tx):
+    tx.commit(_df(spark, [("a", 1), ("b", 2), ("c", 3)]), "append")
+    source = spark.createDataFrame(
+        [("b", 20, False), ("d", 4, False), ("c", 0, True)],
+        ["k", "v", "__deleted"],
+    )
+    v = tx.merge_upsert(source, ["k"], delete_col="__deleted")
+    assert v == 1
+    assert {(r["k"], r["v"]) for r in tx.read(spark).collect()} == {
+        ("a", 1),   # untouched
+        ("b", 20),  # updated
+        ("d", 4),   # inserted
+    }                # c deleted
+    # pre-merge snapshot still time-travelable
+    assert {(r["k"], r["v"]) for r in tx.read(spark, version=0).collect()} == {
+        ("a", 1), ("b", 2), ("c", 3)
+    }
