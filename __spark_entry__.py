@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dedup_winnow_containment, ann_ivf_topk — permanently pytest-pinned,
 # see their docstrings) sit in the tail, outside the window.
 _DRIVER_WINDOW = [
-    # -- never green before round 3 (35) --
+    # -- never green before round 3 (39) --
     "timeseries_rollup_cascade",
     "dedup_minhash_lsh", "dedup_minhash_incremental", "dedup_simhash",
     "write_ignore_roundtrip", "stream_checkpoint_restart",
