@@ -25,11 +25,11 @@ reader lists ONE small log directory and then opens exactly the data
 files named by the manifest — no O(files) object-store LIST per query;
 data files are immutable, so caches/replicas never invalidate; an
 ``overwrite`` is a logical pointer swap, leaving old files in place for
-readers pinned to older versions (vacuuming is a separate concern, as in
-Delta). The log grows O(commits); real Delta checkpoints it every N
-commits — the hook is ``_live_files``'s fold, which a checkpoint would
-seed, noted rather than built since catalog-scale commit counts here are
-tiny.
+readers pinned to older versions (``vacuum`` reclaims groups outside
+the retention window, Delta-style). The log grows O(commits); real
+Delta checkpoints it every N commits — the hook is ``_live_files``'s
+fold, which a checkpoint would seed, noted rather than built since
+catalog-scale commit counts here are tiny.
 """
 
 from __future__ import annotations
@@ -146,6 +146,27 @@ class TxTable:
         return [
             {"version": v, **self._read_commit(v)} for v in self._versions()
         ]
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Delete data-file groups unreferenced by the live sets of the
+        last ``retain_last`` versions (Delta ``VACUUM``). Returns the
+        removed group names. Time travel to versions older than the
+        retained window stops working — the same contract as Delta's
+        retention period; immutable groups still referenced by ANY
+        retained version are kept, so concurrent readers of retained
+        snapshots are never broken. Also collects orphans (data written
+        by a crashed, never-published commit)."""
+        import shutil
+
+        referenced: set[str] = set()
+        for v in self._versions()[-retain_last:]:
+            referenced.update(self._live_files(as_of=v))
+        removed = []
+        for g in os.listdir(self.path):
+            if g.startswith("part-") and g not in referenced:
+                shutil.rmtree(os.path.join(self.path, g))
+                removed.append(g)
+        return sorted(removed)
 
     def merge_upsert(
         self,

@@ -183,3 +183,23 @@ def test_merge_upsert_updates_inserts_deletes(spark, tx):
     assert {(r["k"], r["v"]) for r in tx.read(spark, version=0).collect()} == {
         ("a", 1), ("b", 2), ("c", 3)
     }
+
+
+def test_vacuum_removes_unreferenced_keeps_retained(spark, tx):
+    tx.commit(_df(spark, [("a", 1)]), "append")      # v0 group: dead after v2
+    tx.commit(_df(spark, [("b", 2)]), "append")      # v1 group: dead after v2
+    tx.commit(_df(spark, [("c", 3)]), "overwrite")   # v2 group: live
+    orphan = os.path.join(tx.path, "part-orphan")
+    _df(spark, [("z", 9)]).write.parquet(orphan)     # crashed-commit garbage
+    removed = tx.vacuum(retain_last=1)
+    assert len(removed) == 3  # v0 + v1 groups + orphan
+    assert {r["k"] for r in tx.read(spark).collect()} == {"c"}  # latest intact
+    with pytest.raises(Exception):
+        tx.read(spark, version=1).collect()  # pre-retention time travel gone
+
+
+def test_vacuum_retains_multi_version_window(spark, tx):
+    tx.commit(_df(spark, [("a", 1)]), "append")
+    tx.commit(_df(spark, [("b", 2)]), "append")
+    assert tx.vacuum(retain_last=2) == []  # both groups still referenced
+    assert {r["k"] for r in tx.read(spark).collect()} == {"a", "b"}
