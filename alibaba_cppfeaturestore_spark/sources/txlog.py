@@ -147,6 +147,44 @@ class TxTable:
             {"version": v, **self._read_commit(v)} for v in self._versions()
         ]
 
+    def commit_idempotent(
+        self, df: DataFrame, app_id: str, txn_version: int, mode: str = "append"
+    ) -> int | None:
+        """Transactionally idempotent commit — Delta's ``txnAppId`` /
+        ``txnVersion`` pattern, the piece that makes ``foreachBatch``
+        sinks exactly-once: the commit record carries (app_id,
+        txn_version), and a commit whose version is ≤ the highest
+        already recorded for that app is SKIPPED (returns None). A
+        replayed micro-batch (restart re-delivering epoch N after a
+        crash between sink write and checkpoint advance) therefore
+        lands exactly once; pass the ``foreachBatch`` ``epoch_id`` as
+        ``txn_version``."""
+        latest = self.last_txn_version(app_id)
+        if latest is not None and txn_version <= latest:
+            return None
+        v = self.commit(df, mode)
+        if v is None:
+            return None
+        # annotate the just-published commit record with the txn marker;
+        # the log file is the commit point and already exists, so this
+        # rewrite is metadata-only and single-writer (we hold version v)
+        path = os.path.join(self.log_dir, f"{v:020d}.json")
+        record = self._read_commit(v)
+        record["txn"] = {"app_id": app_id, "version": txn_version}
+        with open(path, "w") as f:
+            json.dump(record, f)
+        return v
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest committed ``txn_version`` for ``app_id`` (None if the
+        app never committed)."""
+        best = None
+        for v in self._versions():
+            txn = self._read_commit(v).get("txn")
+            if txn and txn["app_id"] == app_id:
+                best = txn["version"] if best is None else max(best, txn["version"])
+        return best
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Delete data-file groups unreferenced by the live sets of the
         last ``retain_last`` versions (Delta ``VACUUM``). Returns the

@@ -203,3 +203,61 @@ def test_vacuum_retains_multi_version_window(spark, tx):
     tx.commit(_df(spark, [("b", 2)]), "append")
     assert tx.vacuum(retain_last=2) == []  # both groups still referenced
     assert {r["k"] for r in tx.read(spark).collect()} == {"a", "b"}
+
+
+def test_idempotent_commit_dedupes_replayed_epochs(spark, tx):
+    """Delta txnAppId/txnVersion semantics: a replayed epoch (same app,
+    same or older version) must not land twice; a new epoch must."""
+    assert tx.commit_idempotent(_df(spark, [("a", 1)]), "app", 0) == 0
+    assert tx.commit_idempotent(_df(spark, [("a", 1)]), "app", 0) is None  # replay
+    assert tx.commit_idempotent(_df(spark, [("b", 2)]), "app", 1) == 1
+    assert tx.commit_idempotent(_df(spark, [("x", 9)]), "app", 0) is None  # stale
+    # a different app has its own version sequence
+    assert tx.commit_idempotent(_df(spark, [("c", 3)]), "other", 0) == 2
+    assert {(r["k"], r["v"]) for r in tx.read(spark).collect()} == {
+        ("a", 1), ("b", 2), ("c", 3)
+    }
+    assert tx.last_txn_version("app") == 1
+    assert tx.last_txn_version("other") == 0
+    assert tx.last_txn_version("nobody") is None
+
+
+def test_foreachbatch_sink_exactly_once_via_txn(spark, tx, tmp_path):
+    """End-to-end: a checkpointed foreachBatch stream commits each
+    micro-batch idempotently; restarting the SAME stream from the same
+    checkpoint (no new data) plus a manually replayed epoch leaves the
+    table with each input row exactly once."""
+    import os as _os
+    import shutil as _shutil
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    _shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", _os.path.join(src, "e.parquet")
+    )
+    schema = spark.read.parquet(src).schema
+    chk = str(tmp_path / "chk")
+
+    def sink(batch_df, epoch_id):
+        tx.commit_idempotent(
+            batch_df.select("event_id", "event_type"), "stream", epoch_id
+        )
+
+    for _ in range(2):  # run + restart (zero new batches on restart)
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    # crash-replay simulation: epoch 0 delivered again out-of-band
+    replay = spark.read.parquet(src).select("event_id", "event_type")
+    assert tx.commit_idempotent(replay, "stream", 0) is None
+
+    total = spark.read.parquet(src).count()
+    got = tx.read(spark)
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
