@@ -14,7 +14,7 @@ less than the raw scan a naive per-level GROUP BY would repeat.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # measures we can re-aggregate losslessly from partial state
@@ -176,6 +176,47 @@ def gap_fill(
     out = spine.join(df, [*group_cols, ts_col], "left")
     for col, v in fill.items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
+    return out
+
+
+def range_moving_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Event-time RANGE-frame moving aggregates per key: for every row,
+    aggregate the key's rows in ``[ts − window, ts]`` (a true sliding
+    window over event time — unlike row-count frames, gaps and bursts
+    are handled correctly, and ties need no ordering tiebreak because a
+    RANGE frame includes every row with an equal timestamp).
+
+    The frame key is exact integer MICROSECONDS (``unix_micros``):
+    second-truncation would silently widen/narrow frames on sub-second
+    data, and float epochs make frame membership engine-dependent.
+
+    ``aggs`` maps output column → agg ∈ {sum, count, min, max, avg};
+    default is a moving avg. Scale: one shuffle on the key; the frame
+    scan is Spark's standard sliding-frame window execution, state
+    bounded by the densest single key-window.
+    """
+    aggs = aggs or {"moving_avg": "avg"}
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    out = df
+    for name, agg in aggs.items():
+        if agg == "avg":
+            expr = F.avg(value_col).over(w)
+        elif agg in ("sum", "count", "min", "max"):
+            expr = getattr(F, agg)(value_col).over(w)
+        else:
+            raise ValueError(f"unsupported agg: {agg}")
+        out = out.withColumn(name, expr)
     return out
 
 

@@ -2621,6 +2621,53 @@ def timeseries_rollup_cascade(spark, sf_dir):
 
 
 @_q(
+    "window_range_moving_avg",
+    """
+    WITH b AS (
+      SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT) AS m,
+             CAST(COUNT(value) OVER w AS BIGINT) AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           (CASE WHEN m >= 0 THEN (2 * m + c) // (2 * c)
+                 ELSE -((-2 * m + c) // (2 * c)) END) / 1000000.0 AS moving_avg_7d
+    FROM b
+    """,
+)
+def window_range_moving_avg(spark, sf_dir):
+    """Per-user 7-day moving average over EVENT TIME: a RANGE window
+    frame on exact integer microseconds (``unix_micros`` ≡ DuckDB
+    ``epoch_us``) — second-truncated or float epochs would make frame
+    membership engine-dependent on this sub-second data, and RANGE
+    frames need no tie-break (equal timestamps share a frame). Decimal
+    frame sums + integer-exact half-up rounding per the
+    timeseries_rollup_cascade notes."""
+    from ..operators.timeseries import range_moving_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vdec", F.col("value").cast("decimal(18,6)")
+    )
+    out = range_moving_agg(
+        ev, "user_id", "ts", "vdec", 7 * 86400,
+        aggs={"msum": "sum", "mcnt": "count"},
+    )
+    out = out.withColumn("m", F.expr("CAST(msum * 1000000 AS BIGINT)"))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "(CASE WHEN m >= 0 THEN (2 * m + mcnt) div (2 * mcnt)"
+            " ELSE -((-2 * m + mcnt) div (2 * mcnt)) END)"
+            " / CAST(1000000 AS DOUBLE)"
+        ).alias("moving_avg_7d"),
+    )
+
+
+@_q(
     "timeseries_gap_fill",
     """
     WITH b AS (

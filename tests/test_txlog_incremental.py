@@ -261,3 +261,30 @@ def test_foreachbatch_sink_exactly_once_via_txn(spark, tx, tmp_path):
     got = tx.read(spark)
     assert got.count() == total
     assert got.select("event_id").distinct().count() == total
+
+
+def test_range_moving_agg_event_time_frames(spark):
+    """RANGE frames follow event time: rows beyond the window fall out,
+    ties share a frame, row gaps don't matter."""
+    from datetime import datetime
+
+    from alibaba_cppfeaturestore_spark.operators.timeseries import range_moving_agg
+
+    rows = [
+        ("u", datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        ("u", datetime(2024, 1, 1, 0, 0, 30), 20.0),   # within 60s of t0
+        ("u", datetime(2024, 1, 1, 0, 0, 30), 40.0),   # tie: same frame
+        ("u", datetime(2024, 1, 1, 0, 2, 0), 100.0),   # t0/t30 aged out
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {
+        (r["ts"], r["v"]): (r["mavg"], r["mcnt"])
+        for r in range_moving_agg(
+            df, "k", "ts", "v", 60, aggs={"mavg": "avg", "mcnt": "count"}
+        ).collect()
+    }
+    assert out[(rows[0][1], 10.0)] == (10.0, 1)
+    # both tie rows see {10, 20, 40}
+    assert out[(rows[1][1], 20.0)] == (pytest.approx(70 / 3), 3)
+    assert out[(rows[2][1], 40.0)] == (pytest.approx(70 / 3), 3)
+    assert out[(rows[3][1], 100.0)] == (100.0, 1)  # window slid past the rest
