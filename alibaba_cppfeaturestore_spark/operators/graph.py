@@ -155,3 +155,82 @@ def dedup_keep_canonical(
     losers, which can keep zero or several rows of a chained cluster."""
     clustered = duplicate_clusters(df, pairs, id_col, src_col, dst_col)
     return clustered.filter(F.col(id_col) == F.col("cluster_id")).drop("cluster_id")
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank with an EXACT integer-arithmetic recurrence — an
+    iterative graph algorithm whose every iteration is reproducible
+    bit-for-bit by any engine, unlike float PageRank (whose per-node
+    contribution sums depend on addition order).
+
+    Ranks live in fixed-point units of ``1/scale``:
+
+        r_0(v)   = scale div N
+        r_{k+1}(v) = (15·scale div 100) div N
+                     + (85 · Σ_{u→v} (r_k(u) div outdeg(u))) div 100
+
+    (integer ``div`` throughout, damping 0.85 as the 85/100 pair).
+    Integer division truncates identically everywhere and integer
+    addition is associative, so a DuckDB replay of the same unrolled
+    recurrence matches exactly — the iterative extension of the
+    decimal/integer-exact techniques in SCALING.md round-3 notes.
+    Mass lost to truncation and dangling nodes is NOT redistributed
+    (deliberate, mirrored in the oracle); ranks are therefore a
+    deterministic fixed-point approximation of standard PageRank,
+    adequate for authority-weighting corpora at scale.
+
+    Plan shape per iteration: one join of the (|V|-row) rank table onto
+    edges + one integer-sum aggregation — ranks and degrees are tiny
+    relative to |E|; with edges bucketed on ``src`` the join is
+    exchange-free. N and the teleport base stay IN-PLAN via a 1-row
+    broadcast (no driver collect).
+
+    Returns (node, rank) with rank in fixed-point units (bigint).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nn = nodes.agg(F.count("*").alias("__scalar_n"))
+    teleport = scale - damping_pct * scale // 100  # 15·scale div 100
+
+    rank = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"CAST({scale} div __scalar_n AS BIGINT)").alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(outdeg, "src")
+            .join(rank.select(F.col("node").alias("src"), "rank"), "src")
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            nodes.join(contrib.select(F.col("dst").alias("node"), "s"), "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(({teleport} div __scalar_n)"
+                    f" + ({damping_pct} * COALESCE(s, CAST(0 AS BIGINT))) div 100"
+                    " AS BIGINT)"
+                ).alias("rank"),
+            )
+        )
+        # 25-iteration-deep plans over tiny tables still re-optimize the
+        # whole tree each round; truncate lineage like connected_components
+        rank = rank.localCheckpoint(eager=False)
+    return rank

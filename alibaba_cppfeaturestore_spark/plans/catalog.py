@@ -2620,6 +2620,72 @@ def timeseries_rollup_cascade(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled integer-exact PageRank replay (DuckDB has no aggregation
+    in recursive CTE terms, so iterations unroll to CTEs r1..rk —
+    generated from the same iteration count the Spark side uses)."""
+    head = """
+    WITH e AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS rank FROM nodes, nn)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+    r{i} AS (
+      SELECT n2.node,
+             CAST((150000000000 // nn.n)
+                  + (85 * COALESCE(agg.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n2 CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, SUM(r.rank // o.outdeg) AS s
+                 FROM e JOIN outd o ON e.src = o.src
+                 JOIN r{i - 1} r ON r.node = e.src
+                 GROUP BY e.dst) agg ON agg.node = n2.node
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node AS nation, rank AS rank_fp FROM r{iterations}\n    "
+    )
+
+
+@_q("graph_pagerank_trade_network", _pagerank_oracle(5))
+def graph_pagerank_trade_network(spark, sf_dir):
+    """PageRank over the nation-level trade network (supplier nation →
+    customer nation edges from lineitem⋈orders⋈customer⋈supplier), 5
+    iterations of the INTEGER-EXACT fixed-point recurrence
+    (``operators/graph.py::pagerank_fixedpoint``) — an iterative graph
+    algorithm with a full value oracle: integer div/sum are
+    engine-independent, so the unrolled DuckDB replay matches
+    bit-for-bit where float PageRank could not (contribution sums
+    depend on addition order). Graph shape: |V|=25 nations here; the
+    operator's per-iteration cost is one rank⋈edges join + integer sum,
+    which holds at web-graph scale with edges bucketed on src."""
+    from ..operators.graph import pagerank_fixedpoint
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+    )
+    out = pagerank_fixedpoint(edges, iterations=5)
+    return out.select(F.col("node").alias("nation"), F.col("rank").alias("rank_fp"))
+
+
 @_q(
     "window_range_moving_avg",
     """

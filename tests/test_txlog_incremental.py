@@ -288,3 +288,22 @@ def test_range_moving_agg_event_time_frames(spark):
     assert out[(rows[1][1], 20.0)] == (pytest.approx(70 / 3), 3)
     assert out[(rows[2][1], 40.0)] == (pytest.approx(70 / 3), 3)
     assert out[(rows[3][1], 100.0)] == (100.0, 1)  # window slid past the rest
+
+
+def test_pagerank_fixedpoint_semantics(spark):
+    """Tiny known graphs: a 2-cycle is symmetric (equal ranks), a star's
+    center out-ranks its leaves, and total mass stays <= scale (lost
+    mass is truncated, never created)."""
+    from alibaba_cppfeaturestore_spark.operators.graph import pagerank_fixedpoint
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    r = {x["node"]: x["rank"] for x in pagerank_fixedpoint(cyc, iterations=4).collect()}
+    assert r[1] == r[2]
+
+    star = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (9, 1)], ["src", "dst"]
+    )
+    r = {x["node"]: x["rank"] for x in pagerank_fixedpoint(star, iterations=5).collect()}
+    assert r[9] > max(r[1], r[2], r[3])
+    assert r[2] == r[3]  # symmetric leaves (no in-links) tie
+    assert sum(r.values()) <= 10**12
