@@ -38,7 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # never-checked TPC-H shapes, and the round-2 additions (BM25, bottom-k,
 # JL projection, EWMA, packing, resample, unigram-LM, CSV codec,
 # sliding/session windows, embedding pairs/stats, stratified sample,
-# global top-n). The remaining 11 slots keep one r02-proven
+# global top-n), plus the two late round-3 additions (integer-exact
+# PageRank, event-time RANGE-frame moving aggregates). The remaining 9
+# slots keep one r02-proven
 # representative per family as regression pins. Entries rotated out stay
 # green in CORRECTNESS_r01/r02 and remain pinned by pytest oracle-parity
 # over the full catalog. The only oracle-less entries
@@ -67,9 +69,9 @@ _DRIVER_WINDOW = [
     "sort_global_topn", "sample_stratified",
     "corpus_mixture_resample", "sequence_packing_plan",
     "stream_sliding_window_counts", "session_window_stats",
-    # -- r02-proven family representatives (11) --
-    "join_semi_in_subquery",
-    "kv_merge_lastwin",
+    # -- round-3 late additions, never driver-checked (2) --
+    "graph_pagerank_trade_network", "window_range_moving_avg",
+    # -- r02-proven family representatives (9) --
     "dedup_ngram_jaccard_indexed",
     "ann_brute_force_topk",
     "stream_tumbling_window_counts", "stream_online_upsert",
