@@ -273,3 +273,21 @@ def distinct_token_ratio(text: Column | str) -> Column:
             F.size(F.array_distinct(t)).cast("double") / F.size(t)
         ),
     )
+
+
+# GPT-2-style pre-tokenizer, RE2-safe approximation: contractions, then
+# space-prefixed letter runs, digit runs, and punctuation runs, then bare
+# whitespace. The upstream pattern's negative lookahead (`\s+(?!\S)`) and
+# unicode classes are dropped so ONE pattern means the same thing to
+# Java regex (Spark) and RE2 (DuckDB): both engines use leftmost-first
+# alternation, so token boundaries are identical.
+BPE_PRETOKEN_PATTERN = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def bpe_pretokens(text: Column | str) -> Column:
+    """Split text into BPE pre-tokenization segments (the units a BPE
+    tokenizer would merge within) → array<string>. The standard LLM
+    token-budget estimator: |pretokens| upper-bounds and tracks the true
+    BPE token count far better than whitespace words."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)

@@ -194,3 +194,64 @@ def range_join(
     cond = cond & (F.col(f"p.{point_col}") >= F.col(f"i.{lo_col}"))
     cond = cond & (F.col(f"p.{point_col}") <= F.col(f"i.{hi_col}"))
     return p.join(i, cond).drop("__bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    on: list[str] | None = None,
+    bin_width: float = 3600.0,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (``l.lo ≤ r.hi AND r.lo ≤ l.hi``,
+    bounds inclusive) executed as an equi-join on coarse bins — the
+    range×range sibling of ``range_join``'s point×range.
+
+    A pure overlap predicate has no equi-key, so Catalyst plans
+    BroadcastNestedLoopJoin — |L|×|R| at scale. Here BOTH sides explode
+    to the bins their interval touches and meet on (keys…, bin). Unlike
+    the point case, an overlapping pair can share SEVERAL bins; the join
+    keeps only the pair's FIRST shared bin — the bin containing
+    ``greatest(l.lo, r.lo)``, which both sides cover by definition — so
+    each pair survives exactly once and no post-join dedup shuffle is
+    needed (the classic grid-join trick from spatial databases).
+
+    Sides come back aliased ``l`` / ``r`` — select with qualified names.
+    ``bin_width`` near the typical interval length keeps replication ~2×.
+    """
+    on = on or []
+    w = float(bin_width)
+
+    def _binned(df: DataFrame, lo: str, hi: str, alias: str) -> DataFrame:
+        lo_num = _as_number(df, lo)
+        hi_num = _as_number(df, hi)
+        return (
+            df.withColumn("__lo_num", lo_num)
+            .withColumn(
+                "__bin",
+                F.explode(
+                    F.sequence(
+                        F.floor(lo_num / F.lit(w)).cast("bigint"),
+                        F.floor(hi_num / F.lit(w)).cast("bigint"),
+                    )
+                ),
+            )
+            .alias(alias)
+        )
+
+    l = _binned(left, l_lo, l_hi, "l")
+    r = _binned(right, r_lo, r_hi, "r")
+    cond = F.col("l.__bin") == F.col("r.__bin")
+    for k in on:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    cond = cond & (F.col(f"l.{l_lo}") <= F.col(f"r.{r_hi}"))
+    cond = cond & (F.col(f"r.{r_lo}") <= F.col(f"l.{l_hi}"))
+    # keep each pair once: this bin must be the one holding max(l.lo, r.lo)
+    cond = cond & (
+        F.col("l.__bin")
+        == F.floor(F.greatest(F.col("l.__lo_num"), F.col("r.__lo_num")) / F.lit(w)).cast("bigint")
+    )
+    return l.join(r, cond).drop("__bin", "__lo_num")

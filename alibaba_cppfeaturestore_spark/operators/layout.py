@@ -1,0 +1,80 @@
+"""Data-layout optimization: Z-order (Morton) clustering for
+multi-dimensional data skipping.
+
+Engine extra modeled on Delta Lake ``OPTIMIZE ZORDER BY`` / Databricks
+liquid clustering (the reference's Delta write at
+``batch_process_Bronze_to_Silver.py:317`` has no clustering story): a
+parquet lake pruned by min/max footer stats can skip files for ONE
+sort dimension only; interleaving the bits of two dimensions into a
+single Z-value and range-partition-sorting by it gives every file a
+small bounding BOX in both dimensions, so predicates on EITHER column
+prune.
+
+The Z-value is pure integer arithmetic — bit i of x lands at bit 2i,
+bit i of y at bit 2i+1 — so it is exactly reproducible on any engine
+(``zorder_sql`` emits the equivalent DuckDB expression from the same
+bit plan; the catalog oracle replays it).
+
+Scale shape: computing the Z-value is a narrow map; the layout itself is
+``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` — ONE range
+shuffle, exactly what any global sort costs, after which a 100 TB scan
+with a two-sided predicate reads only the files whose (x, y) boxes
+intersect it. File assignment for inspection is the top ``file_bits``
+bits of z (data-independent, no NTILE global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_col(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of two non-negative
+    integer columns into a single BIGINT Z-value (x → even bits,
+    y → odd bits)."""
+    x = x.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+    y = y.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def zorder_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """The SAME bit plan as ``zorder_col`` as a portable SQL expression
+    (DuckDB dialect: ``&``, ``>>``, ``<<`` integer operators) for oracle
+    replay."""
+    mask = (1 << bits) - 1
+    xm = f"(CAST({x_expr} AS BIGINT) & {mask})"
+    ym = f"(CAST({y_expr} AS BIGINT) & {mask})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xm} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ym} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    bits: int = 16,
+    file_bits: int = 6,
+) -> DataFrame:
+    """Annotate ``df`` with ``zval`` and a data-independent ``file_bucket``
+    (top ``file_bits`` of the Z-space → 2^file_bits buckets). Writing is
+    the caller's choice of ``write_zordered`` or a plain
+    ``partitionBy``-free parquet write after ``cluster_by_z``."""
+    z = zorder_col(x, y, bits)
+    return df.withColumn("zval", z).withColumn(
+        "file_bucket", F.shiftright(F.col("zval"), 2 * bits - file_bits)
+    )
+
+
+def cluster_by_z(df: DataFrame, num_files: int = 64) -> DataFrame:
+    """Physically cluster: one range shuffle on ``zval`` + in-partition
+    sort, so each output file covers a compact Z-range (⇒ a compact
+    (x, y) box). Call after ``zorder_layout``."""
+    return df.repartitionByRange(num_files, "zval").sortWithinPartitions("zval")

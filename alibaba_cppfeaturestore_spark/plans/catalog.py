@@ -5059,3 +5059,257 @@ def quality_unigram_logprob(spark, sf_dir):
     return out.select(
         "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: BPE pre-token budgeting, Z-order layout, exact robust
+# statistics, interval-overlap join.
+# ---------------------------------------------------------------------------
+
+_BPE_PAT_SQL = TX.BPE_PRETOKEN_PATTERN.replace("'", "''")
+
+
+@_q(
+    "token_count_bpe",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '{_BPE_PAT_SQL}') AS arr
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(arr) AS INTEGER) AS n_pretokens,
+           CAST(LEN(list_distinct(arr)) AS INTEGER) AS n_distinct_pretokens,
+           list_max(list_transform(arr, x -> CAST(LEN(x) AS INTEGER))) AS max_pretoken_len
+    FROM toks
+    """,
+)
+def token_count_bpe(spark, sf_dir):
+    """LLM token budgeting: GPT-2-style BPE pre-tokenization segments per
+    document (``functions/text.py::bpe_pretokens`` — one RE2-safe pattern
+    meaning the same thing to Java regex and RE2, so the oracle replays it
+    verbatim). |pretokens| tracks the true BPE token count far better than
+    whitespace words; narrow projection, no shuffle, whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = TX.bpe_pretokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(arr).alias("n_pretokens"),
+        F.size(F.array_distinct(arr)).alias("n_distinct_pretokens"),
+        F.array_max(F.transform(arr, lambda x: F.length(x))).alias("max_pretoken_len"),
+    )
+
+
+from ..operators.layout import zorder_layout, zorder_sql  # noqa: E402
+
+_ZORDER_Y_SQL = "DATEDIFF('day', DATE '2000-01-01', CAST(ts AS DATE))"
+
+
+@_q(
+    "layout_zorder_clustering",
+    f"""
+    WITH dims AS (
+      SELECT event_id, user_id AS x,
+             {_ZORDER_Y_SQL} AS y
+      FROM events
+    )
+    SELECT event_id,
+           CAST({zorder_sql('x', 'y', 16)} AS BIGINT) AS zval,
+           CAST({zorder_sql('x', 'y', 16)} >> 26 AS BIGINT) AS file_bucket
+    FROM dims
+    """,
+)
+def layout_zorder_clustering(spark, sf_dir):
+    """Z-order (Morton) layout assignment over (user_id, event day) —
+    the Delta OPTIMIZE ZORDER BY / liquid-clustering primitive
+    (``operators/layout.py``; the DuckDB oracle replays the identical
+    bit-interleave emitted by ``zorder_sql`` from the same bit plan).
+    Pure integer map — engine-exact; the physical clustering is one
+    ``repartitionByRange(zval)`` (see ``cluster_by_z`` and the layout
+    test, which verifies per-file min/max boxes shrink in BOTH dims)."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("user_id")
+    y = F.datediff(F.col("ts").cast("date"), F.lit("2000-01-01").cast("date"))
+    out = zorder_layout(ev, x, y, bits=16, file_bits=6)
+    return out.select("event_id", "zval", "file_bucket")
+
+
+from ..operators.statistics import grouped_ols, mad_outliers  # noqa: E402
+
+
+@_q(
+    "regression_daily_trend",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(DATEDIFF('day', DATE '2000-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(12,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(16,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(18,6)) AS sy,
+             CAST(SUM(x * x) AS DECIMAL(24,0)) AS sxx,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(12,0)) * y AS DECIMAL(30,6))) AS DECIMAL(24,6)) AS sxy
+      FROM base GROUP BY event_type
+    ),
+    calc AS (
+      -- operands widened to force DuckDB's INT128 decimal path (its
+      -- INT64 fast path overflows on these magnitudes); every product
+      -- width lands exactly at 38, so nothing is capped or rounded
+      SELECT event_type, n,
+             CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxy AS DECIMAL(25,6))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,6)) AS DOUBLE) AS num,
+             CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxx AS DECIMAL(25,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE) AS den,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM sums
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN den <> 0 THEN num / den END AS slope,
+           CASE WHEN den <> 0
+                THEN (syd - (num / den) * sxd) / CAST(n AS DOUBLE)
+           END AS intercept
+    FROM calc
+    """,
+)
+def regression_daily_trend(spark, sf_dir):
+    """Per-event-type OLS trend of value over day index — grouped
+    regression via ``operators/statistics.py::grouped_ols``: five exact
+    decimal sums in ONE partial-aggregable GROUP BY, slope/intercept as
+    single double ops over identical decimal operands (bit-identical on
+    any engine / any aggregation tree; see module docstring)."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("2000-01-01").cast("date"))
+    return grouped_ols(ev.withColumn("_x", x), "_x", "value", ["event_type"])
+
+
+@_q(
+    "anomaly_mad_outliers",
+    """
+    WITH dec AS (
+      SELECT event_type, CAST(value AS DECIMAL(20,7)) AS v FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dec
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(CASE WHEN COUNT(*) = 2
+                       THEN CAST(SUM(v) AS DECIMAL(22,7)) * CAST(0.5 AS DECIMAL(2,1))
+                       ELSE CAST(SUM(v) AS DECIMAL(22,7)) END AS DECIMAL(24,8)) AS med
+      FROM ranked WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY event_type
+    ),
+    devs AS (
+      SELECT d.event_type, d.v, CAST(ABS(d.v - m.med) AS DECIMAL(27,8)) AS dev
+      FROM dec d JOIN med m USING (event_type)
+    ),
+    rdev AS (
+      SELECT event_type, dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM devs
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(CASE WHEN COUNT(*) = 2
+                       THEN CAST(SUM(dev) AS DECIMAL(27,8)) * CAST(0.5 AS DECIMAL(2,1))
+                       ELSE CAST(SUM(dev) AS DECIMAL(27,8)) END AS DECIMAL(30,9)) AS mad
+      FROM rdev WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           CAST(MAX(m.med) AS DOUBLE) AS median,
+           CAST(MAX(a.mad) AS DOUBLE) AS mad,
+           CAST(SUM(CASE WHEN d.dev > CAST(3.0 AS DECIMAL(4,2)) * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM devs d JOIN med m USING (event_type) JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def anomaly_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier detection: median/MAD in EXACT decimal
+    arithmetic (``operators/statistics.py::mad_outliers`` — row_number
+    middle selection, sum×0.5 never a decimal division, all products
+    inside precision 38), outliers = |x − median| > 3·MAD. The oracle
+    replays the identical selection and arithmetic, so values match
+    bit-for-bit with no rounding tolerance."""
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, "value", ["event_type"], k="3.0")
+
+
+@_q(
+    "interval_overlap_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT a.user_id AS a_user, a.session_id AS a_session,
+           b.user_id AS b_user, b.session_id AS b_session,
+           GREATEST(a.s_start, b.s_start) AS overlap_start,
+           LEAST(a.s_end, b.s_end) AS overlap_end
+    FROM spans a JOIN spans b
+      ON a.user_id < b.user_id
+     AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    """,
+)
+def interval_overlap_sessions(spark, sf_dir):
+    """Concurrent-session detection: sessionize per user (30-min gap),
+    then find all cross-user session pairs whose [start, end] intervals
+    OVERLAP — a range×range join with no equi-key, executed by
+    ``operators/joins.py::interval_overlap_join`` as an hourly-grid
+    equi-join (each pair meets exactly once, in the bin of its later
+    start; the naive plan is BroadcastNestedLoopJoin, |sessions|² at
+    scale). The DuckDB oracle runs the direct theta join."""
+    ev = _t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lag_ts = F.lag("ts").over(order)
+    new_session = F.when(
+        lag_ts.isNull() | (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    spans = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    pairs = JN.interval_overlap_join(
+        spans, spans, "s_start", "s_end", "s_start", "s_end", bin_width=3600.0
+    ).filter(F.col("l.user_id") < F.col("r.user_id"))
+    return pairs.select(
+        F.col("l.user_id").alias("a_user"),
+        F.col("l.session_id").alias("a_session"),
+        F.col("r.user_id").alias("b_user"),
+        F.col("r.session_id").alias("b_session"),
+        F.greatest(F.col("l.s_start"), F.col("r.s_start")).alias("overlap_start"),
+        F.least(F.col("l.s_end"), F.col("r.s_end")).alias("overlap_end"),
+    )

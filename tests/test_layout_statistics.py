@@ -1,0 +1,158 @@
+"""Round-3 operators: Z-order layout, exact statistics, BPE pre-tokens,
+interval-overlap join — each checked against an independent local
+reference (numpy/pandas/pure-Python), not just the DuckDB oracle."""
+
+from __future__ import annotations
+
+import glob
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.functions.text import BPE_PRETOKEN_PATTERN, bpe_pretokens
+from alibaba_cppfeaturestore_spark.operators.joins import interval_overlap_join
+from alibaba_cppfeaturestore_spark.operators.layout import (
+    cluster_by_z,
+    zorder_col,
+    zorder_layout,
+)
+from alibaba_cppfeaturestore_spark.operators.statistics import grouped_ols, mad_outliers
+from alibaba_cppfeaturestore_spark.plans.views import load_table
+
+
+def _py_morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_matches_python_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 300)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", zorder_col(F.col("x"), F.col("y"))).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _py_morton(x, y), (x, y)
+
+
+def test_zorder_clustering_shrinks_file_boxes(spark, sf_dir, tmp_path):
+    """The point of Z-order: after range-partitioning by zval, each file's
+    (x, y) bounding box is small in BOTH dimensions, so min/max footer
+    stats prune on either predicate. A single-dim sort gives narrow x
+    but full-range y."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("user_id")
+    y = F.datediff(F.col("ts").cast("date"), F.lit("2000-01-01").cast("date"))
+    z = zorder_layout(ev.withColumn("_y", y), x, F.col("_y"), bits=16).select(
+        "user_id", "_y", "zval"
+    )
+    n_files = 8
+
+    zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    cluster_by_z(z, num_files=n_files).write.parquet(zdir)
+    # single-dim layout: range-sort by user_id only
+    z.repartitionByRange(n_files, "user_id").sortWithinPartitions("user_id").write.parquet(ldir)
+
+    def mean_spans(d):
+        sx, sy, nf = 0.0, 0.0, 0
+        for f in glob.glob(d + "/part-*.parquet"):
+            pdf = pd.read_parquet(f)
+            if len(pdf) == 0:
+                continue
+            sx += float(pdf["user_id"].max() - pdf["user_id"].min())
+            sy += float(pdf["_y"].max() - pdf["_y"].min())
+            nf += 1
+        return sx / nf, sy / nf, nf
+
+    zx, zy, zf = mean_spans(zdir)
+    lx, ly, lf = mean_spans(ldir)
+    assert zf >= n_files // 2 and lf >= n_files // 2
+    # z-order: BOTH spans strictly below the full range; linear: y span ~full
+    full_y = ly  # linear layout leaves y unclustered -> ~full range per file
+    assert zy < 0.7 * full_y, f"zorder y-span {zy} not < 70% of linear {full_y}"
+    assert zx < 150, f"zorder x-span {zx} should be bounded"
+
+
+def test_grouped_ols_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, slope, icpt in [("a", 2.5, 1.0), ("b", -0.75, 10.0)]:
+        xs = rng.integers(0, 1000, size=200)
+        ys = slope * xs + icpt + rng.normal(0, 0.5, size=200)
+        rows += [(g, int(xv), float(round(yv, 4))) for xv, yv in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = {r.g: r for r in grouped_ols(df, "x", "y", ["g"]).collect()}
+    pdf = pd.DataFrame(rows, columns=["g", "x", "y"])
+    for g, grp in pdf.groupby("g"):
+        ref_slope, ref_icpt = np.polyfit(grp.x, grp.y, 1)
+        assert got[g].n == len(grp)
+        assert got[g].slope == pytest.approx(ref_slope, rel=1e-6)
+        assert got[g].intercept == pytest.approx(ref_icpt, rel=1e-5)
+
+
+def test_grouped_ols_degenerate_group_is_null(spark):
+    df = spark.createDataFrame([("a", 5, 1.0), ("a", 5, 2.0)], "g string, x long, y double")
+    row = grouped_ols(df, "x", "y", ["g"]).collect()[0]
+    assert row.slope is None and row.intercept is None
+
+
+def test_mad_outliers_matches_pandas(spark):
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.normal(100, 10, size=501), 2).tolist() + [500.0, -300.0]
+    rows = [("g", float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = mad_outliers(df, "v", ["g"], k="3.0").collect()[0]
+    s = pd.Series(vals)
+    med = s.median()
+    mad = (s - med).abs().median()
+    assert row.n == len(vals)
+    assert row.median == pytest.approx(med, abs=1e-9)
+    assert row.mad == pytest.approx(mad, abs=1e-9)
+    assert row.n_outliers == int(((s - med).abs() > 3 * mad).sum())
+
+
+def test_bpe_pretokens_match_python_re(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    got = docs.select("doc_id", "text", bpe_pretokens("text").alias("toks")).collect()
+    for r in got:
+        assert list(r.toks) == re.findall(BPE_PRETOKEN_PATTERN, r.text), r.doc_id
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    # deliberately include point intervals, multi-bin spans, exact-touch ends
+    left = [(1, 0.0, 10.0), (2, 5.0, 5.0), (3, 100.0, 250.0)]
+    right = [(10, 9.0, 20.0), (11, 5.0, 5.0), (12, 240.0, 300.0), (13, 11.0, 12.0)]
+    l = spark.createDataFrame(left, "lid long, lo double, hi double")
+    r = spark.createDataFrame(right, "rid long, lo double, hi double")
+    got = {
+        (x["l.lid"], x["r.rid"])
+        for x in interval_overlap_join(l, r, "lo", "hi", "lo", "hi", bin_width=7.0)
+        .select(F.col("l.lid").alias("l.lid"), F.col("r.rid").alias("r.rid"))
+        .collect()
+    }
+    naive = {
+        (a, c)
+        for a, alo, ahi in left
+        for c, clo, chi in right
+        if alo <= chi and clo <= ahi
+    }
+    assert got == naive
+
+
+def test_interval_overlap_join_is_hash_join(spark):
+    l = spark.range(10).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 5).alias("hi"),
+    )
+    plan = interval_overlap_join(
+        l, l, "lo", "hi", "lo", "hi", bin_width=10.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
