@@ -38,11 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # never-checked TPC-H shapes, and the round-2 additions (BM25, bottom-k,
 # JL projection, EWMA, packing, resample, unigram-LM, CSV codec,
 # sliding/session windows, embedding pairs/stats, stratified sample,
-# global top-n), plus the seven late round-3 additions (integer-exact
+# global top-n), plus the nine late round-3 additions (integer-exact
 # PageRank, event-time RANGE-frame moving aggregates, BPE pre-token
 # budgeting, Z-order layout, exact grouped OLS, exact median/MAD
-# outliers, grid-binned interval-overlap join). The remaining 4 slots
-# keep r02-proven regression pins. Entries rotated out stay
+# outliers, grid-binned interval-overlap join, Misra-Gries heavy
+# hitters, salted skew join). The remaining 2 slots keep the flagship
+# Ali-CCP e2e pair as regression pins. Entries rotated out stay
 # green in CORRECTNESS_r01/r02 and remain pinned by pytest oracle-parity
 # over the full catalog. The only oracle-less entries
 # (dedup_winnow_containment, ann_ivf_topk — permanently pytest-pinned,
@@ -70,14 +71,13 @@ _DRIVER_WINDOW = [
     "sort_global_topn", "sample_stratified",
     "corpus_mixture_resample", "sequence_packing_plan",
     "stream_sliding_window_counts", "session_window_stats",
-    # -- round-3 late additions, never driver-checked (7) --
+    # -- round-3 late additions, never driver-checked (9) --
     "graph_pagerank_trade_network", "window_range_moving_avg",
     "token_count_bpe", "layout_zorder_clustering",
     "regression_daily_trend", "anomaly_mad_outliers",
     "interval_overlap_sessions",
-    # -- r02-proven family representatives (4) --
-    "dedup_ngram_jaccard_indexed",
-    "stream_online_upsert",
+    "heavy_hitter_tokens", "join_salted_skew_enrich",
+    # -- r02-proven flagship e2e regression pins (2) --
     "aliccp_bronze_to_silver_e2e", "aliccp_silver_to_gold_e2e",
 ]
 

@@ -229,10 +229,14 @@ def interval_overlap_join(
         lo_num = _as_number(df, lo)
         hi_num = _as_number(df, hi)
         return (
-            df.withColumn("__lo_num", lo_num)
+            # empty intervals match nothing and would make sequence()
+            # descend; explode_outer sidesteps InferFiltersFromGenerate
+            # re-evaluating the sequence (see range_join)
+            df.filter(hi_num >= lo_num)
+            .withColumn("__lo_num", lo_num)
             .withColumn(
                 "__bin",
-                F.explode(
+                F.explode_outer(
                     F.sequence(
                         F.floor(lo_num / F.lit(w)).cast("bigint"),
                         F.floor(hi_num / F.lit(w)).cast("bigint"),
@@ -255,3 +259,36 @@ def interval_overlap_join(
         == F.floor(F.greatest(F.col("l.__lo_num"), F.col("r.__lo_num")) / F.lit(w)).cast("bigint")
     )
     return l.join(r, cond).drop("__bin", "__lo_num")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spreading equi-join: the big side gets a deterministic salt
+    in [0, salt) appended to its key; the medium side is replicated once
+    per salt value; the join runs on (keys…, __salt). A hot key that
+    would land on ONE reducer (the classic skew stall: 31 tasks idle,
+    one grinding a hot key's rows) is spread across ``salt`` reducers.
+    Output is identical to the plain join — salt only changes routing.
+
+    Use when the small side is too big to broadcast and the key is
+    skewed. AQE's skew-join handles the sort-merge case at runtime;
+    explicit salting also covers aggregations-after-join and engines/
+    paths AQE doesn't touch, and makes the spread factor a deliberate,
+    testable choice. The salt is a hash of the big side's row content
+    (xxhash64), so retries re-derive the same routing.
+
+    Replication cost: |right| × salt rows shuffled — choose
+    ``salt ≈ hot-key rows / target-partition rows``, not "big".
+    """
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
+    )
+    return l.join(r, on + ["__salt"], how).drop("__salt")

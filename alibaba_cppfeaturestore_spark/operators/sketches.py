@@ -1,0 +1,94 @@
+"""Mergeable frequency sketches: Misra–Gries heavy hitters.
+
+Engine extra (the reference's only frequency surface is the exact
+dictionary fit, ``batch_process_Silver_to_Gold.py``'s categorify): the
+classic two-pass φ-heavy-hitter pipeline for corpora whose VOCABULARY is
+too large to shuffle.
+
+Why not a plain ``GROUP BY token HAVING count > n·φ``: that shuffles one
+row per DISTINCT token — at 100 TB a multi-billion-key shuffle dominated
+by the long tail that the HAVING clause then throws away. Misra–Gries
+first summarizes each partition down to ``capacity`` candidate tokens
+(guarantee: any token with partition count > n_p/(capacity+1) survives;
+summing the contrapositive over partitions, any token with TOTAL count
+≥ n/(capacity+1) appears in at least one partition summary). Only the
+candidate union — |partitions| × capacity rows, not |vocabulary| — is
+shuffled; an exact recount restricted to candidates (broadcast semi
+join, so the long tail never enters the aggregation) then makes the
+final output EXACT and partition-invariant: every token with exact
+count > n·φ, with exact counts. φ must be ≥ 1/(capacity+1) for the
+guarantee to cover the threshold.
+
+The summarizer is an Arrow-batched ``mapInPandas`` (the sanctioned
+Python tier — per-partition dict state across batches, no row-at-a-time
+UDF); everything after it is native DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_summarize(capacity: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok is None:
+                    continue
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < capacity:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    return fn
+
+
+def heavy_hitters(
+    tokens: DataFrame,
+    token_col: str = "token",
+    phi: tuple[int, int] = (1, 500),
+    capacity: int | None = None,
+) -> DataFrame:
+    """All tokens whose exact count exceeds ``phi[0]/phi[1]`` × total,
+    with exact counts — computed without ever shuffling the full
+    vocabulary.
+
+    ``tokens`` is one row per token occurrence. ``phi`` is an exact
+    integer fraction so the threshold compare is pure integer arithmetic
+    (``cnt·den > total·num`` — a float φ×total can land on either side
+    of an integer across engines). ``capacity`` defaults to twice the
+    minimum ``den/num`` for slack. Output: ``token, cnt`` —
+    deterministic and partition-invariant (candidates are a superset of
+    the answer by the MG guarantee; the exact recount + exact threshold
+    make the final set independent of how the data was partitioned)."""
+    num, den = phi
+    if capacity is None:
+        capacity = 2 * den // num + 1
+    if num * (capacity + 1) < den:
+        raise ValueError(f"phi={num}/{den} below MG guarantee 1/(capacity+1)")
+    toks = tokens.select(F.col(token_col).alias("token"))
+    candidates = toks.mapInPandas(_mg_summarize(capacity), schema="token string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("__scalar_total"))
+    return (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(den) > F.col("__scalar_total") * F.lit(num))
+        .select("token", "cnt")
+    )

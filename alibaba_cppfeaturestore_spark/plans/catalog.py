@@ -5313,3 +5313,64 @@ def interval_overlap_sessions(spark, sf_dir):
         F.greatest(F.col("l.s_start"), F.col("r.s_start")).alias("overlap_start"),
         F.least(F.col("l.s_end"), F.col("r.s_end")).alias("overlap_end"),
     )
+
+
+from ..operators.sketches import heavy_hitters  # noqa: E402
+
+
+@_q(
+    "heavy_hitter_tokens",
+    r"""
+    WITH toks AS (
+      SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT token, COUNT(*) AS cnt
+    FROM toks CROSS JOIN tot
+    GROUP BY token, total
+    HAVING COUNT(*) * 500 > total
+    """,
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """φ-heavy-hitter tokens (φ = 1/500) via a merged Misra–Gries sketch
+    + exact candidate recount (``operators/sketches.py::heavy_hitters``).
+    The sketch pass shuffles |partitions|×capacity candidate rows instead
+    of the full vocabulary; the MG guarantee makes the candidate set a
+    superset of every token above threshold on ANY partitioning, and the
+    integer threshold compare (cnt·500 > total) keeps the final set
+    exact — so the oracle is the plain GROUP BY … HAVING the sketch
+    exists to avoid at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", phi=(1, 500))
+
+
+@_q(
+    "join_salted_skew_enrich",
+    """
+    SELECT e.event_id, e.event_type, t.type_n, t.type_total
+    FROM events e
+    JOIN (
+      SELECT event_type, COUNT(*) AS type_n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS type_total
+      FROM events GROUP BY event_type
+    ) t USING (event_type)
+    """,
+)
+def join_salted_skew_enrich(spark, sf_dir):
+    """Skew-spreading salted join (``operators/joins.py::salted_join``):
+    events (5 hot event_type keys — the worst case: every row lands on
+    one of 5 reducers in a plain shuffle join) enriched with per-type
+    aggregates through an 8-way salt. Output provably identical to the
+    plain join (the oracle IS the plain join); the salt only changes
+    routing. Decimal-exact type_total on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("type_total"),
+    )
+    out = JN.salted_join(
+        ev.select("event_id", "event_type"), per_type, on=["event_type"], salt=8
+    )
+    return out.select("event_id", "event_type", "type_n", "type_total")

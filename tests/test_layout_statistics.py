@@ -156,3 +156,63 @@ def test_interval_overlap_join_is_hash_join(spark):
         l, l, "lo", "hi", "lo", "hi", bin_width=10.0
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    from alibaba_cppfeaturestore_spark.operators.sketches import heavy_hitters
+
+    # zipf-ish: token i appears ~N/i times
+    rows = [(f"t{i}",) for i in range(1, 60) for _ in range(600 // i)]
+    df = spark.createDataFrame(rows, "token string")
+    exact = {
+        (r.token, r.cnt)
+        for r in df.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(df.agg(F.count(F.lit(1)).alias("t"))))
+        .filter(F.col("cnt") * 50 > F.col("t"))
+        .select("token", "cnt")
+        .collect()
+    }
+    for parts in (2, 13):
+        got = {
+            (r.token, r.cnt)
+            for r in heavy_hitters(df.repartition(parts), "token", phi=(1, 50)).collect()
+        }
+        assert got == exact, f"partitioning {parts} changed the answer"
+
+
+def test_heavy_hitters_rejects_unguaranteed_phi(spark):
+    from alibaba_cppfeaturestore_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "token string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "token", phi=(1, 1000), capacity=10)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from alibaba_cppfeaturestore_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 != 0 else f"k{i}") for i in range(500)], "id long, k string"
+    )
+    right = left.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        (r.id, r.k, r.n)
+        for r in salted_join(left, right, on=["k"], salt=4).collect()
+    }
+    plain = {(r.id, r.k, r.n) for r in left.join(right, "k").select("id", "k", "n").collect()}
+    assert got == plain
+
+
+def test_salted_join_spreads_shuffle_key(spark):
+    from alibaba_cppfeaturestore_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(i, "hot") for i in range(100)], "id long, k string")
+    right = spark.createDataFrame([("hot", 1)], "k string, n int")
+    plan = (
+        salted_join(left, right.hint("merge"), on=["k"], salt=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__salt" in plan and "SortMergeJoin" in plan
