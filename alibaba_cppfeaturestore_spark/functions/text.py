@@ -291,3 +291,28 @@ def bpe_pretokens(text: Column | str) -> Column:
     BPE token count far better than whitespace words."""
     text = F.col(text) if isinstance(text, str) else text
     return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def chunk_tokens(
+    text: Column | str, chunk_size: int = 64, stride: int = 48
+) -> Column:
+    """Overlapping token-window chunks (RAG / context-window prep):
+    array of structs ``(chunk_id, start_tok, chunk_text, n_chunk_tokens)``
+    — explode downstream for one row per chunk. Chunks start every
+    ``stride`` tokens (stride < chunk_size ⇒ overlap of
+    ``chunk_size − stride``); the tail chunk may be short. Pure native
+    higher-order functions: sequence → transform → slice → array_join,
+    whole-stage codegen, no UDF, no shuffle."""
+    toks = tokens(text)
+    return _let(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(stride)),
+            lambda s, i: F.struct(
+                (i + 1).alias("chunk_id"),
+                s.alias("start_tok"),
+                F.array_join(F.slice(t, s, chunk_size), " ").alias("chunk_text"),
+                F.least(F.lit(chunk_size), F.size(t) - s + 1).alias("n_chunk_tokens"),
+            ),
+        ),
+    )

@@ -92,3 +92,45 @@ def heavy_hitters(
         .filter(F.col("cnt") * F.lit(den) > F.col("__scalar_total") * F.lit(num))
         .select("token", "cnt")
     )
+
+
+def distinct_sketch_rollup(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group Apache DataSketches HLL sketch columns for distinct
+    counting that MERGES: ``group_cols…, sketch (binary), estimate``.
+
+    The point vs ``approx_count_distinct``: that returns only a number,
+    so coarser rollups must rescan raw data. A persisted sketch COLUMN
+    re-aggregates — daily sketches union into monthly ones
+    (``merge_distinct_sketches``) without touching raw rows, the same
+    partial-state cascade ``rollup_cascade`` uses for sums. At 100 TB a
+    distinct-users-per-(day, country) table is gigabytes of sketches;
+    any coarser distinct query is a sketch union over it. Pytest-pinned
+    (like ann_ivf_topk): the estimator is DataSketches-specific, so no
+    cross-engine value oracle exists; the merge-tracks-direct property
+    (equal to within HLL_4 mode-transition noise, both inside the lg_k
+    error envelope) is pinned in tests."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch"),
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col(value_col), F.lit(lg_k))).alias(
+            "estimate"
+        ),
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Union per-group HLL sketches up to a coarser grouping — pure
+    partial-state re-aggregation, no raw-data rescan."""
+    merged = F.hll_union_agg(F.col(sketch_col))
+    return sketches.groupBy(*group_cols).agg(
+        merged.alias("sketch"),
+        F.hll_sketch_estimate(merged).alias("estimate"),
+    )

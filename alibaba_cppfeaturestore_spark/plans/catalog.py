@@ -5374,3 +5374,38 @@ def join_salted_skew_enrich(spark, sf_dir):
         ev.select("event_id", "event_type"), per_type, on=["event_type"], salt=8
     )
     return out.select("event_id", "event_type", "type_n", "type_total")
+
+
+@_q(
+    "chunk_documents_rag",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, UNNEST(generate_series(1, GREATEST(LEN(t), 1), 48)) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 + 1 AS INTEGER) AS chunk_id,
+           CAST(s AS INTEGER) AS start_tok,
+           array_to_string(list_slice(t, s, s + 63), ' ') AS chunk_text,
+           CAST(LEAST(64, LEN(t) - s + 1) AS INTEGER) AS n_chunk_tokens
+    FROM starts
+    """,
+)
+def chunk_documents_rag(spark, sf_dir):
+    """RAG / context-window chunking: overlapping 64-token windows with
+    stride 48 (``functions/text.py::chunk_tokens`` — sequence →
+    transform → slice → array_join, all whole-stage codegen; the token
+    array is bound ONCE via ``_let``). One row per chunk after explode;
+    no shuffle — chunking is a narrow map however large the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = TX.chunk_tokens(F.col("text"), chunk_size=64, stride=48)
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )

@@ -216,3 +216,24 @@ def test_salted_join_spreads_shuffle_key(spark):
         .toString()
     )
     assert "__salt" in plan and "SortMergeJoin" in plan
+
+
+def test_hll_sketch_rollup_merge_equals_direct(spark):
+    from alibaba_cppfeaturestore_spark.operators.sketches import (
+        distinct_sketch_rollup,
+        merge_distinct_sketches,
+    )
+
+    rows = [(d, u) for d in range(10) for u in range(d * 50, d * 50 + 300)]
+    df = spark.createDataFrame(rows, "day int, user long")
+    daily = distinct_sketch_rollup(df, "user", ["day"])
+    # merged-from-daily tracks the directly built whole-table sketch
+    # (not bit-identical: HLL_4 sparse->dense mode transitions differ by
+    # build path) and both sit inside the lg_k=12 error envelope
+    merged = merge_distinct_sketches(daily.select(F.lit(1).alias("g"), "sketch"), ["g"])
+    direct = distinct_sketch_rollup(df.select(F.lit(1).alias("g"), "user"), "user", ["g"])
+    m, d = merged.collect()[0], direct.collect()[0]
+    exact = df.select("user").distinct().count()
+    assert abs(m.estimate - d.estimate) <= 0.01 * exact
+    assert abs(m.estimate - exact) / exact < 0.05  # lg_k=12 -> ~1.6% rse
+    assert abs(d.estimate - exact) / exact < 0.05
