@@ -36,10 +36,12 @@ from pyspark.sql import functions as F
 def _mg_summarize(capacity: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n_rows = 0
         for pdf in batches:
             for tok in pdf["token"]:
                 if tok is None:
                     continue
+                n_rows += 1
                 if tok in counters:
                     counters[tok] += 1
                 elif len(counters) < capacity:
@@ -53,7 +55,14 @@ def _mg_summarize(capacity: int):
                             dead.append(k)
                     for k in dead:
                         del counters[k]
-        yield pd.DataFrame({"token": list(counters.keys())})
+        # candidates + one partition-total marker row (token NULL), so
+        # the global total rides the sketch scan instead of a third pass
+        yield pd.DataFrame(
+            {
+                "token": list(counters.keys()) + [None],
+                "part_n": [0] * len(counters) + [n_rows],
+            }
+        )
 
     return fn
 
@@ -82,8 +91,13 @@ def heavy_hitters(
     if num * (capacity + 1) < den:
         raise ValueError(f"phi={num}/{den} below MG guarantee 1/(capacity+1)")
     toks = tokens.select(F.col(token_col).alias("token"))
-    candidates = toks.mapInPandas(_mg_summarize(capacity), schema="token string").distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("__scalar_total"))
+    # ONE sketch scan yields both the candidate union and the exact total
+    # (marker rows), then ONE recount scan — the two-pass structural floor
+    summary = toks.mapInPandas(
+        _mg_summarize(capacity), schema="token string, part_n long"
+    ).persist()
+    candidates = summary.filter(F.col("token").isNotNull()).select("token").distinct()
+    total = summary.agg(F.sum("part_n").alias("__scalar_total"))
     return (
         toks.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")
