@@ -120,6 +120,36 @@ def main() -> None:
     )
     finalize_agg_state(merged, ["event_type"], measures).show(5)
 
+    print("== Z-order layout: two-dimensional data skipping ==")
+    from alibaba_cppfeaturestore_spark.operators.layout import cluster_by_z, zorder_layout
+
+    zdf = zorder_layout(
+        ev,
+        F.col("user_id"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2000-01-01").cast("date")),
+    )
+    cluster_by_z(zdf, num_files=8).select("event_id", "zval", "file_bucket").show(3)
+
+    print("== Exact robust statistics: grouped OLS + median/MAD outliers ==")
+    from alibaba_cppfeaturestore_spark.operators.statistics import grouped_ols, mad_outliers
+
+    x_day = F.datediff(F.col("ts").cast("date"), F.lit("2000-01-01").cast("date"))
+    grouped_ols(ev.withColumn("_x", x_day), "_x", "value", ["event_type"]).show(5)
+    mad_outliers(ev, "value", ["event_type"]).show(5)
+
+    print("== Heavy hitters without shuffling the vocabulary ==")
+    from alibaba_cppfeaturestore_spark.functions.text import chunk_tokens, tokens
+    from alibaba_cppfeaturestore_spark.operators.sketches import heavy_hitters
+
+    docs = spark.table("documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    heavy_hitters(toks, "token", phi=(1, 500)).orderBy(F.desc("cnt")).show(5)
+
+    print("== RAG chunking: overlapping 64-token windows ==")
+    docs.select("doc_id", F.explode(chunk_tokens(F.col("text"))).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.n_chunk_tokens"
+    ).show(5)
+
     spark.stop()
 
 
