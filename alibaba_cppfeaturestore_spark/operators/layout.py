@@ -32,14 +32,18 @@ from pyspark.sql import functions as F
 def zorder_col(x: Column, y: Column, bits: int = 16) -> Column:
     """Morton-interleave the low ``bits`` bits of two non-negative
     integer columns into a single BIGINT Z-value (x → even bits,
-    y → odd bits)."""
-    x = x.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
-    y = y.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
-    z = F.lit(0).cast("bigint")
-    for i in range(bits):
-        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-    return z
+    y → odd bits). Delegates to the canonical n-column interleave in
+    ``sources/writers.py::morton_code`` (same bit plan: column i of n at
+    bit b·n+i) — this module adds the ORACLE side (``zorder_sql`` emits
+    the identical plan as portable SQL) and the inspectable
+    ``zval``/``file_bucket`` projection; ``zorder_write`` over there is
+    the auto-min-max-scaled end-to-end writer."""
+    from ..sources.writers import morton_code
+
+    mask = F.lit((1 << bits) - 1)
+    return morton_code(
+        [x.cast("bigint").bitwiseAND(mask), y.cast("bigint").bitwiseAND(mask)], bits
+    )
 
 
 def zorder_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:

@@ -5409,3 +5409,92 @@ def chunk_documents_rag(spark, sf_dir):
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
     )
+
+
+@_q(
+    "jdbc_roundtrip_derby",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS m
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           (CASE WHEN m >= 0 THEN (m + 5000) // 10000
+                 ELSE -((-m + 5000) // 10000) END) / 100.0 AS total_value
+    FROM g
+    """,
+)
+def jdbc_roundtrip_derby(spark, sf_dir):
+    """S4 driver-visible: the per-type summary goes OUT through the real
+    JDBC write path into embedded Derby (ships in Spark's jars;
+    reference Postgres sink, batch_process_Silver_to_Gold.py:166-172)
+    and comes BACK through a JDBC read — the returned frame matches the
+    direct batch oracle iff the round-trip preserved every value.
+    Decimal-exact total with integer half-up rounding (the
+    write_ignore_roundtrip arithmetic); Derby DOUBLE round-trips IEEE
+    bits unchanged."""
+    import os
+    import tempfile
+
+    from ..sources.writers import write_jdbc
+
+    ev = _t(spark, sf_dir, "events")
+    summary = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+            ).alias("m"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.expr(
+                "(CASE WHEN m >= 0 THEN (m + 5000) div 10000"
+                " ELSE -((-m + 5000) div 10000) END) / CAST(100 AS DOUBLE)"
+            ).alias("total_value"),
+        )
+    )
+    url = f"jdbc:derby:{os.path.join(tempfile.mkdtemp(prefix='jdbc_rt_'), 'db')};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    write_jdbc(summary, url, "type_summary", mode="overwrite", properties=props)
+    return spark.read.jdbc(url, "type_summary", properties=props).select(
+        "event_type", "n_events", "total_value"
+    )
+
+
+@_q(
+    "partition_pruned_read",
+    """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def partition_pruned_read(spark, sf_dir):
+    """L5 driver-visible: events written out PARTITIONED BY event_type
+    (reference ``partitionBy`` output layout), then read back with a
+    partition predicate — the scan touches ONE directory out of five
+    (PartitionFilters, asserted in ``tests/test_plans.py``'s layout
+    test), and the values match a direct filter of the source. At scale
+    this is the difference between scanning 100 TB and scanning the one
+    partition the query names."""
+    import tempfile
+
+    from ..sources.writers import write_table
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",  # double: parquet write/read preserves the IEEE bits
+        "event_type",
+    )
+    path = tempfile.mkdtemp(prefix="part_write_") + "/events_by_type"
+    write_table(ev, path, partition_by=["event_type"])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )

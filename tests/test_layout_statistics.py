@@ -237,3 +237,20 @@ def test_hll_sketch_rollup_merge_equals_direct(spark):
     assert abs(m.estimate - d.estimate) <= 0.01 * exact
     assert abs(m.estimate - exact) / exact < 0.05  # lg_k=12 -> ~1.6% rse
     assert abs(d.estimate - exact) / exact < 0.05
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """L5: the partitioned layout must turn a partition-column predicate
+    into PartitionFilters at the scan (directory pruning), not a data
+    filter over all files."""
+    from alibaba_cppfeaturestore_spark.sources.writers import write_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    path = str(tmp_path / "by_type")
+    write_table(ev, path, partition_by=["event_type"])
+    scan = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
+    # pruned read sees exactly the one partition's rows
+    expect = ev.filter(F.col("event_type") == "purchase").count()
+    assert scan.count() == expect
