@@ -127,10 +127,22 @@ def mad_outliers(
     Returns one row per group: ``group_cols…, n, median, mad,
     n_outliers``.
     """
-    dec = df.select(*group_cols, F.col(value_col).cast("decimal(20,7)").alias("_v"))
+    from pyspark import StorageLevel
+
+    # dec feeds the median pass AND the deviation build; dev feeds the
+    # MAD pass AND the final flag/agg. Each would be recompiled per
+    # consumer (ReusedExchange does not fire across these shapes — see
+    # SCALING.md scan-economy audit), re-scanning the raw input up to 3×.
+    # Persisting the two narrow projections bounds the operator to ONE
+    # raw scan; exact MAD is inherently multi-pass beyond that.
+    dec = df.select(*group_cols, F.col(value_col).cast("decimal(20,7)").alias("_v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     med = _exact_median(dec, group_cols, "_v", "_med", "decimal(24,8)", "decimal(22,7)")
-    dev = dec.join(F.broadcast(med), group_cols).withColumn(
-        "_dev", F.abs(F.col("_v") - F.col("_med")).cast("decimal(27,8)")
+    dev = (
+        dec.join(F.broadcast(med), group_cols)
+        .withColumn("_dev", F.abs(F.col("_v") - F.col("_med")).cast("decimal(27,8)"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mad = _exact_median(
         dev.select(*group_cols, "_dev"), group_cols, "_dev", "_mad", "decimal(30,9)", "decimal(27,8)"

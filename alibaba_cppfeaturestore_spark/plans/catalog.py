@@ -5276,6 +5276,7 @@ def anomaly_mad_outliers(spark, sf_dir):
       ON a.user_id < b.user_id
      AND a.s_start <= b.s_end AND b.s_start <= a.s_end
     """,
+    headline=True,
 )
 def interval_overlap_sessions(spark, sf_dir):
     """Concurrent-session detection: sessionize per user (30-min gap),
@@ -5292,6 +5293,8 @@ def interval_overlap_sessions(spark, sf_dir):
     new_session = F.when(
         lag_ts.isNull() | (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTES")), 1
     ).otherwise(0)
+    from pyspark import StorageLevel
+
     spans = (
         ev.withColumn("new_session", new_session)
         .withColumn("session_id", F.sum("new_session").over(cum))
@@ -5301,6 +5304,9 @@ def interval_overlap_sessions(spark, sf_dir):
             F.max("ts").alias("s_end"),
             F.count(F.lit(1)).alias("n_events"),
         )
+        # both overlap-join sides consume spans; without persistence each
+        # side recompiles the whole sessionize+agg chain (2x raw scan)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = JN.interval_overlap_join(
         spans, spans, "s_start", "s_end", "s_start", "s_end", bin_width=3600.0
@@ -5331,6 +5337,7 @@ from ..operators.sketches import heavy_hitters  # noqa: E402
     GROUP BY token, total
     HAVING COUNT(*) * 500 > total
     """,
+    headline=True,
 )
 def heavy_hitter_tokens(spark, sf_dir):
     """φ-heavy-hitter tokens (φ = 1/500) via a merged Misra–Gries sketch
