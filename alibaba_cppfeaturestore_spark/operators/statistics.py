@@ -160,3 +160,26 @@ def mad_outliers(
             ).alias("n_outliers"),
         )
     )
+
+
+def mode_bucket_udaf():
+    """Series-to-scalar ``pandas_udf`` (the grouped-AGGREGATE Arrow
+    tier — completing the sanctioned Python surface next to scalar
+    pandas_udf / applyInPandas / mapInPandas / applyInPandasWithState):
+    per-group MODE of an integer bucket column, smallest bucket on ties.
+    Integer in, integer out — engine-exact, so unlike most UDAFs it
+    carries a full SQL oracle (counts + ROW_NUMBER argmax)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses
+    # `from __future__ import annotations`, which stringifies the
+    # Series->scalar signature pandas_udf would otherwise infer from
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _mode(buckets):
+        counts = buckets.dropna().astype("int64").value_counts()
+        if counts.empty:
+            return None
+        top = counts[counts == counts.max()]
+        return int(min(top.index))
+
+    return _mode

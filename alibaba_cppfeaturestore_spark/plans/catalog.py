@@ -5505,3 +5505,84 @@ def partition_pruned_read(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "value")
     )
+
+
+@_q(
+    "join_full_outer_reconcile",
+    """
+    WITH p AS (
+      SELECT user_id, COUNT(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    c AS (
+      SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+      FROM orders WHERE o_custkey <= 200 GROUP BY o_custkey
+    )
+    SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(n_orders, 0) AS n_orders,
+           CASE WHEN p.user_id IS NULL THEN 'orders_only'
+                WHEN c.user_id IS NULL THEN 'events_only'
+                ELSE 'both' END AS presence
+    FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+    """,
+)
+def join_full_outer_reconcile(spark, sf_dir):
+    """§2.3 completeness: FULL OUTER reconciliation of two keyed
+    aggregates (purchasers vs order customers) with presence
+    classification — the standard cross-system audit join. Both sides
+    pre-aggregated, so the outer join shuffles |keys| rows, not raw
+    data."""
+    ev = _t(spark, sf_dir, "events")
+    od = _t(spark, sf_dir, "orders")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    c = (
+        od.filter(F.col("o_custkey") <= 200)
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = p.alias("p").join(c.alias("c"), F.col("p.user_id") == F.col("c.user_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias("user_id"),
+        F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.when(F.col("p.user_id").isNull(), F.lit("orders_only"))
+        .when(F.col("c.user_id").isNull(), F.lit("events_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )
+
+
+@_q(
+    "grouped_mode_bucket",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bucket FROM events
+    ),
+    c AS (SELECT event_type, bucket, COUNT(*) AS n FROM b GROUP BY event_type, bucket),
+    r AS (
+      SELECT event_type, bucket,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, bucket ASC) AS rn
+      FROM c
+    )
+    SELECT event_type, bucket AS mode_bucket FROM r WHERE rn = 1
+    """,
+)
+def grouped_mode_bucket(spark, sf_dir):
+    """U-surface completeness: the Series-to-scalar (grouped-aggregate)
+    Arrow pandas_udf tier (``operators/statistics.py::mode_bucket_udaf``)
+    — per-type modal value bucket, smallest on ties. Integer in/out, so
+    this UDAF (unusually) carries a full value oracle: the SQL replay is
+    counts + ROW_NUMBER argmax. FLOOR(double) is IEEE-identical on both
+    engines."""
+    from ..operators.statistics import mode_bucket_udaf
+
+    ev = _t(spark, sf_dir, "events")
+    mode = mode_bucket_udaf()
+    return ev.groupBy("event_type").agg(
+        mode(F.floor(F.col("value")).cast("long")).alias("mode_bucket")
+    )

@@ -2,6 +2,7 @@
 
 - scalar ``pandas_udf`` (Arrow batch): wide-vector cosine ≡ native HOF cosine
 - grouped-map ``applyInPandas``: per-key EWMA ≡ hand recurrence
+- Series-to-scalar ``pandas_udf`` (grouped agg): modal bucket ≡ native argmax
 (``mapInPandas`` and ``applyInPandasWithState`` are pinned in
 test_multimodal / test_streaming.)
 """
@@ -75,3 +76,31 @@ def test_grouped_ewma_order_independence_of_input(spark):
     assert got[0] == (1, pytest.approx(9.0))
     assert got[1] == (2, pytest.approx(7.0))
     assert got[2] == (3, pytest.approx(4.0))
+
+
+def test_grouped_agg_mode_equals_native_argmax(spark, sf_dir):
+    """Series-to-scalar (grouped-agg) pandas_udf tier: modal integer
+    bucket per group ≡ native counts + row_number argmax."""
+    from pyspark.sql import Window
+
+    from alibaba_cppfeaturestore_spark.operators.statistics import mode_bucket_udaf
+
+    ev = load_table(spark, sf_dir, "events")
+    mode = mode_bucket_udaf()
+    got = {
+        r.event_type: r.mode_bucket
+        for r in ev.groupBy("event_type")
+        .agg(mode(F.floor(F.col("value")).cast("long")).alias("mode_bucket"))
+        .collect()
+    }
+    counts = (
+        ev.select("event_type", F.floor("value").cast("long").alias("b"))
+        .groupBy("event_type", "b")
+        .count()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("count"), F.asc("b"))
+    native = {
+        r.event_type: r.b
+        for r in counts.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    assert got == native
