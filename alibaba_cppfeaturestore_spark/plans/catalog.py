@@ -5586,3 +5586,66 @@ def grouped_mode_bucket(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         mode(F.floor(F.col("value")).cast("long")).alias("mode_bucket")
     )
+
+
+@_q(
+    "window_rank_functions",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_functions(spark, sf_dir):
+    """§2.5 completeness: the full ranking-function family (rank /
+    dense_rank / percent_rank / cume_dist / lag / lead) over one total
+    deterministic ordering. percent_rank and cume_dist are single IEEE
+    divisions of identical integers on both engines — exact unrounded.
+    One window sort per partition; nothing global."""
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@_q(
+    "join_null_safe_eq",
+    """
+    WITH l AS (SELECT event_id, NULLIF(event_type, 'error') AS k FROM events),
+    r AS (SELECT DISTINCT NULLIF(event_type, 'error') AS k FROM events),
+    r2 AS (SELECT k, COALESCE(k, 'unknown') AS label FROM r)
+    SELECT l.event_id, r2.label
+    FROM l JOIN r2 ON l.k IS NOT DISTINCT FROM r2.k
+    """,
+)
+def join_null_safe_eq(spark, sf_dir):
+    """§2.3 nuance: NULL-SAFE equality join (``<=>`` / IS NOT DISTINCT
+    FROM) — NULL keys MATCH each other instead of vanishing, the
+    semantics dirty dimension pipelines actually need. Catalyst plans
+    ``<=>`` as a real equi-key (hash join, NULLs co-partitioned), not a
+    nested loop."""
+    ev = _t(spark, sf_dir, "events")
+    l = ev.select("event_id", F.expr("NULLIF(event_type, 'error')").alias("k"))
+    r = (
+        ev.select(F.expr("NULLIF(event_type, 'error')").alias("k"))
+        .distinct()
+        .withColumn("label", F.coalesce(F.col("k"), F.lit("unknown")))
+    )
+    j = l.alias("l").join(r.alias("r"), F.col("l.k").eqNullSafe(F.col("r.k")))
+    return j.select(F.col("l.event_id").alias("event_id"), F.col("r.label").alias("label"))
