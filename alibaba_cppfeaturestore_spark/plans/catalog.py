@@ -5649,3 +5649,38 @@ def join_null_safe_eq(spark, sf_dir):
     )
     j = l.alias("l").join(r.alias("r"), F.col("l.k").eqNullSafe(F.col("r.k")))
     return j.select(F.col("l.event_id").alias("event_id"), F.col("r.label").alias("label"))
+
+
+@_q(
+    "schema_evolution_union_read",
+    """
+    WITH v1 AS (
+      SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value
+      FROM events WHERE event_id % 2 = 0
+    ),
+    v2 AS (
+      SELECT event_id, user_id, value
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT event_id, user_id, value FROM v1
+    UNION ALL
+    SELECT event_id, user_id, value FROM v2
+    """,
+)
+def schema_evolution_union_read(spark, sf_dir):
+    """Schema-evolution read (the Delta bronze-table capability,
+    parquet-native): one batch written BEFORE the ``value`` column
+    existed, one after; ``read_parquet_evolving`` (mergeSchema) unions
+    by name, so old files surface NULL values instead of failing or
+    truncating to the first footer's schema. Oracle = the equivalent
+    NULL-padded UNION ALL over the source."""
+    import tempfile
+
+    from ..sources.readers import read_parquet_evolving
+
+    ev = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    old, new = base + "/batch_v1", base + "/batch_v2"
+    ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id").write.parquet(old)
+    ev.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id", "value").write.parquet(new)
+    return read_parquet_evolving(spark, old, new).select("event_id", "user_id", "value")

@@ -104,3 +104,17 @@ def from_collection(spark: SparkSession, data, schema=None) -> DataFrame:
     """Local-collection source (reference S8,
     ``batch_process_Bronze_to_Silver.py:178``)."""
     return spark.createDataFrame(data, schema=schema)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under an EVOLVING schema (S2-adjacent: the
+    capability Delta's schema evolution provides on the reference's
+    bronze tables): ``mergeSchema`` unions the footers' schemas by
+    column NAME, so files written before a column existed yield NULLs
+    for it instead of a read error or silent truncation to the first
+    file's schema.
+
+    Scale note: schema merging reads every file FOOTER at planning time
+    (not the data); on very large tables prefer a user-provided schema
+    (``spark.read.schema(...)``) once the union schema is known."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
