@@ -254,3 +254,65 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # pruned read sees exactly the one partition's rows
     expect = ev.filter(F.col("event_type") == "purchase").count()
     assert scan.count() == expect
+
+
+def test_exact_stats_fuzz_many_adversarial_groups(spark):
+    """Seeded fuzz: 40 groups of adversarial shapes (constant values,
+    2-row groups, near-domain-bound magnitudes, negatives, dyadic and
+    decimal-boundary values) through grouped_ols and mad_outliers in ONE
+    Spark job each, against pure-Python Decimal references — the same
+    exactness contract the DuckDB oracle checks, but over nastier data
+    than the testdata generator emits."""
+    import random
+    from decimal import Decimal
+
+    rng = random.Random(99)
+    groups = {}
+    for gi in range(40):
+        kind = gi % 5
+        n = {0: 2, 1: 3, 2: 17, 3: 50, 4: 101}[kind]
+        if kind == 0:
+            vals = [rng.choice([0.125, -0.125])] * n  # constant dyadic
+        elif kind == 1:
+            vals = [round(rng.uniform(-1e7, 1e7), 2) for _ in range(n)]  # big magnitude
+        elif kind == 2:
+            vals = [x + 0.005 for x in range(n)]  # half-boundary decimals
+        else:
+            vals = [round(rng.gauss(0, 100), rng.choice([0, 2, 6])) for _ in range(n)]
+        groups[f"g{gi}"] = vals
+
+    rows = [(g, i, float(v)) for g, vs in groups.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "g string, x long, v double")
+
+    # --- mad_outliers vs Decimal reference ---
+    got = {r.g: r for r in mad_outliers(df, "v", ["g"], k="3.0").collect()}
+
+    def ref_median(ds):
+        ds = sorted(ds)
+        n = len(ds)
+        mid = ds[(n - 1) // 2 : n // 2 + 1]
+        return sum(mid) / Decimal(len(mid))
+
+    for g, vs in groups.items():
+        dv = [Decimal(str(v)).quantize(Decimal("0.0000001")) for v in vs]
+        med = ref_median(dv)
+        devs = [abs(d - med) for d in dv]
+        mad = ref_median(devs)
+        assert Decimal(str(got[g].median)) == Decimal(str(float(med))), g
+        assert got[g].n_outliers == sum(1 for d in devs if d > 3 * mad), g
+
+    # --- grouped_ols vs Decimal closed form ---
+    ols = {r.g: r for r in grouped_ols(df, "x", "v", ["g"]).collect()}
+    for g, vs in groups.items():
+        xs = list(range(len(vs)))
+        ys = [Decimal(str(v)).quantize(Decimal("0.000001")) for v in vs]
+        n = len(vs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(Decimal(x) * y for x, y in zip(xs, ys))
+        den = float(n * sxx - sx * sx)
+        if den == 0.0:
+            assert ols[g].slope is None, g
+        else:
+            slope = float(n * sxy - Decimal(sx) * sy) / den
+            assert ols[g].slope == slope, g
