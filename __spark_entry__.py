@@ -48,6 +48,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # over the full catalog. The only oracle-less entries
 # (dedup_winnow_containment, ann_ivf_topk — permanently pytest-pinned,
 # see their docstrings) sit in the tail, outside the window.
+#
+# Round-4 rotation plan: swap in the 8 entries still never
+# driver-checked (chunk_documents_rag, jdbc_roundtrip_derby,
+# partition_pruned_read, window_rank_functions, join_null_safe_eq,
+# join_full_outer_reconcile, grouped_mode_bucket,
+# schema_evolution_union_read), then fill the remaining slots with the
+# OLDEST green rows first (r01 entries — the data regenerates every
+# round, so a green from two rounds ago is a green on stale data),
+# keeping the Ali-CCP e2e pins.
 _DRIVER_WINDOW = [
     # -- never green before round 3 (39) --
     "timeseries_rollup_cascade",
