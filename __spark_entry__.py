@@ -45,15 +45,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # hitters, salted skew join). The remaining 2 slots keep the flagship
 # Ali-CCP e2e pair as regression pins. Entries rotated out stay
 # green in CORRECTNESS_r01/r02 and remain pinned by pytest oracle-parity
-# over the full catalog. The only oracle-less entries
-# (dedup_winnow_containment, ann_ivf_topk — permanently pytest-pinned,
-# see their docstrings) sit in the tail, outside the window.
+# over the full catalog. The only oracle-less entry left is
+# ann_ivf_topk (learned KMeans centroids — permanently pytest-pinned,
+# see its docstring); it sits in the tail, outside the window.
+# dedup_winnow_containment gained a portable-md5 full oracle late in
+# round 3 (window-minimum selection picks minimum VALUES, so a portable
+# gram hash makes the whole selection SQL-replayable).
 #
-# Round-4 rotation plan: swap in the 8 entries still never
-# driver-checked (chunk_documents_rag, jdbc_roundtrip_derby,
-# partition_pruned_read, window_rank_functions, join_null_safe_eq,
-# join_full_outer_reconcile, grouped_mode_bucket,
-# schema_evolution_union_read), then fill the remaining slots with the
+# Round-4 rotation plan: swap in the 9 entries still never
+# driver-checked with their current oracles (chunk_documents_rag,
+# jdbc_roundtrip_derby, partition_pruned_read, window_rank_functions,
+# join_null_safe_eq, join_full_outer_reconcile, grouped_mode_bucket,
+# schema_evolution_union_read, dedup_winnow_containment), then fill the
+# remaining slots with the
 # OLDEST green rows first (r01 entries — the data regenerates every
 # round, so a green from two rounds ago is a green on stale data),
 # keeping the Ali-CCP e2e pins.

@@ -161,7 +161,7 @@ def _let(value: Column, body) -> Column:
 
 
 def winnow_fingerprints(
-    text: Column | str, k: int = 5, window: int = 4
+    text: Column | str, k: int = 5, window: int = 4, portable: bool = False
 ) -> Column:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     MOSS rolling-hash scheme): hash every character k-gram, slide a window
@@ -177,10 +177,22 @@ def winnow_fingerprints(
     All-native expressions; the k-gram hash array is bound once via
     ``_let`` so the sliding windows index into it instead of re-hashing.
     Cost O(len × window) integer ops per row, no shuffle.
+
+    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit hash
+    (``operators/dedup.py::md5_hash60``'s expression — md5 exists
+    bit-identically in every engine), which makes the ENTIRE winnowing
+    selection SQL-replayable: window-minimum selection picks min VALUES,
+    so with a portable hash the fingerprint set itself has a DuckDB
+    oracle. Production default stays xxhash64 (one-pass, ~3-4× faster
+    per byte).
     """
     col = F.col(text) if isinstance(text, str) else text
     normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
-    hashed = F.transform(char_shingles(normalized, k), lambda g: F.xxhash64(g))
+    if portable:
+        gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")  # noqa: E731
+    else:
+        gram_hash = F.xxhash64
+    hashed = F.transform(char_shingles(normalized, k), gram_hash)
     return _let(
         hashed,
         lambda h: F.when(F.size(h) == 0, F.array().cast("array<bigint>")).otherwise(

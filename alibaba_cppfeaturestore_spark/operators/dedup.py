@@ -782,6 +782,7 @@ def winnow_containment_pairs(
     window: int = 8,
     threshold: float = 0.5,
     max_postings: int | None = 1_000,
+    portable: bool = False,
 ) -> DataFrame:
     """Containment pairs via winnowing (rolling-hash) fingerprints: the
     MOSS pipeline on DataFrames. Returns ``(id_a, id_b, containment)``
@@ -810,7 +811,7 @@ def winnow_containment_pairs(
 
     fps = _spread(df).select(
         F.col(id_col).alias("id"),
-        winnow_fingerprints(F.col(text_col), k, window).alias("fp"),
+        winnow_fingerprints(F.col(text_col), k, window, portable=portable).alias("fp"),
     )
     # explode_OUTER, not explode: for an inner Generate over a computed
     # array attribute, InferFiltersFromGenerate adds `size(fp)>0 AND
@@ -872,8 +873,18 @@ def winnow_containment_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("shared") / F.greatest(F.least("n_a", "n_b"), F.lit(1)), 6
+            # portable mode publishes the UNROUNDED ratio: identical ints
+            # divide to identical doubles on every engine, while
+            # ROUND(double, 6) does NOT cross engines (binary-exact
+            # ratios like 1/128 sit exactly on the half boundary —
+            # Spark HALF_UPs, DuckDB half-evens; see SCALING.md round-3
+            # field notes). Default keeps the rounded human-facing form.
+            (
+                F.col("shared") / F.greatest(F.least("n_a", "n_b"), F.lit(1))
+                if portable
+                else F.round(
+                    F.col("shared") / F.greatest(F.least("n_a", "n_b"), F.lit(1)), 6
+                )
             ).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)

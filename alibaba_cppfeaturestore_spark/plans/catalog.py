@@ -1863,18 +1863,68 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
-@_q("dedup_winnow_containment", None)
+@_q(
+    "dedup_winnow_containment",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             'prefix words here. ' || text || ' trailing commentary'
+      FROM documents WHERE doc_id < 50
+    ),
+    norm AS (
+      SELECT doc_id, lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')) AS s
+      FROM corpus
+    ),
+    grams AS (
+      SELECT doc_id, i,
+             CAST('0x' || substr(md5(substr(s, CAST(i AS INTEGER), 12)), 1, 15) AS BIGINT) AS h
+      FROM norm, UNNEST(generate_series(1, LEN(s) - 11)) AS t(i)
+    ),
+    wins AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, mh AS h
+      FROM wins WHERE i <= GREATEST(n_grams - 7, 1)
+    ),
+    fpn AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+    hh AS (SELECT h FROM fps GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 1000),
+    posts AS (
+      SELECT f.doc_id, f.h, n.n_fp
+      FROM fps f JOIN fpn n USING (doc_id)
+      WHERE f.h IN (SELECT h FROM hh)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS shared, MIN(LEAST(a.n_fp, b.n_fp)) AS mn
+      FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(shared AS DOUBLE) / CAST(GREATEST(mn, 1) AS DOUBLE) AS containment
+    FROM pairs
+    WHERE CAST(shared AS DOUBLE) / CAST(GREATEST(mn, 1) AS DOUBLE) >= 0.6
+    """,
+)
 def dedup_winnow_containment(spark, sf_dir):
     """Rolling-hash (winnowing/MOSS) containment pairs over a corpus with
-    a planted quoting doc (doc 0's text embedded in a larger doc).
-
-    PERMANENTLY pytest-pinned (one of exactly two oracle-less entries,
-    with ann_ivf_topk): the winnowing window-minimum selection over a
-    rolling xxhash64 stream has no portable SQL replay — unlike
-    MinHash/SimHash (which gained md5-portable modes), the *selection* of
-    which k-grams survive depends on the hash ordering itself, so an
-    md5 swap changes the output set rather than re-encoding it. The
-    shared-substring guarantee and containment semantics are pinned in
+    planted quoting docs (each short doc's text embedded in a larger one),
+    in PORTABLE hash mode: the window-minimum selection picks minimum
+    VALUES, so with the md5-derived 60-bit gram hash the entire
+    pipeline — normalization, k-gram hashing, window minima, fingerprint
+    sets, capped inverted index, pair overlap, containment ratio — has a
+    full DuckDB value replay (formerly one of three oracle-less entries;
+    only ann_ivf_topk's learned centroids remain). Containment is
+    published UNROUNDED: identical integer (shared, min_fp) divide to
+    identical doubles on both engines, where ROUND(double, 6) would
+    diverge on binary-exact half-boundary ratios like 1/128. Production
+    default stays xxhash64 (``portable=False``), pinned by
     tests/test_dedup_similarity.py."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     quoter = docs.filter(F.col("doc_id") < 50).select(
@@ -1883,7 +1933,7 @@ def dedup_winnow_containment(spark, sf_dir):
     )
     corpus = docs.unionByName(quoter)
     return DD.winnow_containment_pairs(
-        corpus, text_col="text", id_col="doc_id", threshold=0.6
+        corpus, text_col="text", id_col="doc_id", threshold=0.6, portable=True
     )
 
 
