@@ -50,14 +50,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # see its docstring); it sits in the tail, outside the window.
 # dedup_winnow_containment gained a portable-md5 full oracle late in
 # round 3 (window-minimum selection picks minimum VALUES, so a portable
-# gram hash makes the whole selection SQL-replayable).
+# gram hash makes the whole selection SQL-replayable), and the IVF
+# family gained ann_ivf_portable_topk (deterministic int8 quantizer —
+# integer-exact end to end) alongside the learned-KMeans production
+# path.
 #
 # Round-4 rotation plan: swap in the 9 entries still never
 # driver-checked with their current oracles (chunk_documents_rag,
 # jdbc_roundtrip_derby, partition_pruned_read, window_rank_functions,
 # join_null_safe_eq, join_full_outer_reconcile, grouped_mode_bucket,
-# schema_evolution_union_read, dedup_winnow_containment), then fill the
-# remaining slots with the
+# schema_evolution_union_read, dedup_winnow_containment,
+# ann_ivf_portable_topk), then fill the remaining slots with the
 # OLDEST green rows first (r01 entries — the data regenerates every
 # round, so a green from two rounds ago is a green on stale data),
 # keeping the Ali-CCP e2e pins.

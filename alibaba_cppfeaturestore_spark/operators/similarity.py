@@ -362,3 +362,68 @@ def threshold_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_portable_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer — the fully
+    oracle-able sibling of ``ivf_topk``: centroids are the ``nlist``
+    corpus vectors with the smallest ids (a fixed "random" sample — ids
+    carry no geometry) int8-quantized, assignment/probing/scoring are
+    integer dot products (every partial sum is an exact integer-valued
+    double < 2^53, so aggregation order cannot change a bit), and all
+    argmax selections tie-break on ids. Same physical shape as the
+    learned-KMeans path — broadcast centroids, cell equi-join, per-cell
+    top-k — with recall traded for exact cross-engine replayability.
+    Use ``ivf_topk`` (learned centroids) when recall matters more than
+    a value-level audit trail.
+    """
+    from ..functions.vectors import cosine_int8, quantize_int8
+    from ..operators.aggregates import top_k_per_group
+
+    q = emb.select(F.col(id_col).alias("vid"), quantize_int8(F.col(vec_col)).alias("qv"))
+    cents = (
+        q.orderBy("vid")
+        .limit(nlist)
+        .select(F.col("vid").alias("cent_id"), F.col("qv").alias("cent_qv"))
+    )
+    # cell assignment: best centroid per corpus vector (ties -> smallest id)
+    scored_cells = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "vid", "qv", "cent_id", cosine_int8(F.col("qv"), F.col("cent_qv")).alias("cs")
+        )
+    )
+    assigned = top_k_per_group(scored_cells, ["vid"], "cs", k=1, tiebreak=["cent_id"]).select(
+        "vid", "qv", F.col("cent_id").alias("cell")
+    )
+    queries = assigned.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    probes = top_k_per_group(
+        queries.crossJoin(F.broadcast(cents)).select(
+            "query_id", "q_qv", "cent_id", cosine_int8(F.col("q_qv"), F.col("cent_qv")).alias("cs")
+        ),
+        ["query_id"],
+        "cs",
+        k=nprobe,
+        tiebreak=["cent_id"],
+    ).select("query_id", "q_qv", F.col("cent_id").alias("cell"))
+    cands = (
+        probes.join(assigned, "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine_int8(F.col("q_qv"), F.col("qv")).alias("cosine_sim"),
+        )
+        # a vector sits in exactly one cell, so no candidate dedup needed
+    )
+    return top_k_per_group(cands, ["query_id"], "cosine_sim", k=k, tiebreak=["neighbor_id"])

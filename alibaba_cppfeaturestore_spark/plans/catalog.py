@@ -5734,3 +5734,65 @@ def schema_evolution_union_read(spark, sf_dir):
     ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id").write.parquet(old)
     ev.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id", "value").write.parquet(new)
     return read_parquet_evolving(spark, old, new).select("event_id", "user_id", "value")
+
+
+@_q(
+    "ann_ivf_portable_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+    qt AS (
+      SELECT vec_id,
+             CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> round(x * 127.0 / amax)) END AS q
+      FROM a
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, q AS cq FROM qt ORDER BY vec_id LIMIT 16
+    ),
+    cell_scores AS (
+      SELECT t.vec_id, c.cent_id,
+             list_dot_product(t.q, c.cq)
+               / GREATEST(sqrt(list_dot_product(t.q, t.q))
+                          * sqrt(list_dot_product(c.cq, c.cq)), 1e-12) AS cs
+      FROM qt t CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id AS cell FROM cell_scores
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM cell_scores
+      WHERE vec_id < 5
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) <= 4
+    ),
+    cands AS (
+      SELECT p.query_id, s.vec_id AS neighbor_id,
+             list_dot_product(qv.q, t.q)
+               / GREATEST(sqrt(list_dot_product(qv.q, qv.q))
+                          * sqrt(list_dot_product(t.q, t.q)), 1e-12) AS cosine_sim
+      FROM probes p
+      JOIN assigned s ON s.cell = p.cell
+      JOIN qt t ON t.vec_id = s.vec_id
+      JOIN qt qv ON qv.vec_id = p.query_id
+      WHERE s.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM cands
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) <= 5
+    """,
+)
+def ann_ivf_portable_topk(spark, sf_dir):
+    """IVF ANN with a DETERMINISTIC coarse quantizer
+    (``operators/similarity.py::ivf_portable_topk``): centroids = the 16
+    smallest-id corpus vectors int8-quantized, so — unlike the
+    learned-KMeans ``ann_ivf_topk``, the one remaining oracle-less
+    entry — every stage (quantize, assign, probe, score, top-k) is exact
+    integer arithmetic with id tie-breaks and replays bit-for-bit in
+    DuckDB. Same physical shape as the learned path (broadcast
+    centroids, cell equi-join, per-cell top-k); recall traded for a
+    value-level audit trail."""
+    from ..operators.similarity import ivf_portable_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_portable_topk(emb, n_queries=5, nlist=16, nprobe=4, k=5)
