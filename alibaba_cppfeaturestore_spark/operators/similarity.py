@@ -401,8 +401,14 @@ def ivf_portable_topk(
             "vid", "qv", "cent_id", cosine_int8(F.col("qv"), F.col("cent_qv")).alias("cs")
         )
     )
-    assigned = top_k_per_group(scored_cells, ["vid"], "cs", k=1, tiebreak=["cent_id"]).select(
-        "vid", "qv", F.col("cent_id").alias("cell")
+    from pyspark import StorageLevel
+
+    # two consumers (query extraction, candidate join) would each
+    # recompile the corpus×centroid scoring — persist the assignment
+    assigned = (
+        top_k_per_group(scored_cells, ["vid"], "cs", k=1, tiebreak=["cent_id"])
+        .select("vid", "qv", F.col("cent_id").alias("cell"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     queries = assigned.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"), F.col("qv").alias("q_qv")
