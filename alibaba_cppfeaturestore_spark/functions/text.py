@@ -191,7 +191,9 @@ def winnow_fingerprints(
     if portable:
         gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")  # noqa: E731
     else:
-        gram_hash = F.xxhash64
+        # F.transform inspects its callable's arity — F.xxhash64's
+        # varargs signature is rejected, so wrap it
+        gram_hash = lambda g: F.xxhash64(g)  # noqa: E731
     hashed = F.transform(char_shingles(normalized, k), gram_hash)
     return _let(
         hashed,

@@ -44,6 +44,7 @@ NESTED_LOOP_OK = {
     "embedding_threshold_pairs",
     "multimodal_embed_topk",  # composes the brute-force baseline
     "ann_quantized_topk",  # brute-force on the quantized form, by design
+    "ann_ivf_portable_topk",  # 16-row centroid broadcast × corpus — the IVF assignment shape
 }
 
 
