@@ -263,3 +263,54 @@ def grouped_ewma(
         .groupBy(key_col)
         .applyInPandas(kernel, schema)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average over IRREGULARLY-spaced observations: each
+    value is weighted by how long it remained current (step-function /
+    last-observation-carried-forward semantics, the TWAP convention for
+    sensor and price series — a plain AVG over-weights bursts).
+
+    Exactness: durations are integer MICROSECONDS via a unix_micros
+    difference (timezone cancels in the subtraction, so TIMESTAMP_NTZ
+    inputs are safe on any session zone), values are DECIMAL(18,6);
+    Σ(v·Δt) and ΣΔt are exact on any aggregation tree, and the published
+    ``twap`` is one double division of identical decimal-derived
+    operands. The final observation has no successor and carries zero
+    weight; single-observation groups fall back to the value itself.
+
+    Scale shape: one per-group window (lead) + one partial-aggregable
+    GROUP BY — |groups| rows shuffled after map-side combine.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    # tie-break makes lead() deterministic under duplicate timestamps
+    w = Window.partitionBy(*group_cols).orderBy(ts_col, *(tiebreak or []))
+    nxt = F.lead(ts).over(w)
+    dt = (F.unix_micros(nxt) - F.unix_micros(ts)).cast("decimal(14,0)")
+    v = F.col(value_col).cast("decimal(18,6)")
+    stepped = df.select(
+        *group_cols,
+        v.alias("_v"),
+        F.coalesce(dt, F.lit(0).cast("decimal(14,0)")).alias("_dt"),
+    )
+    # (18,6)×(14,0) -> (33,6) exact; sums re-narrowed under the 38 cap
+    num = F.sum((F.col("_v") * F.col("_dt")).cast("decimal(33,6)")).cast("decimal(34,6)")
+    den = F.sum("_dt").cast("decimal(20,0)")
+    # all-zero-duration fallback (single obs / all-duplicate timestamps):
+    # plain mean, but decimal-sum÷count — a double AVG would be
+    # aggregation-order-dependent
+    fallback = F.sum("_v").cast("decimal(24,6)").cast("double") / F.count(F.lit(1)).cast(
+        "double"
+    )
+    return stepped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(fallback)
+        .alias("twap"),
+    )

@@ -5796,3 +5796,48 @@ def ann_ivf_portable_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_portable_topk(emb, n_queries=5, nlist=16, nprobe=4, k=5)
+
+
+@_q(
+    "timeseries_twap_user",
+    """
+    WITH stepped AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             CAST(COALESCE(
+               date_diff('microseconds', CAST(ts AS TIMESTAMP),
+                         LEAD(CAST(ts AS TIMESTAMP)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)),
+               0) AS DECIMAL(14,0)) AS dt
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             COUNT(*) AS n_obs,
+             -- operands widened to DuckDB's INT128 decimal path (the
+             -- INT64 fast path overflows on v*dt at these magnitudes)
+             CAST(SUM(CAST(CAST(v AS DECIMAL(19,6)) * CAST(dt AS DECIMAL(19,0))
+                           AS DECIMAL(33,6))) AS DECIMAL(34,6)) AS num,
+             CAST(SUM(dt) AS DECIMAL(20,0)) AS den,
+             CAST(SUM(v) AS DECIMAL(24,6)) AS sv
+      FROM stepped GROUP BY user_id
+    )
+    SELECT user_id, n_obs,
+           CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                ELSE CAST(sv AS DOUBLE) / CAST(n_obs AS DOUBLE) END AS twap
+    FROM agg
+    """,
+)
+def timeseries_twap_user(spark, sf_dir):
+    """Per-user time-weighted average value
+    (``operators/timeseries.py::time_weighted_avg``): step-function /
+    LOCF weighting by integer-microsecond durations — the TWAP
+    convention for irregular series, where a plain AVG over-weights
+    bursts. unix_micros DIFFERENCES cancel the timezone, so
+    TIMESTAMP_NTZ is safe on any session zone; Σ(v·Δt), ΣΔt and the
+    fallback mean are exact decimals, the published value one double
+    division. One lead() window + one partial-aggregable GROUP BY."""
+    from ..operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "ts", "value", ["user_id"], tiebreak=["event_id"])

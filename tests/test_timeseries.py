@@ -96,3 +96,27 @@ def test_gap_fill_densifies_per_group(spark, series):
     b = {bb for (k, bb) in rows if k == "b"}
     assert len(b) == 14
     assert rows[("b", ts("2024-01-01 23:00:00"))] == 1
+
+
+def test_time_weighted_avg_locf_semantics(spark):
+    """TWAP hand-check: v=10 held 3s, v=2 held 1s, final v=100 carries no
+    weight -> (10*3 + 2*1) / 4 = 8.0; plus a single-obs group and an
+    all-duplicate-timestamp group falling back to the plain mean."""
+    from alibaba_cppfeaturestore_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1, 10.0),
+        ("a", "2024-01-01 00:00:03", 2, 2.0),
+        ("a", "2024-01-01 00:00:04", 3, 100.0),
+        ("b", "2024-01-01 00:00:00", 4, 7.5),
+        ("c", "2024-01-01 00:00:00", 5, 1.0),
+        ("c", "2024-01-01 00:00:00", 6, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, event_id long, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), "event_id", "v"
+    )
+    got = {r.g: (r.n_obs, r.twap) for r in
+           time_weighted_avg(df, "ts", "v", ["g"], tiebreak=["event_id"]).collect()}
+    assert got["a"] == (3, 8.0)
+    assert got["b"] == (1, 7.5)
+    assert got["c"] == (2, 2.0)
