@@ -148,3 +148,33 @@ def merge_distinct_sketches(
         merged.alias("sketch"),
         F.hll_sketch_estimate(merged).alias("estimate"),
     )
+
+
+def sketch_intersection_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    join_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Distinct-count INTERSECTION estimate from HLL sketch columns via
+    inclusion–exclusion: |A∩B| ≈ |A| + |B| − |A∪B|, with the union term
+    a real sketch union (HLL supports union natively; it does not
+    support intersection, so this is the standard derived estimator —
+    error grows when the overlap is small relative to either set).
+    Joins two per-group sketch tables on ``join_cols`` and returns
+    ``join_cols…, est_a, est_b, est_union, est_intersection``."""
+    ea = a.select(*join_cols, F.col(sketch_col).alias("_sa"))
+    eb = b.select(*join_cols, F.col(sketch_col).alias("_sb"))
+    j = ea.join(eb, join_cols)
+    union_est = F.hll_sketch_estimate(
+        F.hll_union(F.col("_sa"), F.col("_sb"), True)
+    )
+    est_a = F.hll_sketch_estimate(F.col("_sa"))
+    est_b = F.hll_sketch_estimate(F.col("_sb"))
+    return j.select(
+        *join_cols,
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        union_est.alias("est_union"),
+        F.greatest(est_a + est_b - union_est, F.lit(0)).alias("est_intersection"),
+    )

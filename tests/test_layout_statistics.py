@@ -316,3 +316,21 @@ def test_exact_stats_fuzz_many_adversarial_groups(spark):
         else:
             slope = float(n * sxy - Decimal(sx) * sy) / den
             assert ols[g].slope == slope, g
+
+
+def test_hll_intersection_estimate_tracks_truth(spark):
+    from alibaba_cppfeaturestore_spark.operators.sketches import (
+        distinct_sketch_rollup,
+        sketch_intersection_estimate,
+    )
+
+    # A = 0..5999, B = 4000..9999 -> |A∩B| = 2000
+    a = distinct_sketch_rollup(
+        spark.range(0, 6000).select(F.lit("g").alias("g"), "id"), "id", ["g"]
+    )
+    b = distinct_sketch_rollup(
+        spark.range(4000, 10000).select(F.lit("g").alias("g"), "id"), "id", ["g"]
+    )
+    row = sketch_intersection_estimate(a, b, ["g"]).collect()[0]
+    assert abs(row.est_intersection - 2000) / 2000 < 0.15
+    assert abs(row.est_union - 10000) / 10000 < 0.05
