@@ -401,14 +401,15 @@ def ivf_portable_topk(
             "vid", "qv", "cent_id", cosine_int8(F.col("qv"), F.col("cent_qv")).alias("cs")
         )
     )
-    from pyspark import StorageLevel
-
-    # two consumers (query extraction, candidate join) would each
-    # recompile the corpus×centroid scoring — persist the assignment
-    assigned = (
-        top_k_per_group(scored_cells, ["vid"], "cs", k=1, tiebreak=["cent_id"])
-        .select("vid", "qv", F.col("cent_id").alias("cell"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # assigned has two consumers (query extraction, candidate join), but
+    # persisting it MEASURED SLOWER (7.6 s -> 11.2 s at sf0.01): the
+    # cache is data-sized (it carries the quantized vectors) and the
+    # InMemoryTableScan breaks whole-stage codegen, while the recompute
+    # is one narrow scan + a 16-row broadcast score. The scan-economy
+    # rule (SCALING.md): cache-by-default is as wrong as
+    # recompute-by-default — this one stays recomputed.
+    assigned = top_k_per_group(scored_cells, ["vid"], "cs", k=1, tiebreak=["cent_id"]).select(
+        "vid", "qv", F.col("cent_id").alias("cell")
     )
     queries = assigned.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"), F.col("qv").alias("q_qv")
