@@ -334,3 +334,51 @@ def test_hll_intersection_estimate_tracks_truth(spark):
     row = sketch_intersection_estimate(a, b, ["g"]).collect()[0]
     assert abs(row.est_intersection - 2000) / 2000 < 0.15
     assert abs(row.est_union - 10000) / 10000 < 0.05
+
+
+def test_incremental_ols_composition(spark):
+    """The exact-partials designs compose: grouped OLS is five
+    decomposable sums, so the O(delta) incremental agg-state machinery
+    maintains a regression WITHOUT rescanning the base — merge the
+    delta's partials, re-derive slope from the merged sums, get exactly
+    the full-recompute answer (decimal partials make this bit-exact, not
+    approximately right)."""
+    from alibaba_cppfeaturestore_spark.operators.incremental import (
+        build_agg_state,
+        finalize_agg_state,
+        merge_agg_state,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        ("g", int(x), float(round(1.5 * x + rng.normal(0, 1), 3)))
+        for x in rng.integers(0, 500, size=400)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    base, delta = df.filter("x % 3 != 0"), df.filter("x % 3 = 0")
+
+    def derived(d):
+        yd = F.col("y").cast("decimal(18,6)")
+        return d.select(
+            "g",
+            F.col("x").cast("bigint").alias("x"),
+            yd.alias("yd"),
+            (F.col("x") * F.col("x")).cast("bigint").alias("xx"),
+            (F.col("x").cast("decimal(12,0)") * yd).cast("decimal(30,6)").alias("xy"),
+        )
+
+    measures = {
+        "sx": ("x", "sum"), "sy": ("yd", "sum"),
+        "sxx": ("xx", "sum"), "sxy": ("xy", "sum"),
+    }
+    state = build_agg_state(derived(base), ["g"], measures)
+    merged = finalize_agg_state(
+        merge_agg_state(state, derived(delta), ["g"], measures), ["g"], measures
+    ).collect()[0]
+
+    full = grouped_ols(df, "x", "y", ["g"]).collect()[0]
+    n, sx, sy, sxx, sxy = merged.n, merged.sx, merged.sy, merged.sxx, merged.sxy
+    num = float(n * sxy - sx * sy)
+    den = float(n * sxx - sx * sx)
+    assert full.n == n
+    assert full.slope == num / den  # bit-exact, not approx
