@@ -234,3 +234,41 @@ def pagerank_fixedpoint(
         # whole tree each round; truncate lineage like connected_components
         rank = rank.localCheckpoint(eager=False)
     return rank
+
+
+def bfs_min_hops(
+    edges: DataFrame,
+    source,
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Minimum-hop distances from ``source`` by frontier expansion —
+    the iterative-BFS sibling of ``connected_components``: each round
+    joins the current FRONTIER (nodes first reached last round, never
+    the full visited set) against the edges and anti-joins out already-
+    visited nodes, so per-round cost is |frontier ⋈ edges|, and the loop
+    stops early when a frontier comes back empty. All integers — hop
+    counts are exact on any engine, so a bounded recursive-CTE replay
+    matches bit-for-bit. Returns ``node, hops`` (source included at 0;
+    unreachable nodes absent), localCheckpointed per round to keep the
+    plan from growing linearly with the hop bound.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], "node long, hops int").localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("hops"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

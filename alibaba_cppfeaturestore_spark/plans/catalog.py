@@ -5841,3 +5841,127 @@ def timeseries_twap_user(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return time_weighted_avg(ev, "ts", "value", ["user_id"], tiebreak=["event_id"])
+
+
+@_q(
+    "assoc_event_type_pairs",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+    ),
+    baskets AS (SELECT COUNT(DISTINCT (user_id, day)) AS n_baskets FROM ud),
+    singles AS (SELECT event_type, COUNT(*) AS n_single FROM ud GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pair
+      FROM ud a JOIN ud b
+        ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_pair,
+           CAST(p.n_pair AS DOUBLE) / CAST(t.n_baskets AS DOUBLE) AS support,
+           (CAST(p.n_pair AS DOUBLE) * CAST(t.n_baskets AS DOUBLE))
+             / (CAST(sa.n_single AS DOUBLE) * CAST(sb.n_single AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN baskets t
+    """,
+)
+def assoc_event_type_pairs(spark, sf_dir):
+    """Market-basket association mining over (user, day) baskets:
+    co-occurrence support and lift for every event-type pair — the
+    A-priori 2-itemset primitive. The distinct-first design bounds the
+    self-join fanout at |types| per basket (never raw events²); support
+    and lift are single/compound double ops over identical integers, so
+    no rounding is needed anywhere. Basket count rides the
+    ``__scalar_`` 1-row broadcast pattern."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    baskets = ud.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("__scalar_n_baskets")
+    )
+    singles = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_single"))
+    pairs = (
+        ud.alias("a")
+        .join(
+            ud.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    out = (
+        pairs.join(F.broadcast(singles.withColumnRenamed("event_type", "type_a")
+                   .withColumnRenamed("n_single", "n_a")), "type_a")
+        .join(F.broadcast(singles.withColumnRenamed("event_type", "type_b")
+              .withColumnRenamed("n_single", "n_b")), "type_b")
+        .join(F.broadcast(baskets))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_pair",
+        (F.col("n_pair").cast("double") / F.col("__scalar_n_baskets").cast("double")).alias(
+            "support"
+        ),
+        (
+            (F.col("n_pair").cast("double") * F.col("__scalar_n_baskets").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("lift"),
+    )
+
+
+@_q(
+    "graph_bfs_trade_hops",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE l.l_quantity >= 45
+        AND (s.s_nationkey * 13 + c.c_nationkey) % 11 = 3
+    ),
+    reach AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+      UNION
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 6
+    )
+    SELECT node, CAST(MIN(hops) AS INTEGER) AS hops FROM reach GROUP BY node
+    """,
+)
+def graph_bfs_trade_hops(spark, sf_dir):
+    """Minimum-hop BFS from nation 0 over a SPARSIFIED trade network
+    (high-quantity lineitems through a deterministic edge subsample —
+    the full network is near-complete and one hop deep; the subsample
+    is 5 hops deep with unreachable nations):
+    ``operators/graph.py::bfs_min_hops`` frontier expansion, each round
+    |frontier ⋈ edges| with early exit on an empty frontier. Hop counts
+    are integers, so the bounded recursive-CTE oracle matches exactly —
+    the third iterative-graph algorithm with a full value oracle
+    (PageRank: integer fixed point; components: label propagation)."""
+    from ..operators.graph import bfs_min_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.filter(F.col("l_quantity") >= 45)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter((F.col("s_nationkey") * 13 + F.col("c_nationkey")) % 11 == 3)
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    )
+    out = bfs_min_hops(edges, source=0, max_hops=6)
+    return out.select("node", F.col("hops").cast("int").alias("hops"))
