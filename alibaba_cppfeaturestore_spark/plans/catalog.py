@@ -5965,3 +5965,47 @@ def graph_bfs_trade_hops(spark, sf_dir):
     )
     out = bfs_min_hops(edges, source=0, max_hops=6)
     return out.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+@_q(
+    "path_top_event_sequences",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             event_type || '>' ||
+             LEAD(event_type, 1) OVER w || '>' ||
+             LEAD(event_type, 2) OVER w AS path
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    counted AS (
+      SELECT path, COUNT(*) AS n FROM seq WHERE path IS NOT NULL GROUP BY path
+    )
+    SELECT path, n FROM counted
+    ORDER BY n DESC, path ASC LIMIT 10
+    """,
+)
+def path_top_event_sequences(spark, sf_dir):
+    """Behavioral path mining: the 10 most frequent 3-event sequences
+    across per-user event streams — two LEADs over the per-user order
+    (no collect_list materialization of whole histories), a count, and
+    a deterministic TakeOrdered cut. Integer counts with a total
+    tie-break ⇒ exact oracle; the window state is one user's stream,
+    never the table."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return (
+        seq.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
