@@ -122,6 +122,95 @@ def anti_join_not_in(df: DataFrame, ids: DataFrame, key: str) -> DataFrame:
     return df.join(ids, key, "left_anti")
 
 
+def bloom_bitset(keys: DataFrame, key: str, num_bits: int, num_hashes: int) -> DataFrame:
+    """Distributed Bloom-filter build: ONE row holding the dense bitset as
+    ``array<bigint>`` (``num_bits/64`` words). Each distinct key sets
+    ``num_hashes`` bits at ``pmod(xxhash64(key, seed), num_bits)``; words
+    are ``bit_or``-merged in a partial-aggregating groupBy (shuffle volume
+    ≤ partitions × words, never |keys|), then densified once via a
+    map-backed ``transform`` — O(words²) on a single row, zero driver
+    round-trip. The bitset stays a DataFrame so it rides the same
+    broadcast machinery as any 1-row scalar side."""
+    num_words = num_bits // 64
+    probes = [
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+    words = (
+        keys.select(F.col(key)).where(F.col(key).isNotNull()).distinct()
+        .select(F.explode(F.array(*probes)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("__bm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_words - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("__bm"), i), F.lit(0).cast("long")),
+        ).alias("__bf")
+    )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    keys: DataFrame,
+    key: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Pre-shuffle row pruning with a Bloom filter built from the join
+    key set — the runtime row-level filtering pattern (Spark's internal
+    ``InjectRuntimeFilter`` / ``bloom_filter_agg``+``might_contain``,
+    which Spark 4.1 does not expose as public SQL functions) re-expressed
+    with public operators. Never drops a true match (Bloom filters have
+    no false negatives); false positives pass through and must be removed
+    by the exact join that follows.
+
+    Why it matters at 100 TB: a shuffled semi join moves the ENTIRE big
+    side to the exchange before any pruning. When the key set is too big
+    to broadcast-hash-join but its membership fits a few MB of bits, the
+    bitset broadcast prunes non-matching rows at the scan, cutting
+    shuffle I/O by the true selectivity (e.g. 1/25 for a one-nation
+    supplier filter). Probe cost is ``num_hashes`` O(1) array reads per
+    row — all codegen, no UDF.
+
+    Sizing: false-positive rate ≈ (1-e^(-kn/m))^k; the default
+    m=131072 bits / k=5 holds fpp < 1% to n ≈ 13k keys. At larger n,
+    grow ``num_bits`` (the 1-row broadcast carries m/64 longs — 2^23
+    bits is still only 128 KB)."""
+    bf = bloom_bitset(keys, key, num_bits, num_hashes)
+    cond = None
+    for i in range(num_hashes):
+        p = f"pmod(xxhash64(`{key}`, {i}), {num_bits})"
+        hit = F.expr(
+            f"(element_at(__bf, CAST({p} / 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(pmod({p}, 64) AS INT))) != 0"
+        )
+        cond = hit if cond is None else (cond & hit)
+    return big.crossJoin(F.broadcast(bf)).where(cond).drop("__bf")
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    key: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Exact semi join with Bloom pre-pruning: ``bloom_prefilter`` cuts
+    the big side before the shuffle, then a left-semi join removes the
+    Bloom's false positives. Output is row-identical to
+    ``big.join(keys, key, 'left_semi')`` — the filter only changes how
+    much data reaches the exchange."""
+    pruned = bloom_prefilter(big, keys, key, num_bits, num_hashes)
+    return pruned.join(keys.select(key).distinct(), key, "left_semi")
+
+
 def _as_number(df: DataFrame, col: str) -> Column:
     """Project a point/bound column to a double for binning: timestamps
     become epoch seconds (fractional µs preserved), dates midnight epoch,

@@ -6009,3 +6009,51 @@ def path_top_event_sequences(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime row-level filtering: Bloom-prefiltered semi join.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_bloom_prefilter",
+    """
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_suppkey IN (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    GROUP BY l_suppkey
+    """,
+)
+def join_bloom_prefilter_q(spark, sf_dir):
+    """Semi-join restriction with Bloom pre-pruning (Spark's internal
+    runtime row-level filtering, rebuilt from public operators —
+    ``operators/joins.py::bloom_semi_join``): the EUROPE supplier key set
+    becomes a 16 KB bitset broadcast that drops ~5/6 of lineitem BEFORE
+    the exchange; the exact left-semi join then removes Bloom false
+    positives, so the result is row-identical to the IN-subquery oracle.
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling only the matching sliver when the key set is too
+    large to broadcast-hash-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys = (
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        JN.bloom_semi_join(li, keys, "l_suppkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )

@@ -382,3 +382,43 @@ def test_incremental_ols_composition(spark):
     den = float(n * sxx - sx * sx)
     assert full.n == n
     assert full.slope == num / den  # bit-exact, not approx
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from alibaba_cppfeaturestore_spark.operators.joins import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i, i % 97) for i in range(5000)], "id long, k long"
+    )
+    keys = spark.createDataFrame([(k,) for k in range(0, 97, 3)], "k long")
+    got = {(r.id, r.k) for r in bloom_semi_join(big, keys, "k").collect()}
+    plain = {(r.id, r.k) for r in big.join(keys, "k", "left_semi").collect()}
+    assert got == plain and len(got) > 0
+
+
+def test_bloom_prefilter_never_drops_matches_and_prunes(spark):
+    from alibaba_cppfeaturestore_spark.operators.joins import bloom_prefilter
+
+    big = spark.createDataFrame([(i,) for i in range(20000)], "k long")
+    keys = spark.createDataFrame([(i,) for i in range(0, 20000, 100)], "k long")
+    pre = {r.k for r in bloom_prefilter(big, keys, "k").collect()}
+    true = set(range(0, 20000, 100))
+    # no false negatives: every true key survives the filter
+    assert true <= pre
+    # the filter actually prunes: with m=2^17 bits / 200 keys the
+    # false-positive rate is far below 1%, so survivors ≈ true matches
+    assert len(pre) < 20000 * 0.05
+
+
+def test_bloom_probe_stays_jvm_native(spark):
+    from alibaba_cppfeaturestore_spark.operators.joins import bloom_semi_join
+
+    big = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    plan = (
+        bloom_semi_join(big, keys, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
