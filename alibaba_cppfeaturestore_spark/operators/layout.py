@@ -25,7 +25,7 @@ bits of z (data-independent, no NTILE global sort).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -82,3 +82,56 @@ def cluster_by_z(df: DataFrame, num_files: int = 64) -> DataFrame:
     sort, so each output file covers a compact Z-range (⇒ a compact
     (x, y) box). Call after ``zorder_layout``."""
     return df.repartitionByRange(num_files, "zval").sortWithinPartitions("zval")
+
+
+def assign_stable_ids(
+    df: DataFrame,
+    order_by: list[str],
+    id_col: str = "stable_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Dense global row numbers (1-based, ordered by ``order_by``) WITHOUT
+    a single-partition sort. ``row_number() OVER (ORDER BY …)`` plans an
+    ``Exchange SinglePartition`` — every row funnels through ONE task,
+    the canonical scale-killer for id assignment over a 100 TB table.
+
+    Scalable composition with identical output:
+      1. ``repartitionByRange(order_by)`` — ranges are disjoint and
+         partition index ascends with the sort key, so global rank =
+         (rows in earlier ranges) + (rank within my range);
+      2. per-partition row counts (``num_partitions`` rows) → cumulative
+         offsets, a driver-side fold over a bounded fetch;
+      3. per-partition ``row_number()`` windows keyed by the partition
+         id — ``num_partitions`` independent window groups in parallel,
+         never one.
+
+    Rows per window group ≈ |df|/num_partitions — size num_partitions so
+    a group fits an executor. Ties in ``order_by`` are broken by the
+    range placement, so pass a key set that is unique (the usual id-
+    assignment contract) for a deterministic result."""
+    cols = [F.col(c) for c in order_by]
+    # localCheckpoint freezes the sampled range boundaries: the offsets
+    # job and the final plan must see the SAME partition ids, and
+    # RangePartitioner re-samples per execution. (Production id
+    # assignment materializes the ranged table anyway — ids are an
+    # artifact you write once, not a view you recompute.)
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = ranged.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(id_col, F.row_number().over(w).cast("long") + F.col("__off"))
+        .drop("__pid", "__off")
+    )

@@ -6057,3 +6057,27 @@ def join_bloom_prefilter_q(spark, sf_dir):
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+@_q(
+    "ids_stable_assign",
+    """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS stable_id
+    FROM orders
+    """,
+)
+def ids_stable_assign(spark, sf_dir):
+    """Dense global id assignment without the single-partition sort:
+    ``ROW_NUMBER() OVER (ORDER BY …)`` — the oracle's plan — funnels the
+    whole table through ONE task (``Exchange SinglePartition``); the
+    engine side (``operators/layout.py::assign_stable_ids``) instead
+    range-partitions on the key, folds the bounded per-partition counts
+    into offsets, and runs ``num_partitions`` independent row_number
+    windows. Identical output (o_orderkey is unique ⇒ ranks are total),
+    plan-asserted SinglePartition-free in tests — the id-assignment shape
+    that survives a 100 TB table."""
+    from ..operators.layout import assign_stable_ids
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return assign_stable_ids(o, ["o_orderkey"])

@@ -422,3 +422,28 @@ def test_bloom_probe_stays_jvm_native(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_assign_stable_ids_equals_global_row_number(spark):
+    from pyspark.sql import Window
+    from alibaba_cppfeaturestore_spark.operators.layout import assign_stable_ids
+
+    df = spark.createDataFrame([(i * 7 % 9973,) for i in range(9973)], "k long")
+    got = assign_stable_ids(df, ["k"], num_partitions=16)
+    ref = df.withColumn(
+        "stable_id", F.row_number().over(Window.orderBy("k")).cast("long")
+    )
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_assign_stable_ids_avoids_single_partition_exchange(spark):
+    from alibaba_cppfeaturestore_spark.operators.layout import assign_stable_ids
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    plan = (
+        assign_stable_ids(df, ["k"], num_partitions=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
