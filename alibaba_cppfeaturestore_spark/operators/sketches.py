@@ -178,3 +178,87 @@ def sketch_intersection_estimate(
         union_est.alias("est_union"),
         F.greatest(est_a + est_b - union_est, F.lit(0)).alias("est_intersection"),
     )
+
+
+def countmin_sketch(
+    items: DataFrame, col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Count–Min sketch build: ``depth × width`` integer counters as a
+    DataFrame of ``(d, w, cnt)`` cells (≤ depth·width rows, however many
+    items went in). Row i hashes to bucket
+    ``portable_hash60(concat(d, '|', item)) % width`` in each of the
+    ``depth`` rows; cell counts are plain sums, so the shuffle carries at
+    most depth·width rows per map partition after partial aggregation —
+    the sketch of a 100 TB stream is still a few thousand rows.
+
+    The hash is the md5-derived 60-bit portable hash
+    (``operators/dedup.py::portable_hash60``), so a SQL engine replays
+    the sketch bit-identically — full cross-engine value oracle, the
+    ``dedup_bottomk_sketch`` pattern.
+
+    Sketches are MERGEABLE: cell-wise sum of two sketches equals the
+    sketch of the concatenated inputs (tested), which is what makes the
+    structure per-partition / per-day / per-shard composable."""
+    from .dedup import portable_hash60
+
+    c = F.col(col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                F.pmod(
+                    portable_hash60(F.concat_ws("|", F.lit(str(i)), c)), F.lit(width)
+                ).alias("w"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        items.where(c.isNotNull())
+        .select(F.explode(cells).alias("e"))
+        .groupBy(F.col("e.d").alias("d"), F.col("e.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-frequency estimates from a Count–Min sketch: probe the
+    ``depth`` cells of each query item and take the MIN counter — the
+    classic one-sided estimate (never below the true count; above it only
+    on hash collisions, error ≤ εn with ε = e/width at the usual depth).
+    The sketch side is tiny, so the probe join broadcasts it; never-seen
+    items estimate 0 via coalesce."""
+    from .dedup import portable_hash60
+
+    c = F.col(col)
+    probes = queries.select(
+        c.alias("__item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        F.pmod(
+                            portable_hash60(
+                                F.concat_ws("|", F.lit(str(i)), c)
+                            ),
+                            F.lit(width),
+                        ).alias("w"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("__item", F.col("p.d").alias("d"), F.col("p.w").alias("w"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "w"], "left")
+        .groupBy("__item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cms_estimate"))
+        .select(F.col("__item").alias(col), "cms_estimate")
+    )

@@ -6081,3 +6081,58 @@ def ids_stable_assign(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
     return assign_stable_ids(o, ["o_orderkey"])
+
+
+@_q(
+    "sketch_countmin_freqs",
+    r"""
+    WITH toks AS (
+      SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      FROM documents
+    ),
+    true_c AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count FROM toks GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, true_count FROM true_c
+      ORDER BY true_count DESC, tok ASC LIMIT 20
+    ),
+    depths AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT d, CAST('0x' || substr(md5(d || '|' || tok), 1, 15) AS BIGINT) % 2048 AS w,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks CROSS JOIN depths
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT top.tok, top.true_count, MIN(c.cnt) AS cms_estimate
+      FROM top CROSS JOIN depths dd
+      JOIN cells c
+        ON c.d = dd.d
+       AND c.w = CAST('0x' || substr(md5(dd.d || '|' || top.tok), 1, 15) AS BIGINT) % 2048
+      GROUP BY 1, 2
+    )
+    SELECT tok AS token, true_count, CAST(cms_estimate AS BIGINT) AS cms_estimate
+    FROM est
+    """,
+)
+def sketch_countmin_freqs(spark, sf_dir):
+    """Count–Min sketch frequency estimation over the corpus vocabulary
+    (``operators/sketches.py::countmin_sketch/countmin_estimate``): a
+    4×2048 mergeable counter table — a few KB regardless of corpus size —
+    probed for the 20 head terms. The exact-count branch exists only to
+    exhibit the one-sided ε-guarantee (estimate ≥ truth, tested); the
+    production path at 100 TB is the sketch alone, whose shuffle is
+    depth×width rows per partition, never the vocabulary. Portable md5
+    hash ⇒ the oracle replays every counter bit-identically."""
+    from ..operators.sketches import countmin_estimate, countmin_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    true_c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    top = true_c.orderBy(F.desc("true_count"), F.asc("tok")).limit(20)
+    sketch = countmin_sketch(toks, "tok", depth=4, width=2048)
+    est = countmin_estimate(sketch, top.select("tok"), "tok", depth=4, width=2048)
+    return top.join(est, "tok").select(
+        F.col("tok").alias("token"), "true_count", "cms_estimate"
+    )

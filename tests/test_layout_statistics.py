@@ -447,3 +447,52 @@ def test_assign_stable_ids_avoids_single_partition_exchange(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_countmin_estimate_never_underestimates(spark):
+    from alibaba_cppfeaturestore_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    items = spark.createDataFrame(
+        [(f"t{i % 50}",) for i in range(3000)], "tok string"
+    )
+    sk = countmin_sketch(items, "tok", depth=4, width=256)
+    true = {r.tok: r.n for r in items.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    qs = items.select("tok").distinct()
+    est = {r.tok: r.cms_estimate for r in countmin_estimate(sk, qs, "tok", depth=4, width=256).collect()}
+    assert all(est[t] >= n for t, n in true.items())
+    # width 256 >> 50 distinct: most estimates should be exact
+    exact = sum(1 for t, n in true.items() if est[t] == n)
+    assert exact >= 40
+
+
+def test_countmin_sketches_merge_cellwise(spark):
+    from alibaba_cppfeaturestore_spark.operators.sketches import countmin_sketch
+
+    a = spark.createDataFrame([(f"a{i % 20}",) for i in range(500)], "tok string")
+    b = spark.createDataFrame([(f"a{i % 30}",) for i in range(700)], "tok string")
+    merged = (
+        countmin_sketch(a, "tok", depth=3, width=128)
+        .unionByName(countmin_sketch(b, "tok", depth=3, width=128))
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = countmin_sketch(a.unionByName(b), "tok", depth=3, width=128)
+    got = {(r.d, r.w): r.cnt for r in merged.collect()}
+    want = {(r.d, r.w): r.cnt for r in direct.collect()}
+    assert got == want
+
+
+def test_countmin_unseen_item_estimates_from_empty_cells(spark):
+    from alibaba_cppfeaturestore_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    items = spark.createDataFrame([("x",), ("y",)], "tok string")
+    sk = countmin_sketch(items, "tok", depth=4, width=4096)
+    qs = spark.createDataFrame([("never-seen-token",)], "tok string")
+    [row] = countmin_estimate(sk, qs, "tok", depth=4, width=4096).collect()
+    assert row.cms_estimate == 0
