@@ -193,3 +193,45 @@ def unigram_logprob_scores(
         )
         .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
     )
+
+
+def skipgram_pairs(
+    corpus: DataFrame,
+    window: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k directional skip-gram co-occurrence pairs — the counting
+    stage of word2vec/GloVe-style embedding training and of collocation
+    mining. A (center, context) pair is counted when the context token
+    follows the center within ``window`` positions in the same document.
+
+    Shape: posexplode → explode of the ``window`` literal offsets →
+    EQUI-join on (doc, position+offset). Expressing "pos_b − pos_a ≤ w"
+    as w exact-offset equi-keys keeps the join a hash join (a BETWEEN
+    predicate on a doc-only key degrades to a per-doc nested loop over
+    full documents); fanout is exactly ``window × |tokens|`` rows, and
+    the pair count aggregation partial-combines map-side. The final cut
+    is TakeOrdered with a total (n, w1, w2) tie-break."""
+    toks = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    offsets = F.array(*[F.lit(i) for i in range(1, window + 1)])
+    left = toks.select(
+        "id",
+        F.col("tok").alias("w1"),
+        "pos",
+        F.explode(offsets).alias("__k"),
+    ).select("id", "w1", (F.col("pos") + F.col("__k")).alias("pos_b"))
+    pairs = left.join(
+        toks.select("id", F.col("pos").alias("pos_b"), F.col("tok").alias("w2")),
+        ["id", "pos_b"],
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

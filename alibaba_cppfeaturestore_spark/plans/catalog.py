@@ -6136,3 +6136,35 @@ def sketch_countmin_freqs(spark, sf_dir):
     return top.join(est, "tok").select(
         F.col("tok").alias("token"), "true_count", "cms_estimate"
     )
+
+
+@_q(
+    "cooccurrence_skipgram_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS arr FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(arr) AS tok, UNNEST(range(1, len(arr) + 1)) AS pos FROM t
+    ),
+    pairs AS (
+      SELECT a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+    )
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY w1, w2
+    ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+)
+def cooccurrence_skipgram_pairs(spark, sf_dir):
+    """word2vec-style skip-gram pair counting (window 3, directional) —
+    ``operators/retrieval.py::skipgram_pairs``. The window predicate is
+    compiled to 3 exact-offset EQUI-keys so the self-join stays a hash
+    join with bounded 3×|tokens| fanout (the oracle's BETWEEN form is
+    the semantic spec; a doc-keyed BETWEEN join would nested-loop whole
+    documents). Integer counts + total tie-break ⇒ exact oracle."""
+    from ..operators.retrieval import skipgram_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return skipgram_pairs(docs, window=3, k=20)

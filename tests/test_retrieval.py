@@ -191,3 +191,27 @@ def test_unigram_logprob_orders_quality(spark):
     assert got[1][0] == 4 and got[1][1] == pytest.approx(want1, rel=1e-12)
     assert got[3][1] == pytest.approx(want3, rel=1e-12)
     assert got[1][1] > got[3][1]  # typical text beats junk
+
+
+def test_skipgram_pairs_matches_python_reference(spark):
+    from alibaba_cppfeaturestore_spark.operators.retrieval import skipgram_pairs
+    from collections import Counter
+
+    rows = [(1, "a b a c"), (2, "b a b"), (3, "c c a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.w1, r.w2): r.n for r in skipgram_pairs(df, window=2, k=100).collect()}
+    ref = Counter()
+    for _, text in rows:
+        ts = text.split()
+        for i, w1 in enumerate(ts):
+            for j in range(i + 1, min(i + 3, len(ts))):
+                ref[(w1, ts[j])] += 1
+    assert got == dict(ref)
+
+
+def test_skipgram_join_is_hash_join_not_nested_loop(spark):
+    from alibaba_cppfeaturestore_spark.operators.retrieval import skipgram_pairs
+
+    df = spark.createDataFrame([(i, "x y z w v") for i in range(50)], "doc_id long, text string")
+    plan = skipgram_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
