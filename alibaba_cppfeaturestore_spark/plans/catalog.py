@@ -6168,3 +6168,45 @@ def cooccurrence_skipgram_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return skipgram_pairs(docs, window=3, k=20)
+
+
+@_q(
+    "graph_triangle_count",
+    """
+    WITH raw AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM raw x JOIN raw y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    nodes AS (
+      SELECT COUNT(DISTINCT n) AS n_nodes
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM nodes, tri
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle census of the co-purchase graph (parts co-ordered):
+    ``operators/graph.py::triangle_count``. The oracle's a<b<c 3-way
+    self-join is the semantic spec; the engine orients edges by
+    (degree, id) first so wedge fanout is out-degree² with out-degree
+    bounded ~√|E| — the shape that survives power-law hubs. Integer
+    counts ⇒ exact oracle."""
+    from ..operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    )
+    return triangle_count(edges)

@@ -137,3 +137,31 @@ def test_cc_matches_union_find_on_random_graph(spark):
         for r in connected_components(df, max_iterations=50).collect()
     }
     assert got == expected
+
+
+def test_triangle_count_known_graph(spark):
+    from alibaba_cppfeaturestore_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; plus a pendant edge (no new triangle)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    [row] = triangle_count(df).collect()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+
+def test_triangle_count_handles_duplicates_reversals_loops(spark):
+    from alibaba_cppfeaturestore_spark.operators.graph import triangle_count
+
+    # triangle listed twice, once reversed, plus a self-loop: still 1
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    [row] = triangle_count(df).collect()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)
+
+
+def test_triangle_count_star_has_no_triangles(spark):
+    from alibaba_cppfeaturestore_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 20)], "src long, dst long")
+    [row] = triangle_count(df).collect()
+    assert row.n_triangles == 0 and row.n_edges == 19
