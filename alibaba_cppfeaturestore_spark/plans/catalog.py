@@ -6210,3 +6210,50 @@ def graph_triangle_count(spark, sf_dir):
         .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
     )
     return triangle_count(edges)
+
+
+@_q(
+    "sample_weighted_bernoulli",
+    """
+    WITH wm AS (SELECT CAST(MAX(CAST(l_quantity AS BIGINT)) AS DECIMAL(4,0)) AS wmax
+                FROM lineitem)
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS weight
+    FROM lineitem, wm
+    WHERE CAST(CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 15) AS BIGINT)
+               AS DECIMAL(19,0)) * wm.wmax * 8
+          < CAST(l_quantity AS BIGINT) * CAST(1152921504606846976 AS DECIMAL(19,0))
+    """,
+)
+def sample_weighted_bernoulli(spark, sf_dir):
+    """Deterministic importance sampling: include each lineitem with
+    probability weight/(8·w_max) — the corpus-mixture primitive where
+    inclusion must be ∝ a per-row weight (quality score, token count)
+    yet reproducible across engines and reruns. The coin is the portable
+    md5 hash of the row key compared CROSS-MULTIPLIED against the
+    weight: ``h·w_max·8 < w·2^60`` in DECIMAL — pure integer arithmetic,
+    no division, no float, so both engines flip the identical coin.
+    w_max comes from a 1-row scalar aggregate broadcast (no driver
+    round-trip); the filter itself is row-local — no shuffle at any
+    scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    from ..operators.dedup import portable_hash60
+
+    wm = li.agg(
+        F.max(F.col("l_quantity").cast("long")).cast("decimal(4,0)").alias("wmax")
+    )
+    h = portable_hash60(
+        F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    ).cast("decimal(19,0)")
+    return (
+        li.crossJoin(F.broadcast(wm))
+        .where(
+            h * F.col("wmax") * F.lit(8)
+            < F.col("l_quantity").cast("long")
+            * F.lit(1152921504606846976).cast("decimal(19,0)")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("weight"),
+        )
+    )

@@ -79,3 +79,37 @@ def test_one_pass_fit_dictionaries_equals_per_column(spark):
         one = {r["value"]: r["index"] for r in fit_dictionary(ev, c).collect()}
         multi = {r["value"]: r["index"] for r in combined[c].collect()}
         assert multi == one, c
+
+
+def test_weighted_bernoulli_rate_tracks_weight(spark):
+    """Inclusion probability must be ∝ weight: empirical rate per weight
+    class within 3σ of w/(8·w_max) on a 60k-row population."""
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+    import math
+
+    sf = "/root/testdata/sf0.01"
+    from alibaba_cppfeaturestore_spark.plans.views import load_table
+
+    li = load_table(spark, sf, "lineitem")
+    pop = {
+        int(r.w): r.n
+        for r in li.groupBy(F.col("l_quantity").cast("long").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    wmax = max(pop)
+    got = QUERIES["sample_weighted_bernoulli"].spark(spark, sf)
+    hits = {int(r.weight): r.n for r in got.groupBy("weight").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for w, n in pop.items():
+        p = w / (8 * wmax)
+        mean, sd = n * p, math.sqrt(n * p * (1 - p))
+        assert abs(hits.get(w, 0) - mean) <= 3 * sd + 1, (w, hits.get(w, 0), mean)
+
+
+def test_weighted_bernoulli_is_deterministic(spark):
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["sample_weighted_bernoulli"].spark(spark, sf).collect()
+    b = QUERIES["sample_weighted_bernoulli"].spark(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
