@@ -235,3 +235,55 @@ def skipgram_pairs(
         .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def tfidf_doc_terms(
+    corpus: DataFrame,
+    selected_docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document TF-IDF term profile: the top-k terms of each selected
+    document scored tf · ln(N/df) against CORPUS-WIDE document
+    frequencies — keyword extraction / doc labeling for retrieval and
+    dataset curation.
+
+    Scale shape: term frequencies are aggregated only for the selected
+    docs (the semi join lands before the explode's shuffle), while df
+    comes from one full-corpus pass whose output is |vocabulary| — the
+    join with the tiny selected-side tf table hashes on the token, and
+    the corpus scalar N rides a 1-row broadcast. The per-doc top-k is a
+    window over the selected docs only. Scores are ROUND(·, 6) — the
+    BM25 discipline: identical integer operands into one ln and one
+    multiply, rounded once on both engines."""
+    toks = corpus.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("id").alias("df"))
+    n_docs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+    sel = selected_docs.select(F.col(id_col).alias("id")).distinct()
+    tf = (
+        toks.join(F.broadcast(sel), "id", "left_semi")
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    from .aggregates import top_k_per_group
+
+    return top_k_per_group(
+        scored, ["id"], "tfidf", k, descending=True, tiebreak=["tok"]
+    ).select(
+        F.col("id").alias(id_col),
+        F.col("tok").alias("term"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "tfidf",
+    )

@@ -6257,3 +6257,45 @@ def sample_weighted_bernoulli(spark, sf_dir):
             F.col("l_quantity").cast("long").alias("weight"),
         )
     )
+
+
+@_q(
+    "tfidf_top_terms_per_doc",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      FROM documents
+    ),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE doc_id % 100 = 0 GROUP BY doc_id, tok
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, d.df,
+             ROUND(tf.tf * LN(n.n_docs / d.df), 6) AS tfidf
+      FROM tf JOIN dfreq d USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, tok AS term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, tfidf
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms_per_doc(spark, sf_dir):
+    """Keyword extraction: top-5 TF-IDF terms for every 100th document,
+    scored against corpus-wide document frequencies —
+    ``operators/retrieval.py::tfidf_doc_terms``. The doc subset filter
+    lands before the tf aggregation; df is the one full-corpus pass; N
+    is a 1-row broadcast; ROUND(·,6) pins the single ln·multiply on both
+    engines (the BM25 discipline)."""
+    from ..operators.retrieval import tfidf_doc_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = docs.where(F.col("doc_id") % 100 == 0)
+    return tfidf_doc_terms(docs, sel, k=5)

@@ -215,3 +215,29 @@ def test_skipgram_join_is_hash_join_not_nested_loop(spark):
     df = spark.createDataFrame([(i, "x y z w v") for i in range(50)], "doc_id long, text string")
     plan = skipgram_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_tfidf_doc_terms_matches_sklearn_style_reference(spark):
+    import math
+    from collections import Counter
+    from alibaba_cppfeaturestore_spark.operators.retrieval import tfidf_doc_terms
+
+    rows = [(1, "cat dog cat"), (2, "dog fish"), (3, "cat fish fish bird")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sel = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    got = {
+        (r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+        for r in tfidf_doc_terms(df, sel, k=10).collect()
+    }
+    dfreq = Counter()
+    for _, t in rows:
+        for w in set(t.split()):
+            dfreq[w] += 1
+    for doc_id, text in rows:
+        if doc_id == 2:
+            continue
+        tf = Counter(text.split())
+        for w, n in tf.items():
+            want = round(n * math.log(3 / dfreq[w]), 6)
+            assert got[(doc_id, w)] == (n, dfreq[w], want)
+    assert not any(d == 2 for d, _ in got)
