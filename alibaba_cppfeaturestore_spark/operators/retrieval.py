@@ -287,3 +287,48 @@ def tfidf_doc_terms(
         F.col("df").cast("long").alias("df"),
         "tfidf",
     )
+
+
+def bpe_merge_pair_counts(
+    corpus: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The BPE-training inner loop, round one: corpus-wide counts of
+    adjacent character pairs inside pre-tokenization segments — the
+    statistic whose argmax becomes the first merge rule. Returns the
+    top-k ``(left, right, n)`` pairs.
+
+    The classic BPE-training trick, which is also the scale story: pair
+    counting runs over the DISTINCT pre-token vocabulary weighted by
+    frequency, not over the corpus. The corpus-size pass is one explode +
+    groupBy (map-side combined); everything after operates on |vocab|
+    rows — millions, not trillions, at crawl scale. Pair extraction is a
+    native sequence→transform→explode; counts are integer sums with a
+    total (n desc, left, right) tie-break ⇒ exact cross-engine."""
+    from ..functions.text import bpe_pretokens
+
+    pre = corpus.select(F.explode(bpe_pretokens(F.col(text_col))).alias("pt"))
+    vocab = pre.groupBy("pt").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = (
+        vocab.where(F.length("pt") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("pt") - 1),
+                    lambda i: F.struct(
+                        F.col("pt").substr(i, F.lit(1)).alias("left"),
+                        F.col("pt").substr(i + 1, F.lit(1)).alias("right"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("freq", "p.left", "p.right")
+    )
+    return (
+        pairs.groupBy("left", "right")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+        .limit(k)
+    )

@@ -6299,3 +6299,35 @@ def tfidf_top_terms_per_doc(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sel = docs.where(F.col("doc_id") % 100 == 0)
     return tfidf_doc_terms(docs, sel, k=5)
+
+
+@_q(
+    "bpe_merge_pair_counts",
+    f"""
+    WITH pre AS (
+      SELECT UNNEST(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS pt
+      FROM documents
+    ),
+    vocab AS (SELECT pt, COUNT(*) AS freq FROM pre GROUP BY pt),
+    pairs AS (
+      SELECT substr(pt, i, 1) AS "left", substr(pt, i + 1, 1) AS "right", freq
+      FROM (SELECT pt, freq, UNNEST(range(1, LEN(pt))) AS i
+            FROM vocab WHERE LEN(pt) >= 2)
+    )
+    SELECT "left", "right", CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n DESC, "left" ASC, "right" ASC LIMIT 20
+    """,
+)
+def bpe_merge_pair_counts_q(spark, sf_dir):
+    """BPE tokenizer training, merge round one: adjacent character-pair
+    counts inside pre-tokens, counted over the DISTINCT pre-token
+    vocabulary weighted by frequency
+    (``operators/retrieval.py::bpe_merge_pair_counts``) — the trick that
+    turns a corpus-size problem into a vocabulary-size one at 100 TB.
+    The argmax pair is the first merge rule; integer counts with a total
+    tie-break ⇒ exact oracle."""
+    from ..operators.retrieval import bpe_merge_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merge_pair_counts(docs, k=20)

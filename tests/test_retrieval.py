@@ -241,3 +241,20 @@ def test_tfidf_doc_terms_matches_sklearn_style_reference(spark):
             want = round(n * math.log(3 / dfreq[w]), 6)
             assert got[(doc_id, w)] == (n, dfreq[w], want)
     assert not any(d == 2 for d, _ in got)
+
+
+def test_bpe_merge_pair_counts_matches_python_reference(spark):
+    import re
+    from collections import Counter
+    from alibaba_cppfeaturestore_spark.functions.text import BPE_PRETOKEN_PATTERN
+    from alibaba_cppfeaturestore_spark.operators.retrieval import bpe_merge_pair_counts
+
+    rows = [(1, "low lower lowest"), (2, "new newer newest low")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.left, r.right): r.n for r in bpe_merge_pair_counts(df, k=1000).collect()}
+    ref = Counter()
+    for _, text in rows:
+        for pt in re.findall(BPE_PRETOKEN_PATTERN, text):
+            for a, b in zip(pt, pt[1:]):
+                ref[(a, b)] += 1
+    assert got == dict(ref)
