@@ -6215,13 +6215,13 @@ def graph_triangle_count(spark, sf_dir):
 @_q(
     "sample_weighted_bernoulli",
     """
-    WITH wm AS (SELECT CAST(MAX(CAST(l_quantity AS BIGINT)) AS DECIMAL(4,0)) AS wmax
+    WITH wm AS (SELECT CAST(MAX(CAST(FLOOR(l_quantity) AS BIGINT)) AS DECIMAL(4,0)) AS wmax
                 FROM lineitem)
-    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS weight
+    SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS BIGINT) AS weight
     FROM lineitem, wm
     WHERE CAST(CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 15) AS BIGINT)
                AS DECIMAL(19,0)) * wm.wmax * 8
-          < CAST(l_quantity AS BIGINT) * CAST(1152921504606846976 AS DECIMAL(19,0))
+          < CAST(FLOOR(l_quantity) AS BIGINT) * CAST(1152921504606846976 AS DECIMAL(19,0))
     """,
 )
 def sample_weighted_bernoulli(spark, sf_dir):
@@ -6238,8 +6238,11 @@ def sample_weighted_bernoulli(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     from ..operators.dedup import portable_hash60
 
+    # FLOOR before the integer cast: Spark's double→long TRUNCATES while
+    # DuckDB's ROUNDS — floor is the one bit-identical bridge for any
+    # double weight, integral or not (perturbed-data finding).
     wm = li.agg(
-        F.max(F.col("l_quantity").cast("long")).cast("decimal(4,0)").alias("wmax")
+        F.max(F.floor("l_quantity").cast("long")).cast("decimal(4,0)").alias("wmax")
     )
     h = portable_hash60(
         F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
@@ -6248,13 +6251,13 @@ def sample_weighted_bernoulli(spark, sf_dir):
         li.crossJoin(F.broadcast(wm))
         .where(
             h * F.col("wmax") * F.lit(8)
-            < F.col("l_quantity").cast("long")
+            < F.floor("l_quantity").cast("long")
             * F.lit(1152921504606846976).cast("decimal(19,0)")
         )
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.col("l_quantity").cast("long").alias("weight"),
+            F.floor("l_quantity").cast("long").alias("weight"),
         )
     )
 
