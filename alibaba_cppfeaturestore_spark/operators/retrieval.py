@@ -332,3 +332,50 @@ def bpe_merge_pair_counts(
         .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
         .limit(k)
     )
+
+
+def inverted_index(
+    corpus: DataFrame,
+    min_df: int = 2,
+    max_df: int = 400,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index build: per-term sorted posting lists with
+    delta-encoded gaps — the physical structure behind every lexical
+    retrieval system, as a DataFrame of
+    ``(term, df, postings, gaps)``. ``postings`` is the ascending doc-id
+    list; ``gaps`` is its delta encoding (first id, then successive
+    differences), the form posting lists are compressed in on disk.
+
+    Df-band filtering ([min_df, max_df]) happens BEFORE list
+    materialization, so stopword-scale terms (df ≈ |corpus|) never
+    build a corpus-length array on one key — the classic inverted-index
+    skew. Terms above the band are the ones a real index stores as
+    bitmaps/skip lists instead; here they are excluded by contract.
+    One explode + distinct + groupBy; the sort is per-list
+    (``sort_array``), never global; gaps are a native ``transform`` over
+    the sorted array."""
+    tok = corpus.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).distinct()
+    band = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    postings = (
+        tok.join(band, "term")
+        .groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.sort_array(F.collect_list("id")).alias("postings"),
+        )
+    )
+    gaps = F.transform(
+        F.col("postings"),
+        lambda x, i: F.when(i == 0, x).otherwise(
+            x - F.element_at(F.col("postings"), i)
+        ),
+    )
+    return postings.select("term", "df", "postings", gaps.alias("gaps"))

@@ -6334,3 +6334,53 @@ def bpe_merge_pair_counts_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_merge_pair_counts(docs, k=20)
+
+
+@_q(
+    "inverted_index_postings",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS term
+      FROM documents
+    ),
+    band AS (
+      SELECT term, COUNT(*) AS df FROM toks GROUP BY term
+      HAVING COUNT(*) BETWEEN 2 AND 400
+    ),
+    plist AS (
+      SELECT t.term, b.df, list(t.doc_id ORDER BY t.doc_id) AS p
+      FROM toks t JOIN band b USING (term) GROUP BY t.term, b.df
+    ),
+    expl AS (
+      SELECT term, df, UNNEST(p) AS v, UNNEST(range(1, len(p) + 1)) AS i FROM plist
+    ),
+    gap AS (
+      SELECT term, df, i,
+             CASE WHEN i = 1 THEN v
+                  ELSE v - LAG(v) OVER (PARTITION BY term ORDER BY i) END AS g
+      FROM expl
+    )
+    SELECT term, CAST(ANY_VALUE(df) AS BIGINT) AS df,
+           STRING_AGG(CAST(g AS VARCHAR), ',' ORDER BY i) AS gaps
+    FROM gap GROUP BY term
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index build with delta-encoded posting lists
+    (``operators/retrieval.py::inverted_index``): per-term ascending doc
+    ids compressed to gaps, restricted to the df band [2, 400] BEFORE
+    list materialization so stopword-scale terms never assemble a
+    corpus-length array on one key. Gaps are serialized to a CSV string
+    on both engines (integer-exact; array reprs differ cross-engine).
+    The per-list sort is ``sort_array`` — never a global sort."""
+    from ..operators.retrieval import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = inverted_index(docs, min_df=2, max_df=400)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(F.transform(F.col("gaps"), lambda g: g.cast("string")), ",").alias(
+            "gaps"
+        ),
+    )

@@ -258,3 +258,22 @@ def test_bpe_merge_pair_counts_matches_python_reference(spark):
             for a, b in zip(pt, pt[1:]):
                 ref[(a, b)] += 1
     assert got == dict(ref)
+
+
+def test_inverted_index_gaps_reconstruct_postings(spark):
+    from alibaba_cppfeaturestore_spark.operators.retrieval import inverted_index
+
+    rows = [(1, "a b"), (5, "a c"), (9, "a b c"), (2, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.term: r for r in inverted_index(df, min_df=2, max_df=10).collect()}
+    # 'z' (df=1) excluded by band
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"].postings == [1, 5, 9] and out["a"].gaps == [1, 4, 4]
+    assert out["b"].postings == [1, 9] and out["b"].gaps == [1, 8]
+    # cumulative sum of gaps reconstructs the posting list
+    for r in out.values():
+        acc, rebuilt = 0, []
+        for g in r.gaps:
+            acc += g
+            rebuilt.append(acc)
+        assert rebuilt == r.postings and r.df == len(r.postings)
