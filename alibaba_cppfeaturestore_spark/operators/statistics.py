@@ -183,3 +183,66 @@ def mode_bucket_udaf():
         return int(min(top.index))
 
     return _mode
+
+
+def cuped_adjusted_means(
+    df: DataFrame,
+    user_col: str,
+    grp_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """CUPED variance reduction for experiment readouts: per-arm mean of
+    the metric Y and its covariate-adjusted form
+    ``Y_adj = Y − θ·(X − mean_pool(X))`` with ``θ = Cov(X,Y)/Var(X)``
+    pooled across arms — the standard pre-period adjustment that shrinks
+    experiment confidence intervals without touching the estimand.
+
+    Cross-engine exactness (the grouped_ols discipline, adapted for a
+    DECIMAL covariate): per-user X/Y are exact decimal sums; pooled
+    Σx, Σy, Σxy, Σxx are decimal with widths chosen so every product
+    stays ≤ precision 38 ((19,6)×(18,6) → (38,12) — never a silent
+    rescale); each sum converts to double ONCE and θ / means come from a
+    fixed IEEE op DAG over those identical doubles, published unrounded.
+    One shuffle (per-user agg); arms and pool aggregate from the same
+    per-user pass; pooled scalars ride a 1-row broadcast.
+
+    Returns one row per arm: (grp, n_users, mean_y, mean_y_adjusted,
+    theta)."""
+    per_user = df.groupBy(user_col, grp_col).agg(
+        F.sum(F.col(x_col).cast(DEC)).cast("decimal(19,6)").alias("x"),
+        F.sum(F.col(y_col).cast(DEC)).cast("decimal(18,6)").alias("y"),
+    )
+    pool = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x").cast("decimal(18,6)")).cast("decimal(38,12)")).alias(
+            "sxx"
+        ),
+    )
+    arms = per_user.groupBy(grp_col).agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("n_a"),
+        F.sum("x").alias("sx_a"),
+        F.sum("y").alias("sy_a"),
+    )
+    nd, sxd, syd = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    theta = (F.col("sxy").cast("double") - sxd * syd / nd) / (
+        F.col("sxx").cast("double") - sxd * sxd / nd
+    )
+    mean_x_pool = sxd / nd
+    out = arms.crossJoin(F.broadcast(pool)).withColumn("theta", theta)
+    mean_y = F.col("sy_a").cast("double") / F.col("n_a").cast("double")
+    mean_x_a = F.col("sx_a").cast("double") / F.col("n_a").cast("double")
+    return out.select(
+        F.col(grp_col),
+        F.col("n_a").cast("bigint").alias("n_users"),
+        mean_y.alias("mean_y"),
+        (mean_y - F.col("theta") * (mean_x_a - mean_x_pool)).alias("mean_y_adjusted"),
+        "theta",
+    )

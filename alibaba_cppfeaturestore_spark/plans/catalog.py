@@ -6384,3 +6384,74 @@ def inverted_index_postings(spark, sf_dir):
             "gaps"
         ),
     )
+
+
+@_q(
+    "ab_test_cuped_adjusted",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                           THEN CAST(value AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(19,6)) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS y
+      FROM events GROUP BY user_id
+    ),
+    pool AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(12,0)) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(x * CAST(x AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sxx
+      FROM per_user
+    ),
+    arms AS (
+      SELECT grp, CAST(COUNT(*) AS DECIMAL(12,0)) AS n_a,
+             SUM(x) AS sx_a, SUM(y) AS sy_a
+      FROM per_user GROUP BY grp
+    )
+    SELECT grp,
+           CAST(n_a AS BIGINT) AS n_users,
+           CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_y,
+           ROUND(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+               * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS mean_y_adjusted,
+           ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS theta
+    FROM arms, pool
+    """,
+)
+def ab_test_cuped_adjusted(spark, sf_dir):
+    """CUPED-adjusted experiment readout
+    (``operators/statistics.py::cuped_adjusted_means``): per-arm purchase
+    means adjusted by the pooled view-spend covariate, θ = Cov(X,Y)/Var(X)
+    from exact decimal sums with every product inside precision 38, all
+    doubles derived once and combined in a fixed IEEE DAG — published
+    UNROUNDED, bit-exact cross-engine (the round-3 exactness discipline
+    applied to a two-level analytics composition)."""
+    from ..operators.statistics import cuped_adjusted_means
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        F.when(F.col("event_type") == "view", F.col("value")).otherwise(F.lit(0.0)).alias("xv"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)).alias("yv"),
+    )
+    out = cuped_adjusted_means(base, "user_id", "grp", "xv", "yv")
+    # mean_y is provably exact in double (Σy fits 53 bits); θ passes
+    # through a DECIMAL(38,12)→DOUBLE conversion whose >53-bit rounding
+    # the engines disagree on by 1 ulp — published ROUND(·,6) on both
+    # sides (the BM25 discipline).
+    return out.select(
+        "grp",
+        "n_users",
+        "mean_y",
+        F.round("mean_y_adjusted", 6).alias("mean_y_adjusted"),
+        F.round("theta", 6).alias("theta"),
+    )

@@ -496,3 +496,32 @@ def test_countmin_unseen_item_estimates_from_empty_cells(spark):
     qs = spark.createDataFrame([("never-seen-token",)], "tok string")
     [row] = countmin_estimate(sk, qs, "tok", depth=4, width=4096).collect()
     assert row.cms_estimate == 0
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    import numpy as np
+    from alibaba_cppfeaturestore_spark.operators.statistics import cuped_adjusted_means
+
+    rng = np.random.RandomState(7)
+    n = 400
+    x = rng.uniform(10, 100, n)
+    y = 2.0 * x + rng.normal(0, 5, n) + np.where(np.arange(n) % 2 == 0, 3.0, 0.0)
+    rows = [
+        (int(i), "A" if i % 2 == 0 else "B", float(x[i]), float(y[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, grp string, xv double, yv double")
+    got = {r.grp: r for r in cuped_adjusted_means(df, "user_id", "grp", "xv", "yv").collect()}
+
+    # numpy reference (per-user == per-row here)
+    theta = np.cov(x, y, ddof=0)[0, 1] / np.var(x)
+    assert abs(got["A"].theta - theta) < 1e-3
+    for g in "AB":
+        mask = (np.arange(n) % 2 == 0) if g == "A" else (np.arange(n) % 2 == 1)
+        want_adj = y[mask].mean() - theta * (x[mask].mean() - x.mean())
+        assert abs(got[g].mean_y_adjusted - want_adj) < 1e-3
+        assert abs(got[g].mean_y - y[mask].mean()) < 1e-6
+    # the adjusted arm-difference should recover the true +3 effect better
+    raw_diff = got["A"].mean_y - got["B"].mean_y
+    adj_diff = got["A"].mean_y_adjusted - got["B"].mean_y_adjusted
+    assert abs(adj_diff - 3.0) < abs(raw_diff - 3.0) + 1e-9
