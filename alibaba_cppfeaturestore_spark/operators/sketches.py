@@ -262,3 +262,54 @@ def countmin_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cms_estimate"))
         .select(F.col("__item").alias(col), "cms_estimate")
     )
+
+
+def binned_histogram(
+    df: DataFrame, col: str, bin_width: float, num_bins: int
+) -> DataFrame:
+    """Fixed-bin histogram as ``(bin, n)`` integer cells — the mergeable
+    quantile sketch: cell-wise sum of shard histograms equals the
+    histogram of the union (tested), so per-day / per-shard partials
+    roll up without revisiting data. ≤ ``num_bins`` rows regardless of
+    input size; values below/above the range clamp to the edge bins."""
+    b = F.floor(F.col(col) / F.lit(bin_width)).cast("int")
+    bin_col = F.least(F.greatest(b, F.lit(0)), F.lit(num_bins - 1))
+    return (
+        df.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_percentile_estimate(
+    hist: DataFrame, percentiles: list[float], bin_width: float
+) -> DataFrame:
+    """Percentile estimates from a fixed-bin histogram by linear
+    interpolation inside the covering bin — error bounded by bin_width.
+    The histogram is tiny (≤ num_bins rows), so the running-count window
+    and the percentile probe join are negligible; the heavy lifting
+    happened in the one binning pass. The interpolation is a fixed IEEE
+    DAG over identical integers ⇒ deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    c = hist.withColumn("cum_prev", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    total = hist.agg(F.sum("n").alias("total"))
+    ps = hist.sparkSession.createDataFrame(
+        [(float(p),) for p in percentiles], "pct double"
+    )
+    target = F.col("pct") * F.col("total")
+    return (
+        c.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(ps))
+        .where((F.col("cum_prev") < target) & (F.col("cum_prev") + F.col("n") >= target))
+        .select(
+            "pct",
+            "bin",
+            F.round(
+                F.col("bin") * F.lit(bin_width)
+                + (target - F.col("cum_prev")) / F.col("n") * F.lit(bin_width),
+                6,
+            ).alias("est_value"),
+        )
+    )

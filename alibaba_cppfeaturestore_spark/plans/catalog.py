@@ -6455,3 +6455,89 @@ def ab_test_cuped_adjusted(spark, sf_dir):
         F.round("mean_y_adjusted", 6).alias("mean_y_adjusted"),
         F.round("theta", 6).alias("theta"),
     )
+
+
+@_q(
+    "gdpr_forget_cascade",
+    """
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0 AND c_custkey % 7 = 0
+    ),
+    dead_orders AS (
+      SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM forget) AS BIGINT) AS n_forgotten_customers,
+           CAST((SELECT COUNT(*) FROM dead_orders) AS BIGINT) AS n_removed_orders,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders)) AS BIGINT)
+             AS n_removed_lineitems,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM forget)) AS BIGINT)
+             AS n_remaining_orders
+    """,
+)
+def gdpr_forget_cascade(spark, sf_dir):
+    """Right-to-be-forgotten audit: a forget-set of customers cascades
+    through the referential chain customer→orders→lineitem as SEMI/ANTI
+    joins (never a NOT IN rewrite that degrades on nulls — keys are
+    non-null by schema), counting what a deletion job would remove at
+    each level plus the surviving orders. Each count is a broadcast
+    semi/anti join of a fact table against the (small) forget set — the
+    deletion plan you'd actually run at 100 TB, where the forget set
+    broadcasts and the fact tables never shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    forget = cust.where((F.col("c_acctbal") < 0) & (F.col("c_custkey") % 7 == 0)).select(
+        F.col("c_custkey").alias("k")
+    )
+    dead_orders = orders.join(
+        F.broadcast(forget), orders.o_custkey == F.col("k"), "left_semi"
+    ).select(F.col("o_orderkey").alias("ok"))
+    dead_li = li.join(F.broadcast(dead_orders), li.l_orderkey == F.col("ok"), "left_semi")
+    kept_orders = orders.join(
+        F.broadcast(forget), orders.o_custkey == F.col("k"), "left_anti"
+    )
+    return (
+        forget.agg(F.count(F.lit(1)).alias("n_forgotten_customers"))
+        .crossJoin(dead_orders.agg(F.count(F.lit(1)).alias("n_removed_orders")))
+        .crossJoin(dead_li.agg(F.count(F.lit(1)).alias("n_removed_lineitems")))
+        .crossJoin(kept_orders.agg(F.count(F.lit(1)).alias("n_remaining_orders")))
+    )
+
+
+@_q(
+    "histogram_percentile_estimate",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 50000) AS INT), 0), 9) AS bin
+      FROM orders
+    ),
+    h AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin),
+    c AS (
+      SELECT bin, n,
+             COALESCE(SUM(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM h
+    ),
+    t AS (SELECT SUM(n) AS total FROM h),
+    p AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS pct)
+    SELECT pct, bin,
+           ROUND(bin * 50000 + (pct * total - cum_prev) / n * 50000, 6) AS est_value
+    FROM c, t, p
+    WHERE cum_prev < pct * total AND cum_prev + n >= pct * total
+    """,
+)
+def histogram_percentile_estimate_q(spark, sf_dir):
+    """Quantiles from a mergeable fixed-bin histogram
+    (``operators/sketches.py::binned_histogram/histogram_percentile_estimate``):
+    p50/p90/p99 of order value by linear interpolation inside the
+    covering bin. The sketch is ≤10 integer cells that shard histograms
+    merge into cell-wise (merge≡direct tested) — the rollup-friendly
+    alternative to exact percentiles when the base pass must never be
+    repeated; error ≤ one bin width."""
+    from ..operators.sketches import binned_histogram, histogram_percentile_estimate
+
+    o = _t(spark, sf_dir, "orders")
+    hist = binned_histogram(o, "o_totalprice", 50000.0, 10)
+    return histogram_percentile_estimate(hist, [0.5, 0.9, 0.99], 50000.0)

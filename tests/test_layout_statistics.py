@@ -525,3 +525,35 @@ def test_cuped_matches_numpy_and_reduces_variance(spark):
     raw_diff = got["A"].mean_y - got["B"].mean_y
     adj_diff = got["A"].mean_y_adjusted - got["B"].mean_y_adjusted
     assert abs(adj_diff - 3.0) < abs(raw_diff - 3.0) + 1e-9
+
+
+def test_binned_histogram_merges_cellwise(spark):
+    from alibaba_cppfeaturestore_spark.operators.sketches import binned_histogram
+
+    a = spark.createDataFrame([(float(i),) for i in range(0, 500)], "v double")
+    b = spark.createDataFrame([(float(i),) for i in range(300, 900)], "v double")
+    merged = (
+        binned_histogram(a, "v", 100.0, 10)
+        .unionByName(binned_histogram(b, "v", 100.0, 10))
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct = binned_histogram(a.unionByName(b), "v", 100.0, 10)
+    assert {(r.bin, r.n) for r in merged.collect()} == {
+        (r.bin, r.n) for r in direct.collect()
+    }
+
+
+def test_histogram_percentile_within_bin_width_of_exact(spark):
+    import numpy as np
+    from alibaba_cppfeaturestore_spark.operators.sketches import (
+        binned_histogram,
+        histogram_percentile_estimate,
+    )
+
+    vals = np.random.RandomState(3).uniform(0, 1000, 5000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    hist = binned_histogram(df, "v", 50.0, 20)
+    est = {r.pct: r.est_value for r in histogram_percentile_estimate(hist, [0.5, 0.9], 50.0).collect()}
+    for p in (0.5, 0.9):
+        assert abs(est[p] - np.quantile(vals, p)) <= 50.0
