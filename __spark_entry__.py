@@ -55,15 +55,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # integer-exact end to end) alongside the learned-KMeans production
 # path.
 #
-# Round-4 rotation plan: swap in the 9 entries still never
-# driver-checked with their current oracles (chunk_documents_rag,
-# jdbc_roundtrip_derby, partition_pruned_read, window_rank_functions,
-# join_null_safe_eq, join_full_outer_reconcile, grouped_mode_bucket,
+# Round-4 rotation plan: swap in the entries still never
+# driver-checked with their current oracles — the 10 carried from
+# early round 3 (chunk_documents_rag, jdbc_roundtrip_derby,
+# partition_pruned_read, window_rank_functions, join_null_safe_eq,
+# join_full_outer_reconcile, grouped_mode_bucket,
 # schema_evolution_union_read, dedup_winnow_containment,
-# ann_ivf_portable_topk), then fill the remaining slots with the
-# OLDEST green rows first (r01 entries — the data regenerates every
-# round, so a green from two rounds ago is a green on stale data),
-# keeping the Ali-CCP e2e pins.
+# ann_ivf_portable_topk) and the 16 late-round-3 additions
+# (timeseries_twap_user, assoc_event_type_pairs, graph_bfs_trade_hops,
+# path_top_event_sequences, join_bloom_prefilter, ids_stable_assign,
+# sketch_countmin_freqs, cooccurrence_skipgram_pairs,
+# graph_triangle_count, sample_weighted_bernoulli,
+# tfidf_top_terms_per_doc, bpe_merge_pair_counts,
+# inverted_index_postings, ab_test_cuped_adjusted,
+# gdpr_forget_cascade, histogram_percentile_estimate) — then fill the
+# remaining slots with the OLDEST green rows first (r01 entries — the
+# data regenerates every round, so a green from two rounds ago is a
+# green on stale data), keeping the Ali-CCP e2e pins.
 _DRIVER_WINDOW = [
     # -- never green before round 3 (39) --
     "timeseries_rollup_cascade",
