@@ -6541,3 +6541,87 @@ def histogram_percentile_estimate_q(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     hist = binned_histogram(o, "o_totalprice", 50000.0, 10)
     return histogram_percentile_estimate(hist, [0.5, 0.9, 0.99], 50000.0)
+
+
+@_q(
+    "agg_grouping_sets_revenue",
+    """
+    SELECT COALESCE(n_name, '(all)') AS nation,
+           COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), '(all)') AS order_year,
+           CAST(GROUPING(n_name) * 2 + GROUPING(EXTRACT(year FROM o_orderdate)) AS INT)
+             AS grouping_level,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (EXTRACT(year FROM o_orderdate)), ())
+    """,
+)
+def agg_grouping_sets_revenue(spark, sf_dir):
+    """Multi-granularity aggregation in ONE pass: GROUPING SETS over
+    (nation), (order year), and grand total, disambiguated by the
+    grouping_id bitmask — the OLAP report shape that would otherwise be
+    three scans UNION ALL'd. Spark expands the sets in a single Expand
+    operator before one shuffle; the dimension joins broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("oy"), "o_totalprice")
+    )
+    base.createOrReplaceTempView("__gs_base")
+    return base.sparkSession.sql(
+        """
+        SELECT COALESCE(n_name, '(all)') AS nation,
+               COALESCE(CAST(oy AS STRING), '(all)') AS order_year,
+               CAST(grouping_id(n_name, oy) AS INT) AS grouping_level,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM __gs_base
+        GROUP BY GROUPING SETS ((n_name), (oy), ())
+        """
+    )
+
+
+@_q(
+    "running_distinct_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    days AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+    counts AS (SELECT first_day, COUNT(*) AS n_new FROM firsts GROUP BY first_day)
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           CAST(SUM(COALESCE(c.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT)
+             AS cum_distinct_users
+    FROM days d LEFT JOIN counts c ON c.first_day = d.day
+    """,
+)
+def running_distinct_users(spark, sf_dir):
+    """Cumulative distinct purchasers by day — COUNT(DISTINCT) OVER,
+    which Spark (and most engines) refuse in a window, decomposed into
+    the scalable equivalent: each user's FIRST purchase day (one
+    groupBy), new-user counts per day, and a running sum over the
+    |days|-row aggregate. The only unpartitioned window runs over days,
+    not events — bounded forever; the distinct state never enters a
+    window frame."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp").cast("date")
+    firsts = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("first_day"))
+    )
+    days = ev.select(day.alias("day")).distinct()
+    counts = firsts.groupBy("first_day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(counts, days.day == counts.first_day, "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .withColumn("cum_distinct_users", F.sum("n_new").over(w).cast("bigint"))
+        .select(F.col("day").cast("timestamp").alias("day"), "cum_distinct_users")
+    )
