@@ -434,3 +434,57 @@ def ivf_portable_topk(
         # a vector sits in exactly one cell, so no candidate dedup needed
     )
     return top_k_per_group(cands, ["query_id"], "cosine_sim", k=k, tiebreak=["neighbor_id"])
+
+
+def lloyd_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid assignment for one Lloyd iteration over LITERAL
+    centroids: squared distance to each centroid as a left-associated
+    fold (``F.aggregate`` — the same ((0+t₁)+t₂)+… order a SQL oracle
+    spells out, so the doubles are bit-identical cross-engine), argmin
+    by strict CASE comparisons with ties to the LOWEST index."""
+    dists = []
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        dists.append(d)
+    k = len(dists)
+    expr = F.lit(k - 1)
+    for j in range(k - 2, -1, -1):
+        cond = None
+        for m in range(j + 1, k):
+            c = dists[j] <= dists[m]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(j)).otherwise(expr)
+    return expr
+
+
+def kmeans_lloyd_step(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One exact Lloyd iteration against given centroids: assign every
+    vector to its nearest centroid, return per-cluster size and the
+    recomputed centroid's first two coordinates (ROUND(AVG,6) — the
+    embedding_stats discipline). The assignment is a pure row-local
+    codegen expression (no shuffle); the update is ONE partial-aggregable
+    groupBy of k rows — the per-iteration cost profile that lets Lloyd
+    run at corpus scale with broadcast centroids. Production k-means
+    loops this with refreshed literals (see ``ivf_fit_centroids`` for
+    the sampled-fit variant)."""
+    assigned = df.select(
+        F.col(id_col),
+        lloyd_assign(F.col(vec_col).cast("array<double>"), centroids).alias("cluster"),
+        F.element_at(F.col(vec_col), 1).cast("double").alias("d0"),
+        F.element_at(F.col(vec_col), 2).cast("double").alias("d1"),
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("d0"), 6).alias("new_c0"),
+        F.round(F.avg("d1"), 6).alias("new_c1"),
+    )

@@ -6625,3 +6625,59 @@ def running_distinct_users(spark, sf_dir):
         .withColumn("cum_distinct_users", F.sum("n_new").over(w).cast("bigint"))
         .select(F.col("day").cast("timestamp").alias("day"), "cum_distinct_users")
     )
+
+
+# One Lloyd iteration against 4 literal axis centroids; the oracle spells
+# out the identical left-associated fold per centroid so the distance
+# doubles are bit-equal and the argmin CASE picks the same cluster.
+_LLOYD_K = 4
+_LLOYD_DIM = 64
+_LLOYD_CENTROIDS = [
+    [0.1 if i == j else 0.0 for i in range(_LLOYD_DIM)] for j in range(_LLOYD_K)
+]
+
+
+def _lloyd_dist_sql(c: list[float]) -> str:
+    terms = "".join(
+        f" + (embedding[{i + 1}]::DOUBLE - {x!r}) * (embedding[{i + 1}]::DOUBLE - {x!r})"
+        for i, x in enumerate(c)
+    )
+    return "(0.0" + terms + ")"
+
+
+_LLOYD_ORACLE = f"""
+    WITH d AS (
+      SELECT vec_id,
+             {_lloyd_dist_sql(_LLOYD_CENTROIDS[0])} AS d0,
+             {_lloyd_dist_sql(_LLOYD_CENTROIDS[1])} AS d1,
+             {_lloyd_dist_sql(_LLOYD_CENTROIDS[2])} AS d2,
+             {_lloyd_dist_sql(_LLOYD_CENTROIDS[3])} AS d3,
+             embedding[1]::DOUBLE AS e0, embedding[2]::DOUBLE AS e1
+      FROM embeddings
+    ),
+    a AS (
+      SELECT CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                  WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                  WHEN d2 <= d3 THEN 2 ELSE 3 END AS cluster,
+             e0, e1
+      FROM d
+    )
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(e0), 6) AS new_c0, ROUND(AVG(e1), 6) AS new_c1
+    FROM a GROUP BY cluster
+"""
+
+
+@_q("kmeans_lloyd_step", _LLOYD_ORACLE)
+def kmeans_lloyd_step_q(spark, sf_dir):
+    """One exact k-means Lloyd iteration over the embedding corpus
+    (``operators/similarity.py::kmeans_lloyd_step``): row-local
+    nearest-centroid assignment against literal centroids (left-fold
+    distance, bit-equal to the oracle's spelled-out arithmetic; argmin
+    ties to the lowest index) + a k-row partial-aggregable update.
+    The per-iteration shape of distributed k-means — broadcast
+    centroids in, k rows out, one shuffle."""
+    from ..operators.similarity import kmeans_lloyd_step
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_step(emb, _LLOYD_CENTROIDS)

@@ -488,3 +488,46 @@ def test_verify_prune_shape_output_identical(spark, docs):
         ).collect()
     }
     assert plain == pruned
+
+
+def test_lloyd_assign_matches_numpy_argmin(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from alibaba_cppfeaturestore_spark.operators.similarity import lloyd_assign
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(200, 8).astype("float64")
+    cents = rng.randn(3, 8).tolist()
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r.c
+        for r in df.select("vec_id", lloyd_assign(F.col("embedding"), cents).alias("c")).collect()
+    }
+    want = np.argmin(
+        ((vecs[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(axis=2), axis=1
+    )
+    assert all(got[i] == want[i] for i in range(len(vecs)))
+
+
+def test_kmeans_lloyd_step_reduces_inertia(spark):
+    import numpy as np
+    from alibaba_cppfeaturestore_spark.operators.similarity import kmeans_lloyd_step
+
+    # three planted blobs; axis seeds near them
+    rng = np.random.RandomState(5)
+    blobs = np.concatenate(
+        [rng.normal(m, 0.05, (50, 2)) for m in ((0.0, 0.0), (1.0, 0.0), (0.0, 1.0))]
+    )
+    df = spark.createDataFrame(
+        [(i, list(map(float, v))) for i, v in enumerate(blobs)],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = [[0.1, 0.1], [0.9, 0.1], [0.1, 0.9]]
+    out = {r.cluster: r for r in kmeans_lloyd_step(df, seeds, "embedding").collect()}
+    assert sum(r.n_vectors for r in out.values()) == len(blobs)
+    # updated centroids land on the blob means, closer than the seeds
+    for j, mean in enumerate([(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]):
+        r = out[j]
+        assert abs(r.new_c0 - mean[0]) < 0.05 and abs(r.new_c1 - mean[1]) < 0.05
