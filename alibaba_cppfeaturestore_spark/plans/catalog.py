@@ -6681,3 +6681,32 @@ def kmeans_lloyd_step_q(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_lloyd_step(emb, _LLOYD_CENTROIDS)
+
+
+@_q(
+    "variant_shred_props",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_shred_props(spark, sf_dir):
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    ``parse_json`` once per row, ``variant_get`` typed extraction, then
+    aggregate — the open-schema ingestion path (vs ``from_json``'s
+    declared schema in ``json_codec_roundtrip``). VARIANT keeps the
+    parsed binary form, so repeated extractions don't re-parse; at
+    100 TB the single parse + typed shred is the difference between
+    one JSON decode and one per referenced field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )

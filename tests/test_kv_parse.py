@@ -160,3 +160,17 @@ def test_kv_parse_fuzz_vs_python_reference(spark):
             assert got[i] == py_reference(s), (repr(s), got[i], py_reference(s))
 
     check()
+
+
+def test_variant_shred_typed_extraction_and_missing_fields(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"k": 7, "s": "x"}',), ('{"s": "y"}',), ("{}",)], "props string"
+    )
+    v = F.parse_json(F.col("props"))
+    out = df.select(
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.s", "string").alias("s"),
+    ).collect()
+    assert [(r.k, r.s) for r in out] == [(7, "x"), (None, "y"), (None, None)]
