@@ -1,8 +1,9 @@
-"""The engine's three sanctioned Python tiers, pinned against native paths:
+"""The engine's four sanctioned Python tiers, pinned against native paths:
 
 - scalar ``pandas_udf`` (Arrow batch): wide-vector cosine ≡ native HOF cosine
 - grouped-map ``applyInPandas``: per-key EWMA ≡ hand recurrence
 - Series-to-scalar ``pandas_udf`` (grouped agg): modal bucket ≡ native argmax
+- table-function ``udtf`` (Spark 4): 1→N expansion ≡ native posexplode
 (``mapInPandas`` and ``applyInPandasWithState`` are pinned in
 test_multimodal / test_streaming.)
 """
@@ -104,3 +105,37 @@ def test_grouped_agg_mode_equals_native_argmax(spark, sf_dir):
         for r in counts.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
     }
     assert got == native
+
+
+def test_python_udtf_tier_equals_native_explode(spark):
+    """Fourth Python tier: an arrow-optimized Python UDTF (Spark 4
+    table function) pinned ≡ the native posexplode path it would
+    replace. UDTFs are for 1→N expansions whose logic genuinely can't
+    be a native generator; for anything expressible as
+    explode/posexplode/inline, the native form wins (codegen, no Python
+    round-trip) — this test documents the equivalence contract."""
+    from pyspark.sql.functions import udtf, posexplode, split, col, lit
+
+    @udtf(returnType="pos int, tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, t in enumerate(text.split()):
+                yield (i, t)
+
+    spark.udtf.register("py_tokenize", Tokenize)
+    df = spark.createDataFrame([(1, "a b c"), (2, "x y")], "id long, text string")
+    df.createOrReplaceTempView("__udtf_docs")
+    got = {
+        (r.id, r.pos, r.tok)
+        for r in spark.sql(
+            "SELECT d.id, t.pos, t.tok FROM __udtf_docs d, "
+            "LATERAL py_tokenize(d.text) t"
+        ).collect()
+    }
+    want = {
+        (r.id, r.pos, r.tok)
+        for r in df.select("id", posexplode(split(col("text"), lit(" "))).alias("pos", "tok")).collect()
+    }
+    assert got == want and len(got) == 5
