@@ -6710,3 +6710,117 @@ def variant_shred_props(spark, sf_dir):
         F.max("k").alias("max_k"),
         F.sum("k").cast("bigint").alias("sum_k"),
     )
+
+
+@_q(
+    "feature_lag_rolling",
+    """
+    SELECT user_id, event_id,
+           ROUND(value, 6) AS value,
+           ROUND(LAG(value, 1) OVER w, 6) AS lag1,
+           ROUND(LAG(value, 2) OVER w, 6) AS lag2,
+           ROUND(AVG(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS roll_mean3,
+           ROUND(MAX(value) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS roll_max7,
+           CAST(COUNT(*) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS INT)
+             AS roll_n7
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def feature_lag_rolling(spark, sf_dir):
+    """ML lag/rolling feature block: two lags + 3-row mean + 7-row
+    max/count from ONE window specification — Spark evaluates all six
+    features in a single per-user sort with bounded row frames (state =
+    7 rows per key, never the history). The standard leakage-safe
+    feature shape for sequence models: every feature uses only rows at
+    or before the current event. Frame sums are short fixed-order runs
+    ⇒ ROUND(·,6) is stable cross-engine."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-2, 0)
+    w7 = w.rowsBetween(-6, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(F.lag("value", 1).over(w), 6).alias("lag1"),
+        F.round(F.lag("value", 2).over(w), 6).alias("lag2"),
+        F.round(F.avg("value").over(w3), 6).alias("roll_mean3"),
+        F.round(F.max("value").over(w7), 6).alias("roll_max7"),
+        F.count(F.lit(1)).over(w7).cast("int").alias("roll_n7"),
+    )
+
+
+@_q(
+    "negative_sampling_pairs",
+    """
+    WITH sel AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 30 = 0),
+    pos AS (
+      SELECT DISTINCT l.l_orderkey AS o_orderkey, l.l_partkey AS partkey
+      FROM lineitem l JOIN sel s ON l.l_orderkey = s.o_orderkey
+    ),
+    mp AS (SELECT MAX(p_partkey) AS maxp FROM part),
+    cand AS (
+      SELECT s.o_orderkey, j,
+             1 + CAST('0x' || substr(md5(s.o_orderkey || '#' || j), 1, 15) AS BIGINT) % mp.maxp
+               AS partkey
+      FROM sel s CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j) js CROSS JOIN mp
+    ),
+    neg AS (
+      SELECT o_orderkey, partkey, j,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY j) AS rn
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.o_orderkey = c.o_orderkey AND p.partkey = c.partkey)
+    )
+    SELECT o_orderkey, partkey, CAST(1 AS INT) AS label FROM pos
+    UNION ALL
+    SELECT o_orderkey, partkey, CAST(0 AS INT) AS label FROM neg WHERE rn <= 3
+    """,
+)
+def negative_sampling_pairs(spark, sf_dir):
+    """Contrastive training-pair construction: each selected order's true
+    (order, part) positives plus 3 deterministic hash-drawn negatives
+    from the part universe — the negative-sampling stage of every
+    two-tower / matrix-factorization training pipeline, made reproducible: the
+    draw is the portable md5 hash (no RNG state), collisions with that
+    order's own positives are FILTERED (standard practice) by an
+    anti-join rather than re-drawn, and 4 candidates over-provision the
+    3 kept. The anti-join keys on (order, part) — positives never leave
+    their order's bucket; the universe bound is a 1-row broadcast."""
+    sel = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 30 == 0).select(
+        "o_orderkey"
+    )
+    pos = (
+        _t(spark, sf_dir, "lineitem")
+        .join(sel, F.col("l_orderkey") == sel.o_orderkey)
+        .select(F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    from ..operators.dedup import portable_hash60
+
+    mp = _t(spark, sf_dir, "part").agg(F.max("p_partkey").alias("maxp"))
+    cand = (
+        sel.crossJoin(F.broadcast(mp))
+        .select("o_orderkey", "maxp", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"))
+        .select(
+            "o_orderkey",
+            "j",
+            (
+                1
+                + F.pmod(
+                    portable_hash60(F.concat_ws("#", F.col("o_orderkey"), F.col("j"))),
+                    F.col("maxp"),
+                )
+            ).alias("partkey"),
+        )
+    )
+    neg = cand.join(pos, ["o_orderkey", "partkey"], "left_anti")
+    w = Window.partitionBy("o_orderkey").orderBy("j")
+    neg3 = neg.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    return pos.withColumn("label", F.lit(1)).unionByName(
+        neg3.select("o_orderkey", "partkey", F.lit(0).alias("label"))
+    )

@@ -113,3 +113,24 @@ def test_weighted_bernoulli_is_deterministic(spark):
     a = QUERIES["sample_weighted_bernoulli"].spark(spark, sf).collect()
     b = QUERIES["sample_weighted_bernoulli"].spark(spark, sf).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
+
+
+def test_negative_sampling_properties(spark):
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    df = QUERIES["negative_sampling_pairs"].spark(spark, sf).toPandas()
+    pos = df[df.label == 1]
+    neg = df[df.label == 0]
+    assert len(pos) > 0 and len(neg) > 0
+    # at most 3 negatives per order, and never colliding with that
+    # order's positives
+    per_order = neg.groupby("o_orderkey").size()
+    assert per_order.max() <= 3
+    pos_pairs = set(zip(pos.o_orderkey, pos.partkey))
+    assert not any((o, p) in pos_pairs for o, p in zip(neg.o_orderkey, neg.partkey))
+    # deterministic
+    df2 = QUERIES["negative_sampling_pairs"].spark(spark, sf).toPandas()
+    a = sorted(map(tuple, df.itertuples(index=False)))
+    b = sorted(map(tuple, df2.itertuples(index=False)))
+    assert a == b
