@@ -6824,3 +6824,118 @@ def negative_sampling_pairs(spark, sf_dir):
     return pos.withColumn("label", F.lit(1)).unionByName(
         neg3.select("o_orderkey", "partkey", F.lit(0).alias("label"))
     )
+
+
+@_q(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    t AS (SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    tot AS (SELECT cur, SUM(n) AS row_total FROM t GROUP BY cur)
+    SELECT t.cur, t.nxt, CAST(t.n AS BIGINT) AS n,
+           ROUND(t.n / CAST(tot.row_total AS DOUBLE), 6) AS p
+    FROM t JOIN tot USING (cur)
+    """,
+)
+def markov_event_transitions(spark, sf_dir):
+    """First-order behavioral Markov chain: event-type transition counts
+    and probabilities from per-user ordered streams — one LEAD window
+    (state = one user's stream), one |types|²-row aggregate, row totals
+    rejoined from the tiny transition table (never a second raw scan).
+    p is one division of identical integers ⇒ ROUND(·,6) stable."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    t = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("cur").agg(F.sum("n").alias("row_total"))
+    return t.join(tot, "cur").select(
+        "cur",
+        "nxt",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias("p"),
+    )
+
+
+@_q(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS first_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+       AND CAST(e.ts AS TIMESTAMP) >= v.first_view
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT v.user_id,
+             (epoch_us(p.first_purchase) - epoch_us(v.first_view)) // 60000000 AS mins
+      FROM v JOIN p USING (user_id)
+    ),
+    r AS (
+      SELECT mins, ROW_NUMBER() OVER (ORDER BY mins, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM d
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+           CAST(MIN(mins) AS BIGINT) AS min_minutes,
+           CAST(MAX(mins) AS BIGINT) AS max_minutes,
+           (MAX(CASE WHEN rn = (n + 1) // 2 THEN mins END)
+            + MAX(CASE WHEN rn = (n + 2) // 2 THEN mins END)) * 0.5 AS median_minutes
+    FROM r
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Conversion-latency distribution: minutes from each user's first
+    view to their first subsequent purchase — integer-µs arithmetic with
+    explicit DIV (never a double division of longs), and the EXACT
+    median via the mad_outliers middle-row selection (two CASE picks ×
+    0.5 — identical integers into one double op). The per-user firsts
+    are two groupBys; the only unpartitioned window ranks |converters|
+    rows, not events."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(ts).alias("first_view")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(ts >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("first_purchase"))
+    )
+    d = v.join(p, "user_id").select(
+        "user_id",
+        F.expr(
+            "(unix_micros(first_purchase) - unix_micros(first_view)) DIV 60000000"
+        ).alias("mins"),
+    )
+    w = Window.orderBy("mins", "user_id")
+    r = d.select(
+        "mins",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    m1 = F.expr("(n + 1) DIV 2")
+    m2 = F.expr("(n + 2) DIV 2")
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_converters"),
+        F.min("mins").cast("bigint").alias("min_minutes"),
+        F.max("mins").cast("bigint").alias("max_minutes"),
+        (
+            (
+                F.max(F.when(F.col("rn") == m1, F.col("mins")))
+                + F.max(F.when(F.col("rn") == m2, F.col("mins")))
+            )
+            * F.lit(0.5)
+        ).alias("median_minutes"),
+    )
