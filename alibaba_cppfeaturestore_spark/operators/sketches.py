@@ -294,11 +294,11 @@ def histogram_percentile_estimate(
 
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     c = hist.withColumn("cum_prev", F.coalesce(F.sum("n").over(w), F.lit(0)))
-    total = hist.agg(F.sum("n").alias("total"))
+    total = hist.agg(F.sum("n").alias("__scalar_total"))
     ps = hist.sparkSession.createDataFrame(
         [(float(p),) for p in percentiles], "pct double"
     )
-    target = F.col("pct") * F.col("total")
+    target = F.col("pct") * F.col("__scalar_total")
     return (
         c.crossJoin(F.broadcast(total))
         .crossJoin(F.broadcast(ps))

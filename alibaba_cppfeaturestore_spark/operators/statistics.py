@@ -214,12 +214,12 @@ def cuped_adjusted_means(
         F.sum(F.col(y_col).cast(DEC)).cast("decimal(18,6)").alias("y"),
     )
     pool = per_user.agg(
-        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("__scalar_n"),
+        F.sum("x").alias("__scalar_sx"),
+        F.sum("y").alias("__scalar_sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("__scalar_sxy"),
         F.sum((F.col("x") * F.col("x").cast("decimal(18,6)")).cast("decimal(38,12)")).alias(
-            "sxx"
+            "__scalar_sxx"
         ),
     )
     arms = per_user.groupBy(grp_col).agg(
@@ -228,12 +228,12 @@ def cuped_adjusted_means(
         F.sum("y").alias("sy_a"),
     )
     nd, sxd, syd = (
-        F.col("n").cast("double"),
-        F.col("sx").cast("double"),
-        F.col("sy").cast("double"),
+        F.col("__scalar_n").cast("double"),
+        F.col("__scalar_sx").cast("double"),
+        F.col("__scalar_sy").cast("double"),
     )
-    theta = (F.col("sxy").cast("double") - sxd * syd / nd) / (
-        F.col("sxx").cast("double") - sxd * sxd / nd
+    theta = (F.col("__scalar_sxy").cast("double") - sxd * syd / nd) / (
+        F.col("__scalar_sxx").cast("double") - sxd * sxd / nd
     )
     mean_x_pool = sxd / nd
     out = arms.crossJoin(F.broadcast(pool)).withColumn("theta", theta)

@@ -6242,7 +6242,7 @@ def sample_weighted_bernoulli(spark, sf_dir):
     # DuckDB's ROUNDS — floor is the one bit-identical bridge for any
     # double weight, integral or not (perturbed-data finding).
     wm = li.agg(
-        F.max(F.floor("l_quantity").cast("long")).cast("decimal(4,0)").alias("wmax")
+        F.max(F.floor("l_quantity").cast("long")).cast("decimal(4,0)").alias("__scalar_wmax")
     )
     h = portable_hash60(
         F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
@@ -6250,7 +6250,7 @@ def sample_weighted_bernoulli(spark, sf_dir):
     return (
         li.crossJoin(F.broadcast(wm))
         .where(
-            h * F.col("wmax") * F.lit(8)
+            h * F.col("__scalar_wmax") * F.lit(8)
             < F.floor("l_quantity").cast("long")
             * F.lit(1152921504606846976).cast("decimal(19,0)")
         )
@@ -6499,10 +6499,16 @@ def gdpr_forget_cascade(spark, sf_dir):
         F.broadcast(forget), orders.o_custkey == F.col("k"), "left_anti"
     )
     return (
-        forget.agg(F.count(F.lit(1)).alias("n_forgotten_customers"))
-        .crossJoin(dead_orders.agg(F.count(F.lit(1)).alias("n_removed_orders")))
-        .crossJoin(dead_li.agg(F.count(F.lit(1)).alias("n_removed_lineitems")))
-        .crossJoin(kept_orders.agg(F.count(F.lit(1)).alias("n_remaining_orders")))
+        forget.agg(F.count(F.lit(1)).alias("__scalar_forgotten"))
+        .crossJoin(dead_orders.agg(F.count(F.lit(1)).alias("__scalar_rm_orders")))
+        .crossJoin(dead_li.agg(F.count(F.lit(1)).alias("__scalar_rm_lineitems")))
+        .crossJoin(kept_orders.agg(F.count(F.lit(1)).alias("__scalar_kept_orders")))
+        .select(
+            F.col("__scalar_forgotten").alias("n_forgotten_customers"),
+            F.col("__scalar_rm_orders").alias("n_removed_orders"),
+            F.col("__scalar_rm_lineitems").alias("n_removed_lineitems"),
+            F.col("__scalar_kept_orders").alias("n_remaining_orders"),
+        )
     )
 
 
@@ -6802,10 +6808,10 @@ def negative_sampling_pairs(spark, sf_dir):
     )
     from ..operators.dedup import portable_hash60
 
-    mp = _t(spark, sf_dir, "part").agg(F.max("p_partkey").alias("maxp"))
+    mp = _t(spark, sf_dir, "part").agg(F.max("p_partkey").alias("__scalar_maxp"))
     cand = (
         sel.crossJoin(F.broadcast(mp))
-        .select("o_orderkey", "maxp", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"))
+        .select("o_orderkey", "__scalar_maxp", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"))
         .select(
             "o_orderkey",
             "j",
@@ -6813,7 +6819,7 @@ def negative_sampling_pairs(spark, sf_dir):
                 1
                 + F.pmod(
                     portable_hash60(F.concat_ws("#", F.col("o_orderkey"), F.col("j"))),
-                    F.col("maxp"),
+                    F.col("__scalar_maxp"),
                 )
             ).alias("partkey"),
         )

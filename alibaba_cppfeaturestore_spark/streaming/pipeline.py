@@ -317,3 +317,44 @@ def run_stream_upsert(
     )
     q.processAllAvailable()
     q.stop()
+
+
+def stateful_running_count_tws(stream_df: DataFrame, key_col: str) -> DataFrame:
+    """Cumulative per-key event counts via Spark 4's
+    ``transformWithStateInPandas`` — the modern arbitrary-state API
+    (typed state variables + timers) superseding
+    ``applyInPandasWithState``'s single GroupState blob. Functionally
+    identical to ``stateful_running_count``; kept side by side so both
+    stateful tiers stay pinned. ValueState holds one integer per key —
+    state size is |keys|, never the stream."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState(
+                "count", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"k": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType(
+        [StructField("k", LongType()), StructField("n_events", LongType())]
+    )
+    return (
+        stream_df.groupBy(F.col(key_col))
+        .transformWithStateInPandas(
+            RunningCount(), out_schema, outputMode="Update", timeMode="None"
+        )
+        .withColumnRenamed("k", key_col)
+    )

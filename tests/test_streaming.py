@@ -357,3 +357,39 @@ def test_pii_redaction_shared_batch_and_stream(spark, workdir):
     q.processAllAvailable()
     q.stop()
     assert captured == batch_out
+
+
+def test_transform_with_state_running_count_across_batches(spark, workdir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): same
+    cross-batch accumulation contract as the applyInPandasWithState
+    tier."""
+    from alibaba_cppfeaturestore_spark.streaming.pipeline import (
+        stateful_running_count_tws,
+    )
+
+    rows1 = [(1, ts("2024-01-01T10:00:00"), "view", 1.0),
+             (1, ts("2024-01-01T10:01:00"), "view", 1.0),
+             (2, ts("2024-01-01T10:02:00"), "click", 1.0)]
+    rows2 = [(1, ts("2024-01-01T11:00:00"), "view", 1.0),
+             (3, ts("2024-01-01T11:01:00"), "view", 1.0)]
+    src = os.path.join(workdir, "src_tws")
+    spark.createDataFrame(rows1, ["user_id", "ts", "event_type", "value"]) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, ["user_id", "ts", "event_type", "value"]) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counts = stateful_running_count_tws(stream, "user_id")
+    result = run_bounded_to_memory(counts, output_mode="update")
+    rows = result.collect()
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["n_events"])
+    assert final == {1: 3, 2: 1, 3: 1}
+    u1 = sorted(r["n_events"] for r in rows if r["user_id"] == 1)
+    assert u1 == [2, 3], f"expected cross-batch accumulation, got {u1}"
