@@ -326,7 +326,12 @@ def stateful_running_count_tws(stream_df: DataFrame, key_col: str) -> DataFrame:
     ``applyInPandasWithState``'s single GroupState blob. Functionally
     identical to ``stateful_running_count``; kept side by side so both
     stateful tiers stay pinned. ValueState holds one integer per key —
-    state size is |keys|, never the stream."""
+    state size is |keys|, never the stream.
+
+    Environment note: executing a TWS query needs ``google.protobuf``
+    (the state-server wire protocol), absent from this container — the
+    test skips when the import fails (same class of block as
+    delta-spark / Kafka); building the plan needs nothing extra."""
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql.types import LongType, StructField, StructType
 

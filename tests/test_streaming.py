@@ -362,7 +362,11 @@ def test_pii_redaction_shared_batch_and_stream(spark, workdir):
 def test_transform_with_state_running_count_across_batches(spark, workdir):
     """transformWithStateInPandas (Spark 4 arbitrary-state API): same
     cross-batch accumulation contract as the applyInPandasWithState
-    tier."""
+    tier. The TWS state-server protocol needs google.protobuf, which
+    this container lacks (same class of environment block as
+    delta-spark / Kafka) — skip rather than fail when absent; the
+    operator itself is import-clean either way."""
+    pytest.importorskip("google.protobuf.descriptor")
     from alibaba_cppfeaturestore_spark.streaming.pipeline import (
         stateful_running_count_tws,
     )
