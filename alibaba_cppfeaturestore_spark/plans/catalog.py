@@ -6945,3 +6945,96 @@ def funnel_time_to_convert(spark, sf_dir):
             * F.lit(0.5)
         ).alias("median_minutes"),
     )
+
+
+@_q(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(DATEDIFF('day', DATE '2000-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(12,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(16,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(18,6)) AS sy,
+             CAST(SUM(x * x) AS DECIMAL(24,0)) AS sxx,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(12,0)) * y AS DECIMAL(30,6))) AS DECIMAL(24,6)) AS sxy
+      FROM daily
+    ),
+    calc AS (
+      SELECT CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxy AS DECIMAL(25,6))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,6)) AS DOUBLE) AS num,
+             CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxx AS DECIMAL(25,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE) AS den,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(n AS DOUBLE) AS nd
+      FROM sums
+    ),
+    fit AS (
+      SELECT num / den AS slope,
+             (syd - (num / den) * sxd) / nd AS intercept
+      FROM calc
+    ),
+    dow AS (
+      SELECT EXTRACT(dow FROM day) + 1 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS DECIMAL(16,0)) AS sxw,
+             CAST(SUM(y) AS DECIMAL(18,6)) AS syw
+      FROM daily GROUP BY 1
+    )
+    SELECT CAST(dow AS INT) AS dow, n_days,
+           CAST(syw AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily_revenue,
+           CAST(syw AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - fit.slope * (CAST(sxw AS DOUBLE) / CAST(n_days AS DOUBLE))
+             - fit.intercept AS seasonal_component
+    FROM dow, fit
+    """,
+)
+def seasonal_decompose_daily(spark, sf_dir):
+    """Trend + day-of-week seasonal decomposition of daily purchase
+    revenue: a pooled OLS trend over the |days|-row series
+    (``grouped_ols`` decimal discipline) and per-weekday seasonal
+    components computed ALGEBRAICALLY from decimal dow sums —
+    mean_dow(y − trend(x)) = Σy/n − slope·Σx/n − intercept — so no
+    per-day double residual is ever summed (the rollup_cascade
+    float-re-aggregation lesson, applied at design time). Every decimal
+    fits 53 bits at conversion ⇒ published unrounded, bit-exact."""
+    from ..operators.statistics import grouped_ols
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.select(
+            day.alias("day"),
+            F.datediff(day, F.lit("2000-01-01").cast("date")).cast("bigint").alias("x"),
+            F.col("value"),
+        )
+        .groupBy("day", "x")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("y"))
+    )
+    fit = (
+        grouped_ols(daily.withColumn("__g", F.lit(1)), "x", "y", ["__g"])
+        .select(
+            F.col("slope").alias("__scalar_slope"),
+            F.col("intercept").alias("__scalar_intercept"),
+        )
+    )
+    dow = daily.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("decimal(16,0)").alias("sxw"),
+        F.sum("y").cast("decimal(18,6)").alias("syw"),
+    )
+    mean_rev = F.col("syw").cast("double") / F.col("n_days").cast("double")
+    mean_x = F.col("sxw").cast("double") / F.col("n_days").cast("double")
+    return dow.crossJoin(F.broadcast(fit)).select(
+        F.col("dow").cast("int").alias("dow"),
+        "n_days",
+        mean_rev.alias("mean_daily_revenue"),
+        (
+            mean_rev - F.col("__scalar_slope") * mean_x - F.col("__scalar_intercept")
+        ).alias("seasonal_component"),
+    )

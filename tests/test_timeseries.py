@@ -120,3 +120,34 @@ def test_time_weighted_avg_locf_semantics(spark):
     assert got["a"] == (3, 8.0)
     assert got["b"] == (1, 7.5)
     assert got["c"] == (2, 2.0)
+
+
+def test_seasonal_decompose_components_sum_to_detrended_mean(spark):
+    """Weighted by day counts, the seasonal components must average to
+    ~0 across weekdays (the trend absorbs the level), and each equals
+    the numpy detrended dow mean."""
+    import numpy as np
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["seasonal_decompose_daily"].spark(spark, sf).collect()
+    assert {r.dow for r in rows} <= set(range(1, 8)) and len(rows) >= 5
+    total_days = sum(r.n_days for r in rows)
+    weighted = sum(r.seasonal_component * r.n_days for r in rows) / total_days
+    assert abs(weighted) < 1e-6  # OLS residuals mean ~0 over the fit span
+
+    # numpy replay of the whole decomposition
+    from alibaba_cppfeaturestore_spark.plans.views import load_table
+    import pandas as pd
+    ev = load_table(spark, sf, "events").toPandas()
+    ev = ev[ev.event_type == "purchase"].copy()
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    daily = ev.groupby("day")["value"].sum()
+    x = np.array([(pd.Timestamp(d) - pd.Timestamp("2000-01-01")).days for d in daily.index], dtype=float)
+    y = daily.to_numpy()
+    slope, intercept = np.polyfit(x, y, 1)
+    resid = y - (slope * x + intercept)
+    dows = np.array([pd.Timestamp(d).dayofweek for d in daily.index])  # Mon=0
+    for r in rows:
+        mask = dows == (r.dow - 2) % 7  # spark dow: Sun=1 … Sat=7
+        assert abs(r.seasonal_component - resid[mask].mean()) < 1e-4
