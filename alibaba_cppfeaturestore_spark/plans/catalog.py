@@ -7038,3 +7038,124 @@ def seasonal_decompose_daily(spark, sf_dir):
             mean_rev - F.col("__scalar_slope") * mean_x - F.col("__scalar_intercept")
         ).alias("seasonal_component"),
     )
+
+
+@_q(
+    "rfm_customer_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM rfm
+    ),
+    seg AS (
+      SELECT CASE
+               WHEN r = 1 AND f = 1 THEN 'champion'
+               WHEN r <= 2 AND f <= 2 THEN 'loyal'
+               WHEN r >= 4 AND f <= 2 THEN 'at_risk'
+               WHEN r >= 4 AND f >= 4 THEN 'lost'
+               ELSE 'regular'
+             END AS segment
+      FROM scored
+    )
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM seg GROUP BY segment
+    """,
+)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quintiles (NTILE with total tie-breaks — the percentile-band
+    precedent) folded into named segments. The unpartitioned NTILE
+    windows rank the |customers|-row AGGREGATE, not orders — at 100 TB
+    that aggregate is still million-scale and the windows would move to
+    the range-partitioned id-assignment shape (``assign_stable_ids``);
+    monetary sums are decimal-exact."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m"),
+    )
+    seg = scored.select(
+        F.when((F.col("r") == 1) & (F.col("f") == 1), "champion")
+        .when((F.col("r") <= 2) & (F.col("f") <= 2), "loyal")
+        .when((F.col("r") >= 4) & (F.col("f") <= 2), "at_risk")
+        .when((F.col("r") >= 4) & (F.col("f") >= 4), "lost")
+        .otherwise("regular")
+        .alias("segment")
+    )
+    return seg.groupBy("segment").agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+@_q(
+    "itemsim_copurchase_topk",
+    """
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS co
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.item_a, p.item_b, CAST(p.co AS BIGINT) AS co,
+             ROUND(p.co / SQRT(da.n * db.n), 6) AS cosine
+      FROM pairs p
+      JOIN deg da ON da.l_partkey = p.item_a
+      JOIN deg db ON db.l_partkey = p.item_b
+      WHERE p.co >= 3
+    )
+    SELECT item_a, item_b, co, cosine FROM scored
+    ORDER BY cosine DESC, item_a ASC, item_b ASC LIMIT 25
+    """,
+)
+def itemsim_copurchase_topk(spark, sf_dir):
+    """Item-item collaborative similarity ("customers also bought"):
+    co-occurrence counts over order baskets normalized by √(deg_a·deg_b)
+    — binary cosine. The self-join fans out per basket (bounded by
+    basket size, never the catalog); the ``co >= 3`` support floor
+    prunes the long noise tail BEFORE the degree joins; cosine is one
+    IEEE sqrt+division over identical integers (ROUND(·,6) stable);
+    TakeOrdered cut with total tie-break."""
+    b = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    deg = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"), F.col("b.l_partkey").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= 3)
+    )
+    da = deg.select(F.col("l_partkey").alias("item_a"), F.col("n").alias("na"))
+    db = deg.select(F.col("l_partkey").alias("item_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(da, "item_a")
+        .join(db, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("co").cast("bigint").alias("co"),
+            F.round(F.col("co") / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
+        .limit(25)
+    )
