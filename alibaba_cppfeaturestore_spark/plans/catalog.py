@@ -7159,3 +7159,59 @@ def itemsim_copurchase_topk(spark, sf_dir):
         .orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
         .limit(25)
     )
+
+
+@_q(
+    "vocab_oov_rate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        ORDER BY n DESC, tok ASC LIMIT 100
+      )
+    ),
+    flags AS (
+      SELECT t.doc_id,
+             CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN vocab v USING (tok)
+    ),
+    rates AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(oov) AS BIGINT) AS n_oov,
+             (SUM(oov) * 10000) // COUNT(*) AS oov_bp
+      FROM flags GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_oov, CAST(oov_bp AS BIGINT) AS oov_bp
+    FROM rates WHERE oov_bp > 5000
+    """,
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage audit: per-document out-of-vocabulary rate
+    against the corpus's own top-100 vocabulary, gating documents whose
+    OOV share exceeds 50% — the vocab-fit check run before committing a
+    tokenizer to a corpus. The vocab is a TakeOrdered head broadcast
+    into a left join; the rate is INTEGER basis points via DIV (never a
+    double ratio compared against a threshold — cross-engine exact by
+    construction)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+        .select("tok")
+    )
+    flags = toks.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "tok", "left").select(
+        "doc_id", F.when(F.col("__in").isNull(), 1).otherwise(0).alias("oov")
+    )
+    rates = flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.expr("(SUM(oov) * 10000) DIV COUNT(*)").cast("bigint").alias("oov_bp"),
+    )
+    return rates.where(F.col("oov_bp") > 5000)
