@@ -150,6 +150,51 @@ def main() -> None:
         "doc_id", "c.chunk_id", "c.n_chunk_tokens"
     ).show(5)
 
+    print("== Bloom-prefiltered semi join: prune before the shuffle ==")
+    from alibaba_cppfeaturestore_spark.operators.joins import bloom_semi_join
+
+    li = spark.table("lineitem")
+    keys = spark.table("supplier").limit(10).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    print("rows surviving exact semi join:", bloom_semi_join(li, keys, "l_suppkey").count())
+
+    print("== Count-Min sketch: one-pass mergeable frequencies ==")
+    from alibaba_cppfeaturestore_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    sk = countmin_sketch(toks, "token")
+    countmin_estimate(sk, toks.distinct().limit(5), "token").show(5)
+
+    print("== Degree-oriented triangle counting on the co-purchase graph ==")
+    from alibaba_cppfeaturestore_spark.operators.graph import triangle_count
+
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        b.alias("a").join(b.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    triangle_count(edges).show()
+
+    print("== Stable global ids without a single-partition sort ==")
+    from alibaba_cppfeaturestore_spark.operators.layout import assign_stable_ids
+
+    assign_stable_ids(spark.table("orders").select("o_orderkey"), ["o_orderkey"]).show(3)
+
+    print("== CUPED-adjusted experiment readout ==")
+    from alibaba_cppfeaturestore_spark.operators.statistics import cuped_adjusted_means
+
+    base = ev.select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        F.when(F.col("event_type") == "view", F.col("value")).otherwise(F.lit(0.0)).alias("xv"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)).alias("yv"),
+    )
+    cuped_adjusted_means(base, "user_id", "grp", "xv", "yv").show()
+
     spark.stop()
 
 
