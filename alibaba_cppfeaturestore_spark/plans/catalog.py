@@ -7215,3 +7215,68 @@ def vocab_oov_rate(spark, sf_dir):
         F.expr("(SUM(oov) * 10000) DIV COUNT(*)").cast("bigint").alias("oov_bp"),
     )
     return rates.where(F.col("oov_bp") > 5000)
+
+
+@_q(
+    "dq_feature_leakage_audit",
+    """
+    WITH labels AS (
+      SELECT user_id, event_id AS label_id, CAST(ts AS TIMESTAMP) AS label_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    feats AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS feat_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    joined AS (
+      SELECT l.label_id,
+             CAST(COUNT(*) AS BIGINT) AS n_feature_rows,
+             CAST(SUM(CASE WHEN f.feat_ts > l.label_ts THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_future_rows
+      FROM labels l JOIN feats f ON l.user_id = f.user_id
+      GROUP BY l.label_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+           CAST(SUM(CASE WHEN n_future_rows > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_labels_with_future_features,
+           CAST(SUM(n_future_rows) AS BIGINT) AS n_future_feature_rows,
+           CAST(SUM(n_feature_rows) AS BIGINT) AS n_feature_rows_total
+    FROM joined
+    """,
+)
+def dq_feature_leakage_audit(spark, sf_dir):
+    """Target-leakage audit for point-in-time training sets: for every
+    label event, count candidate feature rows that post-date it — the
+    check that catches a broken as-of join (or a feature table with
+    future timestamps) BEFORE a model trains on leaked information.
+    A naive entity join + conditional aggregation: if
+    n_future_feature_rows is nonzero in the TRAINING JOIN's output (as
+    opposed to this candidate audit), the pipeline's `asof_join` is
+    broken — the operator's own tests pin that it never emits such rows.
+    One shuffle on the entity key; counts integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("label_id"), ts.alias("label_ts")
+    )
+    feats = ev.where(F.col("event_type") == "view").select(
+        "user_id", ts.alias("feat_ts")
+    )
+    joined = (
+        labels.join(feats, "user_id")
+        .groupBy("label_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feature_rows"),
+            F.sum(F.when(F.col("feat_ts") > F.col("label_ts"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_future_rows"),
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+        F.sum(F.when(F.col("n_future_rows") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_labels_with_future_features"),
+        F.sum("n_future_rows").cast("bigint").alias("n_future_feature_rows"),
+        F.sum("n_feature_rows").cast("bigint").alias("n_feature_rows_total"),
+    )
