@@ -7280,3 +7280,46 @@ def dq_feature_leakage_audit(spark, sf_dir):
         F.sum("n_future_rows").cast("bigint").alias("n_future_feature_rows"),
         F.sum("n_feature_rows").cast("bigint").alias("n_feature_rows_total"),
     )
+
+
+@_q(
+    "window_value_functions",
+    """
+    SELECT event_id, user_id,
+           ROUND(FIRST_VALUE(value) OVER w, 6) AS first_val,
+           ROUND(LAST_VALUE(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS last_val,
+           ROUND(NTH_VALUE(value, 2) OVER w, 6) AS second_val
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_value_functions(spark, sf_dir):
+    """Window VALUE-function family (first_value / last_value /
+    nth_value), completing the ranking family in
+    ``window_rank_functions``: per-user running first/second purchase
+    and the full-frame last — note LAST_VALUE's default frame ends at
+    CURRENT ROW, so the full-partition answer needs the explicit
+    UNBOUNDED FOLLOWING frame (the classic window-semantics trap, made
+    explicit on both engines). One per-user sort serves all three."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wfull = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 6).alias("first_val"),
+        F.round(F.last("value").over(wfull), 6).alias("last_val"),
+        F.round(F.nth_value("value", 2).over(w), 6).alias("second_val"),
+    )
