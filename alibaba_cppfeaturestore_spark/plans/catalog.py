@@ -7186,17 +7186,18 @@ def itemsim_copurchase_topk(spark, sf_dir):
       FROM flags GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, n_oov, CAST(oov_bp AS BIGINT) AS oov_bp
-    FROM rates WHERE oov_bp > 5000
+    FROM rates ORDER BY oov_bp DESC, doc_id ASC LIMIT 50
     """,
 )
 def vocab_oov_rate(spark, sf_dir):
     """Tokenizer-coverage audit: per-document out-of-vocabulary rate
-    against the corpus's own top-100 vocabulary, gating documents whose
-    OOV share exceeds 50% — the vocab-fit check run before committing a
-    tokenizer to a corpus. The vocab is a TakeOrdered head broadcast
-    into a left join; the rate is INTEGER basis points via DIV (never a
-    double ratio compared against a threshold — cross-engine exact by
-    construction)."""
+    against the corpus's own top-100 vocabulary, published as the 50
+    worst-covered documents — a fixed-size head is regeneration-proof
+    where a rate threshold is data-dependent (a 50% gate returned zero
+    rows on this corpus: a weak, trivially-green check). The vocab is a
+    TakeOrdered head broadcast into a left join; the rate is INTEGER
+    basis points via DIV (never a double ratio compared against a
+    threshold — cross-engine exact by construction)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
     vocab = (
@@ -7214,7 +7215,7 @@ def vocab_oov_rate(spark, sf_dir):
         F.sum("oov").cast("bigint").alias("n_oov"),
         F.expr("(SUM(oov) * 10000) DIV COUNT(*)").cast("bigint").alias("oov_bp"),
     )
-    return rates.where(F.col("oov_bp") > 5000)
+    return rates.orderBy(F.desc("oov_bp"), F.asc("doc_id")).limit(50)
 
 
 @_q(
