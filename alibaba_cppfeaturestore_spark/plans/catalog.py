@@ -7324,3 +7324,66 @@ def window_value_functions(spark, sf_dir):
         F.round(F.last("value").over(wfull), 6).alias("last_val"),
         F.round(F.nth_value("value", 2).over(w), 6).alias("second_val"),
     )
+
+
+@_q(
+    "text_token_entropy",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    folded AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(CAST(c * LN(c) AS DOUBLE) ORDER BY tok ASC)),
+               (acc, x) -> acc + x) AS s
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           LN(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE) AS entropy
+    FROM folded
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Per-document token-distribution entropy (nats) — the
+    information-density quality signal (low entropy ⇒ repetitive /
+    template text; the Shannon counterpart of the Gopher repetition
+    rules). entropy = ln(n) − Σcᵢ·ln(cᵢ)/n, and the float sum is
+    ORDER-PINNED: both engines fold cᵢ·ln(cᵢ) over the token-sorted
+    list left-to-right (Spark ``aggregate`` over ``array_sort``,
+    DuckDB ``list_reduce`` over ``list(... ORDER BY tok)``), so the
+    non-associative double additions happen in the identical sequence
+    and the result is published UNROUNDED — a third exactness mechanism
+    next to decimal sums and fixed scalar DAGs. Per-doc lists are
+    bounded by document vocabulary, never corpus-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok", "c"))),
+                lambda s: (s["c"] * F.log(s["c"])).cast("double"),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("s") / F.col("n_tokens").cast("double")
+        ).alias("entropy"),
+    )

@@ -277,3 +277,40 @@ def test_inverted_index_gaps_reconstruct_postings(spark):
             acc += g
             rebuilt.append(acc)
         assert rebuilt == r.postings and r.df == len(r.postings)
+
+
+def test_token_entropy_matches_scipy_reference(spark):
+    import math
+    from collections import Counter
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    rows = [(1, "a a a a"), (2, "a b c d"), (3, "x x y y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("__ent_docs")
+    # drive the same operator shape on a local frame via the catalog fn's
+    # internals: recompute with the python reference
+    from pyspark.sql import functions as F
+    from alibaba_cppfeaturestore_spark.functions.text import tokens
+
+    toks = df.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok", "c"))),
+                lambda s: (s["c"] * F.log(s["c"])).cast("double"),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    ).collect()
+    got = {r.doc_id: math.log(r.n) - r.s / r.n for r in per_doc}
+    for doc_id, text in rows:
+        cnt = Counter(text.split())
+        n = sum(cnt.values())
+        want = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        assert abs(got[doc_id] - want) < 1e-12
+    # degenerate: single repeated token → entropy 0; uniform → ln(k)
+    assert abs(got[1]) < 1e-12
+    assert abs(got[2] - math.log(4)) < 1e-12
