@@ -7387,3 +7387,106 @@ def text_token_entropy(spark, sf_dir):
             - F.col("s") / F.col("n_tokens").cast("double")
         ).alias("entropy"),
     )
+
+
+@_q(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+      FROM documents
+    ),
+    b2 AS (SELECT doc_id, toks, LEN(toks) AS dl FROM b),
+    scal AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM b2),
+    post AS (
+      SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+      FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM b2)
+      WHERE tok IN ({{terms}})
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY tok),
+    comp AS (
+      SELECT p.doc_id,
+             LN(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)) AS c
+      FROM post p JOIN dfreq d USING (tok) CROSS JOIN scal s
+    ),
+    bm25s AS (SELECT doc_id, ROUND(SUM(c), 6) AS bm25 FROM comp GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
+      FROM bm25s QUALIFY lex_rank <= 50
+    ),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    vec AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(qv.embedding AS DOUBLE[])) DESC,
+                        e.vec_id ASC) AS BIGINT) AS vec_rank
+      FROM embeddings e CROSS JOIN qv
+      WHERE e.vec_id != 0
+      QUALIFY vec_rank <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+               + COALESCE(1.0 / (60 + v.vec_rank), 0.0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """.replace("{terms}", _BM25_TERMS_SQL),
+)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion — the modern RAG
+    staple: a BM25 rank list and a dense-vector cosine rank list (query
+    = document 0's embedding, a 1-row ``__scalar_`` broadcast) fused as
+    Σ 1/(60+rank) over a FULL OUTER join of the two top-50 heads. Ranks
+    are integers ordered on the same rounded/tie-broken keys as the
+    underlying `bm25_topk`/`ann_brute_force_topk` entries, so the RRF
+    score is a fixed two-term double DAG over identical integers —
+    published unrounded. Each leg is its catalog-proven plan; fusion
+    adds one |50|-row join."""
+    from ..operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = bm25_scores(docs, _BM25_TERMS).select(
+        "doc_id", F.round("bm25", 6).alias("bm25")
+    )
+    wlex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        bm.withColumn("lex_rank", F.row_number().over(wlex).cast("bigint"))
+        .where(F.col("lex_rank") <= 50)
+        .select("doc_id", "lex_rank")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__scalar_qv")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            V.cosine_similarity(F.col("embedding"), F.col("__scalar_qv")).alias("cos"),
+        )
+    )
+    wvec = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    vec = (
+        scored.withColumn("vec_rank", F.row_number().over(wvec).cast("bigint"))
+        .where(F.col("vec_rank") <= 50)
+        .select("doc_id", "vec_rank")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)

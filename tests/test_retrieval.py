@@ -314,3 +314,22 @@ def test_token_entropy_matches_scipy_reference(spark):
     # degenerate: single repeated token → entropy 0; uniform → ln(k)
     assert abs(got[1]) < 1e-12
     assert abs(got[2] - math.log(4)) < 1e-12
+
+
+def test_hybrid_rrf_properties(spark):
+    """RRF fusion: docs ranked by both legs must outrank docs ranked by
+    only one at similar positions; output bounded and deterministic."""
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["hybrid_rrf_retrieval"].spark(spark, sf).collect()
+    assert 0 < len(rows) <= 10
+    # rrf strictly equals the two-term formula
+    for r in rows:
+        want = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (60 + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert r.rrf == want
+    # descending fusion order with id tie-break
+    scores = [(r.rrf, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, reverse=True)
