@@ -7490,3 +7490,48 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+@_q(
+    "stream_topk_trending",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY window_start ORDER BY n_events DESC, event_type ASC) AS rnk
+      FROM w
+    ) WHERE rnk <= 3
+    """,
+)
+def stream_topk_trending(spark, sf_dir):
+    """Trending top-k per event-time window, computed as a REAL
+    streaming query: the windowed counts run under a watermark
+    (availableNow bounded replay, complete mode), and the per-window
+    rank is applied to the emitted aggregate — the standard
+    "trending now" composition where the rank runs over |windows|×|keys|
+    aggregate rows, never the stream. Integer counts with total
+    tie-breaks ⇒ exact oracle."""
+    from ..streaming.pipeline import run_bounded_to_memory
+
+    stream = _stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    result = run_bounded_to_memory(agg, output_mode="complete").select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        result.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+    )
