@@ -7535,3 +7535,67 @@ def stream_topk_trending(spark, sf_dir):
         result.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= 3)
     )
+
+
+@_q(
+    "dq_event_order_cadence",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY event_id) AS prev_us
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             CASE WHEN prev_us IS NOT NULL AND us < prev_us THEN 1 ELSE 0 END AS inv,
+             CASE WHEN prev_us IS NOT NULL AND us >= prev_us
+                  THEN (us - prev_us) // 1000000 END AS gap_s
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(inv) AS BIGINT) AS n_inversions,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps GROUP BY user_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dq_event_order_cadence(spark, sf_dir):
+    """Telemetry ordering + cadence audit: per user, timestamp
+    INVERSIONS relative to the event-id sequence (late-arriving or
+    clock-skewed instrumentation — the signal that sizes watermarks and
+    decides whether event_id is a trustworthy ordering key) alongside
+    min/max inter-event gaps in integer seconds (µs DIV — no double
+    time math). A zero inversion count is itself the finding the
+    watermark decision needs; the gap columns keep the audit row alive
+    either way. One per-user LAG window."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select("user_id", us.alias("us"), F.lag(us).over(w).alias("prev_us"))
+    gaps = seq.select(
+        "user_id",
+        F.when(F.col("prev_us").isNotNull() & (F.col("us") < F.col("prev_us")), 1)
+        .otherwise(0)
+        .alias("inv"),
+        # gap only for the non-inverted case: integer DIV on a NEGATIVE
+        # value floors in DuckDB but truncates in Spark — the cast
+        # divergence class again, excluded by construction
+        F.when(
+            F.col("prev_us").isNotNull() & (F.col("us") >= F.col("prev_us")),
+            F.expr("(us - prev_us) DIV 1000000"),
+        ).alias("gap_s"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("inv").cast("bigint").alias("n_inversions"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        )
+        .where(F.col("n_events") >= 2)
+    )
