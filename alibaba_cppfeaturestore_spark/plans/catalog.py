@@ -7599,3 +7599,59 @@ def dq_event_order_cadence(spark, sf_dir):
         )
         .where(F.col("n_events") >= 2)
     )
+
+
+@_q(
+    "txlog_wap_publish",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def txlog_wap_publish(spark, sf_dir):
+    """Write–Audit–Publish on the transaction-logged table: the staged
+    frame commits to a STAGING TxTable, audits run against the staged
+    version (row count > 0, no NULL keys), and only a passing audit
+    promotes the staged files into the published table's log — readers
+    of the published table never see unaudited data, and a failing
+    audit leaves the publication untouched (proven here by staging a
+    corrupt frame first, whose audit fails and publishes nothing). The
+    read-back of the published table matches the direct batch oracle
+    iff exactly the audited commit became visible."""
+    import tempfile
+
+    from ..sources.txlog import TxTable
+
+    ev = _t(spark, sf_dir, "events")
+    good = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    corrupt = good.withColumn("event_type", F.lit(None).cast("string"))
+
+    root = tempfile.mkdtemp(prefix="wap_")
+    published = TxTable(f"{root}/published")
+
+    def audit_and_publish(staged_df) -> bool:
+        staging = TxTable(f"{root}/staging_{published.latest_version() or 0}")
+        staging.commit(staged_df, mode="overwrite")
+        staged = staging.read(spark)
+        n = staged.count()
+        n_null_keys = staged.where(F.col("event_type").isNull()).count()
+        if n == 0 or n_null_keys > 0:
+            return False  # audit failed: nothing publishes
+        published.commit(staged, mode="overwrite")
+        return True
+
+    assert audit_and_publish(corrupt) is False  # corrupt stage must not publish
+    assert published.latest_version() is None  # still unpublished
+    assert audit_and_publish(good) is True
+    return published.read(spark)
