@@ -7655,3 +7655,93 @@ def txlog_wap_publish(spark, sf_dir):
     assert published.latest_version() is None  # still unpublished
     assert audit_and_publish(good) is True
     return published.read(spark)
+
+
+# The found-pair leg reuses the dedup_minhash_lsh oracle VERBATIM as a
+# parenthesized subquery (DuckDB allows WITH inside a derived table), so
+# the audit can never drift from the pipeline it audits.
+_LSH_RECALL_ORACLE = f"""
+    WITH found AS (
+      SELECT * FROM ({QUERIES["dedup_minhash_lsh"].oracle})
+    ),
+    planted AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(LEN(text) - 3, 1)),
+                                          i -> substr(text, i, 5))) AS sa,
+             list_distinct(list_transform(
+               range(1, GREATEST(LEN(text || ' zz qq extra') - 3, 1)),
+               i -> substr(text || ' zz qq extra', i, 5))) AS sb
+      FROM documents
+    ),
+    truth AS (
+      SELECT doc_id FROM planted
+      WHERE ROUND(LEN(list_intersect(sa, sb))::DOUBLE
+            / GREATEST(LEN(sa) + LEN(sb) - LEN(list_intersect(sa, sb)), 1), 6) >= 0.8
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_planted_true,
+           CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found_total,
+           CAST((SELECT COUNT(*) FROM found f JOIN truth t
+                 ON f.id_a = t.doc_id AND f.id_b = t.doc_id + 1000000) AS BIGINT)
+             AS n_planted_found,
+           ROUND((SELECT COUNT(*) FROM found f JOIN truth t
+                  ON f.id_a = t.doc_id AND f.id_b = t.doc_id + 1000000)
+                 / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6) AS recall
+"""
+
+
+@_q("dedup_lsh_recall_audit", _LSH_RECALL_ORACLE)
+def dedup_lsh_recall_audit(spark, sf_dir):
+    """Measure, don't guess: END-TO-END recall of the MinHash-LSH
+    pipeline against planted ground truth. Each document gets a mutated
+    copy; truth is the planted pairs whose EXACT shingle-Jaccard clears
+    the 0.8 threshold (a LINEAR per-doc computation — never an all-pairs
+    truth set); found is the full LSH pipeline's output on the same
+    corpus (the oracle nests the `dedup_minhash_lsh` oracle verbatim, so
+    audit and pipeline cannot drift). Published: truth/found/hit counts
+    and recall — the number that justifies the banding geometry in
+    production."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq extra")).alias("text"),
+    )
+    corpus = docs.unionByName(mutants)
+    found = DD.minhash_lsh_duplicates(
+        corpus, text_col="text", id_col="doc_id",
+        num_hashes=32, bands=4, jaccard_threshold=0.8, portable=True,
+    )
+    sa = F.array_distinct(TX.char_shingles(F.col("text"), 5))
+    sb = F.array_distinct(
+        TX.char_shingles(F.concat(F.col("text"), F.lit(" zz qq extra")), 5)
+    )
+    planted = docs.select("doc_id", sa.alias("sa"), sb.alias("sb")).select(
+        "doc_id",
+        F.size(F.array_intersect("sa", "sb")).alias("inter"),
+        F.size("sa").alias("na"),
+        F.size("sb").alias("nb"),
+    )
+    truth = planted.where(
+        F.round(
+            F.col("inter")
+            / F.greatest(F.col("na") + F.col("nb") - F.col("inter"), F.lit(1)),
+            6,
+        )
+        >= 0.8
+    ).select("doc_id")
+    hits = found.join(
+        truth,
+        (found.id_a == truth.doc_id) & (found.id_b == truth.doc_id + 1000000),
+    )
+    return (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("__scalar_truth"))
+        .crossJoin(found.agg(F.count(F.lit(1)).cast("bigint").alias("__scalar_found")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("bigint").alias("__scalar_hits")))
+        .select(
+            F.col("__scalar_truth").alias("n_planted_true"),
+            F.col("__scalar_found").alias("n_found_total"),
+            F.col("__scalar_hits").alias("n_planted_found"),
+            F.round(
+                F.col("__scalar_hits") / F.col("__scalar_truth").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
