@@ -206,6 +206,26 @@ class TxTable:
                 removed.append(g)
         return sorted(removed)
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        sort_by: list[str] | None = None,
+        num_files: int = 1,
+    ) -> int:
+        """OPTIMIZE: rewrite the current snapshot's (possibly many,
+        small) file groups into ``num_files`` compacted files —
+        optionally ``sortWithinPartitions`` on ``sort_by`` so min/max
+        footer stats prune reads (bin-packing + clustering, the Delta
+        OPTIMIZE / ZORDER verb for this table format). Data is
+        byte-identical to the pre-OPTIMIZE snapshot (it commits as an
+        ``overwrite`` of the same rows); old file groups stay
+        addressable for time travel until ``vacuum``."""
+        current = self.read(spark)
+        compacted = current.repartition(num_files)
+        if sort_by:
+            compacted = compacted.sortWithinPartitions(*sort_by)
+        return self.commit(compacted, mode="overwrite")
+
     def merge_upsert(
         self,
         source: DataFrame,

@@ -317,3 +317,37 @@ def test_table_changes_between_versions(spark, tmp_path):
     t.commit(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), "overwrite")
     ch = {r.k: r.op for r in table_changes(t, spark, 0, 1, ["k"]).collect()}
     assert ch == {1: "delete", 2: "update", 3: "insert"}
+
+
+def test_txlog_optimize_compacts_preserving_rows_and_history(spark, tmp_path):
+    import glob
+    import os
+
+    from alibaba_cppfeaturestore_spark.sources.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "opt"))
+    for i in range(5):
+        t.commit(
+            spark.createDataFrame([(i * 10 + j, f"v{i}") for j in range(4)], "k long, v string"),
+            mode="append",
+        )
+    before_rows = sorted(map(tuple, t.read(spark).collect()))
+    before_version = t.latest_version()
+    files_before = len(t._live_files())
+
+    v = t.optimize(spark, sort_by=["k"], num_files=1)
+    assert v == before_version + 1
+    after = sorted(map(tuple, t.read(spark).collect()))
+    assert after == before_rows
+    assert len(t._live_files()) < files_before
+    # time travel still sees the pre-OPTIMIZE snapshot
+    assert sorted(map(tuple, t.read(spark, version=before_version).collect())) == before_rows
+    # the compacted file is sorted on k (footer-stat clustering)
+    import pandas as pd
+
+    pq = []
+    for group in t._live_files():
+        pq += glob.glob(os.path.join(t.path, group, "*.parquet"))
+    assert pq, "no live parquet files resolved"
+    ks = pd.concat([pd.read_parquet(p) for p in pq]).k.tolist()
+    assert ks == sorted(ks) and len(ks) == 20
