@@ -7745,3 +7745,173 @@ def dedup_lsh_recall_audit(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+@_q(
+    "anomaly_seasonal_residuals",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(DATEDIFF('day', DATE '2000-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(12,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(16,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(18,6)) AS sy,
+             CAST(SUM(x * x) AS DECIMAL(24,0)) AS sxx,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(12,0)) * y AS DECIMAL(30,6))) AS DECIMAL(24,6)) AS sxy
+      FROM daily
+    ),
+    fit AS (
+      SELECT CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxy AS DECIMAL(25,6))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,6)) AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxx AS DECIMAL(25,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE) AS slope,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, CAST(n AS DOUBLE) AS nd
+      FROM sums
+    ),
+    fit2 AS (
+      SELECT slope, (syd - slope * sxd) / nd AS intercept FROM fit
+    ),
+    dow AS (
+      SELECT EXTRACT(dow FROM day) + 1 AS dw,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS DECIMAL(16,0)) AS sxw,
+             CAST(SUM(y) AS DECIMAL(18,6)) AS syw
+      FROM daily GROUP BY 1
+    ),
+    seas AS (
+      SELECT dw,
+             CAST(syw AS DOUBLE) / CAST(n_days AS DOUBLE)
+               - fit2.slope * (CAST(sxw AS DOUBLE) / CAST(n_days AS DOUBLE))
+               - fit2.intercept AS s
+      FROM dow, fit2
+    ),
+    resid AS (
+      SELECT d.day, d.x,
+             CAST(d.y AS DOUBLE)
+               - (fit2.slope * CAST(d.x AS DOUBLE) + fit2.intercept)
+               - seas.s AS r
+      FROM daily d
+      JOIN seas ON seas.dw = EXTRACT(dow FROM d.day) + 1
+      CROSS JOIN fit2
+    ),
+    med AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, x) AS rn, COUNT(*) OVER () AS n
+      FROM resid
+    ),
+    m AS (
+      SELECT (MAX(CASE WHEN rn = (n + 1) // 2 THEN r END)
+              + MAX(CASE WHEN rn = (n + 2) // 2 THEN r END)) * 0.5 AS med
+      FROM med
+    ),
+    dev AS (
+      SELECT resid.day, resid.r, ABS(resid.r - m.med) AS a, resid.x
+      FROM resid, m
+    ),
+    madr AS (
+      SELECT a, ROW_NUMBER() OVER (ORDER BY a, x) AS rn, COUNT(*) OVER () AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT (MAX(CASE WHEN rn = (n + 1) // 2 THEN a END)
+              + MAX(CASE WHEN rn = (n + 2) // 2 THEN a END)) * 0.5 AS mad
+      FROM madr
+    )
+    SELECT CAST(dev.day AS TIMESTAMP) AS day, dev.r AS residual
+    FROM dev, mad
+    WHERE dev.a > 2.5 * mad.mad
+    """,
+)
+def anomaly_seasonal_residuals(spark, sf_dir):
+    """Seasonality-aware anomaly detection — the composition capstone:
+    daily revenue → pooled OLS trend (decimal sums) → day-of-week
+    seasonal components (algebraic, decimal) → per-day residuals (fixed
+    double DAG) → EXACT median/MAD over the residuals (order-statistic
+    selection of identical doubles — selection needs only identical
+    ORDERING, which bit-equal doubles guarantee) → days beyond 2.5·MAD.
+    Days flagged here are spikes the trend+weekday model can't explain —
+    the on-call alert shape. Every window runs over the |days|-row
+    aggregate."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    day = F.col("ts").cast("timestamp").cast("date")
+    daily = (
+        ev.select(
+            day.alias("day"),
+            F.datediff(day, F.lit("2000-01-01").cast("date")).cast("bigint").alias("x"),
+            F.col("value"),
+        )
+        .groupBy("day", "x")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("y"))
+    )
+    from ..operators.statistics import grouped_ols
+
+    fit = grouped_ols(daily.withColumn("__g", F.lit(1)), "x", "y", ["__g"]).select(
+        F.col("slope").alias("__scalar_slope"),
+        F.col("intercept").alias("__scalar_intercept"),
+    )
+    dow_col = F.dayofweek("day")
+    dw = daily.groupBy(dow_col.alias("dw")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("decimal(16,0)").alias("sxw"),
+        F.sum("y").cast("decimal(18,6)").alias("syw"),
+    )
+    seas = dw.crossJoin(F.broadcast(fit)).select(
+        "dw",
+        (
+            F.col("syw").cast("double") / F.col("n_days").cast("double")
+            - F.col("__scalar_slope") * (F.col("sxw").cast("double") / F.col("n_days").cast("double"))
+            - F.col("__scalar_intercept")
+        ).alias("s"),
+    )
+    resid = (
+        daily.join(F.broadcast(seas), dow_col == seas.dw)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "day",
+            "x",
+            (
+                F.col("y").cast("double")
+                - (F.col("__scalar_slope") * F.col("x").cast("double") + F.col("__scalar_intercept"))
+                - F.col("s")
+            ).alias("r"),
+        )
+    )
+    wm = Window.orderBy("r", "x")
+    med_sel = resid.select(
+        "r", F.row_number().over(wm).alias("rn"), F.count(F.lit(1)).over(Window.partitionBy()).alias("n")
+    )
+    m1, m2 = F.expr("(n + 1) DIV 2"), F.expr("(n + 2) DIV 2")
+    med = med_sel.agg(
+        (
+            (
+                F.max(F.when(F.col("rn") == m1, F.col("r")))
+                + F.max(F.when(F.col("rn") == m2, F.col("r")))
+            )
+            * F.lit(0.5)
+        ).alias("__scalar_med")
+    )
+    dev = resid.crossJoin(F.broadcast(med)).select(
+        "day", "x", "r", F.abs(F.col("r") - F.col("__scalar_med")).alias("a")
+    )
+    wa = Window.orderBy("a", "x")
+    mad_sel = dev.select(
+        "a", F.row_number().over(wa).alias("rn"), F.count(F.lit(1)).over(Window.partitionBy()).alias("n")
+    )
+    mad = mad_sel.agg(
+        (
+            (
+                F.max(F.when(F.col("rn") == m1, F.col("a")))
+                + F.max(F.when(F.col("rn") == m2, F.col("a")))
+            )
+            * F.lit(0.5)
+        ).alias("__scalar_mad")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .where(F.col("a") > 2.5 * F.col("__scalar_mad"))
+        .select(F.col("day").cast("timestamp").alias("day"), F.col("r").alias("residual"))
+    )
