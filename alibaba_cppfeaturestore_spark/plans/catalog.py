@@ -7915,3 +7915,104 @@ def anomaly_seasonal_residuals(spark, sf_dir):
         .where(F.col("a") > 2.5 * F.col("__scalar_mad"))
         .select(F.col("day").cast("timestamp").alias("day"), F.col("r").alias("residual"))
     )
+
+
+@_q(
+    "corpus_data_card",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang, md5(text) AS fp,
+             LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_toks
+      FROM documents
+    ),
+    toks AS (
+      SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok FROM documents
+    ),
+    ranked AS (
+      SELECT n_toks, ROW_NUMBER() OVER (ORDER BY n_toks, doc_id) AS rn,
+             COUNT(*) OVER () AS n FROM d
+    ),
+    med AS (
+      SELECT (MAX(CASE WHEN rn = (n + 1) // 2 THEN n_toks END)
+              + MAX(CASE WHEN rn = (n + 2) // 2 THEN n_toks END)) * 0.5 AS p50
+      FROM ranked
+    ),
+    top_lang AS (
+      SELECT lang FROM d GROUP BY lang
+      ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS n_tokens_total,
+           CAST((SELECT COUNT(DISTINCT tok) FROM toks) AS BIGINT) AS vocab_size,
+           CAST((SELECT MAX(n_toks) FROM d) AS BIGINT) AS max_doc_tokens,
+           (SELECT p50 FROM med) AS p50_doc_tokens,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT fp) FROM d) AS BIGINT)
+             AS n_exact_dup_docs,
+           CAST((SELECT COUNT(DISTINCT lang) FROM d) AS BIGINT) AS n_langs,
+           (SELECT lang FROM top_lang) AS top_lang
+    """,
+)
+def corpus_data_card(spark, sf_dir):
+    """One-row corpus data card — the summary block of a dataset
+    datasheet: sizes, vocabulary, length distribution (exact integer
+    median via middle selection), exact-duplicate count (md5
+    fingerprints — the portable doc_fingerprint), language inventory and
+    majority language (pinned tie-break). Each statistic is one
+    aggregate over a shared scan family; all integers or identical-
+    operand doubles — exact everywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("fp"),
+        F.size(TX.tokens(F.col("text"))).alias("n_toks"),
+    )
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    w = Window.orderBy("n_toks", "doc_id")
+    ranked = d.select(
+        "n_toks",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    m1, m2 = F.expr("(n + 1) DIV 2"), F.expr("(n + 2) DIV 2")
+    med = ranked.agg(
+        (
+            (
+                F.max(F.when(F.col("rn") == m1, F.col("n_toks")))
+                + F.max(F.when(F.col("rn") == m2, F.col("n_toks")))
+            )
+            * F.lit(0.5)
+        ).alias("__scalar_p50")
+    )
+    top_lang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("__scalar_top_lang"))
+    )
+    doc_stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__scalar_n_docs"),
+        F.max("n_toks").cast("bigint").alias("__scalar_max_toks"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("bigint").alias("__scalar_dups"),
+        F.countDistinct("lang").cast("bigint").alias("__scalar_langs"),
+    )
+    tok_stats = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__scalar_n_toks_total"),
+        F.countDistinct("tok").cast("bigint").alias("__scalar_vocab"),
+    )
+    return (
+        doc_stats.crossJoin(tok_stats)
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(top_lang))
+        .select(
+            F.col("__scalar_n_docs").alias("n_docs"),
+            F.col("__scalar_n_toks_total").alias("n_tokens_total"),
+            F.col("__scalar_vocab").alias("vocab_size"),
+            F.col("__scalar_max_toks").alias("max_doc_tokens"),
+            F.col("__scalar_p50").alias("p50_doc_tokens"),
+            F.col("__scalar_dups").alias("n_exact_dup_docs"),
+            F.col("__scalar_langs").alias("n_langs"),
+            F.col("__scalar_top_lang").alias("top_lang"),
+        )
+    )
