@@ -1,0 +1,131 @@
+"""Scale-growth probe: measure how each scale-sensitive operator's
+INTERMEDIATE volumes grow across sf0.001 / sf0.01 / sf0.1, as exact
+engine-computed row counts.
+
+Wall-clock at laptop scale is dominated by fixed overheads; candidate /
+wedge / pair-row counts are the quantities the 100 TB arguments in
+SCALING.md actually make claims about ("output-bound, not quadratic").
+This prints a markdown table of counts and the growth exponent
+log(count_ratio)/log(input_ratio) between successive SFs — ~1.0 means
+linear in input, ~2.0 quadratic.
+
+Usage: python tools/scale_probe.py  (≈2-3 min on local[32])
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.operators import dedup as DD
+from alibaba_cppfeaturestore_spark.operators.joins import bloom_prefilter
+from alibaba_cppfeaturestore_spark.operators.retrieval import skipgram_pairs
+from alibaba_cppfeaturestore_spark.plans.views import load_table
+from alibaba_cppfeaturestore_spark.session import get_spark
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+
+def probes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = {}
+    out["input_docs"] = docs.count()
+    out["input_lineitem"] = li.count()
+
+    # LSH band candidates (pre-verify pair space — the claimed-bounded set)
+    banded = DD.minhash_band_index(docs, "text", "doc_id", 32, 4, 5)
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id"), F.col("b.id"))
+        .distinct()
+    )
+    out["lsh_band_candidates"] = cand.count()
+
+    # skip-gram pair rows before aggregation (claimed w×|tokens|)
+    toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+    out["corpus_tokens"] = toks.count()
+    pairs = skipgram_pairs(docs, window=3, k=10**9)
+    out["skipgram_distinct_pairs"] = pairs.count()
+
+    # triangle wedges under degree orientation (claimed Σ out-deg² with
+    # out-deg ≲ √E) vs naive Σ deg²
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        b.alias("x")
+        .join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.least("x.l_partkey", "y.l_partkey").alias("a"),
+            F.greatest("x.l_partkey", "y.l_partkey").alias("b"),
+        )
+        .distinct()
+    )
+    out["copurchase_edges"] = e.count()
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "deg_a"), "a").join(
+        deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "deg_b"), "b"
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+    )
+    outdeg = oriented.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    [w_row] = outdeg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges")
+    ).collect()
+    out["triangle_wedges_oriented"] = int(w_row["wedges"])
+    [w_naive] = deg.agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w")).collect()
+    out["triangle_wedges_naive"] = int(w_naive["w"])
+
+    # bloom prefilter survivors on a 1-nation supplier key set
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    keys = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .where(F.col("n_name") == "NATION_7")
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    out["bloom_survivors"] = bloom_prefilter(li, keys, "l_suppkey").count()
+    return out
+
+
+def main():
+    spark = get_spark()
+    rows = {}
+    for sf in SFS:
+        rows[sf] = probes(spark, f"/root/testdata/{sf}")
+        print(f"# {sf}: {rows[sf]}", flush=True)
+
+    metrics = list(rows[SFS[0]].keys())
+    print("\n| metric | " + " | ".join(SFS) + " | exp(0.001→0.01) | exp(0.01→0.1) |")
+    print("|" + "---|" * (len(SFS) + 3))
+    for m in metrics:
+        vals = [rows[sf][m] for sf in SFS]
+        base = "input_docs" if "doc" in m or "token" in m or "lsh" in m or "skip" in m else "input_lineitem"
+        exps = []
+        for i in range(2):
+            c0, c1 = vals[i], vals[i + 1]
+            b0, b1 = rows[SFS[i]][base], rows[SFS[i + 1]][base]
+            if c0 > 0 and b1 > b0:
+                exps.append(f"{math.log(max(c1, 1) / c0) / math.log(b1 / b0):.2f}")
+            else:
+                exps.append("—")
+        print(f"| {m} | " + " | ".join(str(v) for v in vals) + f" | {exps[0]} | {exps[1]} |")
+
+
+if __name__ == "__main__":
+    main()
