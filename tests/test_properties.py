@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for second-wave operators: each
+checks an ALGEBRAIC contract against randomized inputs, not a golden
+value — the properties the docstrings promise. Example counts are kept
+small because every example is a real Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_prop = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_prop
+@given(
+    big=st.lists(st.integers(0, 200), min_size=1, max_size=120),
+    keys=st.lists(st.integers(0, 200), min_size=0, max_size=30),
+)
+def test_bloom_semi_join_always_equals_plain(spark, big, keys):
+    from alibaba_cppfeaturestore_spark.operators.joins import bloom_semi_join
+
+    bdf = spark.createDataFrame([(i, v) for i, v in enumerate(big)], "rid long, k long")
+    kdf = spark.createDataFrame([(v,) for v in keys] or [(None,)], "k long")
+    got = {(r.rid, r.k) for r in bloom_semi_join(bdf, kdf, "k", num_bits=1 << 12).collect()}
+    want = {(r.rid, r.k) for r in bdf.join(kdf, "k", "left_semi").collect()}
+    assert got == want
+
+
+@_prop
+@given(keys=st.sets(st.integers(-10**6, 10**6), min_size=1, max_size=150))
+def test_assign_stable_ids_always_equals_global_rank(spark, keys):
+    from alibaba_cppfeaturestore_spark.operators.layout import assign_stable_ids
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {(r.k, r.stable_id) for r in assign_stable_ids(df, ["k"], num_partitions=4).collect()}
+    want = {(k, i + 1) for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+
+@_prop
+@given(items=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=200))
+def test_countmin_estimate_upper_bounds_truth(spark, items):
+    from collections import Counter
+
+    from alibaba_cppfeaturestore_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    df = spark.createDataFrame([(t,) for t in items], "tok string")
+    sk = countmin_sketch(df, "tok", depth=3, width=64)
+    qs = df.distinct()
+    est = {
+        r.tok: r.cms_estimate
+        for r in countmin_estimate(sk, qs, "tok", depth=3, width=64).collect()
+    }
+    true = Counter(items)
+    assert all(est[t] >= n for t, n in true.items())
+    # total mass conservation per depth row: Σ counters = Σ items
+    per_depth = {
+        r.d: r.s for r in sk.groupBy("d").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert all(v == len(items) for v in per_depth.values())
+
+
+@_prop
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_histogram_percentile_brackets_exact_median(spark, vals):
+    from alibaba_cppfeaturestore_spark.operators.sketches import (
+        binned_histogram,
+        histogram_percentile_estimate,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    width, bins = 2e5 / 16, 32  # cover [0, 2e5) shifted: clamp handles rest
+    hist = binned_histogram(df.select((F.col("v") + 1e6).alias("v")), "v", 1e5, 32)
+    [row] = histogram_percentile_estimate(hist, [0.5], 1e5).collect()
+    svals = sorted(v + 1e6 for v in vals)
+    lo, hi = svals[0], svals[-1]
+    # estimate falls inside the data range padded by one bin width
+    assert lo - 1e5 <= row.est_value <= hi + 1e5
+
+
+@_prop
+@given(text=st.text(alphabet="abc ", min_size=0, max_size=40))
+def test_char_shingles_count_and_membership(spark, text):
+    from alibaba_cppfeaturestore_spark.functions.text import char_shingles
+
+    df = spark.createDataFrame([(text,)], "t string")
+    [row] = df.select(char_shingles(F.col("t"), 5).alias("sh")).collect()
+    want = [text[i : i + 5] for i in range(max(len(text) - 4, 0))]
+    assert row.sh == want
+
+
+@_prop
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3)), min_size=1, max_size=80
+    )
+)
+def test_salted_join_property_equals_plain(spark, rows):
+    from alibaba_cppfeaturestore_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(rows)], "rid long, k long"
+    )
+    right = spark.createDataFrame(
+        [(k, v) for k, v in {(k, v) for _, (k, v) in zip(range(len(rows)), rows)}],
+        "k long, v long",
+    )
+    got = sorted(
+        (r.rid, r.k, r.v) for r in salted_join(left, right, on=["k"], salt=3).collect()
+    )
+    want = sorted(
+        (r.rid, r.k, r.v)
+        for r in left.join(right, "k").select("rid", "k", "v").collect()
+    )
+    assert got == want
