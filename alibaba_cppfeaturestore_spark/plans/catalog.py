@@ -8016,3 +8016,107 @@ def corpus_data_card(spark, sf_dir):
             F.col("__scalar_top_lang").alias("top_lang"),
         )
     )
+
+
+@_q(
+    "corpus_drift_js_divergence",
+    r"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS half,
+             UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT tok,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c_old,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c_new
+      FROM toks GROUP BY tok
+    ),
+    n AS (
+      SELECT CAST(SUM(c_old) AS BIGINT) AS n_old, CAST(SUM(c_new) AS BIGINT) AS n_new
+      FROM c
+    ),
+    terms AS (
+      SELECT c.tok,
+             CASE WHEN c.c_old > 0 THEN
+               (c.c_old / CAST(n.n_old AS DOUBLE))
+                 * LN((c.c_old / CAST(n.n_old AS DOUBLE))
+                      / ((c.c_old / CAST(n.n_old AS DOUBLE)
+                          + c.c_new / CAST(n.n_new AS DOUBLE)) * 0.5))
+             ELSE 0.0 END
+             +
+             CASE WHEN c.c_new > 0 THEN
+               (c.c_new / CAST(n.n_new AS DOUBLE))
+                 * LN((c.c_new / CAST(n.n_new AS DOUBLE))
+                      / ((c.c_old / CAST(n.n_old AS DOUBLE)
+                          + c.c_new / CAST(n.n_new AS DOUBLE)) * 0.5))
+             ELSE 0.0 END AS t
+      FROM c, n
+    ),
+    folded AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY tok ASC)),
+               (acc, x) -> acc + x) * 0.5 AS js
+      FROM terms
+    )
+    SELECT n.n_old AS n_tokens_old, n.n_new AS n_tokens_new,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS vocab_union,
+           folded.js AS js_divergence
+    FROM n, folded
+    """,
+)
+def corpus_drift_js_divergence(spark, sf_dir):
+    """Distribution-drift monitor: Jensen–Shannon divergence between the
+    token distributions of two corpus halves (stand-ins for
+    yesterday/today snapshots) — the alert that a crawl's composition
+    shifted. Per-token JS terms are fixed double DAGs over identical
+    integers; the vocabulary-sized sum uses the ORDER-PINNED fold
+    (token-sorted aggregate ≡ DuckDB list_reduce over the ordered list)
+    so the result publishes UNROUNDED. At web-scale vocabularies the
+    fold nests: pin within token buckets, then fold the sorted bucket
+    sums — both levels deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(TX.tokens(F.col("text"))).alias("tok"),
+    )
+    c = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_old"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_new"),
+    )
+    n = c.agg(
+        F.sum("c_old").cast("bigint").alias("__scalar_n_old"),
+        F.sum("c_new").cast("bigint").alias("__scalar_n_new"),
+    )
+    cn = c.crossJoin(F.broadcast(n))
+    p = F.col("c_old") / F.col("__scalar_n_old").cast("double")
+    q = F.col("c_new") / F.col("__scalar_n_new").cast("double")
+    m = (p + q) * F.lit(0.5)
+    term = (
+        F.when(F.col("c_old") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("c_new") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    folded = cn.select("tok", term.alias("t")).agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tok", "t"))),
+                    lambda s: s["t"],
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(0.5)
+        ).alias("__scalar_js")
+    )
+    vocab = c.agg(F.count(F.lit(1)).cast("bigint").alias("__scalar_vocab"))
+    return (
+        n.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(folded))
+        .select(
+            F.col("__scalar_n_old").alias("n_tokens_old"),
+            F.col("__scalar_n_new").alias("n_tokens_new"),
+            F.col("__scalar_vocab").alias("vocab_union"),
+            F.col("__scalar_js").alias("js_divergence"),
+        )
+    )

@@ -333,3 +333,26 @@ def test_hybrid_rrf_properties(spark):
     # descending fusion order with id tie-break
     scores = [(r.rrf, -r.doc_id) for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_js_divergence_bounds_and_identical_distributions(spark):
+    import math
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    [row] = QUERIES["corpus_drift_js_divergence"].spark(spark, sf).collect()
+    # JS divergence is bounded by ln(2) and non-negative
+    assert 0.0 <= row.js_divergence <= math.log(2) + 1e-12
+    assert row.n_tokens_old > 0 and row.n_tokens_new > 0
+    # identical halves → JS == 0: duplicate every doc into both halves
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "x y"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("documents")  # not used by the fn; direct call:
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES as Q
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.withColumn("lang", F.lit("en")).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    [r2] = Q["corpus_drift_js_divergence"].spark(spark, d).collect()
+    assert abs(r2.js_divergence) < 1e-15
