@@ -8120,3 +8120,80 @@ def corpus_drift_js_divergence(spark, sf_dir):
             F.col("__scalar_js").alias("js_divergence"),
         )
     )
+
+
+@_q(
+    "feature_quantile_normalize",
+    """
+    WITH p AS (
+      SELECT event_id, event_type, ROUND(value, 6) AS value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_id, event_type, value,
+           CASE WHEN n > 1
+                THEN (rk - 1) / CAST(n - 1 AS DOUBLE)
+                ELSE 0.5 END AS pct
+    FROM p WHERE event_id % 10 = 0
+    """,
+)
+def feature_quantile_normalize(spark, sf_dir):
+    """Quantile (rank) normalization per feature group: map each value
+    to its exact empirical percentile (rank−1)/(n−1) within its
+    event_type — the transform that makes heavy-tailed features
+    comparable across groups without fitting anything. One per-group
+    sort window; the percentile is ONE division of identical integers
+    (bit-exact, published unrounded); ties broken by event_id so ranks
+    are total."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.round("value", 6), "event_id")
+    wn = Window.partitionBy("event_type")
+    p = ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return p.where(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.col("n") > 1, (F.col("rk") - 1) / (F.col("n") - 1).cast("double")
+        )
+        .otherwise(F.lit(0.5))
+        .alias("pct"),
+    )
+
+
+@_q(
+    "ml_fold_assignment",
+    """
+    WITH f AS (
+      SELECT event_type,
+             CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS INT)
+               AS fold
+      FROM events
+    )
+    SELECT fold, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM f GROUP BY fold, event_type
+    """,
+)
+def ml_fold_assignment(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment (portable-md5
+    hash of the row key — reproducible on any engine, no RNG state) with
+    the per-fold class-balance report that validates the split: 5×|types|
+    counts. A pure row-local projection plus one small aggregate; the
+    same hash-mod idiom as `sample_deterministic`, lifted to the k-fold
+    contract every training pipeline needs."""
+    from ..operators.dedup import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    fold = F.pmod(portable_hash60(F.col("event_id").cast("string")), F.lit(5)).cast("int")
+    return (
+        ev.select("event_type", fold.alias("fold"))
+        .groupBy("fold", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
