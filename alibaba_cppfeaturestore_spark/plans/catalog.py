@@ -8197,3 +8197,63 @@ def ml_fold_assignment(spark, sf_dir):
         .groupBy("fold", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@_q(
+    "pareto_revenue_concentration",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey ASC) AS rk,
+             COUNT(*) OVER () AS n,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(rev) OVER () AS total
+      FROM cust
+    ),
+    deciles AS (SELECT UNNEST(range(1, 11)) AS d)
+    SELECT CAST(d AS INT) AS decile,
+           CAST(rk AS BIGINT) AS n_top_customers,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS revenue_share
+    FROM deciles JOIN ranked ON ranked.rk = (n * d) // 10
+    """,
+)
+def pareto_revenue_concentration(spark, sf_dir):
+    """Revenue-concentration (Pareto / 80-20) curve: cumulative revenue
+    share held by the top 10%, 20%, … 100% of customers. Per-customer
+    revenue and the cumulative sums are DECIMAL (associative — window
+    accumulation order is pinned by the total rank order anyway); the
+    share is one double division of exactly-representable decimals,
+    published unrounded. All windows run over the |customers|-row
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    worder = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(worder).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("rev").over(worder.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+    deciles = cust.sparkSession.range(1, 11).select(F.col("id").cast("int").alias("d"))
+    return (
+        F.broadcast(deciles)
+        .join(ranked, ranked.rk == F.expr("(n * d) DIV 10"))
+        .select(
+            F.col("d").alias("decile"),
+            F.col("rk").cast("bigint").alias("n_top_customers"),
+            (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+                "revenue_share"
+            ),
+        )
+    )
