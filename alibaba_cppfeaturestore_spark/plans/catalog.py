@@ -8257,3 +8257,86 @@ def pareto_revenue_concentration(spark, sf_dir):
             ),
         )
     )
+
+
+@_q(
+    "quality_bigram_logprob",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS arr FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(arr) AS tok, UNNEST(range(1, len(arr) + 1)) AS pos FROM t
+    ),
+    big AS (
+      SELECT doc_id, pos, tok AS a,
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      FROM toks
+    ),
+    bg AS (SELECT * FROM big WHERE b IS NOT NULL),
+    cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+    ca AS (SELECT tok AS a, CAST(COUNT(*) AS BIGINT) AS c_a FROM toks GROUP BY tok),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
+    terms AS (
+      SELECT bg.doc_id, bg.pos,
+             LN((cab.c_ab + 1) / CAST(ca.c_a + v.vsz AS DOUBLE)) AS lp
+      FROM bg JOIN cab ON cab.a = bg.a AND cab.b = bg.b
+      JOIN ca ON ca.a = bg.a CROSS JOIN v
+    ),
+    folded AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY pos ASC)),
+               (acc, x) -> acc + x) AS s
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, s / CAST(n_bigrams AS DOUBLE) AS avg_bigram_logprob
+    FROM folded
+    """,
+)
+def quality_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality gate (the CCNet-style upgrade of the unigram
+    perplexity proxy): per-document mean log P(wᵢ|wᵢ₋₁) under the
+    corpus's own add-1-smoothed bigram model. Counts are corpus
+    aggregates (|bigrams| + |vocab| rows); per-row terms are one ln over
+    identical integers; the per-doc sum is the ORDER-PINNED fold over
+    position-sorted terms ⇒ published unrounded. Repetitive/templated
+    text scores near 0; token-soup scores deeply negative."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "doc_id", "pos", F.col("tok").alias("a"), F.lead("tok").over(w).alias("b")
+    ).where(F.col("b").isNotNull())
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    ca = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c_a"))
+    v = toks.agg(F.countDistinct("tok").cast("bigint").alias("__scalar_vsz"))
+    terms = (
+        bg.join(cab, ["a", "b"])
+        .join(ca.withColumnRenamed("tok", "a"), "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                (F.col("c_ab") + 1) / (F.col("c_a") + F.col("__scalar_vsz")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    folded = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lp"))), lambda s: s["lp"]
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("s") / F.col("n_bigrams").cast("double")).alias("avg_bigram_logprob"),
+    )

@@ -356,3 +356,25 @@ def test_js_divergence_bounds_and_identical_distributions(spark):
     docs.withColumn("lang", F.lit("en")).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     [r2] = Q["corpus_drift_js_divergence"].spark(spark, d).collect()
     assert abs(r2.js_divergence) < 1e-15
+
+
+def test_bigram_logprob_repetitive_beats_random(spark):
+    """A perfectly repetitive doc must out-score shuffled token soup
+    under the corpus's own bigram model."""
+    import os, tempfile
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    rows = [
+        (1, "the cat sat on the mat the cat sat on the mat", "en"),
+        (2, "mat the on cat sat the mat on the sat cat the", "en"),
+        (3, "the cat sat on the mat again and again and again", "en"),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in QUERIES["quality_bigram_logprob"].spark(spark, d).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r.avg_bigram_logprob < 0 for r in out.values())
+    # the coherent repeat (1) scores above the shuffled version (2)
+    assert out[1].avg_bigram_logprob > out[2].avg_bigram_logprob
