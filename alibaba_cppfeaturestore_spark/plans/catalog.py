@@ -8340,3 +8340,131 @@ def quality_bigram_logprob(spark, sf_dir):
         "n_bigrams",
         (F.col("s") / F.col("n_bigrams").cast("double")).alias("avg_bigram_logprob"),
     )
+
+
+@_q(
+    "graph_link_prediction_cn",
+    """
+    WITH raw AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 400),
+    e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM raw x JOIN raw y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    nbr AS (
+      SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e
+    ),
+    wedge AS (
+      SELECT LEAST(x.m, y.m) AS u, GREATEST(x.m, y.m) AS v, COUNT(*) AS cn
+      FROM nbr x JOIN nbr y ON x.n = y.n AND x.m < y.m
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT w.u, w.v, w.cn FROM wedge w
+      LEFT JOIN e ON e.a = w.u AND e.b = w.v
+      WHERE e.a IS NULL
+    )
+    SELECT u AS item_a, v AS item_b, CAST(cn AS BIGINT) AS common_neighbors
+    FROM cand ORDER BY cn DESC, u ASC, v ASC LIMIT 20
+    """,
+)
+def graph_link_prediction_cn(spark, sf_dir):
+    """Link prediction by common-neighbor count: the 20 strongest
+    NOT-YET-CONNECTED item pairs in the co-purchase graph — the
+    "these will be bought together next" recommender signal, and the
+    standard graph-ML baseline feature. Wedge enumeration joins the
+    symmetric adjacency on the shared center (per-node fanout = deg² —
+    cap/orient per the triangle operator at hub scale); the anti join
+    removes existing edges; integer counts with total tie-breaks. The
+    part-id filter bounds the demo graph; production uses the
+    degree-oriented wedge machinery."""
+    raw = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < 400)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        raw.alias("x")
+        .join(raw.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    nbr = e.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        e.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    wedge = (
+        nbr.alias("x")
+        .join(nbr.alias("y"), "n")
+        .where(F.col("x.m") < F.col("y.m"))
+        .groupBy(
+            F.least("x.m", "y.m").alias("u"), F.greatest("x.m", "y.m").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedge.join(
+        e, (e.a == wedge.u) & (e.b == wedge.v), "left_anti"
+    )
+    return (
+        cand.select(
+            F.col("u").alias("item_a"),
+            F.col("v").alias("item_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+        )
+        .orderBy(F.desc("common_neighbors"), F.asc("item_a"), F.asc("item_b"))
+        .limit(20)
+    )
+
+
+@_q(
+    "customer_tier_migration",
+    """
+    WITH halves AS (
+      SELECT o_custkey, o_orderkey % 2 AS h,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY o_custkey, o_orderkey % 2
+    ),
+    a AS (
+      SELECT o_custkey, NTILE(5) OVER (ORDER BY rev DESC, o_custkey) AS tier_a
+      FROM halves WHERE h = 0
+    ),
+    b AS (
+      SELECT o_custkey, NTILE(5) OVER (ORDER BY rev DESC, o_custkey) AS tier_b
+      FROM halves WHERE h = 1
+    )
+    SELECT CAST(tier_a AS INT) AS tier_a, CAST(tier_b AS INT) AS tier_b,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM a JOIN b USING (o_custkey)
+    GROUP BY tier_a, tier_b
+    """,
+)
+def customer_tier_migration(spark, sf_dir):
+    """Customer value-tier migration matrix: revenue quintile in period
+    A vs period B (stable order-parity split standing in for
+    before/after) for customers active in both — the churn-risk /
+    upsell heat map. Two NTILE windows over |customers|-row aggregates
+    (decimal-exact revenue, total tie-breaks), one equi-join, a 5×5
+    count matrix."""
+    o = _t(spark, sf_dir, "orders")
+    halves = o.groupBy(
+        "o_custkey", (F.col("o_orderkey") % 2).alias("h")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    a = halves.where(F.col("h") == 0).select(
+        "o_custkey", F.ntile(5).over(w).alias("tier_a")
+    )
+    b = halves.where(F.col("h") == 1).select(
+        "o_custkey", F.ntile(5).over(w).alias("tier_b")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy(
+            F.col("tier_a").cast("int").alias("tier_a"),
+            F.col("tier_b").cast("int").alias("tier_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
