@@ -8468,3 +8468,181 @@ def customer_tier_migration(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+@_q(
+    "agg_ratio_to_report",
+    """
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n ON c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+             AS share_of_region
+    FROM nat
+    """,
+)
+def agg_ratio_to_report(spark, sf_dir):
+    """RATIO_TO_REPORT — each nation's share of its region's revenue:
+    the contribution-analysis OLAP verb, as a window SUM over the
+    |nations|-row aggregate (never the fact table). Decimal-exact
+    revenue; share = one double division of exact decimals, unrounded.
+    Dimension joins broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")).alias(
+            "share_of_region"
+        ),
+    )
+
+
+@_q(
+    "dq_key_skew_report",
+    """
+    WITH k AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    s AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS max_n, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM k
+    ),
+    top AS (
+      SELECT key, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS INT) AS rnk
+      FROM k QUALIFY rnk <= 5
+    )
+    SELECT top.rnk, top.key, top.n,
+           CAST(s.max_n * s.n_keys AS DOUBLE) / CAST(s.total AS DOUBLE) AS skew_ratio
+    FROM top, s
+    """,
+)
+def dq_key_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic — run BEFORE choosing a join strategy:
+    the 5 heaviest keys plus the skew ratio max/mean (1.0 = uniform).
+    A ratio ≫ 1 is the signal to reach for `salted_join` / AQE skew
+    handling; a bounded ratio certifies the plain hash join. One
+    aggregate + a TakeOrdered head; the ratio is integer-derived,
+    identical on every engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    s = k.agg(
+        F.max("n").cast("bigint").alias("__scalar_max_n"),
+        F.sum("n").cast("bigint").alias("__scalar_total"),
+        F.count(F.lit(1)).cast("bigint").alias("__scalar_n_keys"),
+    )
+    top = (
+        k.orderBy(F.desc("n"), F.asc("key"))
+        .limit(5)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key"))).cast("int"),
+        )
+    )
+    return top.crossJoin(F.broadcast(s)).select(
+        "rnk",
+        "key",
+        "n",
+        (
+            (F.col("__scalar_max_n") * F.col("__scalar_n_keys")).cast("double")
+            / F.col("__scalar_total").cast("double")
+        ).alias("skew_ratio"),
+    )
+
+
+@_q(
+    "attribution_first_vs_last_touch",
+    """
+    WITH purchases AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tts, event_id AS tid
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    tj AS (
+      SELECT p.event_id, t.event_type, t.tts, t.tid,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY t.tts ASC, t.tid ASC) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY t.tts DESC, t.tid DESC) AS rl
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 1 HOUR
+    ),
+    joined AS (
+      SELECT event_id,
+             MAX(CASE WHEN rf = 1 THEN event_type END) AS first_touch,
+             MAX(CASE WHEN rl = 1 THEN event_type END) AS last_touch
+      FROM tj GROUP BY event_id
+    )
+    SELECT first_touch, last_touch, CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM joined GROUP BY first_touch, last_touch
+    """,
+)
+def attribution_first_vs_last_touch(spark, sf_dir):
+    """First-touch vs last-touch attribution disagreement matrix: for
+    each purchase, the earliest and latest view/click in the preceding
+    hour (row_number selection over (ts, id) — deterministic ties),
+    counted by (first, last) pair. The matrix's off-diagonal mass is
+    the measure of how much the attribution-model CHOICE changes
+    credit — the argument data for the marketing-mix meeting. Equi-join
+    on user + time-range predicate; aggregation state is two structs
+    per purchase."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", ts.alias("pts")
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch"),
+        ts.alias("tts"),
+        F.col("event_id").alias("tid"),
+    )
+    wf = Window.partitionBy("event_id").orderBy(F.asc("tts"), F.asc("tid"))
+    wl = Window.partitionBy("event_id").orderBy(F.desc("tts"), F.desc("tid"))
+    tj = p.join(
+        t,
+        (p.user_id == t.t_user)
+        & (t.tts <= p.pts)
+        & (t.tts >= p.pts - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "event_id",
+        "touch",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    joined = tj.groupBy("event_id").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("touch"))).alias("first_touch"),
+        F.max(F.when(F.col("rl") == 1, F.col("touch"))).alias("last_touch"),
+    )
+    return joined.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )
