@@ -6127,8 +6127,14 @@ def sketch_countmin_freqs(spark, sf_dir):
     hash ⇒ the oracle replays every counter bit-identically."""
     from ..operators.sketches import countmin_estimate, countmin_sketch
 
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    # toks feeds the exact-count branch AND the sketch build — persist
+    # the narrow projection so documents scans once
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     true_c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
     top = true_c.orderBy(F.desc("true_count"), F.asc("tok")).limit(20)
     sketch = countmin_sketch(toks, "tok", depth=4, width=2048)
@@ -8302,10 +8308,15 @@ def quality_bigram_logprob(spark, sf_dir):
     identical integers; the per-doc sum is the ORDER-PINNED fold over
     position-sorted terms ⇒ published unrounded. Repetitive/templated
     text scores near 0; token-soup scores deeply negative."""
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
+    # toks feeds THREE consumers (bigrams, unigram counts, vocab size);
+    # persist the narrow projection so the raw corpus scans once (the
+    # scan-economy discipline, cf. unigram_logprob_scores)
     toks = docs.select(
         "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy("doc_id").orderBy("pos")
     bg = toks.select(
         "doc_id", "pos", F.col("tok").alias("a"), F.lead("tok").over(w).alias("b")
@@ -8645,4 +8656,67 @@ def attribution_first_vs_last_touch(spark, sf_dir):
     )
     return joined.groupBy("first_touch", "last_touch").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )
+
+
+@_q(
+    "feature_hashing_trick",
+    """
+    WITH feats AS (
+      SELECT event_id, 'event_type' AS fname, event_type AS fval FROM events
+      UNION ALL
+      SELECT event_id, 'user_bucket', CAST(user_id % 20 AS VARCHAR) FROM events
+    ),
+    hashed AS (
+      SELECT event_id, fname, fval,
+             CAST(CAST('0x' || substr(md5(fname || '=' || fval), 1, 15) AS BIGINT) % 64 AS INT)
+               AS bucket
+      FROM feats
+    ),
+    coll AS (
+      SELECT bucket, CAST(COUNT(DISTINCT fname || '=' || fval) AS BIGINT) AS n_distinct_feats,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM hashed GROUP BY bucket
+    )
+    SELECT bucket, n_distinct_feats, n_rows,
+           CAST(n_distinct_feats > 1 AS INT) AS has_collision
+    FROM coll
+    """,
+)
+def feature_hashing_trick(spark, sf_dir):
+    """The hashing trick: categorical features mapped to a fixed
+    64-bucket index space via the portable hash of 'name=value' — the
+    unbounded-vocabulary encoder that needs NO fitted dictionary (new
+    categories hash deterministically at serve time). The report is the
+    per-bucket occupancy + collision audit that decides the bucket
+    count. Row-local projection; one |buckets|-row aggregate."""
+    from ..operators.dedup import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    feats = ev.select(
+        "event_id", F.lit("event_type").alias("fname"), F.col("event_type").alias("fval")
+    ).unionAll(
+        ev.select(
+            "event_id",
+            F.lit("user_bucket").alias("fname"),
+            (F.col("user_id") % 20).cast("string").alias("fval"),
+        )
+    )
+    kv = F.concat_ws("=", F.col("fname"), F.col("fval"))
+    hashed = feats.select(
+        "event_id",
+        "fname",
+        "fval",
+        F.pmod(portable_hash60(kv), F.lit(64)).cast("int").alias("bucket"),
+        kv.alias("kv"),
+    )
+    coll = hashed.groupBy("bucket").agg(
+        F.countDistinct("kv").cast("bigint").alias("n_distinct_feats"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return coll.select(
+        "bucket",
+        "n_distinct_feats",
+        "n_rows",
+        (F.col("n_distinct_feats") > 1).cast("int").alias("has_collision"),
     )
