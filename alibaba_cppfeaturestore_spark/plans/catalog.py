@@ -8720,3 +8720,90 @@ def feature_hashing_trick(spark, sf_dir):
         "n_rows",
         (F.col("n_distinct_feats") > 1).cast("int").alias("has_collision"),
     )
+
+
+@_q(
+    "lang_id_confusion_matrix",
+    r"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                             x -> x IN ('the','a','and','of','to','in','is','it','that','for')))
+             / GREATEST(LEN(regexp_split_to_array(TRIM(text), '\s+')), 1)::DOUBLE AS ratio
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS true_lang,
+             CASE WHEN ratio >= 0.15 THEN 'en'
+                  WHEN ratio >= 0.05 THEN 'mixed'
+                  ELSE 'other' END AS pred_lang
+      FROM r
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+)
+def lang_id_confusion_matrix(spark, sf_dir):
+    """Classifier evaluation ON the engine: confusion matrix of the
+    language-ID heuristic against the labeled ``lang`` column —
+    |true × predicted| counts, the artifact every quality-gate
+    deployment reviews before trusting a classifier at 100 TB. One
+    row-local scoring pass + one tiny aggregate; per-class
+    precision/recall are driver-side ratios of these integers."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("true_lang"), TX.lang_id("text").alias("pred_lang")
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+# Both legs nest verbatim (the dedup_lsh_recall_audit pattern): the audit
+# can never drift from the audited entries.
+_ANN_RECALL_ORACLE = f"""
+    WITH approx AS (
+      SELECT * FROM ({QUERIES["ann_lsh_bucketed_topk"].oracle})
+    ),
+    exact AS (
+      SELECT * FROM ({QUERIES["ann_brute_force_topk"].oracle})
+    ),
+    hit AS (
+      SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit
+      FROM exact e LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, n_hit,
+           n_hit / 5.0 AS recall_at_5
+    FROM hit
+"""
+
+
+@_q("ann_recall_audit", _ANN_RECALL_ORACLE)
+def ann_recall_audit(spark, sf_dir):
+    """ANN quality measured ON the engine: recall@5 of the LSH-bucketed
+    index against exact brute force, per query — the number that
+    justifies (or rejects) an index configuration before it serves
+    production traffic. Both legs are their catalog-proven plans,
+    nested verbatim in the oracle so audit and pipeline cannot drift;
+    recall is one integer division. Pairs with `dedup_lsh_recall_audit`
+    as the measure-don't-guess duo."""
+    exact = QUERIES["ann_brute_force_topk"].spark(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = QUERIES["ann_lsh_bucketed_topk"].spark(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hit = (
+        exact.join(
+            approx,
+            (exact.query_id == F.col("aq")) & (exact.neighbor_id == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("an").cast("bigint").alias("n_hit"))
+    )
+    return hit.select(
+        "query_id", "n_hit", (F.col("n_hit") / F.lit(5.0)).alias("recall_at_5")
+    )
