@@ -4208,16 +4208,19 @@ def stream_session_window_stats(spark, sf_dir):
                           WHERE r_name = 'EUROPE')
     ),
     offers AS (
-      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+                 // GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 1)) AS unit_micro
       FROM li GROUP BY l_partkey, l_suppkey
     ),
-    best AS (SELECT l_partkey, MIN(unit_cost) AS bc FROM offers GROUP BY l_partkey)
-    SELECT s_acctbal, s_name, n_name, p_partkey, ROUND(offers.unit_cost, 4) AS unit_cost
+    best AS (SELECT l_partkey, MIN(unit_micro) AS bc FROM offers GROUP BY l_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           offers.unit_micro / 1000000.0 AS unit_cost
     FROM offers JOIN best USING (l_partkey)
     JOIN part ON p_partkey = offers.l_partkey
     JOIN supplier ON s_suppkey = offers.l_suppkey
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE offers.unit_cost = best.bc
+    WHERE offers.unit_micro = best.bc
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100
     """,
@@ -4229,8 +4232,10 @@ def q2_min_cost_supplier(spark, sf_dir):
     extendedprice/quantity per (part, supplier)). The per-part min is a
     window over the offers aggregate — one shuffle keyed on partkey
     serves both the aggregate and the window; part/supplier/nation/
-    region prune to broadcasts. min/division are IEEE-exact, so the
-    equality filter is engine-portable."""
+    region prune to broadcasts. The unit cost is exact integer
+    micro-units (decimal cents × 10⁴ DIV quantity) — min/equality on
+    integers, the published double derived from one identical integer
+    (a ROUND(double) half-boundary flipped one sf0.1 row before)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
@@ -4242,21 +4247,30 @@ def q2_min_cost_supplier(spark, sf_dir):
         .filter(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # unit cost in exact integer micro-units: price→DECIMAL(18,2)→µ-cents
+    # DIV floored quantity. ROUND(price/qty, 4) hit a double half-boundary
+    # on one sf0.1 row (Spark HALF_UPs the decimal repr, DuckDB rounds the
+    # binary value) — integer arithmetic ends the class; the published
+    # double is micro/1e6 of an identical integer.
+    unit_micro = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)"
+        " DIV GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 1L)"
+    )
     offers = (
         li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(eu_supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .agg(F.min(unit_micro).alias("unit_micro"))
     )
     best = Window.partitionBy("l_partkey")
     return (
-        offers.withColumn("bc", F.min("unit_cost").over(best))
-        .filter(F.col("unit_cost") == F.col("bc"))
+        offers.withColumn("bc", F.min("unit_micro").over(best))
+        .filter(F.col("unit_micro") == F.col("bc"))
         .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            (F.col("unit_micro") / F.lit(1000000.0)).alias("unit_cost"),
         )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
