@@ -8146,7 +8146,7 @@ def corpus_drift_js_divergence(spark, sf_dir):
     "feature_quantile_normalize",
     """
     WITH p AS (
-      SELECT event_id, event_type, ROUND(value, 6) AS value,
+      SELECT event_id, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events
@@ -8167,12 +8167,15 @@ def feature_quantile_normalize(spark, sf_dir):
     (bit-exact, published unrounded); ties broken by event_id so ranks
     are total."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.round("value", 6), "event_id")
+    # rank on the RAW double: parquet bits are identical on both engines,
+    # so raw ordering is too — ROUND in a sort key reintroduces the
+    # half-boundary divergence (caught by the perturbed-sf0.1 battery)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
     p = ev.select(
         "event_id",
         "event_type",
-        F.round("value", 6).alias("value"),
+        F.col("value"),
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
