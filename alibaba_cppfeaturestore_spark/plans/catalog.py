@@ -8268,12 +8268,16 @@ def pareto_revenue_concentration(spark, sf_dir):
         F.sum("rev").over(worder.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
         F.sum("rev").over(Window.partitionBy()).alias("total"),
     )
-    deciles = cust.sparkSession.range(1, 11).select(F.col("id").cast("int").alias("d"))
+    # the 10-row decile probe joins on a cross-side expression — a
+    # sanctioned tiny-broadcast BNLJ, named per the __scalar_ contract
+    deciles = cust.sparkSession.range(1, 11).select(
+        F.col("id").cast("int").alias("__scalar_d")
+    )
     return (
         F.broadcast(deciles)
-        .join(ranked, ranked.rk == F.expr("(n * d) DIV 10"))
+        .join(ranked, ranked.rk == F.expr("(n * __scalar_d) DIV 10"))
         .select(
-            F.col("d").alias("decile"),
+            F.col("__scalar_d").alias("decile"),
             F.col("rk").cast("bigint").alias("n_top_customers"),
             (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
                 "revenue_share"

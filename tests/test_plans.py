@@ -45,6 +45,7 @@ NESTED_LOOP_OK = {
     "multimodal_embed_topk",  # composes the brute-force baseline
     "ann_quantized_topk",  # brute-force on the quantized form, by design
     "ann_ivf_portable_topk",  # 16-row centroid broadcast × corpus — the IVF assignment shape
+    "ann_recall_audit",  # composes the sanctioned brute-force baseline as its exact leg
 }
 
 
