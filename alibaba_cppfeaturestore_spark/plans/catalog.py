@@ -8828,3 +8828,58 @@ def ann_recall_audit(spark, sf_dir):
     return hit.select(
         "query_id", "n_hit", (F.col("n_hit") / F.lit(5.0)).alias("recall_at_5")
     )
+
+
+def _lsh_occupancy_oracle() -> str:
+    from ..operators.similarity import _plane_signs
+
+    rows = ",\n          ".join(
+        "({t}, {p}, [{w}])".format(
+            t=t, p=p, w=",".join("1" if x > 0 else "-1" for x in _plane_signs(t, p, 64))
+        )
+        for t in range(8)
+        for p in range(4)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      SELECT e.vec_id, p.tbl,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, CAST(p.w AS DOUBLE[])) >= 0
+                           THEN (1 << p.plane) ELSE 0 END) AS INTEGER) AS bucket
+      FROM e, (VALUES
+          {rows}) AS p(tbl, plane, w)
+      GROUP BY e.vec_id, p.tbl
+    ),
+    occ AS (
+      SELECT tbl, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY tbl, bucket
+    )
+    SELECT CAST(tbl AS INT) AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           MAX(n) / CAST(SUM(n) AS DOUBLE) AS max_share
+    FROM occ GROUP BY tbl
+    """
+
+
+@_q("ann_index_occupancy_audit", _lsh_occupancy_oracle())
+def ann_index_occupancy_audit(spark, sf_dir):
+    """ANN index skew audit — the third leg of the measure-don't-guess
+    trio: per-hash-table bucket occupancy of the LSH index (buckets
+    used of 2⁴, heaviest bucket, its corpus share). A table whose
+    max_share approaches 1 has degenerate hyperplanes for this data
+    distribution and contributes |bucket|² candidate pairs — the audit
+    that justifies (or rebalances) the index BEFORE the candidate join
+    runs at scale. Same literal hyperplanes as the serving index; one
+    projection pass + two tiny aggregates."""
+    from ..operators.similarity import _lsh_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        F.explode(_lsh_buckets(F.col("embedding"), 4, 8, 64)).alias("tb")
+    ).select(F.col("tb.table").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    occ = b.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return occ.groupBy(F.col("tbl").cast("int").alias("tbl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        (F.max("n") / F.sum("n").cast("double")).alias("max_share"),
+    )
