@@ -61,7 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # partition_pruned_read, window_rank_functions, join_null_safe_eq,
 # join_full_outer_reconcile, grouped_mode_bucket,
 # schema_evolution_union_read, dedup_winnow_containment,
-# ann_ivf_portable_topk) and the 52 late-round-3 additions
+# ann_ivf_portable_topk) and the 54 late-round-3 additions
 # (timeseries_twap_user, assoc_event_type_pairs, graph_bfs_trade_hops,
 # path_top_event_sequences, join_bloom_prefilter, ids_stable_assign,
 # sketch_countmin_freqs, cooccurrence_skipgram_pairs,
@@ -85,7 +85,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # agg_ratio_to_report, dq_key_skew_report,
 # attribution_first_vs_last_touch, feature_hashing_trick,
 # lang_id_confusion_matrix, ann_recall_audit,
-# ann_index_occupancy_audit) —
+# ann_index_occupancy_audit, group_percentile_exact,
+# cohort_repeat_rate) —
 # then fill the
 # remaining slots with the OLDEST green rows first (r01 entries — the
 # data regenerates every round, so a green from two rounds ago is a

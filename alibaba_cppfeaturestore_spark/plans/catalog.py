@@ -8883,3 +8883,95 @@ def ann_index_occupancy_audit(spark, sf_dir):
         F.max("n").cast("bigint").alias("max_bucket"),
         (F.max("n") / F.sum("n").cast("double")).alias("max_share"),
     )
+
+
+@_q(
+    "group_percentile_exact",
+    """
+    WITH r AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MAX(CASE WHEN rk = (n * 9 + 9) // 10 THEN v END) AS DOUBLE) AS p90_value
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def group_percentile_exact(spark, sf_dir):
+    """EXACT per-group p90 by order-statistic selection (rank =
+    ⌈0.9·n⌉ via integer arithmetic — no percentile_cont interpolation
+    semantics to reconcile across engines): the arbitrary-quantile
+    member of the exact-statistics family (median/MAD do the k=0.5
+    case). The sort is per-group; the selected value is one DECIMAL →
+    one double cast — exact. Swap in approx_percentile when the
+    per-group sort is too hot (module docstring guidance)."""
+    o = _t(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_orderpriority").orderBy(v, "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        v.alias("v"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.max(F.when(F.col("rk") == F.expr("(n * 9 + 9) DIV 10"), F.col("v")))
+        .cast("double")
+        .alias("p90_value"),
+    )
+
+
+@_q(
+    "cohort_repeat_rate",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(o_orderdate) AS first_order,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    cohorts AS (
+      SELECT CAST(EXTRACT(year FROM first_order) AS INT) AS cohort_year,
+             CAST(EXTRACT(month FROM first_order) AS INT) AS cohort_month,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
+      FROM firsts GROUP BY 1, 2
+    )
+    SELECT cohort_year, cohort_month, n_customers, n_repeat,
+           n_repeat / CAST(n_customers AS DOUBLE) AS repeat_rate
+    FROM cohorts
+    """,
+)
+def cohort_repeat_rate(spark, sf_dir):
+    """Repeat-purchase rate by acquisition cohort (first-order month) —
+    the growth-team retention headline. Two aggregates (per-customer
+    firsts, then per-cohort counts); the rate is one division of
+    identical integers, unrounded."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    cohorts = firsts.groupBy(
+        F.year("first_order").cast("int").alias("cohort_year"),
+        F.month("first_order").cast("int").alias("cohort_month"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat"),
+    )
+    return cohorts.select(
+        "cohort_year",
+        "cohort_month",
+        "n_customers",
+        "n_repeat",
+        (F.col("n_repeat") / F.col("n_customers").cast("double")).alias("repeat_rate"),
+    )
