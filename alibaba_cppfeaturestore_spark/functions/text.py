@@ -17,14 +17,39 @@ from pyspark.sql import functions as F
 # embedded in the plan as literals (no join needed).
 STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
 
-TOKEN_SPLIT_REGEX = r"\s+"
+# One explicit whitespace class, spelled identically in Spark (Java regex)
+# and every oracle's DuckDB (RE2) SQL. Java's `\s` is [ \t\n\x0B\f\r] but
+# RE2's `\s` LACKS \x0B (vertical tab), so a bare `\s` silently diverges
+# between engines on documents containing exotic whitespace — this class is
+# the portable spelling of Java's `\s` and MUST be used verbatim on both
+# sides of any differential check.
+WS_CLASS = r"[ \t\n\r\f\x0B]"
+
+TOKEN_SPLIT_REGEX = WS_CLASS + "+"
+
+# The same six characters as a literal set, for explicit-set trimming.
+# One-arg TRIM is NOT portable either: DuckDB's TRIM(s) strips Unicode
+# whitespace (U+3000, NBSP, ...) while Spark's trim(s) strips only ASCII
+# space — so every differential pair must trim an explicit set:
+# Spark `F.btrim(col, WS_TRIM_CHARS)` ≡ DuckDB `TRIM(s, <same set>)`
+# (spelled ``WS_TRIM_SQL`` below to keep control chars out of SQL text).
+WS_TRIM_CHARS = " \t\n\r\f\x0b"
+WS_TRIM_SQL = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+
+
+def ws_trim(text: Column | str) -> Column:
+    """Trim exactly the six portable whitespace chars from both ends."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.btrim(col, F.lit(WS_TRIM_CHARS))
+
+
 PUNCT_REGEX = r"[^.,;:!?]"
 
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization of trimmed text → array<string>."""
     col = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(col), TOKEN_SPLIT_REGEX)
+    return F.split(ws_trim(col), TOKEN_SPLIT_REGEX)
 
 
 def token_count(text: Column | str) -> Column:
@@ -123,7 +148,7 @@ def fingerprint(text: Column | str, seed: int = 42) -> Column:
     """64-bit document fingerprint: xxhash64 over the normalized text.
     Stable across runs/partitions (pure function of the bytes)."""
     col = F.col(text) if isinstance(text, str) else text
-    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(ws_trim(col), TOKEN_SPLIT_REGEX, " "))
     return F.xxhash64(normalized, F.lit(seed))
 
 
@@ -134,7 +159,7 @@ def fingerprint_md5(text: Column | str) -> Column:
     ``fingerprint`` (xxhash64, 8 bytes vs 32-hex) when the ledger stays
     inside Spark and compactness wins."""
     col = F.col(text) if isinstance(text, str) else text
-    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(ws_trim(col), TOKEN_SPLIT_REGEX, " "))
     return F.md5(normalized)
 
 
@@ -148,7 +173,7 @@ def clean_text(text: Column | str) -> Column:
     c = F.regexp_replace(c, r"<[^>]*>", " ")
     c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
     c = F.regexp_replace(c, "[  -​　]", " ")
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return ws_trim(F.regexp_replace(c, TOKEN_SPLIT_REGEX, " "))
 
 
 def _let(value: Column, body) -> Column:
@@ -187,7 +212,7 @@ def winnow_fingerprints(
     per byte).
     """
     col = F.col(text) if isinstance(text, str) else text
-    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(ws_trim(col), TOKEN_SPLIT_REGEX, " "))
     if portable:
         gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")  # noqa: E731
     else:
@@ -221,7 +246,7 @@ def winnow_fingerprints(
 # then phones.
 PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_REGEX = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-PII_PHONE_REGEX = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+PII_PHONE_REGEX = r"\+?[0-9][0-9()\- \t\n\r\f\x0B]{6,}[0-9]"
 
 
 def redact_pii(text: Column | str) -> Column:

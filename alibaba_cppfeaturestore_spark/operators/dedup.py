@@ -337,7 +337,7 @@ def _exact_verify(
       shingle passes (one per join side — Spark compiles them
       independently), but everything pipelines and nothing blocks.
       Right when candidates ≈ corpus — on the synthetic 7.7%-duplicate
-      bench corpus this runs 3.6 s vs 10.5 s for the pruned shape,
+      bench corpus this runs 3.9 s vs 10.5 s for the pruned shape,
       whose est materialization (~10⁶ pairs) and blocking semi-join
       dominate.
     - True: persist the candidate pairs, semi-join the text source down
@@ -346,7 +346,17 @@ def _exact_verify(
       two FULL shingle passes are the dominant cost and the pruned scan
       touches a tiny fraction of rows. Callers at scale should enable
       this; the pair OUTPUT is identical either way (asserted in
-      tests/test_dedup_similarity.py)."""
+      tests/test_dedup_similarity.py).
+
+    Measured non-lever (round 4, sf0.1): persisting the shingled frame
+    so it is computed once looks like an obvious win and IS one when its
+    inputs are already materialized (5.5 s → 2.5 s in stage isolation),
+    but in the full pipeline it made the query SLOWER (3.9 → 4.4 s):
+    the persist is a blocking stage that serializes ~8M small shingle
+    strings, while the "duplicate" shingle passes run concurrently on
+    otherwise-idle threads. Hashing shingles to bigints before the join
+    (xxhash64) was also measured neutral-to-worse unpersisted. Don't
+    re-add either without re-measuring end-to-end."""
     from pyspark import StorageLevel
 
     if prune_texts:
@@ -356,6 +366,8 @@ def _exact_verify(
             .unionByName(est.select(F.col("id_b").alias("id")))
             .distinct()
         )
+        # no broadcast hint: candidate ids can be huge at 100 TB; AQE
+        # downgrades the semi-join to broadcast when they are small.
         texts = texts.join(cand_ids, "id", "left_semi")
     shingled = texts.select(
         "id",

@@ -73,35 +73,43 @@ def decode_media_metadata(
     """
     fn = decode_fn or _fake_decode
 
+    def decode_one(payload) -> tuple:
+        # (n_bytes, width, height, n_frames, sha256) for one object; the
+        # codec stays per-object (opaque bytes), but only this call is
+        # per-row — column assembly below is vectorized.
+        if payload is None:
+            return (None, None, None, None, None)
+        b = bytes(payload)
+        try:
+            meta = fn(b)
+            return (
+                len(b),
+                meta.get("width"),
+                meta.get("height"),
+                meta.get("n_frames"),
+                hashlib.sha256(b).hexdigest(),
+            )
+        except Exception:
+            return (len(b), None, None, None, None)  # corrupt -> null fields
+
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
-                rec = {
-                    "media_id": row["media_id"],
-                    "media_type": row["media_type"],
-                    "n_bytes": len(payload) if payload is not None else None,
-                    "width": None,
-                    "height": None,
-                    "n_frames": None,
-                    "sha256": None,
-                }
-                if payload is not None:
-                    try:
-                        meta = fn(bytes(payload))
-                        rec.update(
-                            width=meta.get("width"),
-                            height=meta.get("height"),
-                            n_frames=meta.get("n_frames"),
-                            sha256=hashlib.sha256(bytes(payload)).hexdigest(),
-                        )
-                    except Exception:
-                        pass  # corrupt object -> null fields, keep the row
-                out.append(rec)
-            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
+            decoded = [decode_one(p) for p in pdf["payload"].to_list()]
+            cols = list(zip(*decoded)) if decoded else [(), (), (), (), ()]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "n_bytes": pd.array(cols[0], dtype="Int32"),
+                    "width": pd.array(cols[1], dtype="Int32"),
+                    "height": pd.array(cols[2], dtype="Int32"),
+                    "n_frames": pd.array(cols[3], dtype="Int32"),
+                    "sha256": cols[4],
+                },
+                columns=[f.name for f in MEDIA_META_SCHEMA.fields],
+            )
 
     return media.mapInPandas(decode_batches, MEDIA_META_SCHEMA)
 

@@ -1319,13 +1319,13 @@ def online_lookup_latest_features(spark, sf_dir):
     "text_stats",
     r"""
     SELECT doc_id,
-           CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+           CAST(LEN(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS INTEGER) AS n_tokens,
            CAST(LEN(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_regex_tokens,
-           ROUND(LENGTH(regexp_replace(TRIM(text), '\s', '', 'g'))
-                 / GREATEST(LEN(regexp_split_to_array(TRIM(text), '\s+')), 1), 6) AS avg_token_len,
-           ROUND(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+           ROUND(LENGTH(regexp_replace(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]', '', 'g'))
+                 / GREATEST(LEN(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')), 1), 6) AS avg_token_len,
+           ROUND(LEN(list_filter(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+'),
                                  x -> x IN ('the','a','and','of','to','in','is','it','that','for')))
-                 / GREATEST(LEN(regexp_split_to_array(TRIM(text), '\s+')), 1), 6) AS stopword_ratio
+                 / GREATEST(LEN(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')), 1), 6) AS stopword_ratio
     FROM documents
     """,
 )
@@ -1339,7 +1339,7 @@ def text_stats(spark, sf_dir):
         n_tok.alias("n_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias("n_regex_tokens"),
         F.round(
-            F.length(F.regexp_replace(F.trim(F.col("text")), r"\s", ""))
+            F.length(F.regexp_replace(TX.ws_trim("text"), r"[ \t\n\r\f\x0B]", ""))
             / F.greatest(n_tok, F.lit(1)),
             6,
         ).alias("avg_token_len"),
@@ -1352,7 +1352,7 @@ def text_stats(spark, sf_dir):
     r"""
     WITH scored AS (
       SELECT doc_id, lang,
-             ROUND(LEAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) / 100.0, 1.0) *
+             ROUND(LEAST(LEN(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) / 100.0, 1.0) *
                    (1.0 - LEAST((LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
                                 / GREATEST(LENGTH(text), 1) * 5.0, 1.0)), 6) AS quality
       FROM documents
@@ -1374,9 +1374,9 @@ def text_quality_filter(spark, sf_dir):
     r"""
     WITH r AS (
       SELECT doc_id, lang,
-             LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+             LEN(list_filter(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+'),
                              x -> x IN ('the','a','and','of','to','in','is','it','that','for')))
-             / GREATEST(LEN(regexp_split_to_array(TRIM(text), '\s+')), 1)::DOUBLE AS ratio
+             / GREATEST(LEN(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')), 1)::DOUBLE AS ratio
       FROM documents
     )
     SELECT doc_id, lang,
@@ -1417,7 +1417,7 @@ def _docs_with_duplicates(spark, sf_dir):
            regexp_replace(regexp_replace(regexp_replace(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-               '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+               '\+?[0-9][0-9()\- \t\n\r\f\x0B]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
            CAST(LEN(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
            CAST(LEN(regexp_extract_all(text,
@@ -1426,7 +1426,7 @@ def _docs_with_duplicates(spark, sf_dir):
                regexp_replace(regexp_replace(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-               '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS INTEGER) AS n_phone
+               '\+?[0-9][0-9()\- \t\n\r\f\x0B]{6,}[0-9]')) AS INTEGER) AS n_phone
     FROM synth
     """,
 )
@@ -1472,7 +1472,7 @@ def text_pii_redact(spark, sf_dir):
     "text_repetition_rules",
     r"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+') AS toks FROM documents
     ),
     m AS (
       SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS word_count,
@@ -1514,7 +1514,7 @@ def text_repetition_rules(spark, sf_dir):
     "contamination_ngram_overlap",
     r"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+') AS toks FROM documents
     ),
     s AS (
       SELECT doc_id,
@@ -1590,7 +1590,7 @@ def dedup_exact(spark, sf_dir):
     r"""
     WITH t AS (
       SELECT doc_id, lang,
-             list_distinct(regexp_split_to_array(TRIM(text), '\s+')) AS tokset
+             list_distinct(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tokset
       FROM documents
     )
     SELECT * FROM (
@@ -1615,7 +1615,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     r"""
     WITH RECURSIVE t AS MATERIALIZED (
       SELECT doc_id,
-             list_distinct(regexp_split_to_array(TRIM(text), '\s+')) AS tokset
+             list_distinct(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tokset
       FROM documents
     ),
     pairs AS MATERIALIZED (
@@ -1752,7 +1752,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     r"""
     WITH t AS (
       SELECT doc_id,
-             list_distinct(regexp_split_to_array(TRIM(text), '\s+')) AS tokset
+             list_distinct(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tokset
       FROM documents
     )
     SELECT * FROM (
@@ -1818,7 +1818,7 @@ def dedup_minhash_incremental(spark, sf_dir):
       SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text FROM documents
     ),
     toks AS (
-      SELECT doc_id AS id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      SELECT doc_id AS id, UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tok
       FROM corpus
     ),
     h AS (SELECT id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
@@ -1874,7 +1874,7 @@ def dedup_simhash(spark, sf_dir):
       FROM documents WHERE doc_id < 50
     ),
     norm AS (
-      SELECT doc_id, lower(regexp_replace(TRIM(text), '\s+', ' ', 'g')) AS s
+      SELECT doc_id, lower(regexp_replace(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
       FROM corpus
     ),
     grams AS (
@@ -1941,7 +1941,7 @@ def dedup_winnow_containment(spark, sf_dir):
     "doc_fingerprint",
     r"""
     SELECT doc_id,
-           md5(lower(regexp_replace(TRIM(text), '\s+', ' ', 'g'))) AS fingerprint
+           md5(lower(regexp_replace(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fingerprint
     FROM documents
     """,
 )
@@ -2488,6 +2488,85 @@ def txlog_merge_upsert(spark, sf_dir):
     )
     assert t.merge_upsert(source, ["user_id"], delete_col="__deleted") == 1
     return t.read(spark)
+
+
+@_q(
+    "txlog_checkpointed_read",
+    """
+    WITH b AS (
+      SELECT event_id % 10 AS bucket, event_type FROM events
+    ),
+    v3 AS (
+      SELECT 3 AS version, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM b WHERE bucket <= 3 GROUP BY event_type
+    ),
+    v7 AS (
+      SELECT 7 AS version, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM b WHERE bucket <= 7 GROUP BY event_type
+    ),
+    v9 AS (
+      SELECT 9 AS version, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM b GROUP BY event_type
+    )
+    SELECT * FROM v3 UNION ALL SELECT * FROM v7 UNION ALL SELECT * FROM v9
+    """,
+)
+def txlog_checkpointed_read(spark, sf_dir):
+    """Transaction-log CHECKPOINT protocol, driver-visible (Delta's
+    `_last_checkpoint`, added round 4): ten appends against a table with
+    ``checkpoint_interval=4`` produce checkpoints at versions 4 and 8;
+    reads then seed from the newest checkpoint at or below their target
+    and fold only later commits — asserted here by counting commit-file
+    reads (latest read folds ≤ interval commits, never the whole log).
+    Three snapshots are returned — version 3 (time travel BELOW the
+    first checkpoint: linear fold), version 7 (seeds from checkpoint 4),
+    latest=9 (seeds from checkpoint 8 via the `_last_checkpoint`
+    pointer) — and the oracle recomputes each from raw events, so a
+    checkpoint that folded the wrong live set breaks the rows."""
+    import os
+    import tempfile
+
+    from ..sources.txlog import TxTable
+
+    ev = _t(spark, sf_dir, "events")
+    t = TxTable(
+        os.path.join(tempfile.mkdtemp(prefix="txlog_ckpt_"), "table"),
+        checkpoint_interval=4,
+    )
+    for i in range(10):
+        part = ev.filter(F.col("event_id") % 10 == i).groupBy("event_type").agg(
+            F.count("*").alias("n_events")
+        )
+        assert t.commit(part, "append") == i
+    assert t._checkpoint_versions() == [4, 8]
+
+    reads: list[int] = []
+    orig = type(t)._read_commit
+    try:
+        type(t)._read_commit = (  # count the fold's log reads
+            lambda self, v: (reads.append(v), orig(self, v))[1]
+        )
+        latest_files = t._live_files()
+    finally:
+        type(t)._read_commit = orig
+    assert len(reads) <= t.checkpoint_interval, (
+        f"checkpointed fold read {len(reads)} commits"
+    )
+    assert len(latest_files) == 10  # appends only: all groups live
+
+    snapshots = []
+    for v in (3, 7, None):
+        label = 9 if v is None else v
+        snapshots.append(
+            t.read(spark, version=v)
+            .groupBy("event_type")
+            .agg(F.sum("n_events").alias("n_events"))
+            .select(F.lit(label).alias("version"), "event_type", "n_events")
+        )
+    out = snapshots[0]
+    for s in snapshots[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 @_q(
@@ -3575,7 +3654,7 @@ def aliccp_bronze_to_silver_e2e(spark, sf_dir):
     SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
                            ELSE 'video/mp4' END AS media_type,
-           CAST(n_chars AS INTEGER) AS n_bytes,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
            sha256(text) AS sha256
     FROM documents
     """,
@@ -3804,7 +3883,7 @@ def corpus_mixture_resample(spark, sf_dir):
     r"""
     WITH t AS (
       SELECT doc_id, doc_id % 8 AS shard,
-             CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+             CAST(LEN(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     c AS (
@@ -3885,10 +3964,12 @@ def sample_stratified(spark, sf_dir):
     SELECT doc_id,
            TRIM(regexp_replace(
              regexp_replace(
-               regexp_replace('<p class="x">' || text || '</p>' || chr(9) || ' trailing',
-                              '<[^>]*>', ' ', 'g'),
+               regexp_replace(
+                 regexp_replace('<p class="x">' || text || '</p>' || chr(9) || ' trailing',
+                                '<[^>]*>', ' ', 'g'),
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
                '[\x{00A0}\x{2000}-\x{200B}\x{3000}]', ' ', 'g'),
-             '\s+', ' ', 'g')) AS text
+             '[ \t\n\r\f\x0B]+', ' ', 'g'), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS text
     FROM documents
     """,
 )
@@ -4911,7 +4992,7 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     "bm25_topk_retrieval",
     f"""
     WITH b AS (
-      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+      SELECT doc_id, regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \\t\\n\\r\\f\\x0B]+') AS toks
       FROM documents
     ),
     b2 AS (SELECT doc_id, toks, LEN(toks) AS dl FROM b),
@@ -4951,7 +5032,7 @@ def bm25_topk_retrieval(spark, sf_dir):
     "corpus_top_terms",
     r"""
     WITH toks AS (
-      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tok
       FROM documents
     ),
     c AS (
@@ -5057,7 +5138,7 @@ def ewma_user_value(spark, sf_dir):
     "dedup_bottomk_sketch",
     r"""
     WITH base AS (
-      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+') AS toks FROM documents
     ),
     sk AS (
       SELECT doc_id,
@@ -5097,7 +5178,7 @@ def dedup_bottomk_sketch(spark, sf_dir):
     "quality_unigram_logprob",
     r"""
     WITH toks AS (
-      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tok
       FROM documents
     ),
     uni AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
@@ -5392,7 +5473,7 @@ from ..operators.sketches import heavy_hitters  # noqa: E402
     "heavy_hitter_tokens",
     r"""
     WITH toks AS (
-      SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+      SELECT UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS token
       FROM documents
     ),
     tot AS (SELECT COUNT(*) AS total FROM toks)
@@ -5451,7 +5532,7 @@ def join_salted_skew_enrich(spark, sf_dir):
     "chunk_documents_rag",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+') AS t FROM documents
     ),
     starts AS (
       SELECT doc_id, t, UNNEST(generate_series(1, GREATEST(LEN(t), 1), 48)) AS s
@@ -6101,7 +6182,7 @@ def ids_stable_assign(spark, sf_dir):
     "sketch_countmin_freqs",
     r"""
     WITH toks AS (
-      SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      SELECT UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tok
       FROM documents
     ),
     true_c AS (
@@ -6162,7 +6243,7 @@ def sketch_countmin_freqs(spark, sf_dir):
     "cooccurrence_skipgram_pairs",
     r"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS arr FROM documents
+      SELECT doc_id, regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+') AS arr FROM documents
     ),
     toks AS (
       SELECT doc_id, UNNEST(arr) AS tok, UNNEST(range(1, len(arr) + 1)) AS pos FROM t
@@ -6286,7 +6367,7 @@ def sample_weighted_bernoulli(spark, sf_dir):
     "tfidf_top_terms_per_doc",
     r"""
     WITH toks AS (
-      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tok
       FROM documents
     ),
     dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
@@ -6360,7 +6441,7 @@ def bpe_merge_pair_counts_q(spark, sf_dir):
     "inverted_index_postings",
     r"""
     WITH toks AS (
-      SELECT DISTINCT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS term
+      SELECT DISTINCT doc_id, UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS term
       FROM documents
     ),
     band AS (
@@ -7185,7 +7266,7 @@ def itemsim_copurchase_topk(spark, sf_dir):
     "vocab_oov_rate",
     r"""
     WITH toks AS (
-      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tok
       FROM documents
     ),
     vocab AS (
@@ -7350,7 +7431,7 @@ def window_value_functions(spark, sf_dir):
     "text_token_entropy",
     r"""
     WITH toks AS (
-      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+      SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tok
       FROM documents
     ),
     counts AS (
@@ -7413,7 +7494,7 @@ def text_token_entropy(spark, sf_dir):
     "hybrid_rrf_retrieval",
     f"""
     WITH b AS (
-      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+      SELECT doc_id, regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \\t\\n\\r\\f\\x0B]+') AS toks
       FROM documents
     ),
     b2 AS (SELECT doc_id, toks, LEN(toks) AS dl FROM b),
@@ -7942,11 +8023,11 @@ def anomaly_seasonal_residuals(spark, sf_dir):
     r"""
     WITH d AS (
       SELECT doc_id, lang, md5(text) AS fp,
-             LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_toks
+             LEN(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS n_toks
       FROM documents
     ),
     toks AS (
-      SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok FROM documents
+      SELECT UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tok FROM documents
     ),
     ranked AS (
       SELECT n_toks, ROW_NUMBER() OVER (ORDER BY n_toks, doc_id) AS rn,
@@ -8043,7 +8124,7 @@ def corpus_data_card(spark, sf_dir):
     r"""
     WITH toks AS (
       SELECT doc_id % 2 AS half,
-             UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+             UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tok
       FROM documents
     ),
     c AS (
@@ -8290,7 +8371,7 @@ def pareto_revenue_concentration(spark, sf_dir):
     "quality_bigram_logprob",
     r"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS arr FROM documents
+      SELECT doc_id, regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+') AS arr FROM documents
     ),
     toks AS (
       SELECT doc_id, UNNEST(arr) AS tok, UNNEST(range(1, len(arr) + 1)) AS pos FROM t
@@ -8748,9 +8829,9 @@ def feature_hashing_trick(spark, sf_dir):
     r"""
     WITH r AS (
       SELECT doc_id, lang,
-             LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+             LEN(list_filter(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+'),
                              x -> x IN ('the','a','and','of','to','in','is','it','that','for')))
-             / GREATEST(LEN(regexp_split_to_array(TRIM(text), '\s+')), 1)::DOUBLE AS ratio
+             / GREATEST(LEN(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')), 1)::DOUBLE AS ratio
       FROM documents
     ),
     pred AS (

@@ -26,10 +26,14 @@ files named by the manifest — no O(files) object-store LIST per query;
 data files are immutable, so caches/replicas never invalidate; an
 ``overwrite`` is a logical pointer swap, leaving old files in place for
 readers pinned to older versions (``vacuum`` reclaims groups outside
-the retention window, Delta-style). The log grows O(commits); real
-Delta checkpoints it every N commits — the hook is ``_live_files``'s
-fold, which a checkpoint would seed, noted rather than built since
-catalog-scale commit counts here are tiny.
+the retention window, Delta-style). The log grows O(commits), so like
+Delta the table CHECKPOINTS it: every ``checkpoint_interval`` commits a
+``<version>.checkpoint.json`` snapshot of the folded state (live file
+set + per-app txn watermarks) is written and ``_last_checkpoint``
+atomically repointed; reads seed from the newest checkpoint at or below
+their target version and fold only the commits after it, so a
+1000-commit table resolves its snapshot from O(interval) log reads, not
+O(commits) (pinned by tests/test_txlog_incremental.py).
 """
 
 from __future__ import annotations
@@ -51,9 +55,12 @@ class TxTable:
           part-<uuid>/...parquet             # immutable data file groups
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, checkpoint_interval: int = 20):
         self.path = path
         self.log_dir = os.path.join(path, "_txlog")
+        # every N commits, fold the log into a checkpoint file (Delta's
+        # `_last_checkpoint` protocol); 0/None disables.
+        self.checkpoint_interval = checkpoint_interval
 
     # -- log plumbing -------------------------------------------------------
 
@@ -63,7 +70,8 @@ class TxTable:
         return sorted(
             int(f.split(".")[0])
             for f in os.listdir(self.log_dir)
-            if f.endswith(".json")
+            if f.endswith(".json") and not f.endswith(".checkpoint.json")
+            and f != "_last_checkpoint"
         )
 
     def latest_version(self) -> int | None:
@@ -74,12 +82,122 @@ class TxTable:
         with open(os.path.join(self.log_dir, f"{version:020d}.json")) as f:
             return json.load(f)
 
-    def _live_files(self, as_of: int | None = None) -> list[str]:
-        """Fold the log into the live file set: ``overwrite`` resets,
-        ``append`` extends. A periodic checkpoint would seed this fold
-        with a precomputed set (Delta's `_last_checkpoint`); linear here."""
-        live: list[str] = []
+    # -- checkpoints (Delta `_last_checkpoint` protocol) ---------------------
+
+    def _checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.json")
+        )
+
+    def _read_checkpoint(self, version: int) -> dict:
+        path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def _latest_checkpoint_at_or_below(
+        self, as_of: int | None, ceiling: int | None = None
+    ) -> int | None:
+        """Newest checkpoint usable for a read as of ``as_of``. The
+        ``_last_checkpoint`` pointer is the fast path (one read instead
+        of a directory list); the list is the fallback for time travel
+        below the pointer and for a crash that lost the pointer write."""
+        pointer = os.path.join(self.log_dir, "_last_checkpoint")
+        if as_of is None and ceiling is None and os.path.exists(pointer):
+            try:
+                with open(pointer) as f:
+                    v = json.load(f)["version"]
+                if os.path.exists(
+                    os.path.join(self.log_dir, f"{v:020d}.checkpoint.json")
+                ):
+                    return v
+            except (ValueError, KeyError, OSError):
+                pass  # torn/missing pointer -> fall back to listing
+        usable = [
+            v for v in self._checkpoint_versions()
+            if (as_of is None or v <= as_of)
+            and (ceiling is None or v <= ceiling)
+        ]
+        return usable[-1] if usable else None
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Fold the log through ``version`` into a checkpoint file, then
+        atomically repoint ``_last_checkpoint``. Both steps are
+        crash-safe: a lost checkpoint file just means the fold stays
+        linear until the next interval; a lost pointer is recovered by
+        directory listing."""
+        # seed only from checkpoints STRICTLY below `version`: when
+        # commit_idempotent regenerates checkpoint v after annotating the
+        # commit record, seeding from the stale checkpoint v itself would
+        # skip the annotated commit and drop its txn watermark.
+        state = {
+            "version": version,
+            "live": self._fold_live(as_of=version, ckpt_ceiling=version - 1),
+            "txn": self._fold_txn(as_of=version, ckpt_ceiling=version - 1),
+        }
+        path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+        pointer = os.path.join(self.log_dir, "_last_checkpoint")
+        tmp = pointer + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, pointer)
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if self.checkpoint_interval and version > 0 and (
+            version % self.checkpoint_interval == 0
+        ):
+            self._write_checkpoint(version)
+
+    def _fold_txn(
+        self, as_of: int, ckpt_ceiling: int | None = None
+    ) -> dict[str, int]:
+        """Per-app txn watermarks through ``as_of``, seeded from the
+        newest checkpoint below it."""
+        ckpt_v = self._latest_checkpoint_at_or_below(as_of, ceiling=ckpt_ceiling)
+        txn: dict[str, int] = {}
+        start = -1
+        if ckpt_v is not None:
+            ckpt = self._read_checkpoint(ckpt_v)
+            txn = dict(ckpt.get("txn", {}))
+            start = ckpt_v
         for v in self._versions():
+            if v <= start or v > as_of:
+                continue
+            t = self._read_commit(v).get("txn")
+            if t:
+                prev = txn.get(t["app_id"])
+                txn[t["app_id"]] = (
+                    t["version"] if prev is None else max(prev, t["version"])
+                )
+        return txn
+
+    def _fold_live(
+        self,
+        as_of: int | None = None,
+        use_checkpoint: bool = True,
+        ckpt_ceiling: int | None = None,
+    ) -> list[str]:
+        """Fold the log into the live file set: ``overwrite`` resets,
+        ``append`` extends. Seeded from the newest checkpoint at or
+        below ``as_of`` so the fold reads O(checkpoint_interval)
+        commits, not O(commits)."""
+        live: list[str] = []
+        start = -1
+        if use_checkpoint:
+            ckpt_v = self._latest_checkpoint_at_or_below(as_of, ceiling=ckpt_ceiling)
+            if ckpt_v is not None:
+                live = list(self._read_checkpoint(ckpt_v)["live"])
+                start = ckpt_v
+        for v in self._versions():
+            if v <= start:
+                continue
             if as_of is not None and v > as_of:
                 break
             commit = self._read_commit(v)
@@ -88,6 +206,9 @@ class TxTable:
             else:
                 live.extend(commit["add"])
         return live
+
+    def _live_files(self, as_of: int | None = None) -> list[str]:
+        return self._fold_live(as_of=as_of, use_checkpoint=True)
 
     # -- writes -------------------------------------------------------------
 
@@ -128,6 +249,7 @@ class TxTable:
         )
         with os.fdopen(fd, "w") as f:
             json.dump(record, f)
+        self._maybe_checkpoint(version)
         return version
 
     # -- reads --------------------------------------------------------------
@@ -173,17 +295,18 @@ class TxTable:
         record["txn"] = {"app_id": app_id, "version": txn_version}
         with open(path, "w") as f:
             json.dump(record, f)
+        # regenerate any checkpoint commit() just wrote at v: it folded
+        # the pre-annotation record, so its txn map would miss this marker
+        self._maybe_checkpoint(v)
         return v
 
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest committed ``txn_version`` for ``app_id`` (None if the
         app never committed)."""
-        best = None
-        for v in self._versions():
-            txn = self._read_commit(v).get("txn")
-            if txn and txn["app_id"] == app_id:
-                best = txn["version"] if best is None else max(best, txn["version"])
-        return best
+        latest = self.latest_version()
+        if latest is None:
+            return None
+        return self._fold_txn(as_of=latest).get(app_id)
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Delete data-file groups unreferenced by the live sets of the

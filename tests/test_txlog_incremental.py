@@ -351,3 +351,81 @@ def test_txlog_optimize_compacts_preserving_rows_and_history(spark, tmp_path):
     assert pq, "no live parquet files resolved"
     ks = pd.concat([pd.read_parquet(p) for p in pq]).k.tolist()
     assert ks == sorted(ks) and len(ks) == 20
+
+
+# -- checkpoint protocol (round 4) -------------------------------------------
+
+
+def _fabricate_log(path: str, n_commits: int, interval: int) -> TxTable:
+    """Build an n-commit table by writing raw log records (no data files
+    needed: the fold never opens data), checkpointing like commit() does."""
+    t = TxTable(path, checkpoint_interval=interval)
+    os.makedirs(t.log_dir, exist_ok=True)
+    for v in range(n_commits):
+        mode = "overwrite" if v % 7 == 0 else "append"
+        rec = {"mode": mode, "add": [f"part-{v:05d}"]}
+        if v % 3 == 0:
+            rec["txn"] = {"app_id": "app", "version": v}
+        with open(os.path.join(t.log_dir, f"{v:020d}.json"), "w") as f:
+            json.dump(rec, f)
+        t._maybe_checkpoint(v)
+    return t
+
+
+def test_checkpoint_seeds_fold_with_bounded_commit_reads(tmp_path):
+    interval = 10
+    t = _fabricate_log(str(tmp_path / "t"), n_commits=1000, interval=interval)
+    assert t._checkpoint_versions(), "no checkpoints were written"
+
+    reads = []
+    orig = TxTable._read_commit
+    try:
+        TxTable._read_commit = lambda self, v: (reads.append(v), orig(self, v))[1]
+        live = t._live_files()
+    finally:
+        TxTable._read_commit = orig
+    # 1000-commit log, latest checkpoint at 990 -> fold reads ≤ interval
+    assert len(reads) <= interval
+    # correctness: identical to the checkpoint-free linear fold
+    assert live == t._fold_live(use_checkpoint=False)
+
+
+def test_checkpoint_time_travel_matches_linear_fold(tmp_path):
+    t = _fabricate_log(str(tmp_path / "t"), n_commits=95, interval=10)
+    for as_of in (0, 6, 7, 10, 19, 20, 21, 49, 70, 94):
+        assert t._fold_live(as_of=as_of) == t._fold_live(
+            as_of=as_of, use_checkpoint=False
+        ), f"snapshot diverged at version {as_of}"
+
+
+def test_checkpoint_txn_watermarks_survive(tmp_path):
+    t = _fabricate_log(str(tmp_path / "t"), n_commits=50, interval=10)
+    # highest txn version for "app" is the largest multiple of 3 below 50
+    assert t.last_txn_version("app") == 48
+    assert t.last_txn_version("other") is None
+    # a checkpoint's own txn map carries the watermark as of its version
+    assert t._read_checkpoint(40)["txn"] == {"app": 39}
+
+
+def test_checkpoint_lost_pointer_recovers_by_listing(tmp_path):
+    t = _fabricate_log(str(tmp_path / "t"), n_commits=45, interval=10)
+    os.remove(os.path.join(t.log_dir, "_last_checkpoint"))
+    assert t._latest_checkpoint_at_or_below(None) == 40
+    assert t._fold_live() == t._fold_live(use_checkpoint=False)
+
+
+def test_checkpoint_with_real_commits_and_idempotent_annotation(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"), checkpoint_interval=5)
+    for i in range(4):
+        t.commit(_df(spark, [(i, float(i))]))
+    # version 5 lands via commit_idempotent -> triggers checkpoint AND
+    # annotates; the regenerated checkpoint must carry the txn watermark
+    assert t.commit_idempotent(_df(spark, [(99, 9.9)]), "sink", 7) == 4
+    assert t.commit_idempotent(_df(spark, [(5, 5.0)]), "sink", 8) == 5
+    assert 5 in t._checkpoint_versions()
+    assert t._read_checkpoint(5)["txn"] == {"sink": 8}
+    # replays below the watermark are skipped even when resolved via ckpt
+    assert t.commit_idempotent(_df(spark, [(0, 0.0)]), "sink", 8) is None
+    # snapshot contents survive the checkpointed fold
+    assert t.read(spark).count() == 6
+    assert t.read(spark, version=2).count() == 3

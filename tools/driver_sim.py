@@ -89,6 +89,67 @@ def perturb_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_text_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with exotic whitespace seeded into a
+    deterministic ~20% of ``documents.text``: vertical tab (Java-``\\s``
+    but NOT RE2-``\\s`` — the char class divergence that flipped
+    ``sequence_packing_plan`` red on driver-regenerated data), form feed,
+    CR, tab runs, NBSP, ideographic space, and an ASCII control char.
+    Both engines see identical bytes, so any red row is a genuine
+    cross-engine regex/semantics divergence, not a data change."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    exotic = ["\x0b", "\x0c", "\r", "\t\t", " ", "　", "\x01", " \x0b "]
+    out = f"/tmp/driver_sim_textperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t != "documents":
+            if not os.path.exists(dst):
+                shutil.copyfile(src, dst)
+            continue
+        tbl = pq.read_table(src)
+        texts = tbl.column("text").combine_chunks().to_pylist()
+        doc_ids = tbl.column("doc_id").combine_chunks().to_pylist()
+        mutated = []
+        for did, txt in zip(doc_ids, texts):
+            h = zlib.crc32(f"{seed}/{did}".encode())
+            if txt is None or h % 5 != 0:
+                mutated.append(txt)
+                continue
+            ch = exotic[(h >> 3) % len(exotic)]
+            toks = txt.split(" ")
+            pos = (h >> 7) % max(len(toks), 1)
+            toks.insert(pos, ch)
+            s = " ".join(toks)
+            if (h >> 11) % 2:
+                s = ch + s  # leading separator: empty-first-token edge
+            if (h >> 12) % 2:
+                s = s + ch  # trailing separator: empty-last-token edge
+            mutated.append(s)
+        # keep the generator's derived-column invariant (n_chars = len(text))
+        arrays = []
+        for i, f in enumerate(tbl.schema):
+            if f.name == "text":
+                arrays.append(pa.array(mutated, type=pa.string()))
+            elif f.name == "n_chars":
+                arrays.append(
+                    pa.array(
+                        [None if t is None else len(t) for t in mutated],
+                        type=f.type,
+                    )
+                )
+            else:
+                arrays.append(tbl.column(i))
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -98,10 +159,15 @@ def main() -> int:
                     help="exact value compare (driver-hash fidelity)")
     ap.add_argument("--perturb", type=int, default=None, metavar="SEED",
                     help="run on a float-jittered copy of the testdata")
+    ap.add_argument("--perturb-text", type=int, default=None, metavar="SEED",
+                    help="seed exotic whitespace into documents.text")
     args = ap.parse_args()
     if args.perturb is not None:
         args.sf = perturb_sf(args.sf, args.perturb)
         print(f"# perturbed testdata (seed {args.perturb}) -> {args.sf}")
+    if args.perturb_text is not None:
+        args.sf = perturb_text_sf(args.sf, args.perturb_text)
+        print(f"# text-perturbed testdata (seed {args.perturb_text}) -> {args.sf}")
 
     import __spark_entry__ as entry
 
