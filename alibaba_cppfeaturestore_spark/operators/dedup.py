@@ -200,45 +200,102 @@ def minhash_lsh_duplicates(
     (boilerplate/empty docs) contributes m² pairs, so one hot key can
     dominate the whole job at scale. Buckets above the cap are dropped
     (their members are still candidates via their other bands); set None
-    to disable.
-    """
-    from pyspark import StorageLevel
+    to disable. The cap also bounds the per-task memory of the
+    collect_list below (≤ cap × (8 B id + num_hashes × 8 B sig) per
+    group row — ~2.7 MB at the 10 k default).
 
-    banded = minhash_band_index(
-        df, text_col, id_col, num_hashes, bands, shingle_size, portable=portable
+    Candidate generation is ONE groupBy (band, bucket) → collect_list →
+    per-bucket pair expansion with the signature screen evaluated
+    inline, replacing the earlier index self-join. The self-join shape
+    needed the band index persisted (both join sides), a window-function
+    bucket-size cap (extra shuffle), two join exchanges, and a separate
+    screen pass over materialized (sig_a, sig_b) pairs; this shape is a
+    single shuffle of (id, sig) keyed by bucket, the cap is a free
+    ``size(ms)`` filter, and sub-threshold pairs die inside the
+    projection without ever being exchanged. Pair volume is identical
+    (Σ|bucket|², the LSH guarantee); only the machinery around it is
+    gone — measured 3.5 s → 2.0 s at sf0.1 with byte-identical output.
+    """
+    grouped = minhash_bucket_groups(
+        df, text_col, id_col, num_hashes, bands, shingle_size,
+        max_bucket_size, portable=portable,
     )
-    # The band index feeds BOTH sides of the candidate self-join, and
-    # Spark compiles each side independently (no ReusedExchange fires —
-    # verified on the executed plan), so without materialization the
-    # corpus is scanned and signature-hashed TWICE. Persist the index
-    # (|corpus|×bands small rows — ids + signatures, never the text);
-    # MEMORY_AND_DISK so a 100 TB corpus's index spills instead of
-    # OOMing. Same reasoning as ngram_jaccard_pairs_indexed's persisted
-    # prefix index.
-    banded = _cap_buckets(banded, max_bucket_size).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = _signature_screen(cand, num_hashes, jaccard_threshold)
+    est = _bucket_pair_screen(grouped, num_hashes, jaccard_threshold)
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     return _exact_verify(
         est, texts, shingle_size, jaccard_threshold, prune_texts=prune_verify_texts
+    )
+
+
+def minhash_bucket_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_size: int = 5,
+    max_bucket_size: int | None = 10_000,
+    portable: bool = False,
+) -> DataFrame:
+    """LSH buckets with ≥2 members as ``(band, bucket, ms)`` where ``ms``
+    is the member list ``array<struct<id, sig>>`` — the candidate-pair
+    source for ``minhash_lsh_duplicates``. Singleton buckets (the vast
+    majority of a real corpus) are filtered before any pair math;
+    buckets above ``max_bucket_size`` are dropped (skew guard)."""
+    banded = minhash_band_index(
+        df, text_col, id_col, num_hashes, bands, shingle_size, portable=portable
+    )
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ms") <= max_bucket_size)
+    return grouped
+
+
+def _bucket_pair_screen(
+    grouped: DataFrame, num_hashes: int, jaccard_threshold: float
+) -> DataFrame:
+    """Expand each bucket's member list into ordered pairs (id_a < id_b)
+    with the signature-agreement screen applied INLINE: the fraction of
+    agreeing signature components estimates Jaccard with
+    σ ≈ √(j(1-j)/k), so a 3σ margin below the threshold rejects only
+    (almost surely) sub-threshold pairs — 32 long comparisons per pair,
+    evaluated inside the projection, so rejected pairs are never
+    exchanged. dropDuplicates dedups pairs that collide in several
+    bands (the screen is deterministic per pair, so screening before
+    the dedup is equivalent and strictly cheaper)."""
+    est_margin = 3.0 * (0.25 / num_hashes) ** 0.5
+    ms = F.array_sort(F.col("ms"))  # struct sort ⇒ by id (first field)
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda a, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    (
+                        F.size(
+                            F.filter(
+                                F.zip_with(a["sig"], b["sig"], lambda x, y: x == y),
+                                lambda e: e,
+                            )
+                        )
+                        / F.lit(num_hashes)
+                    ).alias("est"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.est")
+        .filter(F.col("est") >= jaccard_threshold - est_margin)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -329,36 +386,40 @@ def _exact_verify(
     """Exact shingle-Jaccard verification of candidate pairs against a
     ``(id, text)`` source covering every candidate id.
 
-    ``prune_texts`` picks the verify shape by CANDIDATE DENSITY, and the
-    default is deliberate (both shapes measured at sf0.1):
+    The text source is ``_spread`` before shingling — the round-5 find:
+    a small/singly-split text source flows into the verify joins as ONE
+    partition, and when AQE broadcasts that side the shingle expressions
+    are evaluated inside the broadcast-exchange collect — serially, on
+    one core, once per join side. Measured at sf0.1: 3.4 s → 0.6 s for
+    the identical 253-pair output just by repartitioning the text
+    before the shingle projection. At 100 TB the scan has thousands of
+    splits and the spread is a no-op; it exists for the small-corpus /
+    collapsed-partition edge (same trap as SCALING.md §Parallelism
+    pinning).
+
+    ``prune_texts`` picks the verify shape by CANDIDATE DENSITY:
 
     - False (default): shingle the full text source and hash-join the
-      single-consumer candidate stream through it. Costs two full
-      shingle passes (one per join side — Spark compiles them
-      independently), but everything pipelines and nothing blocks.
-      Right when candidates ≈ corpus — on the synthetic 7.7%-duplicate
-      bench corpus this runs 3.9 s vs 10.5 s for the pruned shape,
-      whose est materialization (~10⁶ pairs) and blocking semi-join
-      dominate.
+      candidate stream through it. Costs two full shingle passes (one
+      per join side — Spark compiles them independently), but
+      everything pipelines and nothing blocks. Right when candidates ≈
+      corpus (the 7.7%-duplicate bench corpus).
     - True: persist the candidate pairs, semi-join the text source down
       to candidate ids, shingle only those. Right when candidates ≪
       corpus — the 100 TB production case (dup density a few %), where
       two FULL shingle passes are the dominant cost and the pruned scan
-      touches a tiny fraction of rows. Callers at scale should enable
-      this; the pair OUTPUT is identical either way (asserted in
-      tests/test_dedup_similarity.py).
+      touches a tiny fraction of rows. The pair OUTPUT is identical
+      either way (asserted in tests/test_dedup_similarity.py).
 
-    Measured non-lever (round 4, sf0.1): persisting the shingled frame
-    so it is computed once looks like an obvious win and IS one when its
-    inputs are already materialized (5.5 s → 2.5 s in stage isolation),
-    but in the full pipeline it made the query SLOWER (3.9 → 4.4 s):
-    the persist is a blocking stage that serializes ~8M small shingle
-    strings, while the "duplicate" shingle passes run concurrently on
-    otherwise-idle threads. Hashing shingles to bigints before the join
-    (xxhash64) was also measured neutral-to-worse unpersisted. Don't
-    re-add either without re-measuring end-to-end."""
+    Measured non-lever (round 4, sf0.1, re-confirmed after the spread
+    fix): persisting the shingled frame so it is computed once is
+    neutral-to-worse end-to-end — the persist is a blocking stage that
+    serializes ~8M small shingle strings, while the "duplicate" shingle
+    passes run concurrently on otherwise-idle threads. Don't re-add
+    without re-measuring."""
     from pyspark import StorageLevel
 
+    texts = _spread(texts)
     if prune_texts:
         est = est.persist(StorageLevel.MEMORY_AND_DISK)
         cand_ids = (

@@ -3883,12 +3883,16 @@ def corpus_mixture_resample(spark, sf_dir):
     r"""
     WITH t AS (
       SELECT doc_id, doc_id % 8 AS shard,
-             CAST(LEN(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS BIGINT) AS n_tokens
+             CAST(LEN(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS BIGINT) AS n_tokens,
+             md5(text) AS tie
       FROM documents
     ),
     c AS (
       SELECT doc_id, shard, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             SUM(n_tokens) OVER (PARTITION BY shard
+                                 ORDER BY doc_id ASC NULLS FIRST,
+                                          n_tokens ASC NULLS FIRST,
+                                          tie ASC NULLS FIRST
                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
       FROM t
     )
@@ -3907,17 +3911,33 @@ def sequence_packing_plan(spark, sf_dir):
     no global single-partition sort exists at any size; each shard packs
     independently and in parallel, and shard count scales with the
     cluster. Token counts are whitespace tokens here — swap in a real
-    tokenizer count column without changing the plan."""
+    tokenizer count column without changing the plan.
+
+    The running-sum order is TOTAL: ``(doc_id, n_tokens, md5(text))``
+    with explicit NULLS FIRST, spelled identically in the DuckDB oracle.
+    ``doc_id`` alone is not a key (regenerated data may duplicate ids),
+    and a non-total window order lets each engine break the cumulative
+    -sum tie differently — same rows, same schema, different
+    ``start_offset``s. Any rows still tied after md5(text) have
+    identical text, hence identical ``n_tokens``, so the assigned
+    offset multiset is order-independent. NULLS FIRST is explicit
+    because Spark defaults nulls-first ASC while DuckDB defaults
+    nulls-last."""
     docs = _t(spark, sf_dir, "documents")
     n_tok = TX.token_count("text").cast("bigint")
     t = docs.select(
         "doc_id",
         (F.col("doc_id") % 8).cast("int").alias("shard"),
         n_tok.alias("n_tokens"),
+        F.md5("text").alias("tie"),
     )
     w = (
         Window.partitionBy("shard")
-        .orderBy("doc_id")
+        .orderBy(
+            F.asc_nulls_first("doc_id"),
+            F.asc_nulls_first("n_tokens"),
+            F.asc_nulls_first("tie"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = t.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))

@@ -150,6 +150,49 @@ def perturb_text_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_ids_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with a seeded ~5% of ``documents.doc_id``
+    values overwritten by ANOTHER row's doc_id, creating duplicate ids.
+    The driver regenerates data each round and nothing guarantees doc_id
+    uniqueness there; ``sequence_packing_plan`` was red for four rounds
+    because its cumulative-sum window ordered by doc_id alone — a
+    non-total order that Spark and DuckDB tie-break differently under
+    duplicates (identical rows/schema, different start_offsets).  Local
+    data is unique, so only this mode reproduces the driver's failure
+    shape.  Both engines see identical bytes: any red row is a genuine
+    tie-order / uniqueness-assumption divergence."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/driver_sim_idperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t != "documents":
+            if not os.path.exists(dst):
+                shutil.copyfile(src, dst)
+            continue
+        tbl = pq.read_table(src)
+        ids = tbl.column("doc_id").combine_chunks().to_pylist()
+        orig = list(ids)
+        for i in range(1, len(ids)):
+            if zlib.crc32(f"{seed}/{orig[i]}".encode()) % 20 == 0:
+                # adjacent duplicate: same shard-locality as a generator
+                # emitting colliding ids, and guaranteed to collide with
+                # an id that actually exists
+                ids[i] = orig[i - 1]
+        arrays = [
+            pa.array(ids, type=f.type) if f.name == "doc_id" else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -161,6 +204,8 @@ def main() -> int:
                     help="run on a float-jittered copy of the testdata")
     ap.add_argument("--perturb-text", type=int, default=None, metavar="SEED",
                     help="seed exotic whitespace into documents.text")
+    ap.add_argument("--perturb-ids", type=int, default=None, metavar="SEED",
+                    help="duplicate a seeded ~5%% of documents.doc_id")
     args = ap.parse_args()
     if args.perturb is not None:
         args.sf = perturb_sf(args.sf, args.perturb)
@@ -168,6 +213,9 @@ def main() -> int:
     if args.perturb_text is not None:
         args.sf = perturb_text_sf(args.sf, args.perturb_text)
         print(f"# text-perturbed testdata (seed {args.perturb_text}) -> {args.sf}")
+    if args.perturb_ids is not None:
+        args.sf = perturb_ids_sf(args.sf, args.perturb_ids)
+        print(f"# id-perturbed testdata (seed {args.perturb_ids}) -> {args.sf}")
 
     import __spark_entry__ as entry
 
@@ -190,7 +238,16 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
-    report: dict[str, dict] = {}
+    # Engine versions in every artifact: cross-engine entries (regex
+    # classes, window tie semantics, TRIM behavior) can diverge on a
+    # version bump alone — debugging a driver-red row needs this fact.
+    import pyspark
+
+    versions = {"pyspark": pyspark.__version__, "duckdb": duckdb.__version__,
+                "pandas": pd.__version__}
+    print(f"# engines: {versions}")
+
+    report: dict[str, dict] = {"__versions__": versions}
     t_all = time.time()
     for name in names:
         row: dict = {}
@@ -236,11 +293,12 @@ def main() -> int:
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
 
-    n_pass = sum(1 for r in report.values() if r.get("hash_match"))
-    n_nor = sum(1 for r in report.values() if r.get("err") == "no_oracle")
-    n_fail = len(report) - n_pass - n_nor
+    rows = {n: r for n, r in report.items() if n != "__versions__"}
+    n_pass = sum(1 for r in rows.values() if r.get("hash_match"))
+    n_nor = sum(1 for r in rows.values() if r.get("err") == "no_oracle")
+    n_fail = len(rows) - n_pass - n_nor
     print(
-        f"\n== {n_pass} pass, {n_nor} no_oracle, {n_fail} FAIL of {len(report)} "
+        f"\n== {n_pass} pass, {n_nor} no_oracle, {n_fail} FAIL of {len(rows)} "
         f"in {time.time() - t_all:.0f}s  -> {args.out}"
     )
     return 1 if n_fail else 0
