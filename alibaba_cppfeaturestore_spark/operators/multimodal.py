@@ -139,28 +139,31 @@ def resize_media(
 
     fn = resize_fn or fake_resize
 
+    def resize_one(payload):
+        if payload is None:
+            return None
+        try:
+            return fn(bytes(payload), width, height)
+        except Exception:
+            return None
+
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        # zip-over-columns, not iterrows: only the codec call is
+        # per-object; column assembly is vectorized (same pattern as
+        # decode_media_metadata).
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
-                out = None
-                if payload is not None:
-                    try:
-                        out = fn(bytes(payload), width, height)
-                    except Exception:
-                        out = None
-                rows.append(
-                    {
-                        "media_id": row["media_id"],
-                        "payload": out,
-                        "width": width,
-                        "height": height,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
+            payloads = pdf["payload"].to_list()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "payload": [resize_one(p) for p in payloads],
+                    "width": width,
+                    "height": height,
+                },
+                columns=["media_id", "payload", "width", "height"],
+            )
 
     return media.mapInPandas(gen, schema)
 
@@ -197,25 +200,30 @@ def extract_features(
 
     fn = embed_fn or fake_embed
 
-    def gen(batches: Iterator) -> Iterator:
+    def embed_one(payload):
         import math
 
+        if payload is None:
+            return None
+        try:
+            v = [float(x) for x in fn(bytes(payload))]
+            norm = math.sqrt(sum(x * x for x in v)) or 1.0
+            return [x / norm for x in v]
+        except Exception:
+            return None
+
+    def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        # zip-over-columns, not iterrows (see decode_media_metadata).
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
-                vec = None
-                if payload is not None:
-                    try:
-                        v = [float(x) for x in fn(bytes(payload))]
-                        norm = math.sqrt(sum(x * x for x in v)) or 1.0
-                        vec = [x / norm for x in v]
-                    except Exception:
-                        vec = None
-                rows.append({"media_id": row["media_id"], "embedding": vec})
-            yield pd.DataFrame(rows, columns=["media_id", "embedding"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "embedding": [embed_one(p) for p in pdf["payload"].to_list()],
+                },
+                columns=["media_id", "embedding"],
+            )
 
     return media.mapInPandas(gen, schema)
 
@@ -240,16 +248,26 @@ def sample_frames(
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        # zip-over-columns, not iterrows (see decode_media_metadata);
+        # the 1→N explosion appends to two flat column lists.
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                if row["payload"] is None:
+            ids: list = []
+            idxs: list = []
+            for mid, payload in zip(
+                pdf["media_id"].to_list(), pdf["payload"].to_list()
+            ):
+                if payload is None:
                     continue
-                n = fn(bytes(row["payload"]))["n_frames"]
-                rows.extend(
-                    {"media_id": row["media_id"], "frame_idx": i}
-                    for i in range(0, n, every_nth)
-                )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx"])
+                n = fn(bytes(payload))["n_frames"]
+                sampled = range(0, n, every_nth)
+                ids.extend([mid] * len(sampled))
+                idxs.extend(sampled)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                },
+                columns=["media_id", "frame_idx"],
+            )
 
     return media.mapInPandas(gen, schema)

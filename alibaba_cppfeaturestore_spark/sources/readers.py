@@ -82,6 +82,24 @@ def read_jdbc(
     return reader.load()
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """The exact option dict ``read_kafka_stream`` applies — factored out
+    so a broker-less environment can still contract-test the wiring
+    against the reference's strings (``stream_silver_to_gold.py:71-77``:
+    subscribe topic, earliest offsets, auto-commit off). Pinned by
+    tests/test_streaming.py::test_kafka_source_option_contract."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "enable.auto.commit": "false",
+    }
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -92,10 +110,7 @@ def read_kafka_stream(
     Requires spark-sql-kafka on the classpath; raises otherwise."""
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("enable.auto.commit", "false")
+        .options(**kafka_source_options(bootstrap_servers, topic, starting_offsets))
         .load()
     )
 

@@ -271,6 +271,32 @@ def stateful_running_count(
     )
 
 
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint_dir: str
+) -> dict[str, str]:
+    """The exact option dict ``write_kafka_stream`` applies — factored
+    out so a broker-less environment can still contract-test the wiring
+    against the reference's strings (``stream_silver_to_gold.py:135-145``:
+    topic, checkpointLocation; append mode and the processing-time
+    trigger are writer-level calls asserted alongside). Pinned by
+    tests/test_streaming.py::test_kafka_sink_option_contract."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
+def kafka_message_key(df: DataFrame, partition_by: str | None) -> DataFrame:
+    """Kafka's partition routing: a string ``key`` column (the analogue
+    of the reference's ``partitionBy("user_group")`` on its file sink).
+    Factored out of ``write_kafka_stream`` so the transform is testable
+    on a batch frame without a broker."""
+    if partition_by is None:
+        return df
+    return df.withColumn("key", F.col(partition_by).cast("string"))
+
+
 def write_kafka_stream(
     df: DataFrame,
     bootstrap_servers: str,
@@ -286,15 +312,11 @@ def write_kafka_stream(
     partition routing, the analogue of the reference's partitionBy).
     Requires spark-sql-kafka on the classpath; config-builder only in this
     container (no broker to test against)."""
-    out = df
-    if partition_by is not None:
-        out = out.withColumn("key", F.col(partition_by).cast("string"))
+    out = kafka_message_key(df, partition_by)
     writer = (
         out.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
+        .options(**kafka_sink_options(bootstrap_servers, topic, checkpoint_dir))
         .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
     )
     return writer.start()

@@ -397,3 +397,48 @@ def test_transform_with_state_running_count_across_batches(spark, workdir):
     assert final == {1: 3, 2: 1, 3: 1}
     u1 = sorted(r["n_events"] for r in rows if r["user_id"] == 1)
     assert u1 == [2, 3], f"expected cross-batch accumulation, got {u1}"
+
+
+def test_kafka_source_option_contract():
+    """S6: the env has no broker, so the Kafka codepath can never
+    execute here — but option-wiring drift is still catchable. Pin the
+    EXACT option dict against the reference's literal strings
+    (stream_silver_to_gold.py:71-77): subscribe (not subscribePattern /
+    assign), startingOffsets=earliest, consumer auto-commit off."""
+    from alibaba_cppfeaturestore_spark.sources.readers import kafka_source_options
+
+    opts = kafka_source_options("localhost:9092", "alicpp_records")
+    assert opts == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "subscribe": "alicpp_records",
+        "startingOffsets": "earliest",
+        "enable.auto.commit": "false",
+    }
+    # offset override is the only knob that may change the dict
+    assert kafka_source_options("h:1", "t", "latest")["startingOffsets"] == "latest"
+
+
+def test_kafka_sink_option_contract(spark):
+    """S7: sink options vs stream_silver_to_gold.py:135-145 — topic +
+    checkpointLocation as options; append mode and the 10-second
+    processing-time trigger are writer-level calls (asserted on the
+    builder string); the message key column mirrors the reference's
+    partitionBy routing and is testable on a batch frame."""
+    from alibaba_cppfeaturestore_spark.streaming.pipeline import (
+        kafka_message_key,
+        kafka_sink_options,
+    )
+
+    opts = kafka_sink_options("localhost:9092", "alicpp_stream_data", "chk-point-dir/alicpp_df")
+    assert opts == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "topic": "alicpp_stream_data",
+        "checkpointLocation": "chk-point-dir/alicpp_df",
+    }
+
+    df = spark.createDataFrame([(1, "g7"), (2, "g9")], ["user_id", "user_group"])
+    keyed = kafka_message_key(df, "user_group")
+    assert keyed.schema["key"].dataType.simpleString() == "string"
+    assert [r["key"] for r in keyed.orderBy("user_id").collect()] == ["g7", "g9"]
+    # partition_by=None must not invent a key column
+    assert "key" not in kafka_message_key(df, None).columns
