@@ -70,6 +70,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Canonical documents: EXACTLY one row per doc_id, chosen by a total
+# order every engine reproduces (md5(text), then the remaining columns,
+# NULLS FIRST — Spark defaults nulls-first ASC, DuckDB nulls-last, so
+# the spelling is explicit on both sides). doc_id is the document KEY
+# for every dedup/pair operator; under regenerated data nothing
+# guarantees its uniqueness, and a duplicated id makes "pair of ids"
+# ill-defined — each engine then resolves the ambiguity differently
+# (e.g. DuckDB's per-id GROUP BY merges two docs' shingles into one
+# signature while Spark keeps per-row signatures; found by
+# `driver_sim --perturb-ids`, the same data-dependence class that kept
+# sequence_packing_plan red for four rounds). On unique-id data this is
+# the identity (row_number()==1 everywhere). The entries that key
+# documents by doc_id apply it on BOTH sides.
+_DOCS_UNIQUE_SQL = """documents_u AS (
+  SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT d.*, ROW_NUMBER() OVER (
+      PARTITION BY doc_id
+      ORDER BY md5(text) ASC NULLS FIRST, lang ASC NULLS FIRST,
+               source ASC NULLS FIRST, n_chars ASC NULLS FIRST) AS __rn
+    FROM documents d) t WHERE __rn = 1
+)"""
+
+
+def _docs_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_DOCS_UNIQUE_SQL`` (same keys, same null order)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.asc_nulls_first(F.md5("text")),
+        F.asc_nulls_first("lang"),
+        F.asc_nulls_first("source"),
+        F.asc_nulls_first("n_chars"),
+    )
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational core: aggregations (A1, A2), filters (P4, P5), projections (P1,
 # P2, P7), scalar functions (§2.8) over the TPC-H-ish tables.
@@ -1612,11 +1651,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @_q(
     "dedup_clusters",
-    r"""
-    WITH RECURSIVE t AS MATERIALIZED (
+    "WITH RECURSIVE " + _DOCS_UNIQUE_SQL + r""",
+    t AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tokset
-      FROM documents
+      FROM documents_u
     ),
     pairs AS MATERIALIZED (
       SELECT * FROM (
@@ -1640,7 +1679,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ),
     comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
     SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id
-    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    FROM documents_u d LEFT JOIN comp c ON d.doc_id = c.id
     """,
 )
 def dedup_clusters(spark, sf_dir):
@@ -1650,8 +1689,9 @@ def dedup_clusters(spark, sf_dir):
     connected components; every doc gets cluster_id = min doc id of its
     component (own id when unique). Oracle: DuckDB recursive-CTE
     transitive closure over the all-pairs formulation, which the prefix
-    filter provably reproduces exactly."""
-    docs = _t(spark, sf_dir, "documents")
+    filter provably reproduces exactly. Input id-canonicalized
+    (``_docs_unique``)."""
+    docs = _docs_unique(spark, sf_dir)
     pairs = DD.ngram_jaccard_pairs_indexed(
         docs, text_col="text", id_col="doc_id", threshold=0.9
     )
@@ -1717,11 +1757,12 @@ SELECT id_a, id_b, jaccard_sim FROM (
 
 @_q(
     "dedup_minhash_lsh",
-    "WITH perms(i, pa, pb) AS (VALUES " + _MH_PERM_VALUES + """),
+    "WITH perms(i, pa, pb) AS (VALUES " + _MH_PERM_VALUES + "),\n"
+    + _DOCS_UNIQUE_SQL + """,
 corpus AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents_u
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text || ' zz qq extra' AS text FROM documents
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz qq extra' AS text FROM documents_u
 ),""" + _MINHASH_ORACLE_TAIL.format(extra=""),
     headline=True,
 )
@@ -1732,8 +1773,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     signatures, banding, candidate join, signature screen, exact verify —
     replays as a DuckDB value oracle. Production calls keep the default
     xxhash64 (same plan shape, ~3× cheaper base hash); the two modes are
-    asserted equivalent-in-structure in tests/test_dedup_similarity.py."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    asserted equivalent-in-structure in tests/test_dedup_similarity.py.
+    Input id-canonicalized (``_docs_unique``)."""
+    docs = _docs_unique(spark, sf_dir).select("doc_id", "text")
     mutants = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz qq extra")).alias("text"),
@@ -1749,11 +1791,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     "dedup_ngram_jaccard_indexed",
     # headline: the oracle-checked scale-path dedup (prefix-filtered
     # set-similarity join); replaced oracle-less winnow in the bench set.
-    r"""
-    WITH t AS (
+    "WITH " + _DOCS_UNIQUE_SQL + r""",
+    t AS (
       SELECT doc_id,
              list_distinct(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tokset
-      FROM documents
+      FROM documents_u
     )
     SELECT * FROM (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1768,8 +1810,8 @@ def dedup_ngram_jaccard_indexed(spark, sf_dir):
     """EXACT unblocked Jaccard pairs via the prefix-filtered
     set-similarity join (PPJoin-style rarest-first token index) — no
     blocking column, no |corpus|² pair space, yet bit-identical to the
-    all-pairs oracle."""
-    docs = _t(spark, sf_dir, "documents")
+    all-pairs oracle. Input id-canonicalized (``_docs_unique``)."""
+    docs = _docs_unique(spark, sf_dir)
     return DD.ngram_jaccard_pairs_indexed(
         docs, text_col="text", id_col="doc_id", threshold=0.9
     )
@@ -1777,12 +1819,13 @@ def dedup_ngram_jaccard_indexed(spark, sf_dir):
 
 @_q(
     "dedup_minhash_incremental",
-    "WITH perms(i, pa, pb) AS (VALUES " + _MH_PERM_VALUES + """),
+    "WITH perms(i, pa, pb) AS (VALUES " + _MH_PERM_VALUES + "),\n"
+    + _DOCS_UNIQUE_SQL + """,
 corpus AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents_u
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text || ' zz qq extra' AS text
-  FROM documents WHERE doc_id < 100
+  FROM documents_u WHERE doc_id < 100
 ),"""
     + _MINHASH_ORACLE_TAIL.format(
         extra=" AND (id_a >= 1000000 OR id_b >= 1000000)"
@@ -1796,8 +1839,9 @@ def dedup_minhash_incremental(spark, sf_dir):
     mode: the oracle replays the FULL-corpus portable pipeline and keeps
     pairs touching the batch — exactly what the incremental operator
     guarantees (equivalence also pinned in
-    tests/test_dedup_similarity.py::test_incremental_minhash_matches_full_corpus)."""
-    history = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tests/test_dedup_similarity.py::test_incremental_minhash_matches_full_corpus).
+    Input id-canonicalized (``_docs_unique``)."""
+    history = _docs_unique(spark, sf_dir).select("doc_id", "text")
     batch = history.filter(F.col("doc_id") < 100).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz qq extra")).alias("text"),
@@ -1811,11 +1855,11 @@ def dedup_minhash_incremental(spark, sf_dir):
 
 @_q(
     "dedup_simhash",
-    r"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
+    "WITH " + _DOCS_UNIQUE_SQL + r""",
+    corpus AS (
+      SELECT doc_id, text FROM documents_u
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text FROM documents
+      SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text FROM documents_u
     ),
     toks AS (
       SELECT doc_id AS id, UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tok
@@ -1851,8 +1895,9 @@ def dedup_simhash(spark, sf_dir):
     bit, the signature chunks into 4 pieces for the pigeonhole candidate
     join, and the whole pipeline — votes, signature assembly, chunk join,
     hamming filter — replays as a DuckDB value oracle. Production default
-    stays 64-bit xxhash64 (same plan, cheaper hash)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stays 64-bit xxhash64 (same plan, cheaper hash). Input
+    id-canonicalized (``_docs_unique``)."""
+    docs = _docs_unique(spark, sf_dir).select("doc_id", "text")
     mutants = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
@@ -1865,13 +1910,13 @@ def dedup_simhash(spark, sf_dir):
 
 @_q(
     "dedup_winnow_containment",
-    r"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
+    "WITH " + _DOCS_UNIQUE_SQL + r""",
+    corpus AS (
+      SELECT doc_id, text FROM documents_u
       UNION ALL
       SELECT doc_id + 1000000,
              'prefix words here. ' || text || ' trailing commentary'
-      FROM documents WHERE doc_id < 50
+      FROM documents_u WHERE doc_id < 50
     ),
     norm AS (
       SELECT doc_id, lower(regexp_replace(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
@@ -1925,8 +1970,9 @@ def dedup_winnow_containment(spark, sf_dir):
     identical doubles on both engines, where ROUND(double, 6) would
     diverge on binary-exact half-boundary ratios like 1/128. Production
     default stays xxhash64 (``portable=False``), pinned by
-    tests/test_dedup_similarity.py."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tests/test_dedup_similarity.py. Input id-canonicalized
+    (``_docs_unique``)."""
+    docs = _docs_unique(spark, sf_dir).select("doc_id", "text")
     quoter = docs.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.lit("prefix words here. "), F.col("text"), F.lit(" trailing commentary")).alias("text"),
@@ -7782,7 +7828,8 @@ def txlog_wap_publish(spark, sf_dir):
 # parenthesized subquery (DuckDB allows WITH inside a derived table), so
 # the audit can never drift from the pipeline it audits.
 _LSH_RECALL_ORACLE = f"""
-    WITH found AS (
+    WITH {_DOCS_UNIQUE_SQL},
+    found AS (
       SELECT * FROM ({QUERIES["dedup_minhash_lsh"].oracle})
     ),
     planted AS (
@@ -7792,7 +7839,7 @@ _LSH_RECALL_ORACLE = f"""
              list_distinct(list_transform(
                range(1, GREATEST(LEN(text || ' zz qq extra') - 3, 1)),
                i -> substr(text || ' zz qq extra', i, 5))) AS sb
-      FROM documents
+      FROM documents_u
     ),
     truth AS (
       SELECT doc_id FROM planted
@@ -7820,8 +7867,8 @@ def dedup_lsh_recall_audit(spark, sf_dir):
     corpus (the oracle nests the `dedup_minhash_lsh` oracle verbatim, so
     audit and pipeline cannot drift). Published: truth/found/hit counts
     and recall — the number that justifies the banding geometry in
-    production."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    production. Input id-canonicalized (``_docs_unique``)."""
+    docs = _docs_unique(spark, sf_dir).select("doc_id", "text")
     mutants = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz qq extra")).alias("text"),
@@ -8389,9 +8436,9 @@ def pareto_revenue_concentration(spark, sf_dir):
 
 @_q(
     "quality_bigram_logprob",
-    r"""
-    WITH t AS (
-      SELECT doc_id, regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+') AS arr FROM documents
+    "WITH " + _DOCS_UNIQUE_SQL + r""",
+    t AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+') AS arr FROM documents_u
     ),
     toks AS (
       SELECT doc_id, UNNEST(arr) AS tok, UNNEST(range(1, len(arr) + 1)) AS pos FROM t
@@ -8429,10 +8476,12 @@ def quality_bigram_logprob(spark, sf_dir):
     aggregates (|bigrams| + |vocab| rows); per-row terms are one ln over
     identical integers; the per-doc sum is the ORDER-PINNED fold over
     position-sorted terms ⇒ published unrounded. Repetitive/templated
-    text scores near 0; token-soup scores deeply negative."""
+    text scores near 0; token-soup scores deeply negative. Input
+    id-canonicalized (``_docs_unique``): duplicated doc_ids would
+    interleave two documents' positions inside one window partition."""
     from pyspark import StorageLevel
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_unique(spark, sf_dir)
     # toks feeds THREE consumers (bigrams, unigram counts, vocab size);
     # persist the narrow projection so the raw corpus scans once (the
     # scan-economy discipline, cf. unigram_logprob_scores)
