@@ -109,6 +109,37 @@ def _docs_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same contract for the other custom table: one row per vec_id, chosen
+# by lexicographic vector order (cast to double on BOTH sides — float32
+# parquet values widen exactly, and Spark's array ordering and DuckDB's
+# list ordering agree element-wise), then label. Surfaced by the same
+# --perturb-ids fuzz: a duplicated vec_id makes the LSH oracle's
+# per-id GROUP BY sum two vectors' plane votes into one bucket, and the
+# portable-IVF centroid pick (ORDER BY vec_id LIMIT 16) non-total.
+_EMB_UNIQUE_SQL = """embeddings_u AS (
+  SELECT vec_id, embedding, label FROM (
+    SELECT e.*, ROW_NUMBER() OVER (
+      PARTITION BY vec_id
+      ORDER BY CAST(embedding AS DOUBLE[]) ASC NULLS FIRST,
+               label ASC NULLS FIRST) AS __rn
+    FROM embeddings e) t WHERE __rn = 1
+)"""
+
+
+def _emb_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_EMB_UNIQUE_SQL`` (same keys, same null order)."""
+    e = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc_nulls_first(F.col("embedding").cast("array<double>")),
+        F.asc_nulls_first("label"),
+    )
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational core: aggregations (A1, A2), filters (P4, P5), projections (P1,
 # P2, P7), scalar functions (§2.8) over the TPC-H-ish tables.
@@ -2040,7 +2071,8 @@ def _lsh_ann_oracle() -> str:
         for p in range(4)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH {_EMB_UNIQUE_SQL},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u),
     b AS (
       SELECT e.vec_id, p.tbl,
              CAST(SUM(CASE WHEN list_dot_product(e.v, CAST(p.w AS DOUBLE[])) >= 0
@@ -2072,8 +2104,9 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
     bucket instead of cross join). The seed-derived hyperplanes are
     compile-time literals, so the identical ±1 matrix is embedded in the
     DuckDB oracle — the approximate result is still exactly
-    differential-checkable. Recall vs brute force asserted in tests."""
-    emb = _t(spark, sf_dir, "embeddings")
+    differential-checkable. Recall vs brute force asserted in tests.
+    Input id-canonicalized (``_emb_unique``)."""
+    emb = _emb_unique(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -5899,8 +5932,8 @@ def schema_evolution_union_read(spark, sf_dir):
 
 @_q(
     "ann_ivf_portable_topk",
-    """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    "WITH " + _EMB_UNIQUE_SQL + """,
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u),
     a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
     qt AS (
       SELECT vec_id,
@@ -5952,10 +5985,11 @@ def ann_ivf_portable_topk(spark, sf_dir):
     integer arithmetic with id tie-breaks and replays bit-for-bit in
     DuckDB. Same physical shape as the learned path (broadcast
     centroids, cell equi-join, per-cell top-k); recall traded for a
-    value-level audit trail."""
+    value-level audit trail. Input id-canonicalized (``_emb_unique``):
+    a duplicated vec_id makes the smallest-id centroid pick non-total."""
     from ..operators.similarity import ivf_portable_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_unique(spark, sf_dir)
     return ivf_portable_topk(emb, n_queries=5, nlist=16, nprobe=4, k=5)
 
 
@@ -8991,7 +9025,8 @@ def _lsh_occupancy_oracle() -> str:
         for p in range(4)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH {_EMB_UNIQUE_SQL},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u),
     b AS (
       SELECT e.vec_id, p.tbl,
              CAST(SUM(CASE WHEN list_dot_product(e.v, CAST(p.w AS DOUBLE[])) >= 0
@@ -9020,10 +9055,11 @@ def ann_index_occupancy_audit(spark, sf_dir):
     distribution and contributes |bucket|² candidate pairs — the audit
     that justifies (or rebalances) the index BEFORE the candidate join
     runs at scale. Same literal hyperplanes as the serving index; one
-    projection pass + two tiny aggregates."""
+    projection pass + two tiny aggregates. Input id-canonicalized
+    (``_emb_unique``)."""
     from ..operators.similarity import _lsh_buckets
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_unique(spark, sf_dir)
     b = emb.select(
         F.explode(_lsh_buckets(F.col("embedding"), 4, 8, 64)).alias("tb")
     ).select(F.col("tb.table").alias("tbl"), F.col("tb.bucket").alias("bucket"))

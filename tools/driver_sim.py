@@ -152,7 +152,8 @@ def perturb_text_sf(sf: str, seed: int) -> str:
 
 def perturb_ids_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with a seeded ~5% of ``documents.doc_id``
-    values overwritten by ANOTHER row's doc_id, creating duplicate ids.
+    and ``embeddings.vec_id`` values overwritten by ANOTHER row's id,
+    creating duplicate ids in the two custom (non-TPC-H) tables.
     The driver regenerates data each round and nothing guarantees doc_id
     uniqueness there; ``sequence_packing_plan`` was red for four rounds
     because its cumulative-sum window ordered by doc_id alone — a
@@ -168,25 +169,27 @@ def perturb_ids_sf(sf: str, seed: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # the two CUSTOM tables (no TPC-H-style key discipline behind them)
+    id_cols = {"documents": "doc_id", "embeddings": "vec_id"}
     out = f"/tmp/driver_sim_idperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
-        if t != "documents":
+        if t not in id_cols:
             if not os.path.exists(dst):
                 shutil.copyfile(src, dst)
             continue
         tbl = pq.read_table(src)
-        ids = tbl.column("doc_id").combine_chunks().to_pylist()
+        ids = tbl.column(id_cols[t]).combine_chunks().to_pylist()
         orig = list(ids)
         for i in range(1, len(ids)):
-            if zlib.crc32(f"{seed}/{orig[i]}".encode()) % 20 == 0:
+            if zlib.crc32(f"{seed}/{t}/{orig[i]}".encode()) % 20 == 0:
                 # adjacent duplicate: same shard-locality as a generator
                 # emitting colliding ids, and guaranteed to collide with
                 # an id that actually exists
                 ids[i] = orig[i - 1]
         arrays = [
-            pa.array(ids, type=f.type) if f.name == "doc_id" else tbl.column(i)
+            pa.array(ids, type=f.type) if f.name == id_cols[t] else tbl.column(i)
             for i, f in enumerate(tbl.schema)
         ]
         pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
