@@ -94,14 +94,17 @@ _DOCS_UNIQUE_SQL = """documents_u AS (
 
 
 def _docs_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of ``_DOCS_UNIQUE_SQL`` (same keys, same null order)."""
+    """Spark twin of ``_DOCS_UNIQUE_SQL`` (same keys, same null order).
+    Tiebreak columns beyond md5(text) are applied only when present so
+    tests can feed reduced-schema documents tables; rows tied on
+    md5(text) have identical text, so dropping an absent tiebreak never
+    changes which content survives."""
     d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy(
-        F.asc_nulls_first(F.md5("text")),
-        F.asc_nulls_first("lang"),
-        F.asc_nulls_first("source"),
-        F.asc_nulls_first("n_chars"),
-    )
+    keys = [F.asc_nulls_first(F.md5("text"))]
+    for c in ("lang", "source", "n_chars"):
+        if c in d.columns:
+            keys.append(F.asc_nulls_first(c))
+    w = Window.partitionBy("doc_id").orderBy(*keys)
     return (
         d.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -127,12 +130,15 @@ _EMB_UNIQUE_SQL = """embeddings_u AS (
 
 
 def _emb_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of ``_EMB_UNIQUE_SQL`` (same keys, same null order)."""
+    """Spark twin of ``_EMB_UNIQUE_SQL`` (same keys, same null order).
+    ``label`` is applied only when present (reduced-schema test tables);
+    rows tied on the full vector are interchangeable for every consumer
+    downstream of the canonicalization."""
     e = _t(spark, sf_dir, "embeddings")
-    w = Window.partitionBy("vec_id").orderBy(
-        F.asc_nulls_first(F.col("embedding").cast("array<double>")),
-        F.asc_nulls_first("label"),
-    )
+    keys = [F.asc_nulls_first(F.col("embedding").cast("array<double>"))]
+    if "label" in e.columns:
+        keys.append(F.asc_nulls_first("label"))
+    w = Window.partitionBy("vec_id").orderBy(*keys)
     return (
         e.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
