@@ -253,8 +253,15 @@ def q3(spark, sf_dir):
     headline=True,
 )
 def q5(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way star join; small dims broadcast, fact tables
-    shuffle on join keys once each."""
+    """TPC-H Q5 shape: 6-way star join. The region predicate is applied
+    to the DIMENSION side first — region('ASIA') broadcasts into nation,
+    the surviving nations broadcast into supplier — so 4/5 of suppliers
+    are pruned BEFORE any fact-table join instead of riding through the
+    lineitem⋈orders⋈customer pipeline to die at the last broadcast.
+    Catalyst does not reorder across the original join sequence, so the
+    filter placement is declared explicitly. The pruned supplier side
+    carries NO broadcast hint: tiny at test SF (AQE broadcasts it),
+    shuffle-joined at 100 TB where a forced broadcast would OOM."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -264,15 +271,16 @@ def q5(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    supp_asia = supp.join(F.broadcast(asian), supp.s_nationkey == asian.n_nationkey)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            supp,
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+            supp_asia,
+            (li.l_suppkey == supp_asia.s_suppkey)
+            & (cust.c_nationkey == supp_asia.s_nationkey),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
