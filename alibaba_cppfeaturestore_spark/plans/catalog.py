@@ -9175,3 +9175,67 @@ def cohort_repeat_rate(spark, sf_dir):
         "n_repeat",
         (F.col("n_repeat") / F.col("n_customers").cast("double")).alias("repeat_rate"),
     )
+
+
+@_q(
+    "dedup_paragraph_exact",
+    "WITH " + _DOCS_UNIQUE_SQL + r""",
+    corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'standard disclaimer boilerplate. ' || text
+                  ELSE text END AS text
+      FROM documents_u
+    ),
+    segs AS (
+      SELECT doc_id,
+             CAST(i - 1 AS INTEGER) AS para_idx,
+             TRIM(pp, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS p
+      FROM (
+        SELECT doc_id,
+               UNNEST(regexp_split_to_array(text, '\.[ ]+')) AS pp,
+               UNNEST(range(1, LEN(regexp_split_to_array(text, '\.[ ]+')) + 1)) AS i
+        FROM corpus
+      )
+    ),
+    hashed AS (
+      SELECT doc_id, para_idx, md5(p) AS para_hash
+      FROM segs WHERE LEN(p) >= 1
+    )
+    SELECT doc_id, para_idx, para_hash,
+           CAST(ROW_NUMBER() OVER (PARTITION BY para_hash
+                                   ORDER BY doc_id ASC NULLS FIRST,
+                                            para_idx ASC NULLS FIRST) > 1
+                AS INTEGER) AS is_dup
+    FROM hashed
+    """,
+)
+def dedup_paragraph_exact(spark, sf_dir):
+    """Corpus-wide exact segment (sentence/paragraph) dedup with
+    first-occurrence-wins semantics
+    (``operators/dedup.py::paragraph_exact_dedup``) — the C4/RefinedWeb
+    scrub pass one granularity below document dedup. The synthetic
+    corpus has no sentence structure, so boilerplate is PLANTED the way
+    the near-dup entries plant mutants: every even-id document gains a
+    shared leading disclaimer sentence, which the scrub must flag at
+    every occurrence after the global first while leaving body segments
+    untouched. The only shuffle carries (md5, id, idx) — never text —
+    so shuffle bytes are ~48 B/segment at any corpus size. Input
+    id-canonicalized (``_docs_unique``); first = total order
+    (doc_id, para_idx)."""
+    from ..operators.dedup import paragraph_exact_dedup
+
+    docs = _docs_unique(spark, sf_dir)
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("standard disclaimer boilerplate. "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = paragraph_exact_dedup(corpus, text_col="text", id_col="doc_id")
+    return out.select(
+        "doc_id", F.col("para_idx").cast("int").alias("para_idx"), "para_hash", "is_dup"
+    )

@@ -531,3 +531,31 @@ def test_kmeans_lloyd_step_reduces_inertia(spark):
     for j, mean in enumerate([(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]):
         r = out[j]
         assert abs(r.new_c0 - mean[0]) < 0.05 and abs(r.new_c1 - mean[1]) < 0.05
+
+
+def test_paragraph_exact_dedup_first_occurrence_wins(spark):
+    """Repeated sentences are flagged everywhere except their global
+    first occurrence, ordered by (doc_id, para_idx); unique sentences
+    and whitespace-variant duplicates behave as specified (trim-only
+    normalization — case/inner-space variants are distinct)."""
+    from alibaba_cppfeaturestore_spark.operators.dedup import paragraph_exact_dedup
+
+    rows = [
+        (1, "shared boilerplate. unique one. shared boilerplate"),
+        (2, "shared boilerplate.   unique two"),
+        (3, "Shared Boilerplate. unique one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.para_idx): r
+        for r in paragraph_exact_dedup(df).collect()
+    }
+    # doc1: ["shared boilerplate", "unique one", "shared boilerplate"]
+    assert out[(1, 0)].is_dup == 0          # global first
+    assert out[(1, 1)].is_dup == 0          # first "unique one"
+    assert out[(1, 2)].is_dup == 1          # repeat within the same doc
+    assert out[(2, 0)].is_dup == 1          # repeat across docs (leading ws trimmed)
+    assert out[(2, 1)].is_dup == 0          # unique
+    assert out[(3, 0)].is_dup == 0          # case differs -> distinct segment
+    assert out[(3, 1)].is_dup == 1          # "unique one" second occurrence
+    assert out[(1, 0)].para_hash == out[(2, 0)].para_hash == out[(1, 2)].para_hash
