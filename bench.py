@@ -22,6 +22,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
+    # Engine versions on stderr: the driver records this tail in its
+    # BENCH artifact, so cross-round comparisons (and any cross-engine
+    # red row) carry the exact pyspark/duckdb versions they ran under.
+    import duckdb
+    import pyspark
+
+    print(
+        f"# engines: pyspark={pyspark.__version__} duckdb={duckdb.__version__}",
+        file=sys.stderr,
+    )
     spark = get_spark(app_name="bench")
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 

@@ -196,6 +196,48 @@ def perturb_ids_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_ts_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with a seeded ~20% of ``events.ts``
+    truncated to the hour, forcing duplicate timestamps — including
+    (user_id, ts) collisions — throughout the event stream. Every
+    windowed entry orders by (ts, event_id) or an equivalent total
+    order (audited round 5); this mode checks that discipline
+    empirically: regenerated data carries no tie-freeness guarantee,
+    and a bare ORDER BY ts lets each engine place the tied rows
+    differently. Both engines see identical bytes."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/driver_sim_tsperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t != "events":
+            if not os.path.exists(dst):
+                shutil.copyfile(src, dst)
+            continue
+        tbl = pq.read_table(src)
+        ts = tbl.column("ts").combine_chunks()
+        eid = tbl.column("event_id").combine_chunks().to_pylist()
+        vals = ts.to_pylist()
+        mutated = [
+            v.replace(minute=0, second=0, microsecond=0)
+            if v is not None and zlib.crc32(f"{seed}/{e}".encode()) % 5 == 0
+            else v
+            for v, e in zip(vals, eid)
+        ]
+        arrays = [
+            pa.array(mutated, type=f.type) if f.name == "ts" else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -209,6 +251,8 @@ def main() -> int:
                     help="seed exotic whitespace into documents.text")
     ap.add_argument("--perturb-ids", type=int, default=None, metavar="SEED",
                     help="duplicate a seeded ~5%% of documents.doc_id")
+    ap.add_argument("--perturb-ts", type=int, default=None, metavar="SEED",
+                    help="truncate a seeded ~20%% of events.ts to the hour")
     args = ap.parse_args()
     if args.perturb is not None:
         args.sf = perturb_sf(args.sf, args.perturb)
@@ -219,6 +263,9 @@ def main() -> int:
     if args.perturb_ids is not None:
         args.sf = perturb_ids_sf(args.sf, args.perturb_ids)
         print(f"# id-perturbed testdata (seed {args.perturb_ids}) -> {args.sf}")
+    if args.perturb_ts is not None:
+        args.sf = perturb_ts_sf(args.sf, args.perturb_ts)
+        print(f"# ts-perturbed testdata (seed {args.perturb_ts}) -> {args.sf}")
 
     import __spark_entry__ as entry
 
