@@ -124,3 +124,81 @@ def test_hybrid_rrf_contains_both_leg_heads(run, spark):
     lex_best = min((r for r in rows if r.lex_rank is not None), key=lambda r: r.lex_rank, default=None)
     vec_best = min((r for r in rows if r.vec_rank is not None), key=lambda r: r.vec_rank, default=None)
     assert lex_best is not None or vec_best is not None
+
+
+def test_id_canonicalization_cross_engine_under_duplicates(spark, tmp_path):
+    """The documents_u / embeddings_u canonicalization must pick the SAME
+    surviving row per duplicated id in Spark and DuckDB — the invariant
+    behind the 12 dedup/ANN entries that key the custom tables by id
+    (driver_sim --perturb-ids found them; this pins the fix in CI with
+    hand-built collisions, including the null-ordering edge where the
+    engines' ORDER BY defaults differ)."""
+    import duckdb
+
+    from alibaba_cppfeaturestore_spark.plans.catalog import (
+        _DOCS_UNIQUE_SQL,
+        _EMB_UNIQUE_SQL,
+        _docs_unique,
+        _emb_unique,
+    )
+
+    d = str(tmp_path)
+    docs = [
+        (1, "zebra text", "en", "web", 10),
+        (1, "alpha text", "fr", "web", 10),   # same id, different text
+        (2, "same body", "en", "web", 9),
+        (2, "same body", "de", "web", 9),     # md5 tie -> lang breaks it
+        (3, None, "en", "web", None),         # null text sorts FIRST
+        (3, "present", "en", "web", 7),
+        (4, "unique", "en", "web", 6),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    embs = [
+        (1, [0.5, 0.1], 3),
+        (1, [0.2, 0.9], 1),                   # same id, lexicographically smaller vec
+        (2, [0.4, 0.4], 2),
+        (2, [0.4, 0.4], 1),                   # vec tie -> label breaks it
+        (5, [1.0, 0.0], 9),
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        # Spark writes a directory; glob its part files for DuckDB
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+
+    sp_docs = {
+        r.doc_id: (r.text, r.lang)
+        for r in _docs_unique(spark, d).collect()
+    }
+    du_docs = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"WITH {_DOCS_UNIQUE_SQL} SELECT doc_id, text, lang FROM documents_u"
+        ).fetchall()
+    }
+    assert sp_docs == du_docs
+    assert len(sp_docs) == 4
+    assert sp_docs[2][1] == "de"              # lang tiebreak after md5 tie
+    assert sp_docs[3][0] is None              # nulls-first on both engines
+
+    sp_emb = {
+        r.vec_id: ([round(x, 4) for x in r.embedding], r.label)
+        for r in _emb_unique(spark, d).collect()
+    }
+    du_emb = {
+        r[0]: ([round(x, 4) for x in r[1]], r[2])
+        for r in con.execute(
+            f"WITH {_EMB_UNIQUE_SQL} SELECT vec_id, embedding, label FROM embeddings_u"
+        ).fetchall()
+    }
+    assert sp_emb == du_emb
+    assert len(sp_emb) == 3
+    assert sp_emb[1][0] == [0.2, 0.9]         # lexicographic vector order
+    assert sp_emb[2][1] == 1                  # label tiebreak on vec tie
