@@ -214,7 +214,8 @@ def minhash_lsh_duplicates(
     ``size(ms)`` filter, and sub-threshold pairs die inside the
     projection without ever being exchanged. Pair volume is identical
     (Σ|bucket|², the LSH guarantee); only the machinery around it is
-    gone — measured 3.5 s → 2.0 s at sf0.1 with byte-identical output.
+    gone — with the verify-stage spread fix below, the full pipeline
+    measured 3.5 s → 2.3 s at sf0.1 with byte-identical output.
     """
     grouped = minhash_bucket_groups(
         df, text_col, id_col, num_hashes, bands, shingle_size,
