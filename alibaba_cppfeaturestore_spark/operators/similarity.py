@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
+from .dedup import _spread
 
 
 def brute_force_topk(
@@ -30,14 +31,20 @@ def brute_force_topk(
     """Exact cosine top-k: for each query vector the k nearest corpus rows.
 
     The query side is broadcast (ANN queries are few relative to corpus);
-    the corpus is scanned once. Ties broken by corpus id ascending.
+    the corpus is scanned once — ``_spread`` first, so a singly-split
+    embedding file does not serialize the |queries|×|corpus| cosine
+    evaluation onto one core (measured 0.92 → 0.65 s at sf0.1; the same
+    small-scan trap as the dedup verify stage, SCALING.md round-5
+    notes). Ties broken by corpus id ascending.
     """
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
     candidates = q.join(c, F.col("query_id") != F.col("neighbor_id"))
     return _topk_by_cosine(candidates, k)
 
@@ -141,8 +148,11 @@ def lsh_bucketed_topk(
     # explode_outer: the bucket array is a computed expression (the _let
     # binding), so an inner explode would re-evaluate all plane
     # projections inside an InferFiltersFromGenerate size/isnotnull
-    # filter (see operators/dedup.py); the array is never empty
-    c = corpus.select(
+    # filter (see operators/dedup.py); the array is never empty.
+    # _spread: the per-vector plane projections (num_tables × num_bits
+    # dot products) run in the scan stage — parallelize a singly-split
+    # corpus file before them.
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         F.explode_outer(
@@ -388,7 +398,11 @@ def ivf_portable_topk(
     from ..functions.vectors import cosine_int8, quantize_int8
     from ..operators.aggregates import top_k_per_group
 
-    q = emb.select(F.col(id_col).alias("vid"), quantize_int8(F.col(vec_col)).alias("qv"))
+    # _spread: quantization + per-cell scoring are scan-stage CPU work;
+    # parallelize a singly-split corpus file before them
+    q = _spread(emb).select(
+        F.col(id_col).alias("vid"), quantize_int8(F.col(vec_col)).alias("qv")
+    )
     cents = (
         q.orderBy("vid")
         .limit(nlist)
