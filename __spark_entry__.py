@@ -47,11 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Left for the r06 window: the remaining 8 r01 entries
 # (case_when_bucketing, dict_apply_lang, feature_quantile_bins,
 # filter_theta_or, join_left_enrich, profile_events_table,
-# proj_select_cast, q14_promo_revenue_share), the round-5 addition
-# dedup_paragraph_exact (strict-green locally on clean data plus
-# --perturb-ids 7 and --perturb-text 7/13), and then the r02 cohort.
-# Everything rotated out stays green in CORRECTNESS_r01..r04 and remains
-# pinned by pytest oracle-parity over the full 205-entry catalog. The
+# proj_select_cast, q14_promo_revenue_share), the round-5 additions
+# dedup_paragraph_exact, llm_corpus_curation_e2e and
+# llm_corpus_curation_funnel (each strict-green locally on clean data
+# plus --perturb-ids 7/13 and --perturb-text seeds), and then the r02
+# cohort. Everything rotated out stays green in CORRECTNESS_r01..r04 and
+# remains pinned by pytest oracle-parity over the full 207-entry catalog. The
 # only oracle-less entry is ann_ivf_topk (learned KMeans centroids —
 # permanently pytest-pinned, see its docstring); it sits in the tail,
 # outside the window.

@@ -9239,3 +9239,255 @@ def dedup_paragraph_exact(spark, sf_dir):
     return out.select(
         "doc_id", F.col("para_idx").cast("int").alias("para_idx"), "para_hash", "is_dup"
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed LLM-corpus curation pipeline (FineWeb/C4-style): lang-ID filter →
+# quality filter → PII redaction → exact dedup → near-dup drop. Every stage
+# reuses an oracle-proven building block (lang_id_heuristic,
+# text_quality_filter, text_pii_redact, dedup_exact, dedup_ngram_jaccard),
+# composed as ONE lazy DAG so Catalyst fuses the narrow stages into a single
+# scan + two shuffles (content-hash dedup window, blocked pair join).
+# Duplicates are PLANTED deterministically so each scrub stage is exercised
+# non-vacuously: +1000000-shifted exact copies (caught at exact dedup — their
+# per-id synthesized PII differs but redaction re-converges the texts, which
+# is exactly why production dedup runs AFTER redaction) and
+# +2000000-shifted near copies with one PREPENDED token — prepending changes
+# exactly one 5-gram shingle, so shingle-Jaccard = (N-4)/(N-3) ≈ 0.985
+# regardless of the PII suffix, caught at the near-dup stage, invisible to
+# exact dedup. The near stage compares word-SHINGLE sets, not token sets:
+# the synthetic corpus has a 31-word vocabulary, so any two long documents
+# share nearly all distinct TOKENS (measured: 444 unrelated pairs at
+# token-set J ≥ 0.98) while unrelated shingle sets barely intersect.
+_CURATION_TOK = r"regexp_split_to_array(TRIM({c}, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')"
+
+_CURATION_SQL = (
+    "WITH "
+    + _DOCS_UNIQUE_SQL
+    + r""",
+    corpus AS (
+      SELECT doc_id, text FROM documents_u
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents_u
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             'nearvariant' || CAST(doc_id % 7 AS VARCHAR) || ' ' || text AS text
+      FROM documents_u
+    ),
+    lang AS (
+      SELECT doc_id, text,
+             CASE WHEN ratio >= 0.15 THEN 'en'
+                  WHEN ratio >= 0.05 THEN 'mixed'
+                  ELSE 'other' END AS lang_pred
+      FROM (
+        SELECT doc_id, text,
+               LEN(list_filter("""
+    + _CURATION_TOK.format(c="text")
+    + r""",
+                               x -> x IN ('the','a','and','of','to','in','is','it','that','for')))
+               / GREATEST(LEN("""
+    + _CURATION_TOK.format(c="text")
+    + r"""), 1)::DOUBLE AS ratio
+        FROM corpus)
+    ),
+    lang_kept AS (SELECT * FROM lang WHERE lang_pred IN ('en','mixed')),
+    q_kept AS (
+      SELECT * FROM (
+        SELECT doc_id, text, lang_pred,
+               ROUND(LEAST(LEN("""
+    + _CURATION_TOK.format(c="text")
+    + r""") / 100.0, 1.0) *
+                     (1.0 - LEAST((LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                                  / GREATEST(LENGTH(text), 1) * 5.0, 1.0)), 6) AS quality
+        FROM lang_kept)
+      WHERE quality >= 0.5
+    ),
+    synth AS (
+      SELECT doc_id, lang_pred, quality,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com at 192.168.' || CAST(doc_id % 200 AS VARCHAR)
+                    || '.42 or call +1 555-01' || CAST(doc_id % 90 AS VARCHAR) || '9'
+             ELSE text END AS text
+      FROM q_kept
+    ),
+    red AS (
+      SELECT doc_id, lang_pred, quality,
+             regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                 '\+?[0-9][0-9()\- \t\n\r\f\x0B]{6,}[0-9]', '<PHONE>', 'g') AS rtext
+      FROM synth
+    ),
+    deduped AS (
+      SELECT * FROM red
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY rtext ORDER BY doc_id) = 1
+    ),
+    toksets AS (
+      SELECT doc_id, lang_pred,
+             CASE WHEN LEN(toks) >= 5 THEN
+               list_distinct(list_transform(range(1, LEN(toks) - 3), i ->
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                         || toks[i+3] || ' ' || toks[i+4]))
+             ELSE []::VARCHAR[] END AS tokset
+      FROM (SELECT doc_id, lang_pred, """
+    + _CURATION_TOK.format(c="rtext")
+    + r""" AS toks FROM deduped)
+    ),
+    near_pairs AS (
+      SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(LEN(list_intersect(a.tokset, b.tokset))::DOUBLE
+                     / GREATEST(LEN(list_distinct(list_concat(a.tokset, b.tokset))), 1), 6) AS jaccard_sim
+        FROM toksets a JOIN toksets b
+          ON a.lang_pred = b.lang_pred AND a.doc_id < b.doc_id
+      ) WHERE jaccard_sim >= 0.9
+    ),
+    near AS (
+      SELECT d.* FROM deduped d
+      WHERE NOT EXISTS (SELECT 1 FROM near_pairs p WHERE p.id_b = d.doc_id)
+    ),
+    final AS (
+      SELECT doc_id, lang_pred, quality,
+             CAST(LEN("""
+    + _CURATION_TOK.format(c="rtext")
+    + r""") AS BIGINT) AS n_tokens,
+             md5(rtext) AS fp
+      FROM near
+    )
+"""
+)
+
+
+def _curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Spark twin of ``_CURATION_SQL``: one lazy DAG per stage, each the
+    exact composition of the already-oracle-proven building blocks."""
+    docs = _docs_unique(spark, sf_dir).select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        ).unionByName(
+            docs.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.lit("nearvariant"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(" "),
+                    F.col("text"),
+                ).alias("text"),
+            )
+        )
+    )
+    lang = corpus.select("doc_id", "text", TX.lang_id("text").alias("lang_pred"))
+    lang_kept = lang.filter(F.col("lang_pred").isin("en", "mixed"))
+    q_kept = lang_kept.withColumn("quality", TX.quality_score("text")).filter(
+        F.col("quality") >= 0.5
+    )
+    synth = q_kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 192.168."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".42 or call +1 555-01"),
+                (F.col("doc_id") % 90).cast("string"),
+                F.lit("9"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    red = synth.select(
+        "doc_id", "lang_pred", "quality", TX.redact_pii("text").alias("rtext")
+    )
+    deduped = DD.exact_dedup(red, cols=["rtext"], id_col="doc_id")
+    pairs = DD.ngram_jaccard_pairs(
+        deduped,
+        text_col="rtext",
+        id_col="doc_id",
+        block_cols=["lang_pred"],
+        threshold=0.9,
+        shingle_n=5,
+    )
+    near = deduped.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    final = near.select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        TX.token_count("rtext").cast("bigint").alias("n_tokens"),
+        F.md5("rtext").alias("fp"),
+    )
+    return {
+        "corpus": corpus,
+        "lang_kept": lang_kept,
+        "q_kept": q_kept,
+        "deduped": deduped,
+        "final": final,
+    }
+
+
+@_q(
+    "llm_corpus_curation_e2e",
+    _CURATION_SQL + "SELECT doc_id, lang_pred, quality, n_tokens, fp FROM final",
+)
+def llm_corpus_curation_e2e(spark, sf_dir):
+    """End-to-end LLM training-corpus curation (FineWeb/C4-shaped):
+    lang-ID filter → quality filter → PII redaction → exact dedup
+    (content-hash shuffle, keep-smallest-id) → blocked 5-gram-shingle
+    Jaccard near-dup drop, emitting the curated manifest (id, predicted
+    lang, quality score, token count, content fingerprint). One composed
+    lazy DAG: the four narrow stages fuse into the scan's codegen stage;
+    the only shuffles are the 32-byte content-hash dedup window and the
+    size-filtered blocked pair join — at 100 TB the full text crosses
+    the wire exactly once (dedup window), never quadratically. Planted
+    +1M exact copies vanish at dedup (their synthesized per-id PII
+    differs but redaction re-converges the text — why production dedup
+    runs after redaction); planted +2M one-token-prefixed near-copies
+    survive exact dedup and are caught by the shingle-Jaccard stage
+    (token-SET Jaccard would not discriminate here — 31-word vocab
+    saturates distinct-token overlap between unrelated documents).
+    A near-copy may legitimately outlive its original when the extra
+    token flips the original across the lang/quality boundary — the
+    copy is then novel content at the dedup stages. Input
+    id-canonicalized (``_docs_unique``)."""
+    return _curation_stages(spark, sf_dir)["final"]
+
+
+@_q(
+    "llm_corpus_curation_funnel",
+    _CURATION_SQL
+    + r"""
+    SELECT 'input' AS stage, 1 AS stage_ord, COUNT(*) AS n_docs FROM corpus
+    UNION ALL SELECT 'lang_id', 2, COUNT(*) FROM lang_kept
+    UNION ALL SELECT 'quality', 3, COUNT(*) FROM q_kept
+    UNION ALL SELECT 'exact_dedup', 4, COUNT(*) FROM deduped
+    UNION ALL SELECT 'near_dedup', 5, COUNT(*) FROM final
+    """,
+)
+def llm_corpus_curation_funnel(spark, sf_dir):
+    """Stage-attrition accounting for the curation pipeline — the
+    data-card number every corpus release publishes (docs in, docs
+    surviving each scrub). Same composed DAG as
+    ``llm_corpus_curation_e2e``; each stage contributes one COUNT
+    aggregate (map-side partial → 1-row exchange), so the funnel adds
+    no wide stage of its own."""
+    st = _curation_stages(spark, sf_dir)
+
+    def _cnt(df: DataFrame, stage: str, ord_: int) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            "n_docs",
+        )
+
+    return (
+        _cnt(st["corpus"], "input", 1)
+        .unionByName(_cnt(st["lang_kept"], "lang_id", 2))
+        .unionByName(_cnt(st["q_kept"], "quality", 3))
+        .unionByName(_cnt(st["deduped"], "exact_dedup", 4))
+        .unionByName(_cnt(st["final"], "near_dedup", 5))
+    )
