@@ -559,3 +559,66 @@ def test_paragraph_exact_dedup_first_occurrence_wins(spark):
     assert out[(3, 0)].is_dup == 0          # case differs -> distinct segment
     assert out[(3, 1)].is_dup == 1          # "unique one" second occurrence
     assert out[(1, 0)].para_hash == out[(2, 0)].para_hash == out[(1, 2)].para_hash
+
+
+def test_curation_pipeline_stage_semantics(spark):
+    """The composed curation pipeline's planted-duplicate accounting:
+    a planted copy never coexists with its surviving original, the
+    funnel is monotone, and its tail equals the manifest size."""
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    man = QUERIES["llm_corpus_curation_e2e"].spark(spark, SF).collect()
+    ids = {r.doc_id for r in man}
+    assert man, "manifest must be non-empty"
+    # exact copies (+1M) are caught at exact dedup, near copies (+2M) at
+    # the shingle-Jaccard stage — IF the original survived to that stage
+    assert not [d for d in ids if d < 1_000_000 and d + 1_000_000 in ids]
+    assert not [d for d in ids if d < 1_000_000 and d + 2_000_000 in ids]
+    fun = sorted(
+        QUERIES["llm_corpus_curation_funnel"].spark(spark, SF).collect(),
+        key=lambda r: r.stage_ord,
+    )
+    ns = [r.n_docs for r in fun]
+    assert [r.stage for r in fun] == [
+        "input", "lang_id", "quality", "exact_dedup", "near_dedup",
+    ]
+    assert ns == sorted(ns, reverse=True), "each stage only removes rows"
+    assert ns[-1] == len(man)
+    # the near-dup stage must actually fire on the planted prefix copies
+    assert ns[-1] < ns[-2], "near-dedup stage removed nothing"
+
+
+def test_shingle_jaccard_discriminates_where_tokenset_saturates(spark, docs):
+    """shingle_n pairs: a one-token-PREFIXED copy scores ≈(N-4)/(N-3) ≥ 0.9
+    while unrelated small-vocabulary docs stay below threshold — the
+    measured failure of token-set Jaccard on a 31-word vocabulary."""
+    from alibaba_cppfeaturestore_spark.operators.dedup import ngram_jaccard_pairs
+
+    from alibaba_cppfeaturestore_spark.functions.text import tokens as _toks
+
+    # J = (N-4)/(N-3) for a one-token prefix needs N ≥ ~14 shingles to
+    # clear 0.9 — short docs legitimately fall below (measured: a
+    # 10-token doc scores 6/7). The curation pipeline is immune: its
+    # quality gate implies ≥ 50 tokens before the near-dup stage.
+    long_docs = docs.filter(F.size(_toks(F.col("text"))) >= 30).limit(40)
+    corpus = long_docs.unionByName(
+        long_docs.select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.concat(F.lit("zz9 "), F.col("text")).alias("text"),
+        )
+    )
+    pairs = ngram_jaccard_pairs(
+        corpus, text_col="text", id_col="doc_id", threshold=0.9, shingle_n=5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(r.doc_id, r.doc_id + 10_000) for r in long_docs.collect()}
+    assert planted <= found, "every prefixed near-copy must pair with its original"
+    # the only non-planted pairs allowed are TRUE near-dups already in the
+    # corpus (sf0.001 contains one: docs 8/12) and their planted derivatives
+    # — i.e. every extra pair's base ids must themselves be a found pair
+    extras = found - planted
+    base_extras = {tuple(sorted((a % 10_000, b % 10_000))) for a, b in extras}
+    assert all(p in found for p in base_extras), (
+        f"extras must trace to a real near-dup pair: {extras}"
+    )
+    assert len(base_extras) <= 2, f"unrelated shingle pairs should be rare: {base_extras}"
