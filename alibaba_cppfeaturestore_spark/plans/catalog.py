@@ -9359,9 +9359,25 @@ _CURATION_SQL = (
 )
 
 
-def _curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def _curation_stages(
+    spark: SparkSession, sf_dir: str, near_dup: str = "blocked"
+) -> dict[str, DataFrame]:
     """Spark twin of ``_CURATION_SQL``: one lazy DAG per stage, each the
-    exact composition of the already-oracle-proven building blocks."""
+    exact composition of the already-oracle-proven building blocks.
+
+    ``near_dup`` selects the near-duplicate candidate strategy:
+
+    - ``"blocked"`` (the oracle-checked entry): lang-blocked 5-gram
+      shingle-Jaccard pair join. Deterministic and exactly SQL-replayable,
+      but |block|² within a block — the bench/differential path.
+    - ``"lsh"`` (the 100 TB path): MinHash-LSH banding
+      (``minhash_lsh_duplicates``, xxhash64, 4×8 bands, J ≥ 0.8 on char
+      shingles) — unblocked, candidates come from bucket collisions, no
+      quadratic stage anywhere. Not the driver oracle because LSH recall
+      is probabilistic (≈1-4% of borderline pairs legitimately miss every
+      band; a planted-pair value oracle would be data-dependently red) —
+      pinned instead by tests/test_dedup_similarity.py, which asserts
+      ≥90% planted-catch and funnel monotonicity on the same pipeline."""
     docs = _docs_unique(spark, sf_dir).select("doc_id", "text")
     corpus = (
         docs.unionByName(
@@ -9403,14 +9419,24 @@ def _curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "doc_id", "lang_pred", "quality", TX.redact_pii("text").alias("rtext")
     )
     deduped = DD.exact_dedup(red, cols=["rtext"], id_col="doc_id")
-    pairs = DD.ngram_jaccard_pairs(
-        deduped,
-        text_col="rtext",
-        id_col="doc_id",
-        block_cols=["lang_pred"],
-        threshold=0.9,
-        shingle_n=5,
-    )
+    if near_dup == "lsh":
+        pairs = DD.minhash_lsh_duplicates(
+            deduped.select("doc_id", F.col("rtext").alias("text")),
+            text_col="text",
+            id_col="doc_id",
+            num_hashes=32,
+            bands=4,
+            jaccard_threshold=0.8,
+        )
+    else:
+        pairs = DD.ngram_jaccard_pairs(
+            deduped,
+            text_col="rtext",
+            id_col="doc_id",
+            block_cols=["lang_pred"],
+            threshold=0.9,
+            shingle_n=5,
+        )
     near = deduped.join(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
     )
@@ -9442,8 +9468,13 @@ def llm_corpus_curation_e2e(spark, sf_dir):
     lang, quality score, token count, content fingerprint). One composed
     lazy DAG: the four narrow stages fuse into the scan's codegen stage;
     the only shuffles are the 32-byte content-hash dedup window and the
-    size-filtered blocked pair join — at 100 TB the full text crosses
-    the wire exactly once (dedup window), never quadratically. Planted
+    near-dup candidate stage. THIS entry's near-dup stage is the
+    lang-blocked size-filtered shingle pair join — exactly
+    SQL-replayable, which is what a value oracle needs, but |block|²
+    within a block; the 100 TB deployment swaps it for
+    ``near_dup="lsh"`` (``_curation_stages``) — MinHash-LSH banding,
+    no quadratic stage, same pipeline around it — pinned by pytest
+    because LSH's probabilistic recall is un-oracle-able. Planted
     +1M exact copies vanish at dedup (their synthesized per-id PII
     differs but redaction re-converges the text — why production dedup
     runs after redaction); planted +2M one-token-prefixed near-copies

@@ -622,3 +622,28 @@ def test_shingle_jaccard_discriminates_where_tokenset_saturates(spark, docs):
         f"extras must trace to a real near-dup pair: {extras}"
     )
     assert len(base_extras) <= 2, f"unrelated shingle pairs should be rare: {base_extras}"
+
+
+def test_curation_pipeline_lsh_mode_scale_path(spark):
+    """The 100 TB near-dup variant (near_dup='lsh'): same composed
+    pipeline, MinHash-LSH candidates instead of the blocked pair join.
+    LSH recall is probabilistic, so the pin is ≥90% planted-catch (the
+    oracle entry keeps the exactly-replayable blocked join)."""
+    from alibaba_cppfeaturestore_spark.plans.catalog import _curation_stages
+
+    st = _curation_stages(spark, SF, near_dup="lsh")
+    deduped_ids = {r.doc_id for r in st["deduped"].select("doc_id").collect()}
+    final_ids = {r.doc_id for r in st["final"].select("doc_id").collect()}
+    assert final_ids <= deduped_ids and final_ids
+    # planted prefix near-copies that reached the dedup stage alongside
+    # their original must be mostly caught by the banding
+    planted_present = {
+        d for d in deduped_ids if d >= 2_000_000 and d - 2_000_000 in deduped_ids
+    }
+    caught = planted_present - final_ids
+    assert planted_present, "fixture must exercise the near-dup stage"
+    assert len(caught) >= 0.9 * len(planted_present), (
+        f"LSH caught {len(caught)}/{len(planted_present)} planted near-copies"
+    )
+    # monotone: the lsh stage only removes rows
+    assert len(final_ids) <= len(deduped_ids)
