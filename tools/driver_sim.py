@@ -238,6 +238,33 @@ def perturb_ts_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_order_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with EVERY table's rows re-ordered by a
+    seeded permutation and rewritten in 4 row groups. Values are
+    untouched — any red row is a genuine physical-order sensitivity:
+    ``first()`` / ``collect_list`` order, a non-total window order, or
+    partition-boundary dependence. The driver's generator makes no
+    ordering promise between rounds; neither engine should either.
+    Both engines see identical (re-ordered) bytes."""
+    import os
+    import random
+
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/driver_sim_orderperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        tbl = pq.read_table(src)
+        idx = list(range(tbl.num_rows))
+        random.Random(f"{seed}/{t}").shuffle(idx)
+        shuffled = tbl.take(idx)
+        pq.write_table(
+            shuffled, dst, row_group_size=max(tbl.num_rows // 4, 1)
+        )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -253,6 +280,8 @@ def main() -> int:
                     help="duplicate a seeded ~5%% of documents.doc_id")
     ap.add_argument("--perturb-ts", type=int, default=None, metavar="SEED",
                     help="truncate a seeded ~20%% of events.ts to the hour")
+    ap.add_argument("--perturb-order", type=int, default=None, metavar="SEED",
+                    help="shuffle every table's row order (4 row groups)")
     args = ap.parse_args()
     if args.perturb is not None:
         args.sf = perturb_sf(args.sf, args.perturb)
@@ -266,6 +295,9 @@ def main() -> int:
     if args.perturb_ts is not None:
         args.sf = perturb_ts_sf(args.sf, args.perturb_ts)
         print(f"# ts-perturbed testdata (seed {args.perturb_ts}) -> {args.sf}")
+    if args.perturb_order is not None:
+        args.sf = perturb_order_sf(args.sf, args.perturb_order)
+        print(f"# order-perturbed testdata (seed {args.perturb_order}) -> {args.sf}")
 
     import __spark_entry__ as entry
 
