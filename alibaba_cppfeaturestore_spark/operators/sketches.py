@@ -35,26 +35,26 @@ from pyspark.sql import functions as F
 
 def _mg_summarize(capacity: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batch-merged Misra–Gries (Agarwal et al., "Mergeable
+        # Summaries"): each Arrow batch is reduced to exact counts with
+        # C-speed value_counts, merged into the running summary, then
+        # shrunk back to ``capacity`` by subtracting the (capacity+1)-th
+        # largest count from every counter and dropping non-positives —
+        # the MG merge step, whose errors add to the same
+        # n/(capacity+1) bound as the per-token decrement loop, so the
+        # candidate-superset guarantee the recount relies on is intact.
+        # ~100× less Python than iterating tokens one at a time.
         counters: dict[str, int] = {}
         n_rows = 0
         for pdf in batches:
-            for tok in pdf["token"]:
-                if tok is None:
-                    continue
-                n_rows += 1
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < capacity:
-                    counters[tok] = 1
-                else:
-                    # decrement-all step; drop zeros
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+            vc = pdf["token"].value_counts(dropna=True)
+            n_rows += int(vc.sum())
+            for tok, c in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > capacity:
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[capacity]
+                counters = {k: v - sub for k, v in counters.items() if v > sub}
         # candidates + one partition-total marker row (token NULL), so
         # the global total rides the sketch scan instead of a third pass
         yield pd.DataFrame(
