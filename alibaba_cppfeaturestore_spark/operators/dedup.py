@@ -294,7 +294,17 @@ def _bucket_pair_screen(
     return (
         grouped.select(F.explode(pair_arr).alias("p"))
         .select("p.id_a", "p.id_b", "p.est")
-        .filter(F.col("est") >= jaccard_threshold - est_margin)
+        # id_a < id_b (not just ≤, which the array_sort already gives):
+        # an input carrying duplicate ids — the library operator has no
+        # unique-id precondition; only the catalog entries canonicalize —
+        # puts two rows of the same id in one bucket, and the positional
+        # expansion would emit a (x, x) self-pair with est = 1 that
+        # survives exact verify. The old self-join's a.id < b.id guard,
+        # restored as a free filter inside the same projection stage.
+        .filter(
+            (F.col("est") >= jaccard_threshold - est_margin)
+            & (F.col("id_a") < F.col("id_b"))
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -113,8 +113,17 @@ def _key_is_unique(df: DataFrame, sf_dir: str, table: str, col: str) -> bool:
     except OSError:
         key = None
     if key is None or key not in _KEY_UNIQUE_MEMO:
+        # n = TOTAL row count (count(1)), NOT count(col): both count(col)
+        # and count_distinct(col) ignore NULL keys, so a table with
+        # several NULL-id rows and otherwise-unique ids would probe as
+        # "unique" and skip the canonicalization window — while the
+        # DuckDB oracle's window groups NULLs into one partition and
+        # keeps exactly one. With the total count, n == nd also implies
+        # zero NULL keys (count_distinct < count(1) whenever any key is
+        # NULL or duplicated), so the skip is taken only when the window
+        # is provably the identity.
         n, nd = df.agg(
-            F.count(col).alias("n"), F.count_distinct(col).alias("nd")
+            F.count(F.lit(1)).alias("n"), F.count_distinct(col).alias("nd")
         ).first()
         if key is None:
             return n == nd

@@ -202,3 +202,50 @@ def test_id_canonicalization_cross_engine_under_duplicates(spark, tmp_path):
     assert len(sp_emb) == 3
     assert sp_emb[1][0] == [0.2, 0.9]         # lexicographic vector order
     assert sp_emb[2][1] == 1                  # label tiebreak on vec tie
+
+
+def test_id_canonicalization_null_keys(spark, tmp_path):
+    """Multiple NULL-id rows with otherwise-unique ids: the NDV probe
+    must NOT declare the key unique (count(col)/count_distinct both
+    ignore NULLs — the advisor's degenerate-key regime), so Spark runs
+    the canonicalization window and, like the DuckDB oracle, keeps
+    exactly ONE row for the NULL-id partition."""
+    import duckdb
+
+    from alibaba_cppfeaturestore_spark.plans.catalog import (
+        _DOCS_UNIQUE_SQL,
+        _docs_unique,
+        _key_is_unique,
+    )
+
+    d = str(tmp_path)
+    docs = [
+        (None, "zebra text", "en", "web", 10),
+        (None, "alpha text", "fr", "web", 10),  # second NULL id
+        (2, "body two", "en", "web", 8),
+        (3, "body three", "en", "web", 10),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    df = spark.read.parquet(f"{d}/documents.parquet")
+    assert _key_is_unique(df, d, "documents", "doc_id") is False
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    sp = {
+        r.doc_id: r.text for r in _docs_unique(spark, d).collect()
+    }
+    du = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"WITH {_DOCS_UNIQUE_SQL} SELECT doc_id, text FROM documents_u"
+        ).fetchall()
+    }
+    assert sp == du
+    assert len(sp) == 3                        # ONE surviving NULL-id row
+    assert None in sp

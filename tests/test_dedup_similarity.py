@@ -64,6 +64,19 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     assert len(kept_ids) >= 48
 
 
+def test_minhash_duplicate_ids_emit_no_self_pairs(spark, docs):
+    """minhash_lsh_duplicates has no unique-id precondition (only the
+    catalog entries canonicalize): two rows sharing an id land in the
+    same bucket, and the positional pair expansion must not emit an
+    (x, x) self-pair — it would survive exact verify with J = 1."""
+    base = docs.limit(20)
+    dup_ids = base.unionByName(base)  # every id appears twice, same text
+    pairs = minhash_lsh_duplicates(
+        dup_ids, num_hashes=32, bands=4, jaccard_threshold=0.7
+    ).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
 def test_minhash_no_false_pairs_between_distinct_docs(spark, docs):
     pairs = minhash_lsh_duplicates(
         docs.limit(50), num_hashes=32, bands=4, jaccard_threshold=0.9

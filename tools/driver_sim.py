@@ -110,8 +110,10 @@ def perturb_text_sf(sf: str, seed: int) -> str:
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
         if t != "documents":
-            if not os.path.exists(dst):
-                shutil.copyfile(src, dst)
+            # ALWAYS overwrite: the driver regenerates the source data
+            # between rounds, and an exists-check would silently mix a
+            # stale cached copy with freshly perturbed tables.
+            shutil.copyfile(src, dst)
             continue
         tbl = pq.read_table(src)
         texts = tbl.column("text").combine_chunks().to_pylist()
@@ -176,8 +178,7 @@ def perturb_ids_sf(sf: str, seed: int) -> str:
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
         if t not in id_cols:
-            if not os.path.exists(dst):
-                shutil.copyfile(src, dst)
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
             continue
         tbl = pq.read_table(src)
         ids = tbl.column(id_cols[t]).combine_chunks().to_pylist()
@@ -217,8 +218,7 @@ def perturb_ts_sf(sf: str, seed: int) -> str:
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
         if t != "events":
-            if not os.path.exists(dst):
-                shutil.copyfile(src, dst)
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
             continue
         tbl = pq.read_table(src)
         ts = tbl.column("ts").combine_chunks()
@@ -329,7 +329,11 @@ def main() -> int:
                 "pandas": pd.__version__}
     print(f"# engines: {versions}")
 
-    report: dict[str, dict] = {"__versions__": versions}
+    # versions live OUT-OF-BAND under "meta" — a pseudo-row key mixed in
+    # with query rows would surface as a phantom query to any consumer
+    # that iterates keys as query names (cross-round diffing scripts).
+    report: dict = {"meta": {"versions": versions}, "rows": {}}
+    rows: dict[str, dict] = report["rows"]
     t_all = time.time()
     for name in names:
         row: dict = {}
@@ -367,7 +371,7 @@ def main() -> int:
         except Exception:
             row["err"] = traceback.format_exc()[-1500:]
         row["sec"] = round(time.time() - t0, 2)
-        report[name] = row
+        rows[name] = row
         ok = row.get("hash_match")
         tag = "PASS" if ok else ("NO_ORACLE" if row.get("err") == "no_oracle" else "FAIL")
         print(f"{tag:9s} {name:45s} {row['sec']:7.2f}s", flush=True)
@@ -375,7 +379,6 @@ def main() -> int:
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
 
-    rows = {n: r for n, r in report.items() if n != "__versions__"}
     n_pass = sum(1 for r in rows.values() if r.get("hash_match"))
     n_nor = sum(1 for r in rows.values() if r.get("err") == "no_oracle")
     n_fail = len(rows) - n_pass - n_nor
