@@ -327,27 +327,79 @@ def minhash_band_index(
     Banding shuffles only (id, sig, band, bucket) — never the document
     text: at 100 TB the banded exchange is |corpus|×bands small rows.
 
-    The signature lives in its OWN projection: minhash_bands references
-    it 32× (once per position), and CollapseProject keeps a
-    multi-referenced non-trivial alias in a separate project, so the
-    signature is computed once per row instead of being inlined into
-    every band expression. It then rides along with its band rows
-    (4×~256 B per doc), so candidate pairs already hold both signatures
-    for screening without re-scanning the corpus.
+    The signature is computed as a CODEGEN'D AGGREGATION, not the
+    per-row higher-order fold of :func:`minhash_signature`: explode the
+    distinct shingles, hash each once in a scalar projection, then
+    groupBy(id) with ``num_hashes`` ``min()`` aggregates — one per
+    permutation — exactly the shape the DuckDB oracle spells
+    (``MIN((h0*pa+pb) %% p) ... GROUP BY id, i``). Spark NEVER
+    whole-stage-codegens higher-order functions (aggregate/zip_with/
+    transform are interpreted, with per-element boxing and array
+    allocation): the HOF fold burned ~21 s of executor CPU at sf0.1
+    where this aggregation burns ~2 s for bit-identical signatures.
+    The extra groupBy(id) exchange is |corpus| rows of 32 longs — and
+    map-side partial aggregation collapses the exploded shingles before
+    the shuffle, so the exchange is the same size the old shape paid
+    anyway. Empty/too-short texts (no shingles) keep the
+    ``[p]*num_hashes`` sentinel signature via explode_outer + coalesce;
+    null texts get the same sentinel — either way those rows die at the
+    signature screen or the exact verify (a null/empty text has no
+    shingles, so its verified Jaccard can never reach the threshold),
+    matching the oracle, which never emits them.
     """
     rows_per_band = num_hashes // bands
-    sigs = _spread(df).select(
-        F.col(id_col).alias("id"),
-        minhash_signature(
-            F.col(text_col), num_hashes, shingle_size, portable=portable
-        ).alias("sig"),
+    a, b = _perm_constants(num_hashes)
+    p = _MINHASH_PRIME
+    base = portable_hash60 if portable else F.xxhash64
+
+    h0 = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(
+                F.array_distinct(char_shingles(F.col(text_col), shingle_size))
+            ).alias("__s"),
+        )
+        .select("id", F.pmod(base(F.col("__s")), F.lit(p).cast("long")).alias("__h0"))
     )
-    return sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            minhash_bands(F.col("sig"), bands, rows_per_band, portable=portable)
-        ).alias("bb"),
+    # The wide expression lists below are built as SQL strings (one
+    # F.expr round-trip each) rather than Column-combinator trees: every
+    # F.* call is a py4j socket round-trip (~0.4 ms), and the
+    # combinator form of these 32 aggregates + 4 band buckets costs
+    # ~450 round-trips ≈ 0.3 s of driver time PER PLAN BUILD. The parsed
+    # expressions are node-for-node identical.
+    sig_rows = h0.groupBy("id").agg(
+        *[
+            F.expr(
+                f"coalesce(min(pmod(__h0 * {ai}L + {bi}L, {p}L)), {p}L) AS __m{i}"
+            )
+            for i, (ai, bi) in enumerate(zip(a, b))
+        ]
+    )
+    # Banding straight off the aggregate's flat columns (no element_at
+    # on an intermediate array — column references are free), sig
+    # re-assembled as an array only for the output schema.
+    def _bucket_sql(bb: int) -> str:
+        cols = ", ".join(
+            f"CAST(__m{bb * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)
+        )
+        joined = f"concat_ws(',', {cols})"
+        if portable:
+            return f"CAST(conv(substring(md5({joined}), 1, 15), 16, 10) AS BIGINT)"
+        return f"xxhash64({joined})"
+
+    band_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {bb}, 'bucket', {_bucket_sql(bb)})"
+            for bb in range(bands)
+        )
+        + ")"
+    )
+    sig = F.expr("array(" + ", ".join(f"__m{i}" for i in range(num_hashes)) + ")")
+    return sig_rows.select(
+        "id", sig.alias("sig"), F.explode(band_arr).alias("bb")
     ).select("id", "sig", "bb.band", "bb.bucket")
 
 

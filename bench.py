@@ -37,6 +37,7 @@ def main() -> None:
 
     headline = [name for name, qd in QUERIES.items() if qd.headline]
     timings: dict[str, float] = {}
+    load_pre_warmup = round(os.getloadavg()[0], 2)
 
     # Steady-state methodology: one full UNTIMED pass first (JVM JIT,
     # codegen compilation, parquet footer/page cache, broadcast build),
@@ -46,6 +47,7 @@ def main() -> None:
     for name in headline:
         QUERIES[name].spark(spark, SF_DIR).count()
     spark.catalog.clearCache()
+    load_pre_measure = round(os.getloadavg()[0], 2)
 
     total = 0.0
     for name in headline:
@@ -68,6 +70,17 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Canary normalization: q1_pricing_summary is a plan that has not
+    # changed since round 1 — a fixed scan→filter→agg workload whose
+    # wall-clock moves ONLY with host conditions. Dividing every query by
+    # the canary yields a host-noise-immune series (r05's +7.2% drift was
+    # near-uniform across untouched plans — exactly what a slow host looks
+    # like, but nothing in the artifact could prove it). Raw numbers stay
+    # the headline; normalized numbers + the 1-min load average make the
+    # artifact self-defending: uniform raw drift at stable normalized
+    # values = host; a normalized outlier = that query's code.
+    canary = timings.get("q1_pricing_summary") or min(timings.values())
+    norm = {n: round(t / canary, 2) for n, t in timings.items()}
     print(
         json.dumps(
             {
@@ -81,6 +94,14 @@ def main() -> None:
                 # rounds ≥2 use this steady-state harness. Numbers from
                 # the two bases are NOT comparable.
                 "methodology": "warmup-pass+gc-between+best-of-2",
+                "canary": {"name": "q1_pricing_summary", "sec": canary},
+                "queries_canary_normalized": norm,
+                "value_canary_normalized": round(total / canary, 2),
+                "load_avg_1m": {
+                    "pre_warmup": load_pre_warmup,
+                    "pre_measure": load_pre_measure,
+                    "post": round(os.getloadavg()[0], 2),
+                },
             }
         )
     )
