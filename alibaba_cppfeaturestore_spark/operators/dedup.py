@@ -826,21 +826,52 @@ def ngram_jaccard_pairs_indexed(
     exploded = base.select("id", F.explode_outer("toks").alias("tok")).filter(
         F.col("tok").isNotNull()
     )
-    vocab_w = Window.orderBy(F.col("cnt").asc(), F.col("tok").asc())
-    # rank runs over the AGGREGATED vocab (|vocab| rows), not the corpus;
-    # rarest-first so prefixes carry the most selective tokens
-    ranks = (
-        exploded.groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
-        .select("tok", F.row_number().over(vocab_w).alias("rank"))
+    # PACKED vocab rank (SURVEY §7.3's W2 hazard, closed round 6): a
+    # bare Window.orderBy(cnt, tok) over the vocabulary serializes the
+    # whole vocab through ONE partition — invisible at sf0.1, fatal on a
+    # 100 TB corpus with a billions-row vocabulary. And a naive
+    # partitionBy(cnt) two-phase just moves the hazard: the cnt=1
+    # (hapax) bucket IS most of a web-scale vocab. Instead of a global
+    # row_number the rank is PACKED bits — clipped count class, an
+    # xxhash salt (uniform over hapax tokens, so every window partition
+    # is |vocab|/n_salts), and a within-(class, salt) row_number:
+    # injective by construction, ascending in count class, computed with
+    # ONE balanced window and no stats pass, offsets join, or
+    # single-partition exchange anywhere. Rarest-first survives at
+    # count-class granularity, which is all the selectivity heuristic
+    # can use — within one frequency class every token is equally
+    # selective (counts above the 2^21 clip are all saturated stopwords).
+    # The OUTPUT PAIRS are provably unchanged under any consistent total
+    # order: the prefix-filter guarantee is order-agnostic, and the
+    # verified Jaccard is invariant under any token bijection (tests pin
+    # equality against the unblocked quadratic formulation).
+    # Bit budget: cls ≤ 2^21 shifted 41 ⇒ < 2^62; salt < 2^10 shifted
+    # 30; row_number needs < 2^30 per (cls, salt) group ⇒ headroom for a
+    # ~10^12-token vocabulary at 1024 salts.
+    n_salts = 1024  # fixed, so ranks are deterministic across cluster sizes
+    counts = exploded.groupBy("tok").agg(F.count("*").alias("cnt"))
+    keyed = counts.select(
+        "tok",
+        F.least(F.col("cnt"), F.lit(1 << 21)).cast("long").alias("__cls"),
+        F.pmod(F.xxhash64("tok"), F.lit(n_salts)).cast("long").alias("__salt"),
     )
-    # Dictionary-encode: every token is replaced by its frequency RANK and
-    # all downstream work — postings join key, prefix slice, verify
-    # intersection — runs on array<int> instead of array<string>. Ranks
-    # sort ascending = rarest-first (no struct sort needed), integer
-    # equality beats UTF8 comparison in the hot verify loop, and the
-    # shuffled index bytes shrink by ~the average token length. Jaccard is
-    # invariant under the bijection, so the output is unchanged.
+    in_w = Window.partitionBy("__cls", "__salt").orderBy("tok")
+    ranks = keyed.select(
+        "tok",
+        (
+            F.col("__cls") * F.lit(1 << 41).cast("long")
+            + F.col("__salt") * F.lit(1 << 30).cast("long")
+            + F.row_number().over(in_w)
+        ).alias("rank"),
+    )
+    # Dictionary-encode: every token is replaced by its packed frequency
+    # RANK and all downstream work — postings join key, prefix slice,
+    # verify intersection — runs on array<bigint> instead of
+    # array<string>. Ranks sort ascending = rarest-first (no struct sort
+    # needed), integer equality beats UTF8 comparison in the hot verify
+    # loop, and the shuffled index bytes shrink by ~the average token
+    # length. Jaccard is invariant under the bijection, so the output is
+    # unchanged.
     # The explicit repartition pins the CACHED index at cluster
     # parallelism: the index is small in BYTES (ranks, not strings), so
     # AQE would coalesce the groupBy's shuffle to one partition — and

@@ -98,6 +98,22 @@ def test_global_topn_is_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans["sort_global_topn"]
 
 
+def test_vocab_rank_window_is_partitioned(plans):
+    # The PPJoin index's token-frequency rank must NOT serialize the
+    # vocabulary through a single-partition window (SURVEY §7.3 W2): the
+    # within-bucket rank clusters by (cnt, salt), and the only
+    # SinglePartition exchange allowed feeds the (cnt, salt) GROUP-SIZE
+    # offsets window — statistics rows, not vocabulary rows.
+    p = plans["dedup_ngram_jaccard_indexed"]
+    # distinct plan_ids: the persisted index subtree is referenced by
+    # several consumers, so the one sanctioned exchange prints repeatedly
+    single = set(
+        re.findall(r"Exchange SinglePartition[^\n]*?\[plan_id=(\d+)\]", p)
+    )
+    assert len(single) == 0, p
+    assert re.search(r"hashpartitioning\(__cls#\d+L?, __salt#\d+", p), p
+
+
 def test_asof_join_uses_window_group_limit(plans):
     # top-1-per-group pushdown: Spark plans WindowGroupLimit before the
     # window sort, so per-key state is O(1), not O(history)
