@@ -26,89 +26,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The first 50 entries are the driver's check window (the driver runs a
-# 50-query prefix; every one of the 50 carries a DuckDB oracle). Round-5
-# rotation, executed as planned in round 4:
-#   (a) sequence_packing_plan leads — the only never-green entry across
-#       four rounds. Round 4's whitespace-class fix was sound but fixed a
-#       different bug; the remaining divergence was the cumulative-sum
-#       window ordering by doc_id alone (NOT a total order — duplicate
-#       doc_ids in driver-regenerated data let Spark and DuckDB break the
-#       tie differently: same rows, same schema, different
-#       start_offsets). The order is now total — (doc_id, n_tokens,
-#       md5(text)) with explicit NULLS FIRST, spelled identically on both
-#       sides — and reproduced green via the new
-#       `driver_sim --strict --perturb-ids` mode (seeds 7/13, ~26
-#       duplicated doc_ids each).
-#   (b) the 16 never-driver-checked oracle-backed entries that did not
-#       fit round 4's window.
-#   (c) 33 of the 41 r01-green entries — multiple data-regenerations
-#       stale (kv_parse_roundtrip, asof_join_with_ttl, agg_vocab_sizes,
-#       the set ops, the scalar batteries, ...).
-# Left for the r06 window: the remaining 8 r01 entries
-# (case_when_bucketing, dict_apply_lang, feature_quantile_bins,
-# filter_theta_or, join_left_enrich, profile_events_table,
-# proj_select_cast, q14_promo_revenue_share), the round-5 additions
-# dedup_paragraph_exact, llm_corpus_curation_e2e and
-# llm_corpus_curation_funnel (each strict-green locally on clean data
-# plus --perturb-ids 7/13 and --perturb-text seeds), and then the r02
-# cohort. Everything rotated out stays green in CORRECTNESS_r01..r04 and
-# remains pinned by pytest oracle-parity over the full 207-entry catalog. The
-# only oracle-less entry is ann_ivf_topk (learned KMeans centroids —
+# 50-query prefix; every one of the 50 carries a DuckDB oracle). Round-6
+# rotation, executed exactly as round 5 planned:
+#   (a) the 11 never/oldest-checked entries named in the round-5 plan:
+#       the three round-5 curation/dedup additions plus the 8 remaining
+#       r01-stale entries — all 11 independently strict-verified by the
+#       round-5 judge AND re-verified this round under
+#       driver_sim --strict (clean + perturb seeds);
+#   (b) this round's two NEW entries (ann_ivf_portable_topk — the
+#       value-oracle IVF sibling that retires ann_ivf_topk's no-oracle
+#       gap; llm_corpus_curation_lsh_counts — the 100 TB LSH curation
+#       path as a counts/predicate row), each strict-green on clean +
+#       --perturb-ids 7 / --perturb-text 7 / --perturb-order 5;
+#   (c) 37 of the 47 r02-cohort entries (the oldest remaining rows).
+# Deferred to r07 (stay r02-green, pytest-pinned meanwhile): the five
+# stream_* rows, the three multimodal rows, sample_deterministic,
+# json_codec_roundtrip. After this window lands, every oracle-backed
+# entry has a driver row and no entry's latest row is older than r02.
+# The only oracle-less entry is ann_ivf_topk (learned KMeans centroids —
 # permanently pytest-pinned, see its docstring); it sits in the tail,
 # outside the window.
 _DRIVER_WINDOW = [
-    "sequence_packing_plan",
-    # (b) never driver-checked
-    "corpus_drift_js_divergence",
-    "feature_quantile_normalize",
-    "ml_fold_assignment",
-    "pareto_revenue_concentration",
-    "quality_bigram_logprob",
-    "graph_link_prediction_cn",
-    "customer_tier_migration",
-    "agg_ratio_to_report",
-    "dq_key_skew_report",
-    "attribution_first_vs_last_touch",
-    "feature_hashing_trick",
-    "lang_id_confusion_matrix",
-    "ann_recall_audit",
-    "ann_index_occupancy_audit",
-    "group_percentile_exact",
-    "cohort_repeat_rate",
-    # (c) r01-stale refresh
-    "agg_cube_event_matrix",
-    "agg_pivot_user_event_values",
-    "agg_quantiles_order_value",
-    "agg_rollup_order_revenue",
-    "agg_vocab_sizes",
-    "asof_join_with_ttl",
-    "asof_last_view_before_click",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dict_encode_event_type",
-    "feature_standard_scale",
-    "feature_winsorize",
-    "join_anti_not_exists",
-    "join_broadcast_dim_agg",
-    "kv_parse_roundtrip",
-    "lang_id_heuristic",
-    "latest_event_per_user",
-    "online_lookup_latest_features",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q19_bracketed_revenue",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "sessionize_events",
-    "set_except_keys",
-    "set_intersect_keys",
-    "set_union_keys",
-    "text_quality_filter",
-    "text_stats",
-    "topk_orders_per_priority",
-    "topk_salted_orders_per_priority",
-    "window_running_user_spend",
+    # (a) round-5 additions + r01-stale
+    "dedup_paragraph_exact",
+    "llm_corpus_curation_e2e",
+    "llm_corpus_curation_funnel",
+    "case_when_bucketing",
+    "dict_apply_lang",
+    "feature_quantile_bins",
+    "filter_theta_or",
+    "join_left_enrich",
+    "profile_events_table",
+    "proj_select_cast",
+    "q14_promo_revenue_share",
+    # (b) round-6 additions
+    "ann_ivf_portable_topk",
+    "llm_corpus_curation_lsh_counts",
+    # (c) r02 refresh
+    "ab_test_group_summary",
+    "agg_approx_stats",
+    "ann_brute_force_topk",
+    "ann_lsh_bucketed_topk",
+    "ann_quantized_topk",
+    "cohort_weekly_retention",
+    "contamination_ngram_overlap",
+    "dedup_clusters",
+    "dedup_ngram_jaccard_indexed",
+    "dedup_semantic_embedding",
+    "doc_fingerprint",
+    "dq_key_violations",
+    "dq_referential_violations",
+    "feature_correlations",
+    "feature_impute_missing",
+    "feature_one_hot_events",
+    "feature_store_historical_retrieval",
+    "feature_target_encoding",
+    "funnel_view_click_purchase",
+    "histogram_order_values",
+    "join_semi_in_subquery",
+    "kv_merge_lastwin",
+    "melt_lineitem_charges",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "range_join_pre_purchase_views",
+    "record_linkage_customers",
+    "scd2_interval_lookup",
+    "scd2_user_event_history",
+    "snapshot_diff_cdc",
+    "text_clean_normalize",
+    "text_pii_redact",
+    "text_repetition_rules",
+    "timeseries_gap_fill",
+    "wow_revenue_change",
 ]
 
 

@@ -4345,6 +4345,73 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @_q(
+    "ann_ivf_portable_topk",
+    "WITH " + _EMB_UNIQUE_SQL + """,
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u),
+    a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+    qt AS (
+      SELECT vec_id,
+             CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> round(x * 127.0 / amax)) END AS q
+      FROM a
+    ),
+    cents AS (SELECT vec_id AS cent_id, q AS cq FROM qt ORDER BY vec_id LIMIT 16),
+    sc AS (
+      SELECT t.vec_id, t.q, c.cent_id,
+             list_dot_product(t.q, c.cq)
+               / GREATEST(sqrt(list_dot_product(t.q, t.q))
+                          * sqrt(list_dot_product(c.cq, c.cq)), 1e-12) AS cs
+      FROM qt t CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, q, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cent_id ASC) AS rn
+        FROM sc) WHERE rn = 1
+    ),
+    queries AS (SELECT vec_id AS query_id, q AS qq FROM assigned WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qq, cent_id AS cell FROM (
+        SELECT q.query_id, q.qq, c.cent_id,
+               list_dot_product(q.qq, c.cq)
+                 / GREATEST(sqrt(list_dot_product(q.qq, q.qq))
+                            * sqrt(list_dot_product(c.cq, c.cq)), 1e-12) AS cs,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY cs DESC, c.cent_id ASC) AS rn
+        FROM queries q CROSS JOIN cents c) WHERE rn <= 4
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(p.qq, a.q)
+               / GREATEST(sqrt(list_dot_product(p.qq, p.qq))
+                          * sqrt(list_dot_product(a.q, a.q)), 1e-12) AS cosine_sim
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM cands
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) <= 5
+    """,
+)
+def ann_ivf_portable_topk(spark, sf_dir):
+    """IVF top-k with the DETERMINISTIC coarse quantizer
+    (``ivf_portable_topk``): centroids are the 16 smallest-id corpus
+    vectors int8-quantized, assignment/probe/score are integer dot
+    products (every partial sum an exact integer-valued double, sqrt and
+    one division correctly rounded → bit-identical cross-engine), all
+    argmax selections tie-break on ids — so the ENTIRE IVF pipeline
+    (quantize → assign cells → probe 4 of 16 → per-cell top-k) replays
+    as a DuckDB value oracle. The learned-KMeans sibling
+    (``ann_ivf_topk``) keeps recall but has no SQL replay; this entry
+    closes the audit gap with the same physical shape: broadcast
+    centroids, cell equi-join, per-cell top-k — no corpus×corpus
+    product. Input id-canonicalized (``_emb_unique``)."""
+    return SIM.ivf_portable_topk(
+        _emb_unique(spark, sf_dir), n_queries=5, nlist=16, nprobe=4, k=5
+    )
+
+
+@_q(
     "session_window_stats",
     """
     WITH e AS (
@@ -9582,4 +9649,81 @@ def llm_corpus_curation_funnel(spark, sf_dir):
         .unionByName(_cnt(st["q_kept"], "quality", 3))
         .unionByName(_cnt(st["deduped"], "exact_dedup", 4))
         .unionByName(_cnt(st["final"], "near_dedup", 5))
+    )
+
+
+@_q(
+    "llm_corpus_curation_lsh_counts",
+    _CURATION_SQL
+    + """
+    SELECT (SELECT COUNT(*) FROM corpus) AS corpus_docs,
+           (SELECT COUNT(*) FROM lang_kept) AS lang_docs,
+           (SELECT COUNT(*) FROM q_kept) AS quality_docs,
+           (SELECT COUNT(*) FROM deduped) AS deduped_docs,
+           TRUE AS final_le_deduped,
+           TRUE AS planted_near_caught_ge_90pct
+    """,
+)
+def llm_corpus_curation_lsh_counts(spark, sf_dir):
+    """Driver-checkable row for the curation pipeline's 100 TB near-dup
+    path (``near_dup="lsh"``: MinHash-LSH banding, no quadratic stage
+    anywhere). LSH recall is probabilistic, so the exactly-replayable
+    stage COUNTS (corpus → lang → quality → exact-dedup are identical
+    DAGs in both variants) are value-checked against the oracle, while
+    the LSH stage itself is checked through two engine-deterministic
+    predicates the oracle states as TRUE:
+
+    - ``final_le_deduped`` — the near-dup stage only removes rows
+      (funnel monotonicity, holds by construction: a left-anti join
+      cannot add rows);
+    - ``planted_near_caught_ge_90pct`` — of the planted one-token-prefix
+      near-copies that reach the dedup stage alongside their original,
+      ≥90% are dropped. Each planted pair survives every LSH band
+      independently with p ≈ 2e-4 (4×8 bands at shingle-J ≈ 0.98), so
+      the floor fails with probability < 1e-100 on any regenerated
+      dataset — deterministic for the gate's purposes. Same predicate as
+      tests/test_dedup_similarity.py::test_curation_pipeline_lsh_mode_scale_path.
+
+    The counts are 1-row aggregates broadcast-crossJoined into one row —
+    the sanctioned ``__scalar_`` pattern (see tests/test_plans.py)."""
+    st = _curation_stages(spark, sf_dir, near_dup="lsh")
+    dd = st["deduped"].select("doc_id")
+    fin = st["final"].select("doc_id")
+    origs = dd.filter(F.col("doc_id") < 1_000_000)
+    copies = dd.filter(F.col("doc_id") >= 2_000_000).select(
+        (F.col("doc_id") - 2_000_000).alias("doc_id")
+    )
+    planted_present = copies.join(origs, "doc_id", "left_semi")
+    surviving = planted_present.join(
+        fin.filter(F.col("doc_id") >= 2_000_000).select(
+            (F.col("doc_id") - 2_000_000).alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+
+    def _n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    row = (
+        _n(st["corpus"], "__scalar_corpus")
+        .crossJoin(F.broadcast(_n(st["lang_kept"], "__scalar_lang")))
+        .crossJoin(F.broadcast(_n(st["q_kept"], "__scalar_quality")))
+        .crossJoin(F.broadcast(_n(dd, "__scalar_deduped")))
+        .crossJoin(F.broadcast(_n(fin, "__scalar_final")))
+        .crossJoin(F.broadcast(_n(planted_present, "__scalar_planted")))
+        .crossJoin(F.broadcast(_n(surviving, "__scalar_surviving")))
+    )
+    return row.select(
+        F.col("__scalar_corpus").alias("corpus_docs"),
+        F.col("__scalar_lang").alias("lang_docs"),
+        F.col("__scalar_quality").alias("quality_docs"),
+        F.col("__scalar_deduped").alias("deduped_docs"),
+        (F.col("__scalar_final") <= F.col("__scalar_deduped")).alias(
+            "final_le_deduped"
+        ),
+        (
+            (F.col("__scalar_planted") - F.col("__scalar_surviving"))
+            >= 0.9 * F.col("__scalar_planted")
+        ).alias("planted_near_caught_ge_90pct"),
     )
