@@ -96,17 +96,20 @@ def minhash_signature(
     shingle_size: int = 5,
     portable: bool = False,
 ) -> Column:
-    """MinHash signature: array of ``num_hashes`` min-over-shingles hashes.
+    """MinHash signature as a per-row Column: array of ``num_hashes``
+    min-over-shingles hashes (each shingle string-hashed exactly once —
+    xxhash64, or :func:`portable_hash60` under ``portable=True`` for
+    DuckDB replay — then the permutations fold inside one ``aggregate``).
 
-    SINGLE-PASS design: each shingle is string-hashed exactly once
-    (xxhash64 → 31-bit; ``portable=True`` swaps in :func:`portable_hash60`
-    so the whole signature replays in DuckDB SQL), then the ``num_hashes``
-    permutations are cheap multiply-add-mod folds inside one ``aggregate``
-    — the shingle array is built and hashed once per row, not once per
-    hash function. (The naive
-    ``array(*[array_min(transform(shingles, hash_i))])`` form duplicates
-    the shingling+hashing subtree num_hashes times, overflows codegen, and
-    falls back to interpreted evaluation — ~100× slower.)"""
+    USE :func:`minhash_band_index` FOR CORPUS-SCALE WORK. Higher-order
+    functions are never whole-stage-codegen'd: this fold evaluates
+    interpreted, with boxed arithmetic and two array allocations per
+    shingle — measured ~10× the CPU of the aggregation-shaped signature
+    in ``minhash_band_index`` (explode shingles → scalar hash →
+    ``num_hashes`` codegen'd ``min()`` aggregates), which produces
+    bit-identical values. This Column form remains for single-row /
+    streaming-callback contexts where a groupBy is unavailable and the
+    per-row element count is small."""
     a, b = _perm_constants(num_hashes)
     p = F.lit(_MINHASH_PRIME).cast("long")
     base = portable_hash60 if portable else F.xxhash64
