@@ -4345,73 +4345,6 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @_q(
-    "ann_ivf_portable_topk",
-    "WITH " + _EMB_UNIQUE_SQL + """,
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u),
-    a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
-    qt AS (
-      SELECT vec_id,
-             CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
-                  ELSE list_transform(v, x -> round(x * 127.0 / amax)) END AS q
-      FROM a
-    ),
-    cents AS (SELECT vec_id AS cent_id, q AS cq FROM qt ORDER BY vec_id LIMIT 16),
-    sc AS (
-      SELECT t.vec_id, t.q, c.cent_id,
-             list_dot_product(t.q, c.cq)
-               / GREATEST(sqrt(list_dot_product(t.q, t.q))
-                          * sqrt(list_dot_product(c.cq, c.cq)), 1e-12) AS cs
-      FROM qt t CROSS JOIN cents c
-    ),
-    assigned AS (
-      SELECT vec_id, q, cent_id AS cell FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY cs DESC, cent_id ASC) AS rn
-        FROM sc) WHERE rn = 1
-    ),
-    queries AS (SELECT vec_id AS query_id, q AS qq FROM assigned WHERE vec_id < 5),
-    probes AS (
-      SELECT query_id, qq, cent_id AS cell FROM (
-        SELECT q.query_id, q.qq, c.cent_id,
-               list_dot_product(q.qq, c.cq)
-                 / GREATEST(sqrt(list_dot_product(q.qq, q.qq))
-                            * sqrt(list_dot_product(c.cq, c.cq)), 1e-12) AS cs,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                  ORDER BY cs DESC, c.cent_id ASC) AS rn
-        FROM queries q CROSS JOIN cents c) WHERE rn <= 4
-    ),
-    cands AS (
-      SELECT p.query_id, a.vec_id AS neighbor_id,
-             list_dot_product(p.qq, a.q)
-               / GREATEST(sqrt(list_dot_product(p.qq, p.qq))
-                          * sqrt(list_dot_product(a.q, a.q)), 1e-12) AS cosine_sim
-      FROM probes p JOIN assigned a ON a.cell = p.cell
-      WHERE a.vec_id != p.query_id
-    )
-    SELECT query_id, neighbor_id, cosine_sim FROM cands
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cosine_sim DESC, neighbor_id ASC) <= 5
-    """,
-)
-def ann_ivf_portable_topk(spark, sf_dir):
-    """IVF top-k with the DETERMINISTIC coarse quantizer
-    (``ivf_portable_topk``): centroids are the 16 smallest-id corpus
-    vectors int8-quantized, assignment/probe/score are integer dot
-    products (every partial sum an exact integer-valued double, sqrt and
-    one division correctly rounded → bit-identical cross-engine), all
-    argmax selections tie-break on ids — so the ENTIRE IVF pipeline
-    (quantize → assign cells → probe 4 of 16 → per-cell top-k) replays
-    as a DuckDB value oracle. The learned-KMeans sibling
-    (``ann_ivf_topk``) keeps recall but has no SQL replay; this entry
-    closes the audit gap with the same physical shape: broadcast
-    centroids, cell equi-join, per-cell top-k — no corpus×corpus
-    product. Input id-canonicalized (``_emb_unique``)."""
-    return SIM.ivf_portable_topk(
-        _emb_unique(spark, sf_dir), n_queries=5, nlist=16, nprobe=4, k=5
-    )
-
-
-@_q(
     "session_window_stats",
     """
     WITH e AS (
