@@ -620,12 +620,13 @@ def simhash(text: Column | str, hash_bits: int = 64, portable: bool = False) -> 
     should then pass ``hash_bits=60`` (the portable hash has 60 random
     bits; bits 60-63 of it are always zero and would vote uniformly).
 
-    SINGLE-PASS design: tokens are string-hashed exactly once (the hash is
-    bound to a ``transform`` lambda variable), the 64 per-bit votes fold in
-    one ``aggregate``, and the final bigint is assembled by OR-folding
-    vote-masked powers of two — each sub-result appears once in the
-    expression tree, keeping the generated code small enough for
-    whole-stage codegen."""
+    USE :func:`simhash_duplicates`'s aggregation-shaped signature for
+    corpus-scale work: this per-row fold is a higher-order function, and
+    HOFs are never whole-stage-codegen'd — the lambda evaluates
+    interpreted with two ``hash_bits``-wide array allocations per token
+    (see ``minhash_band_index`` for the measured 10× CPU gap of the same
+    pattern). The Column form remains for single-row / streaming-callback
+    contexts where a groupBy is unavailable."""
     base = portable_hash60 if portable else F.xxhash64
     hashed = F.transform(tokens(text), lambda t: base(t))
     init = F.array_repeat(F.lit(0), hash_bits)
@@ -677,16 +678,47 @@ def simhash_duplicates(
     ``portable=True`` uses 60-bit md5-derived signatures (chunks of
     16/16/16/12 effective bits — the pigeonhole argument is unchanged:
     4 chunks still partition every signature bit, so hamming ≤ 3 implies
-    a shared chunk) and replays fully in DuckDB SQL."""
-    df = _spread(df)
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        simhash(
-            F.col(text_col),
-            hash_bits=60 if portable else 64,
-            portable=portable,
-        ).alias("sig"),
+    a shared chunk) and replays fully in DuckDB SQL.
+
+    The signature is computed as a CODEGEN'D AGGREGATION (explode
+    tokens → one hash per row → ``hash_bits`` signed-vote ``sum()``
+    aggregates → one bit-assembly projection), not the per-row
+    :func:`simhash` fold — the same interpreted-HOF rewrite as
+    ``minhash_band_index``: the fold allocates two ``hash_bits``-wide
+    arrays per token and evaluates ~3×``hash_bits`` boxed ops outside
+    codegen. Identical signatures (the vote math is expression-for-
+    expression the same); null-text rows are filtered up front — under
+    the fold they got a null signature, and null chunk values never
+    equi-join, so they produced no pairs either way."""
+    hash_bits = 60 if portable else 64
+    base = portable_hash60 if portable else F.xxhash64
+    toks = (
+        _spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("__t"),
+        )
+        .select("id", base(F.col("__t")).alias("__h"))
     )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN (shiftright(__h, {p}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS __v{p}"
+            )
+            for p in range(hash_bits)
+        ]
+    )
+    # powers are disjoint bits, so bitwise OR assembles the signature;
+    # the sign bit's literal must dodge the -2^63 parse overflow
+    terms = " | ".join(
+        f"(CASE WHEN __v{p} > 0 THEN "
+        + (f"{1 << p}L" if p < 63 else "(-9223372036854775807L - 1L)")
+        + " ELSE 0L END)"
+        for p in range(hash_bits)
+    )
+    sigs = votes.select("id", F.expr(f"CAST({terms} AS BIGINT)").alias("sig"))
     from pyspark import StorageLevel
 
     chunks = sigs.select(
