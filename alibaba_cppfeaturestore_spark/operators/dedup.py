@@ -1045,20 +1045,32 @@ def winnow_containment_pairs(
     # expressions — a postings SELF-JOIN would shuffle the 5M-row index
     # twice more and re-partition it. The cap bounds the worst per-row
     # expansion at C(max_postings, 2) structs.
+    #
+    # The parallelism pin sits BEFORE the groupBy, as the groupBy's own
+    # exchange: collect_list partials don't shrink data, so an explicit
+    # hash-repartition on `h` costs the same shuffle bytes the groupBy
+    # would, the aggregation reuses the partitioning (no second
+    # exchange), and — the point — the reduce side keeps 32-way
+    # parallelism instead of AQE's byte-based coalesce. The earlier
+    # shape (groupBy, then repartition the lists) let AQE coalesce the
+    # agg to 5 partitions, and those 5 tasks then re-serialized the
+    # whole 119 MB posting-list table into the pin exchange — 3.4 s of
+    # the query's 6.7 s at sf0.1; this shape runs agg + expansion +
+    # overlap-count partials in ONE 32-wide stage (measured 5.1 → 3.9 s
+    # end-to-end, identical output; the remaining floor is fingerprint
+    # hashing plus the inherent 8M-pair overlap-count exchange, both
+    # already 32-wide). Cost-per-row dwarfs row width here (each list
+    # fans out C(|ps|,2) structs), which is exactly when byte-based
+    # coalescing picks wrong.
+    posted = posted.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "h"
+    )
     lists = posted.groupBy("h").agg(F.collect_list(F.struct("id", "n")).alias("ps"))
     # singleton posting lists generate no pairs — drop them before the
     # combo expansion (~30% of hashes on a typical corpus)
     lists = lists.filter(F.size("ps") >= 2)
     if max_postings is not None:
         lists = lists.filter(F.size("ps") <= max_postings)
-    # AQE coalesces the posting-list shuffle by BYTES, but each list row
-    # fans out C(|ps|,2) pair structs — cost-per-row dwarfs row width, and
-    # a coalesced handful of partitions serializes the expansion (measured
-    # 5 tasks doing 8.3M-pair expansion at sf0.1). Pin the expansion at
-    # cluster parallelism; `h` keeps sibling pairs of one hash together.
-    lists = lists.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "h"
-    )
 
     combos = _let(
         F.array_sort("ps"),  # canonical id order → id_a < id_b by slicing
