@@ -824,6 +824,8 @@ def ngram_jaccard_pairs_indexed(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    shingle_n: int | None = None,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """EXACT token-set Jaccard pairs ≥ threshold with NO blocking column
     and no quadratic pair space — the prefix-filtering set-similarity
@@ -854,13 +856,31 @@ def ngram_jaccard_pairs_indexed(
     """
     from pyspark import StorageLevel
 
+    from ..functions.text import token_shingles
+
+    # ``shingle_n``: compare distinct word-SHINGLE sets instead of token
+    # sets (order-sensitive — discriminates where token-set Jaccard
+    # saturates; see ngram_jaccard_pairs). ``block_cols``: candidate
+    # pairs must also agree on these columns — the PPJoin pruning is
+    # per-pair, so adding block equality to the candidate join yields
+    # exactly the blocked-quadratic output (a same-block qualifying pair
+    # still shares a prefix element and passes the size filter; NULL
+    # blocks pair with nobody under equality, same as the join form).
+    elems = (
+        token_shingles(F.col(text_col), shingle_n)
+        if shingle_n
+        else tokens(F.col(text_col))
+    )
+    bcols = [F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols or [])]
+    bnames = [f"__b{i}" for i in range(len(block_cols or []))]
     base = _spread(df).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+        F.array_distinct(elems).alias("toks"),
+        *bcols,
     )
-    exploded = base.select("id", F.explode_outer("toks").alias("tok")).filter(
-        F.col("tok").isNotNull()
-    )
+    exploded = base.select(
+        "id", *bnames, F.explode_outer("toks").alias("tok")
+    ).filter(F.col("tok").isNotNull())
     # PACKED vocab rank (SURVEY §7.3's W2 hazard, closed round 6): a
     # bare Window.orderBy(cnt, tok) over the vocabulary serializes the
     # whole vocab through ONE partition — invisible at sf0.1, fatal on a
@@ -916,7 +936,10 @@ def ngram_jaccard_pairs_indexed(
     sorted_docs = (
         exploded.join(ranks, "tok")
         .groupBy("id")
-        .agg(F.array_sort(F.collect_list("rank")).alias("toks"))
+        .agg(
+            F.array_sort(F.collect_list("rank")).alias("toks"),
+            *[F.first(bn).alias(bn) for bn in bnames],
+        )
         .withColumn("sz", F.size("toks"))
         .repartition(parallelism, "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -926,6 +949,7 @@ def ngram_jaccard_pairs_indexed(
         sorted_docs.select(
             "id",
             "sz",
+            *bnames,
             F.explode_outer(F.slice("toks", 1, prefix_len)).alias("tok"),
         )
         .filter(F.col("tok").isNotNull())
@@ -933,16 +957,18 @@ def ngram_jaccard_pairs_indexed(
     )
 
     a, b = postings.alias("a"), postings.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (
-                F.least(F.col("a.sz"), F.col("b.sz"))
-                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * F.lit(threshold)
-            ),
+    cand_cond = (
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.greatest(F.col("a.sz"), F.col("b.sz")) * F.lit(threshold)
         )
+    )
+    for bn in bnames:
+        cand_cond = cand_cond & (F.col(f"a.{bn}") == F.col(f"b.{bn}"))
+    cand = (
+        a.join(b, cand_cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         # The candidate rows are two longs — tiny bytes-per-row — so AQE

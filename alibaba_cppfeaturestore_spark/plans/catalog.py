@@ -9490,13 +9490,21 @@ def _curation_stages(
             jaccard_threshold=0.8,
         )
     else:
-        pairs = DD.ngram_jaccard_pairs(
+        # Round 6: the "blocked" oracle path now runs through the PPJoin
+        # prefix index (shingle_n + block_cols) instead of the |block|²
+        # pair join — output-identical per-pair (the prefix-filter
+        # guarantee is independent of blocking; block equality in the
+        # candidate join reproduces the join-form semantics exactly, so
+        # the quadratic SQL oracle is unchanged) and measured 22.8 s →
+        # 6.6 s at sf0.1 for the e2e entry. Even the value-oracle path
+        # is subquadratic now; LSH remains the unblocked 100 TB variant.
+        pairs = DD.ngram_jaccard_pairs_indexed(
             deduped,
             text_col="rtext",
             id_col="doc_id",
-            block_cols=["lang_pred"],
             threshold=0.9,
             shingle_n=5,
+            block_cols=["lang_pred"],
         )
     near = deduped.join(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
