@@ -304,6 +304,47 @@ def test_prefix_indexed_jaccard_equals_quadratic(spark, docs):
         assert len(idx) >= 30  # the planted mutants are found
 
 
+def test_prefix_indexed_jaccard_blocked_shingles_equals_quadratic(spark, docs):
+    """Round-6 parameters: the indexed join with shingle_n (word-shingle
+    sets) and block_cols (pairs must agree on the block) must reproduce
+    the blocked quadratic join exactly — including the NULL-block rows,
+    which pair with nobody under equality on both paths. This is the
+    configuration the curation pipeline's oracle near-dup stage runs."""
+    from alibaba_cppfeaturestore_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_indexed,
+    )
+
+    base = docs.limit(60).withColumn(
+        "blk",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            (F.col("doc_id") % 2).cast("string")
+        ),
+    )
+    mutants = base.limit(25).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("zz9 "), F.col("text")).alias("text"),
+        "blk",
+    )
+    corpus = base.unionByName(mutants)
+    quad = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            corpus, text_col="text", id_col="doc_id",
+            block_cols=["blk"], threshold=0.8, shingle_n=5,
+        ).collect()
+    }
+    idx = {
+        tuple(r)
+        for r in ngram_jaccard_pairs_indexed(
+            corpus, text_col="text", id_col="doc_id",
+            threshold=0.8, shingle_n=5, block_cols=["blk"],
+        ).collect()
+    }
+    assert idx == quad, f"{idx ^ quad}"
+    assert len(idx) >= 10  # planted same-block prefix copies are found
+
+
 def test_int8_quantization_roundtrip_and_cosine(spark):
     from alibaba_cppfeaturestore_spark.functions.vectors import (
         cosine_int8,
