@@ -1084,16 +1084,24 @@ def dict_encode_event_type(spark, sf_dir):
     WITH counts AS (
       SELECT lang AS value, COUNT(*) AS cnt FROM documents GROUP BY lang
     ), dict AS (
-      SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS INTEGER) AS index
+      SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC NULLS FIRST) - 1 AS INTEGER) AS index
       FROM counts
     )
     SELECT doc_id, index AS lang_index
-    FROM documents JOIN dict ON lang = value
+    FROM documents LEFT JOIN dict ON lang = value
     """,
 )
 def dict_apply_lang(spark, sf_dir):
     """A5 apply-side: encode a column through its fitted dictionary via
-    broadcast join (the batch↔stream shared 'categorify' transform)."""
+    broadcast join (the batch↔stream shared 'categorify' transform).
+
+    NULL discipline (surfaced by ``driver_sim --perturb-nulls``): the
+    encode join is LEFT — a NULL-valued row keeps a NULL index (it can
+    never equi-join the dictionary; both engines agree NULL = NULL is
+    not a match) — and the dictionary window spells ``ASC NULLS FIRST``
+    because Spark's ``asc()`` is nulls-first while DuckDB's bare ``ASC``
+    is nulls-last, which would shift every index after a count tie
+    against the NULL group."""
     docs = _t(spark, sf_dir, "documents")
     d = fit_dictionary(docs, "lang")
     return (
@@ -1612,9 +1620,9 @@ def text_pii_redact(spark, sf_dir):
       FROM t
     )
     SELECT doc_id, word_count, top_token_ratio, distinct_token_ratio,
-           (word_count BETWEEN 20 AND 500
-            AND top_token_ratio <= 0.12
-            AND distinct_token_ratio >= 0.45) AS keep
+           COALESCE(word_count BETWEEN 20 AND 500
+                    AND top_token_ratio <= 0.12
+                    AND distinct_token_ratio >= 0.45, FALSE) AS keep
     FROM m
     """,
 )
@@ -1624,7 +1632,13 @@ def text_repetition_rules(spark, sf_dir):
     keep verdict. All per-row higher-order functions (no shuffle) — the
     100 TB path is a pure scan-stage filter. Complements
     ``text_quality_filter`` (length/punctuation) with the repetition
-    signals that catch boilerplate and keyword-stuffed spam."""
+    signals that catch boilerplate and keyword-stuffed spam.
+
+    keep is never NULL: a NULL text propagates NULL through every metric
+    and the conjunction, and a nullable boolean crosses the engines'
+    result surfaces differently (None vs NaN) — the verdict for an
+    unscorable document is explicitly "don't keep" (COALESCE FALSE on
+    both sides; found by ``driver_sim --perturb-nulls``)."""
     docs = _t(spark, sf_dir, "documents")
     wc = TX.token_count("text")
     ttr = F.round(TX.top_token_ratio("text"), 6)
@@ -1634,8 +1648,8 @@ def text_repetition_rules(spark, sf_dir):
         wc.alias("word_count"),
         ttr.alias("top_token_ratio"),
         dtr.alias("distinct_token_ratio"),
-        (
-            wc.between(20, 500) & (ttr <= 0.12) & (dtr >= 0.45)
+        F.coalesce(
+            wc.between(20, 500) & (ttr <= 0.12) & (dtr >= 0.45), F.lit(False)
         ).alias("keep"),
     )
 
@@ -4228,8 +4242,12 @@ def multimodal_frame_sample(spark, sf_dir):
     "multimodal_embed_topk",
     """
     WITH d AS (
+      -- text IS NOT NULL: only decodable payloads are embedded/queried
+      -- (a NULL payload has no feature vector; without the guard DuckDB's
+      -- list_inner_product raises on NULL-bearing lists while Spark
+      -- ranks null cosines last — driver_sim --perturb-nulls find)
       SELECT doc_id AS media_id, sha256(sha256(text)) AS h
-      FROM documents WHERE doc_id < 200
+      FROM documents WHERE doc_id < 200 AND text IS NOT NULL
     ),
     e AS (
       SELECT media_id,
@@ -4264,7 +4282,10 @@ def multimodal_embed_topk(spark, sf_dir):
     tolerance are additionally pinned in tests/test_multimodal.py."""
     from ..operators.multimodal import attach_binary_payload, extract_features
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # only decodable payloads are embedded/queried — see oracle comment
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & F.col("text").isNotNull()
+    )
     media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
     corpus = extract_features(media, dim=32).withColumnRenamed("media_id", "vec_id")
     queries = corpus.filter(F.col("vec_id") < 5).select(
@@ -8206,8 +8227,11 @@ def anomaly_seasonal_residuals(spark, sf_dir):
       SELECT UNNEST(regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+')) AS tok FROM documents
     ),
     ranked AS (
+      -- median over SCORABLE docs only: a NULL n_toks (null text) would
+      -- rank nulls-first in Spark but nulls-last here, shifting the
+      -- middle selection (driver_sim --perturb-nulls find)
       SELECT n_toks, ROW_NUMBER() OVER (ORDER BY n_toks, doc_id) AS rn,
-             COUNT(*) OVER () AS n FROM d
+             COUNT(*) OVER () AS n FROM d WHERE n_toks IS NOT NULL
     ),
     med AS (
       SELECT (MAX(CASE WHEN rn = (n + 1) // 2 THEN n_toks END)
@@ -8215,8 +8239,10 @@ def anomaly_seasonal_residuals(spark, sf_dir):
       FROM ranked
     ),
     top_lang AS (
+      -- NULLS FIRST: Spark's asc() tie-break is nulls-first; a NULL-lang
+      -- group tying at the top must resolve identically on both engines
       SELECT lang FROM d GROUP BY lang
-      ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+      ORDER BY COUNT(*) DESC, lang ASC NULLS FIRST LIMIT 1
     )
     SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs,
            CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS n_tokens_total,
@@ -8246,7 +8272,8 @@ def corpus_data_card(spark, sf_dir):
     )
     toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
     w = Window.orderBy("n_toks", "doc_id")
-    ranked = d.select(
+    # median over scorable (non-null-text) docs only — see oracle comment
+    ranked = d.filter(F.col("n_toks").isNotNull()).select(
         "n_toks",
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),

@@ -238,6 +238,70 @@ def perturb_ts_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_nulls_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with a seeded ~5% of nullable CUSTOM-table
+    values overwritten by NULL: documents.text / documents.lang /
+    documents.source and embeddings.label. The driver regenerates data
+    each round with no null-freeness promise on the custom tables, and
+    NULL is the classic cross-engine divergence carrier: Java-regex vs
+    RE2 never see it the same way COUNT/count_distinct/window ORDER BY
+    do — the round-6 advisor found exactly this class in the
+    NDV-uniqueness probe (count(col) ignores NULL keys). TPC-H tables
+    stay untouched (their generators guarantee non-null columns).
+    Both engines see identical bytes: any red row is a genuine
+    null-semantics divergence."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    null_cols = {
+        "documents": ["text", "lang", "source"],
+        "embeddings": ["label"],
+    }
+    out = f"/tmp/driver_sim_nullperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t not in null_cols:
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        tbl = pq.read_table(src)
+        id_col = "doc_id" if t == "documents" else "vec_id"
+        ids = tbl.column(id_col).combine_chunks().to_pylist()
+        arrays = []
+        for i, f in enumerate(tbl.schema):
+            if f.name in null_cols[t]:
+                vals = tbl.column(i).combine_chunks().to_pylist()
+                vals = [
+                    None
+                    if zlib.crc32(f"{seed}/{t}/{f.name}/{rid}".encode()) % 20 == 0
+                    else v
+                    for rid, v in zip(ids, vals)
+                ]
+                arrays.append(pa.array(vals, type=f.type))
+            elif f.name == "n_chars" and "text" in null_cols[t]:
+                # keep the generator's derived-column invariant
+                texts = tbl.column("text").combine_chunks().to_pylist()
+                texts = [
+                    None
+                    if zlib.crc32(f"{seed}/{t}/text/{rid}".encode()) % 20 == 0
+                    else v
+                    for rid, v in zip(ids, texts)
+                ]
+                arrays.append(
+                    pa.array(
+                        [None if v is None else len(v) for v in texts], type=f.type
+                    )
+                )
+            else:
+                arrays.append(tbl.column(i))
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
 def perturb_order_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with EVERY table's rows re-ordered by a
     seeded permutation and rewritten in 4 row groups. Values are
@@ -280,6 +344,8 @@ def main() -> int:
                     help="duplicate a seeded ~5%% of documents.doc_id")
     ap.add_argument("--perturb-ts", type=int, default=None, metavar="SEED",
                     help="truncate a seeded ~20%% of events.ts to the hour")
+    ap.add_argument("--perturb-nulls", type=int, default=None, metavar="SEED",
+                    help="NULL a seeded ~5%% of documents.text/lang/source + embeddings.label")
     ap.add_argument("--perturb-order", type=int, default=None, metavar="SEED",
                     help="shuffle every table's row order (4 row groups)")
     args = ap.parse_args()
@@ -295,6 +361,9 @@ def main() -> int:
     if args.perturb_ts is not None:
         args.sf = perturb_ts_sf(args.sf, args.perturb_ts)
         print(f"# ts-perturbed testdata (seed {args.perturb_ts}) -> {args.sf}")
+    if args.perturb_nulls is not None:
+        args.sf = perturb_nulls_sf(args.sf, args.perturb_nulls)
+        print(f"# null-perturbed testdata (seed {args.perturb_nulls}) -> {args.sf}")
     if args.perturb_order is not None:
         args.sf = perturb_order_sf(args.sf, args.perturb_order)
         print(f"# order-perturbed testdata (seed {args.perturb_order}) -> {args.sf}")
