@@ -126,6 +126,15 @@ def mad_outliers(
 
     Returns one row per group: ``group_cols…, n, median, mad,
     n_outliers``.
+
+    NULL observations are ignored, exactly as every SQL aggregate
+    ignores them — a robust statistic over unobserved values is
+    undefined, and the alternative (letting NULLs ride the rank
+    windows) silently shifts the middle selection by however many
+    NULLs the engine's null ordering happens to sort before it
+    (Spark windows are nulls-first, most SQL engines nulls-last —
+    found by ``driver_sim --perturb-nulls``). ``n`` counts observed
+    rows; a group that is entirely NULL vanishes from the output.
     """
     from pyspark import StorageLevel
 
@@ -135,8 +144,10 @@ def mad_outliers(
     # SCALING.md scan-economy audit), re-scanning the raw input up to 3×.
     # Persisting the two narrow projections bounds the operator to ONE
     # raw scan; exact MAD is inherently multi-pass beyond that.
-    dec = df.select(*group_cols, F.col(value_col).cast("decimal(20,7)").alias("_v")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    dec = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).cast("decimal(20,7)").alias("_v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     med = _exact_median(dec, group_cols, "_v", "_med", "decimal(24,8)", "decimal(22,7)")
     dev = (

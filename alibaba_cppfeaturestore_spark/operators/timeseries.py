@@ -242,6 +242,15 @@ def grouped_ewma(
     largest single key's history, identical to any stateful per-key op.
 
     Output columns: key, *order_cols, value, ``out_col`` (double).
+
+    NULL observations are SKIPPED AND DROPPED: the recurrence is
+    defined over the observed series only — an unobserved tick updates
+    no state and emits no row. The two engines' native behaviors
+    diverge here (pandas ``ewm`` carries the last state through NaN
+    rows; a SQL recurrence poisons every subsequent step with NULL),
+    so the operator pins one explicit semantic instead of inheriting
+    either accident (``driver_sim --perturb-nulls`` find). Callers who
+    want carry-forward should forward-fill before calling.
     """
     import pandas as pd
 
@@ -260,6 +269,7 @@ def grouped_ewma(
 
     return (
         df.select(key_col, *order_cols, value_col)
+        .filter(F.col(value_col).isNotNull())
         .groupBy(key_col)
         .applyInPandas(kernel, schema)
     )

@@ -2323,7 +2323,14 @@ def json_codec_roundtrip(spark, sf_dir):
     return parsed.select(
         "event_id",
         "k",
-        F.to_json(F.struct("event_id", "k")).alias("encoded"),
+        # ignoreNullFields=false: a null field serializes as "k":null —
+        # Spark's default silently DROPS null fields, which both breaks
+        # schema-stable downstream consumers and diverges from every
+        # standard JSON writer (DuckDB included) the moment a null rides
+        # the struct (driver_sim --perturb-nulls find)
+        F.to_json(
+            F.struct("event_id", "k"), {"ignoreNullFields": "false"}
+        ).alias("encoded"),
     )
 
 
@@ -3247,14 +3254,21 @@ def record_linkage_customers(spark, sf_dir):
     """
     WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events WHERE event_id % 7 <> 0)
     SELECT event_id,
-           ROUND(CASE WHEN event_id % 7 = 0 THEN m.med ELSE value END, 6) AS value
+           -- the imputer fills EVERY null, planted or natural (that is
+           -- what an imputer is for) — imputing only the planted rows
+           -- leaves organically-missing values NULL and diverges the
+           -- moment the input carries real nulls (driver_sim
+           -- --perturb-nulls find); quantile_cont already ignores NULLs,
+           -- so the fit side needs no guard
+           ROUND(CASE WHEN event_id % 7 = 0 OR value IS NULL
+                      THEN m.med ELSE value END, 6) AS value
     FROM events, m
     """,
 )
 def feature_impute_missing(spark, sf_dir):
-    """Median imputation: nulls planted on every 7th event, filled with
-    the exact median of the observed values (one-agg fit, projection
-    apply)."""
+    """Median imputation: nulls planted on every 7th event (on top of any
+    organically-missing values), ALL nulls filled with the exact median
+    of the observed values (one-agg fit, projection apply)."""
     from ..operators.scaling import apply_imputer, fit_imputer
 
     ev = _t(spark, sf_dir, "events").select(
@@ -5288,9 +5302,15 @@ def embedding_random_projection(spark, sf_dir):
     "ewma_user_value",
     """
     WITH RECURSIVE e AS (
+      -- observed ticks only: the EWMA recurrence is defined over the
+      -- observed series — an unobserved (NULL) tick updates nothing and
+      -- is not emitted (unguarded, NULL poisons the recurrence and
+      -- cascades NULL through the rest of the user's history; the
+      -- pandas kernel instead carries the last state forward — two
+      -- defensible semantics, so the operator pins ONE: skip-and-drop)
       SELECT user_id, event_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     r AS (
       SELECT user_id, event_id, i, value, value AS ewma FROM e WHERE i = 0
@@ -5530,7 +5550,11 @@ def regression_daily_trend(spark, sf_dir):
     "anomaly_mad_outliers",
     """
     WITH dec AS (
-      SELECT event_type, CAST(value AS DECIMAL(20,7)) AS v FROM events
+      -- observed values only: mad_outliers ignores NULLs like every SQL
+      -- aggregate (unguarded, NULLs shift the rank-window middle
+      -- selection by the engines' opposite null orders)
+      SELECT event_type, CAST(value AS DECIMAL(20,7)) AS v
+      FROM events WHERE value IS NOT NULL
     ),
     ranked AS (
       SELECT event_type, v,
@@ -5901,7 +5925,13 @@ def join_full_outer_reconcile(spark, sf_dir):
     "grouped_mode_bucket",
     """
     WITH b AS (
-      SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bucket FROM events
+      -- observed values only: the mode of a group is the most frequent
+      -- OBSERVED bucket — NULL is not a value, same convention as SQL
+      -- mode(); unguarded, a large-enough NULL cohort "wins" the
+      -- argmax here while pandas value_counts drops NaN on the Spark
+      -- side (driver_sim --perturb-nulls find)
+      SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bucket
+      FROM events WHERE value IS NOT NULL
     ),
     c AS (SELECT event_type, bucket, COUNT(*) AS n FROM b GROUP BY event_type, bucket),
     r AS (
@@ -5921,7 +5951,9 @@ def grouped_mode_bucket(spark, sf_dir):
     engines."""
     from ..operators.statistics import mode_bucket_udaf
 
-    ev = _t(spark, sf_dir, "events")
+    # observed values only — see oracle comment (a group that is all
+    # NULL vanishes on both engines)
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     mode = mode_bucket_udaf()
     return ev.groupBy("event_type").agg(
         mode(F.floor(F.col("value")).cast("long")).alias("mode_bucket")
@@ -7800,8 +7832,10 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     SELECT window_start, event_type, n_events,
            CAST(rnk AS INT) AS rnk
     FROM (
+      -- NULLS FIRST: Spark's asc() tie-break is nulls-first; a
+      -- NULL-typed event group tying on count must rank identically
       SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY window_start ORDER BY n_events DESC, event_type ASC) AS rnk
+        PARTITION BY window_start ORDER BY n_events DESC, event_type ASC NULLS FIRST) AS rnk
       FROM w
     ) WHERE rnk <= 3
     """,
@@ -8430,10 +8464,14 @@ def corpus_drift_js_divergence(spark, sf_dir):
     "feature_quantile_normalize",
     """
     WITH p AS (
+      -- observed values only: a quantile transform has no defined image
+      -- for a missing value (impute first if full coverage is needed);
+      -- unguarded, NULLs rank nulls-first in Spark vs nulls-last here
+      -- and shift EVERY percentile in the partition
       SELECT event_id, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
              COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_id, event_type, value,
            CASE WHEN n > 1
@@ -8450,7 +8488,8 @@ def feature_quantile_normalize(spark, sf_dir):
     sort window; the percentile is ONE division of identical integers
     (bit-exact, published unrounded); ties broken by event_id so ranks
     are total."""
-    ev = _t(spark, sf_dir, "events")
+    # observed values only — see oracle comment
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     # rank on the RAW double: parquet bits are identical on both engines,
     # so raw ordering is too — ROUND in a sort key reintroduces the
     # half-boundary divergence (caught by the perturbed-sf0.1 battery)
@@ -8970,7 +9009,13 @@ def attribution_first_vs_last_touch(spark, sf_dir):
     "feature_hashing_trick",
     """
     WITH feats AS (
-      SELECT event_id, 'event_type' AS fname, event_type AS fval FROM events
+      -- a NULL category emits NO feature (the sklearn FeatureHasher
+      -- convention: missing means absent, not a magic token);
+      -- unguarded, Spark's concat_ws silently SKIPS the null (hashing
+      -- 'event_type' alone) while || propagates NULL here — two
+      -- different wrong answers (driver_sim --perturb-nulls find)
+      SELECT event_id, 'event_type' AS fname, event_type AS fval
+      FROM events WHERE event_type IS NOT NULL
       UNION ALL
       SELECT event_id, 'user_bucket', CAST(user_id % 20 AS VARCHAR) FROM events
     ),
@@ -9000,6 +9045,7 @@ def feature_hashing_trick(spark, sf_dir):
     from ..operators.dedup import portable_hash60
 
     ev = _t(spark, sf_dir, "events")
+    # NULL categories emit no feature — see oracle comment
     feats = ev.select(
         "event_id", F.lit("event_type").alias("fname"), F.col("event_type").alias("fval")
     ).unionAll(
@@ -9008,7 +9054,7 @@ def feature_hashing_trick(spark, sf_dir):
             F.lit("user_bucket").alias("fname"),
             (F.col("user_id") % 20).cast("string").alias("fval"),
         )
-    )
+    ).filter(F.col("fval").isNotNull())
     kv = F.concat_ws("=", F.col("fname"), F.col("fval"))
     hashed = feats.select(
         "event_id",

@@ -51,6 +51,17 @@ NULL_SENSITIVE = [
     "text_quality_filter",
     "text_repetition_rules",
     "text_stats",
+    # events.event_type/props/value cohort (the fuzz's second sweep):
+    # each had a genuine cross-engine null divergence, fixed with an
+    # explicit pinned policy — see the entry docstrings/oracle comments
+    "anomaly_mad_outliers",
+    "ewma_user_value",
+    "feature_hashing_trick",
+    "feature_impute_missing",
+    "feature_quantile_normalize",
+    "grouped_mode_bucket",
+    "json_codec_roundtrip",
+    "stream_topk_trending",
 ]
 
 

@@ -241,7 +241,11 @@ def perturb_ts_sf(sf: str, seed: int) -> str:
 def perturb_nulls_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with a seeded ~5% of nullable CUSTOM-table
     values overwritten by NULL: documents.text / documents.lang /
-    documents.source and embeddings.label. The driver regenerates data
+    documents.source, embeddings.label, and events.event_type /
+    events.props / events.value (ids, join keys, and timestamps stay
+    non-null — those carry semantic weight the fuzz must not change;
+    a NULL *value* column is exactly what a lossy upstream producer
+    emits). The driver regenerates data
     each round with no null-freeness promise on the custom tables, and
     NULL is the classic cross-engine divergence carrier: Java-regex vs
     RE2 never see it the same way COUNT/count_distinct/window ORDER BY
@@ -260,7 +264,9 @@ def perturb_nulls_sf(sf: str, seed: int) -> str:
     null_cols = {
         "documents": ["text", "lang", "source"],
         "embeddings": ["label"],
+        "events": ["event_type", "props", "value"],
     }
+    id_cols = {"documents": "doc_id", "embeddings": "vec_id", "events": "event_id"}
     out = f"/tmp/driver_sim_nullperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
@@ -269,7 +275,7 @@ def perturb_nulls_sf(sf: str, seed: int) -> str:
             shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
             continue
         tbl = pq.read_table(src)
-        id_col = "doc_id" if t == "documents" else "vec_id"
+        id_col = id_cols[t]
         ids = tbl.column(id_col).combine_chunks().to_pylist()
         arrays = []
         for i, f in enumerate(tbl.schema):
@@ -345,7 +351,7 @@ def main() -> int:
     ap.add_argument("--perturb-ts", type=int, default=None, metavar="SEED",
                     help="truncate a seeded ~20%% of events.ts to the hour")
     ap.add_argument("--perturb-nulls", type=int, default=None, metavar="SEED",
-                    help="NULL a seeded ~5%% of documents.text/lang/source + embeddings.label")
+                    help="NULL a seeded ~5%% of documents+events value columns + embeddings.label")
     ap.add_argument("--perturb-order", type=int, default=None, metavar="SEED",
                     help="shuffle every table's row order (4 row groups)")
     args = ap.parse_args()
