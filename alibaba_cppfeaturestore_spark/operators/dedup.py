@@ -37,10 +37,17 @@ def exact_dedup(
     (smallest ``id_col`` by default — deterministic).
 
     Shuffles on a 256-bit content hash rather than raw content, so shuffle
-    keys stay 32 bytes regardless of document size."""
+    keys stay 32 bytes regardless of document size.
+
+    A NULL id NEVER wins representative selection (NULLS LAST in both
+    keep modes): "keep smallest id" means the smallest IDENTIFIED
+    document — Spark's bare ``asc()`` is nulls-first, which would elect
+    the one row nobody can reference as the survivor of its duplicate
+    group, while SQL engines' bare ``ASC`` elects the smallest real id
+    (``driver_sim --perturb-nulls`` find on NULL-seeded ids)."""
     content_hash = F.sha2(F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols]), 256)
     w = Window.partitionBy(content_hash).orderBy(
-        F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+        F.col(id_col).asc_nulls_last() if keep == "min" else F.col(id_col).desc_nulls_last()
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -39,8 +39,15 @@ MEDIA_META_SCHEMA = T.StructType(
 def attach_binary_payload(df: DataFrame, source_col: str, id_col: str) -> DataFrame:
     """Build a media-shaped table from any table: payload = utf-8 bytes of
     ``source_col`` (a deterministic stand-in for real image/audio bytes),
-    plus a media_type derived from the id."""
-    return df.select(
+    plus a media_type derived from the id.
+
+    Rows with a NULL id are dropped AT THE GATE: every downstream kernel
+    (decode / resize / frame-sample / features) declares ``media_id``
+    non-nullable — an unattributable object can never be joined back —
+    and letting a null id through surfaces as an Arrow null-in-non-null
+    crash deep inside a codegen stage instead of a visible contract
+    (``driver_sim --perturb-nulls`` find on NULL-seeded ids)."""
+    return df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("media_id"),
         F.encode(F.col(source_col), "utf-8").alias("payload"),
         F.element_at(
@@ -256,7 +263,12 @@ def sample_frames(
             for mid, payload in zip(
                 pdf["media_id"].to_list(), pdf["payload"].to_list()
             ):
-                if payload is None:
+                # a NULL media_id is unattributable output — the schema
+                # declares media_id non-null, and emitting frames nobody
+                # can join back is useless; skip alongside null payloads
+                # (pd.isna, not `is None`: Arrow hands a nullable int64
+                # column to pandas as float64 with NaN)
+                if payload is None or pd.isna(mid):
                     continue
                 n = fn(bytes(payload))["n_frames"]
                 sampled = range(0, n, every_nth)

@@ -1718,13 +1718,15 @@ def contamination_ngram_overlap(spark, sf_dir):
       SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
     )
     SELECT doc_id, lang FROM corpus
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id NULLS LAST) = 1
     """,
     headline=True,
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup (keep smallest id) over a corpus with planted
-    duplicates; shuffles on sha2(text), not the text itself."""
+    duplicates; shuffles on sha2(text), not the text itself. NULLS LAST
+    spelled on both sides: a NULL-id row never wins representative
+    selection (see ``exact_dedup``)."""
     corpus = _docs_with_duplicates(spark, sf_dir)
     return DD.exact_dedup(corpus, cols=["text"], id_col="doc_id").select("doc_id", "lang")
 
@@ -2216,7 +2218,12 @@ def embedding_threshold_pairs(spark, sf_dir):
     "dedup_semantic_embedding",
     """
     WITH RECURSIVE corpus AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      -- vec_id IS NOT NULL: id-based clustering needs an id — a NULL-id
+      -- vector can neither form pairs (NULL < x is never true) nor
+      -- carry a cluster label anyone can reference, and NULL = NULL
+      -- comparisons make its is_canonical flag engine-dependent
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id IS NOT NULL
       UNION ALL
       SELECT vec_id + 100000, label,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
@@ -2259,8 +2266,13 @@ def dedup_semantic_embedding(spark, sf_dir):
     100 TB the pair stage swaps to LSH-bucketed blocking
     (``lsh_bucketed_topk``) — the clustering and canonical selection are
     unchanged."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    # id-based clustering needs an id — see oracle comment
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull())
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+        )
     )
     clones = emb.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -3825,12 +3837,14 @@ def aliccp_bronze_to_silver_e2e(spark, sf_dir):
 @_q(
     "multimodal_decode_metadata",
     """
+    -- doc_id IS NOT NULL: attach_binary_payload drops unidentified rows
+    -- at the gate (every media kernel declares media_id non-null)
     SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
                            ELSE 'video/mp4' END AS media_type,
            CAST(strlen(text) AS INTEGER) AS n_bytes,
            sha256(text) AS sha256
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
     """,
 )
 def multimodal_decode_metadata(spark, sf_dir):
@@ -4231,9 +4245,12 @@ def stream_sliding_window_counts(spark, sf_dir):
     "multimodal_frame_sample",
     """
     WITH m AS (
+      -- doc_id IS NOT NULL: frames keyed by a NULL media_id are
+      -- unattributable (the Spark schema declares media_id non-null and
+      -- the kernel skips such rows)
       SELECT doc_id AS media_id,
              1 + (CAST('0x' || substr(sha256(text), 5, 2) AS INTEGER) % 30) AS n_frames
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx
     FROM (SELECT media_id, UNNEST(range(0, n_frames, 10)) AS frame_idx FROM m)
@@ -7514,8 +7531,11 @@ def itemsim_copurchase_topk(spark, sf_dir):
              (SUM(oov) * 10000) // COUNT(*) AS oov_bp
       FROM flags GROUP BY doc_id
     )
+    -- NULLS FIRST on the tie-break: Spark's asc() is nulls-first; at the
+    -- LIMIT boundary a NULL-id document tying on oov_bp must cut
+    -- identically on both engines
     SELECT doc_id, n_tokens, n_oov, CAST(oov_bp AS BIGINT) AS oov_bp
-    FROM rates ORDER BY oov_bp DESC, doc_id ASC LIMIT 50
+    FROM rates ORDER BY oov_bp DESC, doc_id ASC NULLS FIRST LIMIT 50
     """,
 )
 def vocab_oov_rate(spark, sf_dir):

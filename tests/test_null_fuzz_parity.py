@@ -62,6 +62,15 @@ NULL_SENSITIVE = [
     "grouped_mode_bucket",
     "json_codec_roundtrip",
     "stream_topk_trending",
+    # NULL-key cohort (the mode also NULLs ~2% of doc_id/vec_id — the
+    # advisor's degenerate-key regime): representative selection is
+    # NULLS LAST (a NULL id never wins), id-based clustering and the
+    # media-payload gate require an id, LIMIT-boundary tie-breaks spell
+    # their null order
+    "dedup_semantic_embedding",
+    "multimodal_decode_metadata",
+    "multimodal_frame_sample",
+    "vocab_oov_rate",
 ]
 
 

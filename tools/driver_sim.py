@@ -242,10 +242,16 @@ def perturb_nulls_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with a seeded ~5% of nullable CUSTOM-table
     values overwritten by NULL: documents.text / documents.lang /
     documents.source, embeddings.label, and events.event_type /
-    events.props / events.value (ids, join keys, and timestamps stay
-    non-null — those carry semantic weight the fuzz must not change;
-    a NULL *value* column is exactly what a lossy upstream producer
-    emits). The driver regenerates data
+    events.props / events.value, plus a seeded ~2% of the custom-table
+    KEYS (documents.doc_id / embeddings.vec_id) — the advisor's
+    degenerate-key regime: NULL keys never equi-join, never win a
+    ``count(col)`` probe, and sort on opposite ends of the two engines'
+    windows, so representative-selection and LIMIT-boundary tie-breaks
+    must spell their null order explicitly. events.event_id and
+    timestamps stay non-null (the event stream's identity/time spine
+    carries semantic weight the fuzz must not change; a NULL *value*
+    column is exactly what a lossy upstream producer emits). The
+    driver regenerates data
     each round with no null-freeness promise on the custom tables, and
     NULL is the classic cross-engine divergence carrier: Java-regex vs
     RE2 never see it the same way COUNT/count_distinct/window ORDER BY
@@ -279,7 +285,19 @@ def perturb_nulls_sf(sf: str, seed: int) -> str:
         ids = tbl.column(id_col).combine_chunks().to_pylist()
         arrays = []
         for i, f in enumerate(tbl.schema):
-            if f.name in null_cols[t]:
+            if f.name == id_col and t in ("documents", "embeddings"):
+                arrays.append(
+                    pa.array(
+                        [
+                            None
+                            if zlib.crc32(f"{seed}/{t}/id/{rid}".encode()) % 50 == 0
+                            else rid
+                            for rid in ids
+                        ],
+                        type=f.type,
+                    )
+                )
+            elif f.name in null_cols[t]:
                 vals = tbl.column(i).combine_chunks().to_pylist()
                 vals = [
                     None
