@@ -128,3 +128,90 @@ def test_salted_join_property_equals_plain(spark, rows):
         for r in left.join(right, "k").select("rid", "k", "v").collect()
     )
     assert got == want
+
+
+@_prop
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 40)),
+            st.sampled_from(["aa", "bb", "cc", None]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_exact_dedup_null_id_never_wins(spark, rows):
+    """NULL-id policy (driver_sim --perturb-nulls): exact_dedup keeps
+    exactly one row per distinct content, and the survivor has the
+    smallest NON-NULL id whenever the content group has any identified
+    row — a NULL id wins only an all-NULL group."""
+    from collections import defaultdict
+
+    from alibaba_cppfeaturestore_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = exact_dedup(df, cols=["text"], id_col="doc_id").collect()
+
+    groups = defaultdict(list)
+    for did, text in rows:
+        groups[text].append(did)
+    assert len(kept) == len(groups)
+    survivors = {r.text: r.doc_id for r in kept}
+    for text, ids in groups.items():
+        real = [i for i in ids if i is not None]
+        assert survivors[text] == (min(real) if real else None)
+
+
+@_prop
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 3), st.one_of(st.none(), st.integers(-50, 50))),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_mad_outliers_ignores_nulls_like_an_aggregate(spark, vals):
+    """NULL-observation policy: mad_outliers over a null-bearing column
+    equals mad_outliers over the pre-filtered column — and a group that
+    is entirely NULL vanishes."""
+    from alibaba_cppfeaturestore_spark.operators.statistics import mad_outliers
+
+    df = spark.createDataFrame(
+        [(g, float(v) if v is not None else None) for g, v in vals],
+        "g long, v double",
+    )
+    got = sorted(
+        (r.g, r.n, r.median, r.mad, r.n_outliers)
+        for r in mad_outliers(df, "v", ["g"]).collect()
+    )
+    want = sorted(
+        (r.g, r.n, r.median, r.mad, r.n_outliers)
+        for r in mad_outliers(df.filter(F.col("v").isNotNull()), "v", ["g"]).collect()
+    )
+    assert got == want
+    assert {g for g, *_ in got} == {g for g, v in vals if v is not None}
+
+
+@_prop
+@given(
+    series=st.lists(
+        st.one_of(st.none(), st.integers(-20, 20)), min_size=1, max_size=40
+    )
+)
+def test_grouped_ewma_skips_and_drops_nulls(spark, series):
+    """NULL-tick policy: grouped_ewma over a null-bearing series equals
+    grouped_ewma over the observed sub-series (skip-and-drop)."""
+    from alibaba_cppfeaturestore_spark.operators.timeseries import grouped_ewma
+
+    rows = [(1, i, float(v) if v is not None else None) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    got = sorted(
+        (r.i, r.ewma) for r in grouped_ewma(df, "k", ["i"], "v").collect()
+    )
+    observed = df.filter(F.col("v").isNotNull())
+    want = sorted(
+        (r.i, r.ewma) for r in grouped_ewma(observed, "k", ["i"], "v").collect()
+    )
+    assert got == want
+    assert len(got) == sum(v is not None for v in series)
