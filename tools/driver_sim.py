@@ -326,6 +326,45 @@ def perturb_nulls_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_schema_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with every table's COLUMN ORDER reversed and
+    the custom-table int64 ids downcast to int32 (values unchanged — all
+    fit). The driver regenerates the parquet each round with no promise
+    on column order or physical integer width, and the repo has already
+    been bitten by exactly this class once (events.ts arrived as
+    INT64-nanos in round 1, native timestamp from round 2 — the
+    ``load_table`` shim exists because of it). Green means every reader
+    binds columns BY NAME and widens types instead of assuming the
+    generator's current layout. ``seed`` is accepted for CLI symmetry;
+    the transform is deterministic."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    downcast = {
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "events": ["event_id", "user_id"],
+    }
+    out = f"/tmp/driver_sim_schemadrift_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(f"{sf}/{t}.parquet")
+        cols, fields = [], []
+        for name in reversed(tbl.schema.names):
+            col, f = tbl.column(name), tbl.schema.field(name)
+            if name in downcast.get(t, []):
+                col, f = col.cast(pa.int32()), pa.field(name, pa.int32())
+            cols.append(col)
+            fields.append(f)
+        pq.write_table(
+            pa.Table.from_arrays(cols, schema=pa.schema(fields)),
+            f"{out}/{t}.parquet",
+        )
+    return out
+
+
 def perturb_order_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with EVERY table's rows re-ordered by a
     seeded permutation and rewritten in 4 row groups. Values are
@@ -372,6 +411,8 @@ def main() -> int:
                     help="NULL a seeded ~5%% of documents+events value columns + embeddings.label")
     ap.add_argument("--perturb-order", type=int, default=None, metavar="SEED",
                     help="shuffle every table's row order (4 row groups)")
+    ap.add_argument("--perturb-schema", type=int, default=None, metavar="SEED",
+                    help="reverse column order + downcast custom ids to int32")
     args = ap.parse_args()
     if args.perturb is not None:
         args.sf = perturb_sf(args.sf, args.perturb)
@@ -391,6 +432,9 @@ def main() -> int:
     if args.perturb_order is not None:
         args.sf = perturb_order_sf(args.sf, args.perturb_order)
         print(f"# order-perturbed testdata (seed {args.perturb_order}) -> {args.sf}")
+    if args.perturb_schema is not None:
+        args.sf = perturb_schema_sf(args.sf, args.perturb_schema)
+        print(f"# schema-drifted testdata -> {args.sf}")
 
     import __spark_entry__ as entry
 
