@@ -104,7 +104,13 @@ def perturb_text_sf(sf: str, seed: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    exotic = ["\x0b", "\x0c", "\r", "\t\t", " ", "　", "\x01", " \x0b "]
+    # last four: astral-plane emoji (UTF-16 surrogate pair — 1 codepoint
+    # on both engines, 2 Java chars), CJK, combining accent (decomposed
+    # e+U+0301 — no engine normalizes, both must count 2 codepoints),
+    # and RTL text; they ride INSIDE tokens, probing length/regex
+    # semantics rather than the tokenizer split
+    exotic = ["\x0b", "\x0c", "\r", "\t\t", " ", "　", "\x01", " \x0b ",
+              "x😀y", "好的", "café", "שָׁלוֹם"]
     out = f"/tmp/driver_sim_textperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
