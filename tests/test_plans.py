@@ -138,3 +138,16 @@ def test_whole_stage_codegen_active(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         # codegen'd operators carry a "*(stageId)" prefix in toString
         assert re.search(r"\*\(\d+\)", plan), f"{n} runs interpreted:\n{plan}"
+
+
+def test_null_policy_filters_reach_the_scan(plans):
+    # the observed-values-only policy (driver_sim --perturb-nulls) is a
+    # scan-stage predicate, not a post-shuffle filter: IsNotNull(value)
+    # must be in PushedFilters so the 100 TB path never shuffles rows it
+    # is about to drop
+    for n in [
+        "feature_quantile_normalize",
+        "anomaly_mad_outliers",
+        "grouped_mode_bucket",
+    ]:
+        assert "IsNotNull(value)" in plans[n], f"{n}:\n{plans[n]}"
