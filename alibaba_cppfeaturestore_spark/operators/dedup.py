@@ -1285,3 +1285,137 @@ def paragraph_exact_dedup(
         "para_hash",
         (F.row_number().over(w) > 1).cast("int").alias("is_dup"),
     )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_span_tokens: int | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Exact-substring dedup spans (the ExactSubstr formulation of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the MAXIMAL token spans whose every ``k``-gram also
+    occurs in at least one OTHER document. Returns
+    ``(doc_id, span_start, span_end, span_tokens)`` — 1-based inclusive
+    token indices — one row per maximal cross-document duplicated span of
+    at least ``min_span_tokens`` tokens (default ``2*k``). Downstream, a
+    curation pass cuts these spans out of the training text instead of
+    dropping whole near-duplicate documents.
+
+    The paper builds a corpus-wide suffix array — inherently sequential
+    and memory-resident. The distributed formulation is k-gram postings:
+    a span of ≥ ``min_span`` tokens shared verbatim between two documents
+    contains only shared k-grams, so (1) hash every k-gram (one explode,
+    |tokens| rows), (2) keep hashes seen in ≥2 DISTINCT documents (one
+    groupBy with map-side partial count-distinct), (3) per document,
+    merge surviving gram positions whose starts are ≤ k apart into
+    maximal islands (one per-document window — bounded by document
+    length, never corpus size) and emit each island's [min_pos,
+    max_pos+k-1] token range. Spans shorter than ``min_span_tokens`` are
+    chance k-gram collisions between unrelated texts, the same false-
+    positive class the paper's 50-token threshold exists for.
+
+    Differences from the suffix-array formulation, both deliberate:
+    span boundaries are k-gram-aligned (a true shared substring of
+    length L is reported as the span of its L-k+1 grams — identical
+    token range; a shared run SHORTER than k is invisible, which the
+    min-span threshold would discard anyway), and "duplicated" means
+    cross-document (a phrase repeated only within one document is kept —
+    within-doc repetition is ``text_repetition_rules``' job).
+
+    ``portable=True`` hashes grams with md5 (bit-replayable by any
+    engine with md5 — the DuckDB value oracle runs this mode);
+    production default is xxhash64 (one pass, no string materialization
+    of the hash). Jaccard-invariance does NOT apply here — the span
+    positions depend only on hash EQUALITY, so any injective hash gives
+    identical output; the mode changes bytes shuffled, not semantics.
+
+    Scale shape: shuffle volume is (hash, id, pos) postings — fixed-width
+    rows regardless of document size; the duplicated-hash filter is a
+    semi join (no posting list materializes); the island window
+    partitions by document. A boilerplate k-gram shared by millions of
+    docs costs |docs| posting rows (linear, not quadratic — nothing ever
+    pairs postings). Rows with a NULL id or NULL text are dropped at the
+    gate: spans are keyed output (an unattributable span cannot be cut
+    from anything) and a NULL text has no tokens.
+    """
+    from ..functions.text import _let
+
+    if min_span_tokens is None:
+        min_span_tokens = 2 * k
+
+    def gram_hash(joined: Column) -> Column:
+        return F.md5(joined) if portable else F.xxhash64(joined)
+
+    toks_col = tokens(F.col(text_col))
+    grams = _let(
+        toks_col,
+        lambda toks: _let(
+            F.size(toks) - F.lit(k - 1),
+            lambda num: F.when(
+                num < 1, F.array().cast("array<struct<pos:int,h:string>>")
+                if portable
+                else F.array().cast("array<struct<pos:int,h:bigint>>"),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), num),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        gram_hash(
+                            F.concat_ws(
+                                " ",
+                                *[
+                                    F.element_at(toks, (i + j).cast("int"))
+                                    for j in range(k)
+                                ],
+                            )
+                        ).alias("h"),
+                    ),
+                )
+            ),
+        ),
+    )
+    postings = (
+        _spread(df)
+        .filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    dup_hashes = (
+        postings.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_pos = postings.join(dup_hashes, "h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dup_pos.select(
+        "id",
+        "pos",
+        F.sum(
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") > F.lag("pos").over(w) + k),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+    )

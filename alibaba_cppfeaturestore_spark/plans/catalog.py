@@ -9761,3 +9761,67 @@ def llm_corpus_curation_lsh_counts(spark, sf_dir):
             >= 0.9 * F.col("__scalar_planted")
         ).alias("planted_near_caught_ge_90pct"),
     )
+
+
+@_q(
+    "dedup_exact_substring_spans",
+    "WITH " + _DOCS_UNIQUE_SQL + r""",
+    corpus AS (
+      SELECT doc_id, text FROM documents_u
+      UNION ALL
+      -- planted partial duplicates (regeneration-proof non-vacuity, the
+      -- dedup_exact mutant pattern): each mutant shares its source's
+      -- full token prefix, so a >= min_span duplicated span always exists
+      SELECT doc_id + 1000000, text || ' zz qq extra marker tail'
+      FROM documents_u WHERE doc_id < 50
+    ),
+    t AS (
+      -- the operator's gate: spans are keyed output and NULL text has
+      -- no tokens
+      SELECT doc_id,
+             regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+') AS toks
+      FROM corpus WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             md5(array_to_string(list_slice(toks, CAST(i AS INTEGER), CAST(i + 7 AS INTEGER)), ' ')) AS h
+      FROM t, UNNEST(range(1, GREATEST(LEN(toks) - 6, 1))) AS u(i)
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    d AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM d)
+    )
+    SELECT doc_id, span_start, span_end, span_tokens FROM (
+      SELECT doc_id,
+             CAST(MIN(pos) AS INTEGER) AS span_start,
+             CAST(MAX(pos) + 7 AS INTEGER) AS span_end,
+             CAST(MAX(pos) + 7 - MIN(pos) + 1 AS INTEGER) AS span_tokens
+      FROM isl GROUP BY doc_id, island
+    ) WHERE span_tokens >= 16
+    """,
+)
+def dedup_exact_substring_spans(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. ExactSubstr, reformulated for
+    k-gram postings — see ``operators/dedup.py::duplicated_substring_spans``
+    for the suffix-array-to-postings argument): every maximal token span
+    whose 8-grams all occur in >= 2 distinct documents, min 16 tokens.
+    Mutant copies of docs < 50 plant guaranteed shared prefixes on top of
+    the corpus's natural repeated phrases. PORTABLE mode (md5 gram
+    hashes) so the oracle replays bit-identically; production default is
+    xxhash64. Input id-canonicalized (``_docs_unique``)."""
+    docs = _docs_unique(spark, sf_dir).select("doc_id", "text")
+    mutants = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq extra marker tail")).alias("text"),
+    )
+    corpus = docs.unionByName(mutants)
+    return DD.duplicated_substring_spans(
+        corpus, text_col="text", id_col="doc_id",
+        k=8, min_span_tokens=16, portable=True,
+    )

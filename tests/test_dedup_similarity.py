@@ -701,3 +701,72 @@ def test_curation_pipeline_lsh_mode_scale_path(spark):
     )
     # monotone: the lsh stage only removes rows
     assert len(final_ids) <= len(deduped_ids)
+
+
+def test_duplicated_substring_spans_semantics(spark):
+    """ExactSubstr spans: maximal merge, cross-doc-only, k-alignment,
+    min-span cut, and hash-mode equivalence."""
+    from alibaba_cppfeaturestore_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"  # 10 tokens
+    df = spark.createDataFrame(
+        [
+            # docs 1/2 share the 10-token prefix; doc 1 then repeats a
+            # phrase WITHIN itself only (must not be flagged)
+            (1, shared + " u1 u2 u3 rep rep rep rep u4 rep rep rep rep"),
+            (2, shared + " v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12"),
+            # doc 3 shares a 4-token run with doc 2 — shorter than k,
+            # invisible by design
+            (3, "v1 v2 v3 v4 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_substring_spans(df, k=5, min_span_tokens=8)
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out.collect()}
+    # the shared 10-token prefix = one maximal span [1,10] in both docs;
+    # nothing else qualifies (within-doc repetition excluded, sub-k run
+    # invisible, min_span cuts chance collisions)
+    assert got == {(1, 1, 10, 10), (2, 1, 10, 10)}, got
+
+    fast = duplicated_substring_spans(df, k=5, min_span_tokens=8, portable=False)
+    portable = duplicated_substring_spans(df, k=5, min_span_tokens=8, portable=True)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, portable.collect()))
+
+
+def test_duplicated_substring_spans_island_merge_boundaries(spark):
+    """Island semantics: duplicated runs whose covered tokens are
+    CONTIGUOUS merge into one removal span (even when the grams
+    bridging them are unique); runs separated by an uncovered token
+    never merge — a non-duplicated token in between means the text is
+    not one contiguous duplicated region."""
+    from alibaba_cppfeaturestore_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    a = "a1 a2 a3 a4 a5"
+    b = "b1 b2 b3 b4 b5"
+    df = spark.createDataFrame(
+        [
+            # doc 1: a-run and b-run ADJACENT (a5 directly followed by
+            # b1) but the boundary grams (a4 a5 b1, a5 b1 b2) exist
+            # nowhere else; also a re-run of `a` after an uncovered gap
+            (1, a + " " + b + " y1 y2 y3 y4 y5 " + a),
+            # doc 2: same runs separated by unique filler — shares every
+            # a-gram and b-gram with doc 1 but no boundary gram
+            (2, a + " q1 q2 q3 " + b),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_substring_spans(df, k=3, min_span_tokens=3)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # doc 1: duplicated gram starts 1,2,3 (a) and 6,7,8 (b) — 3 apart
+    # (= k), so covered tokens 1..10 are contiguous -> ONE span [1,10];
+    # the trailing a-run [16,20] sits past uncovered tokens -> its own
+    assert sorted(by_doc[1]) == [(1, 10), (16, 20)], by_doc
+    # doc 2: a [1,5] and b [9,13] gram starts 8 apart (> k): the filler
+    # tokens are uncovered -> two spans, never merged
+    assert sorted(by_doc[2]) == [(1, 5), (9, 13)], by_doc
