@@ -1419,3 +1419,70 @@ def duplicated_substring_spans(
         )
         .filter(F.col("span_tokens") >= min_span_tokens)
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`duplicated_substring_spans`: cut each document's
+    duplicated token ranges out and return the scrubbed text — the
+    second half of the ExactSubstr flow (Lee et al. REMOVE the spans
+    rather than dropping documents, preserving each document's unique
+    remainder). Returns ``(id_col, clean_text, n_tokens_kept,
+    n_tokens_removed)`` for every identified input document.
+
+    ``clean_text`` is the space-joined KEPT tokens — a tokenized
+    reconstruction, so original whitespace runs normalize to single
+    spaces even in untouched documents (the tokenizer already defines
+    token identity everywhere else in the pipeline, so downstream
+    consumers see a consistent surface). A document whose every token is
+    duplicated scrubs to NULL (nothing left — the caller drops it), as
+    does a NULL input text (no tokens to keep).
+
+    Scale shape: spans collapse to one small per-document array
+    (collect_list behind the same id shuffle any groupBy pays); the cut
+    itself is a per-row higher-order filter — position-indexed lambda
+    against the span array, no explode of the corpus tokens, no second
+    shuffle. Span counts per document are bounded by |tokens|/k, so the
+    collected array can never exceed the document's own size class.
+    """
+    from ..functions.text import _let
+
+    spans_by_doc = spans.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+    )
+    joined = df.filter(F.col(id_col).isNotNull()).join(
+        spans_by_doc, F.col(id_col) == F.col("__sid"), "left"
+    )
+    sp = F.coalesce(
+        F.col("__sp"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    kept_col = _let(
+        tokens(F.col(text_col)),
+        lambda toks: _let(
+            F.filter(
+                toks,
+                lambda x, i: ~F.exists(
+                    sp,
+                    lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+                ),
+            ),
+            lambda kept: F.struct(
+                F.when(F.size(kept) > 0, F.concat_ws(" ", kept)).alias("clean_text"),
+                F.coalesce(F.size(kept), F.lit(0)).alias("n_tokens_kept"),
+                F.coalesce(F.size(toks) - F.size(kept), F.lit(0)).alias(
+                    "n_tokens_removed"
+                ),
+            ),
+        ),
+    )
+    return joined.select(id_col, kept_col.alias("__k")).select(
+        id_col,
+        F.col("__k.clean_text").alias("clean_text"),
+        F.col("__k.n_tokens_kept").alias("n_tokens_kept"),
+        F.col("__k.n_tokens_removed").alias("n_tokens_removed"),
+    )

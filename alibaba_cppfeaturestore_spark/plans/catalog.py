@@ -9825,3 +9825,88 @@ def dedup_exact_substring_spans(spark, sf_dir):
         corpus, text_col="text", id_col="doc_id",
         k=8, min_span_tokens=16, portable=True,
     )
+
+
+@_q(
+    "dedup_exact_substring_scrub",
+    "WITH " + _DOCS_UNIQUE_SQL + r""",
+    corpus AS (
+      SELECT doc_id, text FROM documents_u WHERE doc_id IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz qq extra marker tail'
+      FROM documents_u WHERE doc_id < 50
+    ),
+    t AS (
+      SELECT doc_id,
+             regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+') AS toks
+      FROM corpus WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             md5(array_to_string(list_slice(toks, CAST(i AS INTEGER), CAST(i + 7 AS INTEGER)), ' ')) AS h
+      FROM t, UNNEST(range(1, GREATEST(LEN(toks) - 6, 1))) AS u(i)
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    d AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM d)
+    ),
+    spans AS (
+      SELECT doc_id, span_start, span_end FROM (
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+               MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+        FROM isl GROUP BY doc_id, island
+      ) WHERE span_tokens >= 16
+    ),
+    pos AS (
+      SELECT doc_id, CAST(p AS INTEGER) AS pos,
+             toks[CAST(p AS INTEGER)] AS tok, LEN(toks) AS n
+      FROM t, UNNEST(range(1, LEN(toks) + 1)) AS u(p)
+    ),
+    keptt AS (
+      SELECT doc_id, pos, tok, n FROM pos pp
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = pp.doc_id
+                          AND pp.pos BETWEEN s.span_start AND s.span_end)
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS INTEGER) AS n_tokens_kept
+      FROM keptt GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_total FROM t)
+    SELECT c.doc_id, a.clean_text,
+           COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
+           COALESCE(tt.n_total, 0) - COALESCE(a.n_tokens_kept, 0) AS n_tokens_removed
+    FROM corpus c
+    LEFT JOIN totals tt ON c.doc_id = tt.doc_id
+    LEFT JOIN agg a ON c.doc_id = a.doc_id
+    """,
+)
+def dedup_exact_substring_scrub(spark, sf_dir):
+    """ExactSubstr applied: duplicated spans (see
+    ``dedup_exact_substring_spans``) cut out of every document —
+    ``(doc_id, clean_text, n_tokens_kept, n_tokens_removed)``. The scrub
+    is SYMMETRIC (every occurrence of cross-document duplicated material
+    is removed, the C4-style boilerplate convention); to keep one
+    canonical copy instead, scrub only documents marked non-canonical by
+    exact/near dedup — the composition the curation pipeline uses. The
+    planted mutants guarantee real removals on any regenerated corpus:
+    each doc < 50 is fully covered by its mutant's shared prefix (clean
+    NULL), while the mutant keeps its unique tail."""
+    docs = _docs_unique(spark, sf_dir).select("doc_id", "text")
+    mutants = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq extra marker tail")).alias("text"),
+    )
+    corpus = docs.unionByName(mutants)
+    spans = DD.duplicated_substring_spans(
+        corpus, text_col="text", id_col="doc_id",
+        k=8, min_span_tokens=16, portable=True,
+    )
+    return DD.remove_duplicated_spans(corpus, spans, text_col="text", id_col="doc_id")

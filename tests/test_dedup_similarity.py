@@ -770,3 +770,33 @@ def test_duplicated_substring_spans_island_merge_boundaries(spark):
     # doc 2: a [1,5] and b [9,13] gram starts 8 apart (> k): the filler
     # tokens are uncovered -> two spans, never merged
     assert sorted(by_doc[2]) == [(1, 5), (9, 13)], by_doc
+
+
+def test_remove_duplicated_spans_scrub_semantics(spark):
+    """Scrub contract: shared prefix cut from both docs, unique material
+    kept verbatim (tokenized reconstruction), fully-duplicated docs
+    scrub to NULL, untouched and NULL-text docs pass through."""
+    from alibaba_cppfeaturestore_spark.operators.dedup import (
+        duplicated_substring_spans,
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j unique one here now"),
+            (2, "a b c d e f g h i j other tail text too"),
+            (3, "clean doc nothing shared zz yy xx ww vv uu"),
+            (4, "a b c d e f g h i j"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_substring_spans(df, k=4, min_span_tokens=8)
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, spans).collect()}
+    assert out[1].clean_text == "unique one here now"
+    assert out[2].clean_text == "other tail text too"
+    assert (out[1].n_tokens_kept, out[1].n_tokens_removed) == (4, 10)
+    assert out[3].clean_text == "clean doc nothing shared zz yy xx ww vv uu"
+    assert out[3].n_tokens_removed == 0
+    assert out[4].clean_text is None and out[4].n_tokens_removed == 10
+    assert out[5].clean_text is None and out[5].n_tokens_kept == 0
