@@ -1,0 +1,106 @@
+"""two_phase_rank / ntile_from_rank: exact equivalence with the
+single-partition window forms they replace, and the plan property that
+justifies them (no SinglePartition-fed Window)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from alibaba_cppfeaturestore_spark.operators.ranks import ntile_from_rank, two_phase_rank
+
+
+def _rows(n, seed, with_nulls=False):
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        v = None if with_nulls and rng.random() < 0.05 else rng.randint(0, n // 3 + 1)
+        out.append((i, v, rng.choice("abcde") if rng.random() > 0.02 else None))
+    return out
+
+
+@pytest.mark.parametrize("n,seed", [(0, 1), (1, 2), (7, 3), (500, 4), (2000, 5)])
+def test_rank_matches_window_row_number(spark, n, seed):
+    df = spark.createDataFrame(_rows(n, seed, with_nulls=True), "id long, v long, s string")
+    w = Window.orderBy(F.asc("v"), F.asc("s"), F.asc("id"))
+    expected = df.select("id", F.row_number().over(w).cast("bigint").alias("rk"))
+    got = two_phase_rank(
+        df, [F.col("v"), F.col("s"), F.col("id")], rank_col="rk", n_buckets=8
+    ).select("id", "rk")
+    assert sorted(expected.collect()) == sorted(got.collect())
+
+
+def test_rank_desc_components_and_running_sum(spark):
+    df = spark.createDataFrame(_rows(800, 9), "id long, v long, s string").withColumn(
+        "dec", (F.col("v") * 7 % 100).cast("decimal(18,2)")
+    )
+    order = [F.desc("v"), F.asc("id")]
+    w = Window.orderBy(*order)
+    expected = df.select(
+        "id",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.sum("dec").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    got = two_phase_rank(
+        df,
+        [(-F.col("v")).alias("nv"), F.col("id")],
+        rank_col="rk",
+        running={"cum": F.col("dec")},
+        n_buckets=8,
+    ).select("id", "rk", "cum")
+    exp = {r["id"]: (r["rk"], r["cum"]) for r in expected.collect()}
+    for r in got.collect():
+        erk, ecum = exp[r["id"]]
+        assert r["rk"] == erk
+        assert r["cum"] == ecum  # decimal-exact, not approx
+
+
+def test_total_col_and_determinism_across_reexecution(spark):
+    df = spark.createDataFrame(_rows(300, 11), "id long, v long, s string")
+    out = two_phase_rank(df, [F.col("v"), F.col("id")], rank_col="rk", total_col="n")
+    a = sorted((r["id"], r["rk"], r["n"]) for r in out.collect())
+    b = sorted((r["id"], r["rk"], r["n"]) for r in out.collect())
+    assert a == b
+    assert all(t[2] == 300 for t in a)
+    assert sorted(t[1] for t in a) == list(range(1, 301))
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 4, 5, 6, 23, 100, 997])
+@pytest.mark.parametrize("k", [1, 3, 5, 8])
+def test_ntile_formula_matches_spark_ntile(spark, n, k):
+    if n == 0:
+        return
+    df = spark.range(n).select(F.col("id").alias("x"))
+    w = Window.orderBy("x")
+    r = df.select(
+        "x",
+        F.ntile(k).over(w).alias("t"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    bad = r.where(
+        ntile_from_rank(F.col("rk"), F.col("n"), k) != F.col("t")
+    ).count()
+    assert bad == 0
+
+
+def test_plan_has_no_single_partition_window(spark):
+    df = spark.createDataFrame(_rows(100, 13), "id long, v long, s string")
+    out = two_phase_rank(df, [F.col("v"), F.col("id")], rank_col="rk")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window in the composition partitions by the bucket id
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__tpr_bkt" in plan  # windows keyed by bucket
+    assert "Exchange SinglePartition" not in plan or "collect_list" in plan
+    # the only SinglePartition exchanges feed 1-row aggregates (bounds /
+    # offsets packing), never a Window: check adjacency textually
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "windowspecdefinition" in ln:
+            tail = "\n".join(lines[i : i + 4])
+            assert "Exchange SinglePartition" not in tail, plan
