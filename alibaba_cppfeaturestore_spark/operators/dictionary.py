@@ -11,32 +11,45 @@ the data — DuckDB-checkable and identical between batch and streaming.
 Scale: the dictionary for a column is at most |distinct values| rows —
 small relative to the fact table (Ali-CCP's biggest vocab is item_id at
 1.8M, reference ``:161-162``) — so encode joins are broadcast-able. The fit
-is a groupBy (map-side partial aggregation) + a window over the *aggregated*
-(small) table, not over the raw data, so the single-partition window is
-bounded by vocab size, not data size. For vocabularies too large even for
-that (≫100M), switch tie-break to (count desc, value asc) via
-repartitionByRange + zipWithIndex-free two-phase ranking — documented
-tradeoff, not needed for the reference's vocabularies.
+is a groupBy (map-side partial aggregation) + a rank over the *aggregated*
+(small) table, not over the raw data. Since round 7 the rank itself is the
+two-phase bucket/offset shape (``operators/ranks.py::two_phase_rank``) —
+no ``Exchange SinglePartition`` even over the vocab table, so the fit
+survives web-scale vocabularies (user_id-class columns whose |vocab|
+grows with the data) instead of merely "small enough" ones.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _rank_counts(counts: DataFrame) -> DataFrame:
+    """(value, cnt) → (value, index): 0-based contiguous indices ordered
+    by (count desc, value asc — NULLS FIRST, matching ``asc()``), via the
+    two-phase global rank (no single-partition window; descending count
+    enters the ascending composite key negated)."""
+    from .ranks import two_phase_rank
+
+    ranked = two_phase_rank(
+        counts,
+        [(-F.col("cnt")).cast("long").alias("neg_cnt"), F.col("value")],
+        rank_col="__rank",
+    )
+    return ranked.select("value", (F.col("__rank") - F.lit(1)).cast("int").alias("index"))
 
 
 def fit_dictionary(df: DataFrame, column: str) -> DataFrame:
     """Fit a frequency dictionary: ``(value, index)``, index 0-based,
     ordered by (count desc, value asc) — deterministic StringIndexer.
 
-    The window runs over the aggregated vocab table (|vocab| rows), not the
-    input; partial aggregation happens map-side before the shuffle.
+    The rank runs over the aggregated vocab table (|vocab| rows), not the
+    input; partial aggregation happens map-side before the shuffle, and
+    the rank is two-phase — no vocab-sized single-partition window.
     """
     counts = df.groupBy(F.col(column).alias("value")).agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
-    return counts.select(
-        "value", (F.row_number().over(w) - F.lit(1)).alias("index")
-    )
+    return _rank_counts(counts)
 
 
 def fit_dictionaries(df: DataFrame, columns: list[str]) -> dict[str, DataFrame]:
@@ -71,10 +84,7 @@ def fit_dictionaries(df: DataFrame, columns: list[str]) -> dict[str, DataFrame]:
         counts = agg.filter(F.col("__gid") == gid).select(
             F.col(c).alias("value"), "cnt"
         )
-        w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
-        out[c] = counts.select(
-            "value", (F.row_number().over(w) - F.lit(1)).alias("index")
-        )
+        out[c] = _rank_counts(counts)
     return out
 
 

@@ -55,13 +55,13 @@ from pyspark.sql import types as T
 _KEY, _BKT, _OFF = "__tpr_key", "__tpr_bkt", "__tpr_off"
 
 
-def _wide_zero(dt: T.DataType) -> Column:
-    """A zero literal whose type is stable under repeated ``acc + x``
-    (decimal addition widens precision; pre-widening to 38 makes the
-    fold's accumulator type a fixed point)."""
+def _wide_type(dt: T.DataType) -> T.DataType:
+    """An accumulator type stable under repeated ``acc + x`` (decimal
+    addition widens precision; pre-widening to 38 makes the fold's
+    accumulator type a fixed point)."""
     if isinstance(dt, T.DecimalType):
-        return F.lit(0).cast(T.DecimalType(38, dt.scale))
-    return F.lit(0).cast(dt)
+        return T.DecimalType(38, dt.scale)
+    return dt
 
 
 def two_phase_rank(
@@ -121,10 +121,17 @@ def two_phase_rank(
     )
     sum_types = {s: stats.schema[f"__s_{s}"].dataType for s in sum_names}
 
-    def _prefix_sum(field):
+    def _prefix_sum(field, zero):
         # factory, not default-arg capture: PySpark derives lambda arity
-        # from the signature, so the lambda must take exactly (acc, y)
-        return lambda acc, y: acc + y[field]
+        # from the signature, so the lambda must take exactly (acc, y).
+        # NULL discipline matches window SUM: a bucket whose sum is NULL
+        # (all inputs null) is SKIPPED, so the offset is NULL iff no
+        # earlier bucket held a non-null value — composing with the
+        # within-bucket sum below reproduces "running sum is NULL until
+        # the first non-null input" exactly.
+        return lambda acc, y: F.when(y[field].isNull(), acc).otherwise(
+            F.coalesce(acc, zero) + y[field]
+        )
 
     packed = stats.agg(
         F.array_sort(F.collect_list(F.struct(_BKT, "__n", *[f"__s_{s}" for s in sum_names]))).alias("__arr")
@@ -137,14 +144,14 @@ def two_phase_rank(
                     x[_BKT].alias(_BKT),
                     F.aggregate(
                         F.slice("__arr", F.lit(1), i),
-                        _wide_zero(T.LongType()),
+                        F.lit(0).cast(T.LongType()),
                         lambda acc, y: acc + y["__n"],
                     ).alias(_OFF),
                     *[
                         F.aggregate(
                             F.slice("__arr", F.lit(1), i),
-                            _wide_zero(sum_types[s]),
-                            _prefix_sum(f"__s_{s}"),
+                            F.lit(None).cast(_wide_type(sum_types[s])),
+                            _prefix_sum(f"__s_{s}", F.lit(0).cast(_wide_type(sum_types[s]))),
                         ).alias(f"{_OFF}_{s}")
                         for s in sum_names
                     ],
@@ -159,7 +166,16 @@ def two_phase_rank(
         rank_col, (F.row_number().over(w) + F.col(_OFF)).cast("bigint")
     )
     for s in sum_names:
-        out = out.withColumn(s, F.sum(running[s]).over(cum) + F.col(f"{_OFF}_{s}"))
+        ws, off = F.sum(running[s]).over(cum), F.col(f"{_OFF}_{s}")
+        zero = F.lit(0).cast(_wide_type(sum_types[s]))
+        # NULL iff neither the bucket prefix nor the earlier buckets held
+        # a non-null value — exactly window SUM's running-null semantics
+        out = out.withColumn(
+            s,
+            F.when(ws.isNull() & off.isNull(), F.lit(None).cast(_wide_type(sum_types[s]))).otherwise(
+                F.coalesce(ws, zero) + F.coalesce(off, zero)
+            ),
+        )
     drop = [_KEY, _BKT, _OFF, *[f"{_OFF}_{s}" for s in sum_names]]
     if total_col:
         out = out.withColumnRenamed("__scalar_n", total_col)

@@ -7251,8 +7251,9 @@ def funnel_time_to_convert(spark, sf_dir):
     explicit DIV (never a double division of longs), and the EXACT
     median via the mad_outliers middle-row selection (two CASE picks ×
     0.5 — identical integers into one double op). The per-user firsts
-    are two groupBys; the only unpartitioned window ranks |converters|
-    rows, not events."""
+    are two groupBys; the |converters|-row rank (grows with SF) runs
+    through ``two_phase_rank`` since round 7 — no unpartitioned window
+    anywhere."""
     ev = _t(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp")
     v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
@@ -7271,11 +7272,13 @@ def funnel_time_to_convert(spark, sf_dir):
             "(unix_micros(first_purchase) - unix_micros(first_view)) DIV 60000000"
         ).alias("mins"),
     )
-    w = Window.orderBy("mins", "user_id")
-    r = d.select(
-        "mins",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    from ..operators.ranks import two_phase_rank
+
+    r = two_phase_rank(
+        d.select("mins", "user_id"),
+        [F.col("mins"), F.col("user_id")],
+        rank_col="rn",
+        total_col="n",
     )
     m1 = F.expr("(n + 1) DIV 2")
     m2 = F.expr("(n + 2) DIV 2")
@@ -7418,25 +7421,48 @@ def seasonal_decompose_daily(spark, sf_dir):
     """,
 )
 def rfm_customer_segments(spark, sf_dir):
-    """RFM segmentation: per-customer recency/frequency/monetary
-    quintiles (NTILE with total tie-breaks — the percentile-band
-    precedent) folded into named segments. The unpartitioned NTILE
-    windows rank the |customers|-row AGGREGATE, not orders — at 100 TB
-    that aggregate is still million-scale and the windows would move to
-    the range-partitioned id-assignment shape (``assign_stable_ids``);
-    monetary sums are decimal-exact."""
+    """RFM segmentation: per-customer recency/frequency quintiles
+    (exact NTILE with total tie-breaks) folded into named segments.
+    Round 7: the unpartitioned NTILE windows over the |customers|-row
+    aggregate (which GROWS with SF — the round-6 verdict's residual W2
+    hazard) are replaced by ``two_phase_rank`` + the closed-form
+    ``ntile_from_rank`` — exact quintiles, no single-partition exchange.
+    Descending keys enter the ascending composite negated, with an
+    explicit null-flag component reproducing desc-NULLS-LAST (both
+    engines' default). The monetary quintile is dead code in BOTH
+    engines (the segment CASE uses only r and f; Catalyst pruned it
+    before, now it is simply not built — the oracle SQL retains it
+    unreferenced); monetary itself stays in the aggregate to mirror the
+    oracle's CTE. Decimal-exact sums."""
+    from ..operators.ranks import ntile_from_rank, two_phase_rank
+
     o = _t(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("monetary"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        F.ntile(5).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))).alias("r"),
-        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f"),
-        F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m"),
-    )
+
+    def quintile(key_desc, name):
+        ranked = two_phase_rank(
+            rfm,
+            [
+                key_desc.isNull().cast("int").alias("k_null"),  # desc ⇒ NULLS LAST
+                (-key_desc).alias("k_neg"),
+                F.col("o_custkey"),
+            ],
+            rank_col="__rk",
+            total_col="__n",
+            persist=True,
+        )
+        return ranked.select(
+            "o_custkey",
+            ntile_from_rank(F.col("__rk"), F.col("__n"), 5).alias(name),
+        )
+
+    scored = quintile(
+        F.unix_micros(F.col("last_order").cast("timestamp")), "r"
+    ).join(quintile(F.col("frequency"), "f"), "o_custkey")
     seg = scored.select(
         F.when((F.col("r") == 1) & (F.col("f") == 1), "champion")
         .when((F.col("r") <= 2) & (F.col("f") <= 2), "loyal")
@@ -8325,12 +8351,16 @@ def corpus_data_card(spark, sf_dir):
         F.size(TX.tokens(F.col("text"))).alias("n_toks"),
     )
     toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
-    w = Window.orderBy("n_toks", "doc_id")
-    # median over scorable (non-null-text) docs only — see oracle comment
-    ranked = d.filter(F.col("n_toks").isNotNull()).select(
-        "n_toks",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    from ..operators.ranks import two_phase_rank
+
+    # median over scorable (non-null-text) docs only — see oracle
+    # comment. Exact middle-rank selection via the two-phase rank (the
+    # per-doc aggregate grows with SF; no single-partition window).
+    ranked = two_phase_rank(
+        d.filter(F.col("n_toks").isNotNull()).select("n_toks", "doc_id"),
+        [F.col("n_toks"), F.col("doc_id")],
+        rank_col="rn",
+        total_col="n",
     )
     m1, m2 = F.expr("(n + 1) DIV 2"), F.expr("(n + 2) DIV 2")
     med = ranked.agg(
@@ -8592,24 +8622,36 @@ def ml_fold_assignment(spark, sf_dir):
 def pareto_revenue_concentration(spark, sf_dir):
     """Revenue-concentration (Pareto / 80-20) curve: cumulative revenue
     share held by the top 10%, 20%, … 100% of customers. Per-customer
-    revenue and the cumulative sums are DECIMAL (associative — window
+    revenue and the cumulative sums are DECIMAL (associative — the
     accumulation order is pinned by the total rank order anyway); the
     share is one double division of exactly-representable decimals,
-    published unrounded. All windows run over the |customers|-row
-    aggregate."""
+    published unrounded. Round 7: rank, running sum, n, and total over
+    the |customers|-row aggregate (grows with SF) all moved off
+    unpartitioned windows — ``two_phase_rank`` carries rk + the decimal
+    running sum in one composition, and total is a 1-row broadcast
+    aggregate (``__scalar_`` contract)."""
+    from ..operators.ranks import two_phase_rank
+
     o = _t(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("rev")
     )
-    worder = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    ranked = cust.select(
-        "rev",
-        F.row_number().over(worder).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("rev").over(worder.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    total = cust.agg(F.sum("rev").alias("__scalar_total"))
+    ranked = two_phase_rank(
+        cust,
+        [
+            F.col("rev").isNull().cast("int").alias("k_null"),  # desc ⇒ NULLS LAST
+            (-F.col("rev")).alias("k_neg"),
+            F.col("o_custkey"),
+        ],
+        rank_col="rk",
+        running={"cum": F.col("rev")},
+        total_col="n",
+        persist=True,
+    ).crossJoin(F.broadcast(total)).select(
+        "rev", "rk", "n", "cum", F.col("__scalar_total").alias("total")
     )
     # the 10-row decile probe joins on a cross-side expression — a
     # sanctioned tiny-broadcast BNLJ, named per the __scalar_ contract
@@ -8819,9 +8861,13 @@ def customer_tier_migration(spark, sf_dir):
     """Customer value-tier migration matrix: revenue quintile in period
     A vs period B (stable order-parity split standing in for
     before/after) for customers active in both — the churn-risk /
-    upsell heat map. Two NTILE windows over |customers|-row aggregates
-    (decimal-exact revenue, total tie-breaks), one equi-join, a 5×5
+    upsell heat map. Two exact revenue quintiles over |customers|-row
+    aggregates (decimal-exact, total tie-breaks) via
+    ``two_phase_rank``/``ntile_from_rank`` (round 7 — the aggregate
+    grows with SF, so no unpartitioned NTILE), one equi-join, a 5×5
     count matrix."""
+    from ..operators.ranks import ntile_from_rank, two_phase_rank
+
     o = _t(spark, sf_dir, "orders")
     halves = o.groupBy(
         "o_custkey", (F.col("o_orderkey") % 2).alias("h")
@@ -8830,13 +8876,23 @@ def customer_tier_migration(spark, sf_dir):
         .cast("decimal(18,2)")
         .alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    a = halves.where(F.col("h") == 0).select(
-        "o_custkey", F.ntile(5).over(w).alias("tier_a")
-    )
-    b = halves.where(F.col("h") == 1).select(
-        "o_custkey", F.ntile(5).over(w).alias("tier_b")
-    )
+
+    def tier(side, name):
+        ranked = two_phase_rank(
+            halves.where(F.col("h") == side).select("o_custkey", "rev"),
+            [
+                F.col("rev").isNull().cast("int").alias("k_null"),  # desc ⇒ NULLS LAST
+                (-F.col("rev")).alias("k_neg"),
+                F.col("o_custkey"),
+            ],
+            rank_col="__rk",
+            total_col="__n",
+        )
+        return ranked.select(
+            "o_custkey", ntile_from_rank(F.col("__rk"), F.col("__n"), 5).alias(name)
+        )
+
+    a, b = tier(0, "tier_a"), tier(1, "tier_b")
     return (
         a.join(b, "o_custkey")
         .groupBy(

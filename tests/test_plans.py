@@ -114,6 +114,75 @@ def test_vocab_rank_window_is_partitioned(plans):
     assert re.search(r"hashpartitioning\(__cls#\d+L?, __salt#\d+", p), p
 
 
+# Catalog-wide allowlist for test_no_unbounded_single_partition_windows:
+# queries whose remaining SinglePartition-fed Window runs over an
+# aggregate whose cardinality is bounded by something that does NOT grow
+# with the data volume — each entry documents the bound. Everything else
+# (per-customer, per-document, per-vocab, per-converter aggregates, whose
+# cardinality scales with SF) must use operators/ranks.py::two_phase_rank
+# or an equivalent partitioned shape.
+BOUNDED_WINDOW_OK = {
+    # 3 ranks over the per-DAY purchase aggregate: |rows| = |calendar
+    # days in the dataset| (~2.5k for TPC-H's 7-year horizon) — bounded
+    # by the time span, not the data volume
+    "anomaly_seasonal_residuals",
+    # cumulative count over a FIXED number of histogram bins
+    "histogram_percentile_estimate",
+    # running sum over the per-day first-seen aggregate (|days|)
+    "running_distinct_users",
+    # lag over the per-week revenue aggregate (|weeks|)
+    "wow_revenue_change",
+}
+
+
+def _single_partition_windows(plan: str) -> list[str]:
+    """Window operators whose nearest downstream Exchange is
+    SinglePartition (the scale-killing shape): textual tree walk — from
+    each Window line, descend while strictly deeper, stop at the first
+    Exchange / Aggregate / Window boundary."""
+    prefix = re.compile(r"^(?:[ :]|\+-|:-)*(?:\*\(\d+\)\s*)?")
+    lines = plan.splitlines()
+    hits = []
+    for i, ln in enumerate(lines):
+        d = prefix.match(ln).end()
+        if not ln[d:].startswith("Window "):
+            continue
+        for j in range(i + 1, len(lines)):
+            dj = prefix.match(lines[j]).end()
+            bj = lines[j][dj:]
+            if dj <= d:
+                break
+            if bj.startswith("Exchange"):
+                if "SinglePartition" in bj:
+                    hits.append(ln.strip()[:120])
+                break
+            if re.match(r"(HashAggregate|SortAggregate|ObjectHashAggregate|Window )", bj):
+                break
+    return hits
+
+
+def test_no_unbounded_single_partition_windows(plans):
+    # Round-7 extension of the vocab-rank assertion (above) to the WHOLE
+    # catalog: no query may feed a Window from Exchange SinglePartition
+    # unless its aggregate is provably bounded (BOUNDED_WINDOW_OK).
+    offenders = {
+        n: hits
+        for n, p in plans.items()
+        if n not in BOUNDED_WINDOW_OK and (hits := _single_partition_windows(p))
+    }
+    assert not offenders, f"unbounded single-partition windows: {offenders}"
+
+
+def test_bounded_window_allowlist_is_tight(plans):
+    # every allowlisted query still plans its bounded window — stale
+    # entries must be removed so the allowlist can't quietly grow
+    for n in BOUNDED_WINDOW_OK:
+        assert _single_partition_windows(plans[n]), (
+            f"{n} no longer plans a single-partition window; drop it from "
+            "BOUNDED_WINDOW_OK"
+        )
+
+
 def test_asof_join_uses_window_group_limit(plans):
     # top-1-per-group pushdown: Spark plans WindowGroupLimit before the
     # window sort, so per-key state is O(1), not O(history)

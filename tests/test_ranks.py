@@ -60,6 +60,34 @@ def test_rank_desc_components_and_running_sum(spark):
         assert r["cum"] == ecum  # decimal-exact, not approx
 
 
+def test_running_sum_null_semantics_match_window(spark):
+    # leading nulls (running sum NULL until first non-null), all-null
+    # buckets, trailing nulls — must reproduce window SUM bit-for-bit
+    import random
+
+    rng = random.Random(21)
+    rows = [
+        (i, rng.randint(0, 50), None if (i < 40 or rng.random() < 0.3) else rng.randint(1, 9))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, x long").withColumn(
+        "dec", F.col("x").cast("decimal(18,2)")
+    )
+    w = Window.orderBy("id")
+    expected = {
+        r["id"]: r["cum"]
+        for r in df.select(
+            "id",
+            F.sum("dec").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        ).collect()
+    }
+    got = two_phase_rank(
+        df, [F.col("id")], rank_col="rk", running={"cum": F.col("dec")}, n_buckets=16
+    ).select("id", "cum")
+    for r in got.collect():
+        assert r["cum"] == expected[r["id"]], (r["id"], r["cum"], expected[r["id"]])
+
+
 def test_total_col_and_determinism_across_reexecution(spark):
     df = spark.createDataFrame(_rows(300, 11), "id long, v long, s string")
     out = two_phase_rank(df, [F.col("v"), F.col("id")], rank_col="rk", total_col="n")
