@@ -256,6 +256,14 @@ def minhash_bucket_groups(
     banded = minhash_band_index(
         df, text_col, id_col, num_hashes, bands, shingle_size, portable=portable
     )
+    # Sentinel signatures ([p]*num_hashes — empty/null/too-short texts,
+    # which all share one bucket per band) can never verify: no shingles
+    # ⇒ exact Jaccard 0. Dropping them BEFORE grouping is output-
+    # identical and removes the m² degenerate-bucket pair expansion that
+    # a boilerplate-heavy corpus would otherwise feed the screen (the
+    # skew cap only bounded it). min-hashes are pmod(·, p) < p, so
+    # sig[0] = p identifies the sentinel exactly.
+    banded = banded.filter(F.element_at("sig", 1) < F.lit(_MINHASH_PRIME).cast("long"))
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
@@ -351,11 +359,20 @@ def minhash_band_index(
     map-side partial aggregation collapses the exploded shingles before
     the shuffle, so the exchange is the same size the old shape paid
     anyway. Empty/too-short texts (no shingles) keep the
-    ``[p]*num_hashes`` sentinel signature via explode_outer + coalesce;
-    null texts get the same sentinel — either way those rows die at the
-    signature screen or the exact verify (a null/empty text has no
-    shingles, so its verified Jaccard can never reach the threshold),
-    matching the oracle, which never emits them.
+    ``[p]*num_hashes`` sentinel signature via explode_outer + coalesce
+    (the base hash is NULL-guarded — xxhash64(NULL)=42 would otherwise
+    defeat the coalesce); null texts get the same sentinel — either way
+    those rows die at the signature screen or the exact verify (a
+    null/empty text has no shingles, so its verified Jaccard can never
+    reach the threshold), matching the oracle, which never emits them.
+
+    Duplicate ids: the groupBy(id) aggregation produces ONE signature
+    per id over the UNION of all its rows' shingles (the old per-row
+    fold emitted one signature per row). The operator has no unique-id
+    precondition, so this per-id semantics is the contract: rows
+    sharing an id are treated as one logical document — matching the
+    oracle's ``GROUP BY id`` shape (pinned in
+    tests/test_dedup.py::test_minhash_duplicate_ids_*).
     """
     rows_per_band = num_hashes // bands
     a, b = _perm_constants(num_hashes)
@@ -370,7 +387,22 @@ def minhash_band_index(
                 F.array_distinct(char_shingles(F.col(text_col), shingle_size))
             ).alias("__s"),
         )
-        .select("id", F.pmod(base(F.col("__s")), F.lit(p).cast("long")).alias("__h0"))
+        .select(
+            "id",
+            # NULL must PROPAGATE so the sentinel coalesce below fires:
+            # xxhash64(NULL) = 42 (a real hash, not NULL), so without the
+            # guard every empty/null-text row would share a 42-derived
+            # signature instead of the documented [p]*num_hashes sentinel
+            # (divergence from minhash_signature's per-row fold; round-7
+            # advisor find). Final pairs were unchanged (such pairs die
+            # at exact verify), but degenerate docs co-bucketed with
+            # est=1.0 — with max_bucket_size=None that passed m² junk
+            # pairs into verify.
+            F.when(
+                F.col("__s").isNotNull(),
+                F.pmod(base(F.col("__s")), F.lit(p).cast("long")),
+            ).alias("__h0"),
+        )
     )
     # The wide expression lists below are built as SQL strings (one
     # F.expr round-trip each) rather than Column-combinator trees: every
@@ -1295,15 +1327,23 @@ def duplicated_substring_spans(
     min_span_tokens: int | None = None,
     portable: bool = False,
 ) -> DataFrame:
-    """Exact-substring dedup spans (the ExactSubstr formulation of Lee et
-    al., "Deduplicating Training Data Makes Language Models Better"): for
-    every document, the MAXIMAL token spans whose every ``k``-gram also
-    occurs in at least one OTHER document. Returns
+    """Exact-substring dedup spans (after the ExactSubstr formulation of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): per document, maximal token spans built from the
+    cross-document duplicated ``k``-grams. The precise invariant: every
+    token of an emitted span is COVERED by at least one k-gram that also
+    occurs in some OTHER document (coverage, not per-gram: the ≤k island
+    merge below deliberately bridges two duplicated runs across a short
+    unique gap whose tokens still sit inside boundary duplicated grams —
+    tests/test_dedup_similarity.py::
+    test_duplicated_substring_spans_island_merge_boundaries pins a span
+    containing grams found nowhere else; no token OUTSIDE every duplicated gram is ever
+    emitted, so the scrub never cuts unique text). Returns
     ``(doc_id, span_start, span_end, span_tokens)`` — 1-based inclusive
-    token indices — one row per maximal cross-document duplicated span of
-    at least ``min_span_tokens`` tokens (default ``2*k``). Downstream, a
-    curation pass cuts these spans out of the training text instead of
-    dropping whole near-duplicate documents.
+    token indices — one row per maximal island of at least
+    ``min_span_tokens`` tokens (default ``2*k``). Downstream, a curation
+    pass cuts these spans out of the training text instead of dropping
+    whole near-duplicate documents.
 
     The paper builds a corpus-wide suffix array — inherently sequential
     and memory-resident. The distributed formulation is k-gram postings:
@@ -1318,13 +1358,18 @@ def duplicated_substring_spans(
     chance k-gram collisions between unrelated texts, the same false-
     positive class the paper's 50-token threshold exists for.
 
-    Differences from the suffix-array formulation, both deliberate:
-    span boundaries are k-gram-aligned (a true shared substring of
-    length L is reported as the span of its L-k+1 grams — identical
-    token range; a shared run SHORTER than k is invisible, which the
-    min-span threshold would discard anyway), and "duplicated" means
-    cross-document (a phrase repeated only within one document is kept —
-    within-doc repetition is ``text_repetition_rules``' job).
+    Differences from the paper's verbatim-span semantics, all
+    deliberate: span boundaries are k-gram-aligned (a true shared
+    substring of length L is reported as the span of its L-k+1 grams —
+    identical token range; a shared run SHORTER than k is invisible,
+    which the min-span threshold would discard anyway); "duplicated"
+    means cross-document (a phrase repeated only within one document is
+    kept — within-doc repetition is ``text_repetition_rules``' job);
+    and a span need not be ONE verbatim shared substring — the island
+    merge can join several (possibly different-partner) duplicated runs
+    separated by ≤k-token gaps into one span, trading the paper's
+    per-substring precision for a single per-document window instead of
+    a partner-aligned matching.
 
     ``portable=True`` hashes grams with md5 (bit-replayable by any
     engine with md5 — the DuckDB value oracle runs this mode);

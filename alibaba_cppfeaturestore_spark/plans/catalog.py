@@ -9093,7 +9093,13 @@ def attribution_first_vs_last_touch(spark, sf_dir):
       SELECT event_id, 'event_type' AS fname, event_type AS fval
       FROM events WHERE event_type IS NOT NULL
       UNION ALL
-      SELECT event_id, 'user_bucket', CAST(user_id % 20 AS VARCHAR) FROM events
+      -- the same missing-means-absent policy for the derived feature: a
+      -- NULL user_id emits no user_bucket row (mirrors the Spark side's
+      -- post-union fval filter; round-7 advisor find — the branches'
+      -- policies diverged latently, masked only because the null fuzz
+      -- never nulls user_id)
+      SELECT event_id, 'user_bucket', CAST(user_id % 20 AS VARCHAR)
+      FROM events WHERE user_id IS NOT NULL
     ),
     hashed AS (
       SELECT event_id, fname, fval,

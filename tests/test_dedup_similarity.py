@@ -77,6 +77,64 @@ def test_minhash_duplicate_ids_emit_no_self_pairs(spark, docs):
     assert all(r["id_a"] < r["id_b"] for r in pairs)
 
 
+def test_minhash_duplicate_ids_differing_texts_merge_signatures(spark, docs):
+    """Duplicate ids with DIFFERENT texts: the groupBy(id) aggregation
+    produces ONE signature per id over the UNION of the rows' shingles
+    (min is associative: sig(S∪T) = elementwise-min(sig(S), sig(T))) —
+    the documented per-id contract, matching the oracle's GROUP BY id."""
+    from alibaba_cppfeaturestore_spark.operators.dedup import minhash_band_index
+
+    base = docs.limit(10).select("doc_id", "text")
+    alt = base.select(
+        "doc_id", F.concat(F.lit("totally different prefix words "), F.col("text")).alias("text")
+    )
+    merged = minhash_band_index(base.unionByName(alt), num_hashes=16, bands=4)
+    # per-row signatures from disjoint synthetic ids, then elementwise min
+    tagged = base.select((F.col("doc_id") * 2).alias("doc_id"), "text").unionByName(
+        alt.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text")
+    )
+    per_row = {
+        r["id"]: r["sig"]
+        for r in minhash_band_index(tagged, num_hashes=16, bands=4)
+        .select("id", "sig")
+        .distinct()
+        .collect()
+    }
+    got = {r["id"]: r["sig"] for r in merged.select("id", "sig").distinct().collect()}
+    assert len(got) == 10
+    for i, sig in got.items():
+        expect = [min(a, b) for a, b in zip(per_row[2 * i], per_row[2 * i + 1])]
+        assert sig == expect, i
+
+
+def test_minhash_degenerate_texts_get_sentinel_signature(spark):
+    """Empty/null/too-short texts must carry the [p]*num_hashes sentinel
+    in BOTH hash modes — xxhash64(NULL)=42 would otherwise give every
+    degenerate doc a shared 42-derived signature (fold-parity divergence;
+    round-7 advisor find) — and sentinel rows are dropped before bucket
+    grouping, so degenerate docs never co-bucket into m² screen pairs."""
+    from alibaba_cppfeaturestore_spark.operators.dedup import (
+        _MINHASH_PRIME,
+        minhash_band_index,
+        minhash_bucket_groups,
+    )
+
+    rows = [(1, ""), (2, None), (3, "abc"), (4, "x"), (5, "a longer real document text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for portable in (False, True):
+        idx = minhash_band_index(df, num_hashes=8, bands=2, portable=portable)
+        sigs = {r["id"]: r["sig"] for r in idx.select("id", "sig").distinct().collect()}
+        sentinel = [_MINHASH_PRIME] * 8
+        for did in (1, 2, 3, 4):  # shorter than the 5-char shingle ⇒ no shingles
+            assert sigs[did] == sentinel, (portable, did, sigs[did])
+        assert sigs[5] != sentinel
+        grouped = minhash_bucket_groups(
+            df, num_hashes=8, bands=2, portable=portable, max_bucket_size=None
+        )
+        members = [m["id"] for r in grouped.collect() for m in r["ms"]]
+        assert set(members) <= {5}, members
+
+
 def test_minhash_no_false_pairs_between_distinct_docs(spark, docs):
     pairs = minhash_lsh_duplicates(
         docs.limit(50), num_hashes=32, bands=4, jaccard_threshold=0.9
