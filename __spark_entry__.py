@@ -26,86 +26,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The first 50 entries are the driver's check window (the driver runs a
-# 50-query prefix; every one of the 50 carries a DuckDB oracle). Round-6
-# rotation, executed exactly as round 5 planned:
-#   (a) the 11 never/oldest-checked entries named in the round-5 plan:
-#       the three round-5 curation/dedup additions plus the 8 remaining
-#       r01-stale entries — all 11 independently strict-verified by the
-#       round-5 judge AND re-verified this round under
-#       driver_sim --strict (clean + perturb seeds);
-#   (b) this round's four NEW entries (ann_ivf_portable_topk — the
-#       value-oracle IVF sibling that retires ann_ivf_topk's no-oracle
-#       gap; llm_corpus_curation_lsh_counts — the 100 TB LSH curation
-#       path as a counts/predicate row; dedup_exact_substring_spans and
-#       dedup_exact_substring_scrub — the ExactSubstr pair, each green
-#       across the full TEN-mode battery on landing), all strict-green
-#       on clean + perturb seeds;
-#   (c) 35 of the 47 r02-cohort entries (the oldest remaining rows;
-#       never-checked new entries outrank refreshing r02-green rows, so
-#       histogram_order_values and melt_lineitem_charges yield their
-#       slots and stay r02-green).
-# Deferred to r07 (stay r02-green, pytest-pinned meanwhile): the five
-# stream_* rows, the three multimodal rows, sample_deterministic,
-# json_codec_roundtrip, histogram_order_values, melt_lineitem_charges.
-# After this window lands, every oracle-backed entry has a driver row
-# and no entry's latest row is older than r02.
+# 50-query prefix; every one of the 50 carries a DuckDB oracle). Round-7
+# rotation, executed exactly as the round-6 verdict planned:
+#   (a) the 12 entries deferred from r06 (last driver row r02,
+#       pytest-pinned meanwhile): the five stream_* rows, the three
+#       multimodal rows, sample_deterministic, json_codec_roundtrip,
+#       histogram_order_values, melt_lineitem_charges. After this
+#       window lands, no entry's latest driver row is older than r03.
+#   (b) the 8 entries whose SPARK IMPLEMENTATION or ORACLE changed this
+#       round and therefore need fresh driver rows regardless of age:
+#       the five de-single-partitioned rank/NTILE/median rewrites
+#       (rfm_customer_segments, customer_tier_migration,
+#       pareto_revenue_concentration, corpus_data_card,
+#       funnel_time_to_convert — operators/ranks.py::two_phase_rank),
+#       the two dictionary-rank consumers (dict_apply_lang,
+#       dict_encode_event_type — fit_dictionary now two-phase), and
+#       feature_hashing_trick (oracle null-policy alignment). All 8
+#       re-verified this round under driver_sim --strict clean +
+#       perturb/nulls/order seeds.
+#   (c) 30 of the 49 r03-cohort entries (the oldest remaining rows),
+#       leading with the four touched by this round's dictionary/minhash
+#       changes (aliccp_*_e2e, dedup_minhash_lsh/incremental); the 19
+#       r03 entries left over stay r03-green and head the r08 window.
 # The only oracle-less entry is ann_ivf_topk (learned KMeans centroids —
 # permanently pytest-pinned, see its docstring); it sits in the tail,
 # outside the window.
 _DRIVER_WINDOW = [
-    # (a) round-5 additions + r01-stale
-    "dedup_paragraph_exact",
-    "llm_corpus_curation_e2e",
-    "llm_corpus_curation_funnel",
-    "case_when_bucketing",
+    # (a) the 12 r02-deferred entries
+    "stream_tumbling_window_counts",
+    "stream_online_upsert",
+    "stream_dedup_exact",
+    "stream_interval_join_attribution",
+    "stream_session_window_stats",
+    "multimodal_decode_metadata",
+    "multimodal_frame_sample",
+    "multimodal_embed_topk",
+    "sample_deterministic",
+    "json_codec_roundtrip",
+    "histogram_order_values",
+    "melt_lineitem_charges",
+    # (b) round-7 implementation/oracle changes
+    "rfm_customer_segments",
+    "customer_tier_migration",
+    "pareto_revenue_concentration",
+    "corpus_data_card",
+    "funnel_time_to_convert",
     "dict_apply_lang",
-    "feature_quantile_bins",
-    "filter_theta_or",
-    "join_left_enrich",
-    "profile_events_table",
-    "proj_select_cast",
-    "q14_promo_revenue_share",
-    # (b) round-6 additions
-    "ann_ivf_portable_topk",
-    "llm_corpus_curation_lsh_counts",
-    "dedup_exact_substring_spans",
-    "dedup_exact_substring_scrub",
-    # (c) r02 refresh
-    "ab_test_group_summary",
-    "agg_approx_stats",
-    "ann_brute_force_topk",
-    "ann_lsh_bucketed_topk",
-    "ann_quantized_topk",
-    "cohort_weekly_retention",
-    "contamination_ngram_overlap",
-    "dedup_clusters",
-    "dedup_ngram_jaccard_indexed",
-    "dedup_semantic_embedding",
-    "doc_fingerprint",
-    "dq_key_violations",
-    "dq_referential_violations",
-    "feature_correlations",
-    "feature_impute_missing",
-    "feature_one_hot_events",
-    "feature_store_historical_retrieval",
-    "feature_target_encoding",
-    "funnel_view_click_purchase",
-    "join_semi_in_subquery",
-    "kv_merge_lastwin",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "range_join_pre_purchase_views",
-    "record_linkage_customers",
-    "scd2_interval_lookup",
-    "scd2_user_event_history",
-    "snapshot_diff_cdc",
-    "text_clean_normalize",
-    "text_pii_redact",
-    "text_repetition_rules",
-    "timeseries_gap_fill",
-    "wow_revenue_change",
+    "dict_encode_event_type",
+    "feature_hashing_trick",
+    # (c) r03 refresh — change-affected first, then oldest alphabetical
+    "aliccp_bronze_to_silver_e2e",
+    "aliccp_silver_to_gold_e2e",
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "analytics_percentile_bands",
+    "anomaly_mad_outliers",
+    "bm25_topk_retrieval",
+    "corpus_top_terms",
+    "csv_codec_roundtrip",
+    "dedup_bottomk_sketch",
+    "dedup_simhash",
+    "embedding_random_projection",
+    "embedding_stats_by_label",
+    "embedding_threshold_pairs",
+    "ewma_user_value",
+    "graph_pagerank_trade_network",
+    "heavy_hitter_tokens",
+    "incremental_agg_maintenance",
+    "interval_overlap_sessions",
+    "join_salted_skew_enrich",
+    "layout_zorder_clustering",
+    "q2_min_cost_supplier",
+    "q4_late_order_priority",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "regression_daily_trend",
+    "sample_stratified",
+    "stream_checkpoint_restart",
+    "timeseries_rollup_cascade",
 ]
 
 
