@@ -90,6 +90,64 @@ def main() -> None:
     # values = host; a normalized outlier = that query's code.
     canary = timings.get("q1_pricing_summary") or min(timings.values())
     norm = {n: round(t / canary, 2) for n, t in timings.items()}
+
+    # Round-over-round regression detection (round-7 brief item 4): read
+    # the newest BENCH_r*.json next to this script and emit per-query
+    # CANARY-NORMALIZED deltas, flagging |Δ| > 25%. Normalized deltas
+    # attribute code-vs-noise from the artifact alone: a host slowdown
+    # moves raw numbers uniformly but leaves normalized values flat, so
+    # a flagged normalized delta is (almost always) a plan/code change.
+    prev_block = None
+    try:
+        import glob
+        import re as _re
+
+        arts = sorted(
+            glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+            key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        )
+        if arts:
+            prev_path = arts[-1]
+            with open(prev_path) as f:
+                raw = f.read()
+            # driver artifacts wrap the JSON line with runner metadata —
+            # take the LAST parseable {...} line containing "queries"
+            prev = None
+            for line in raw.splitlines():
+                line = line.strip()
+                if line.startswith("{") and '"queries"' in line:
+                    try:
+                        cand_ = json.loads(line)
+                        if isinstance(cand_, dict):
+                            prev = cand_
+                    except json.JSONDecodeError:
+                        continue
+            if prev is None:
+                prev = json.loads(raw)
+            if isinstance(prev.get("tail"), str):
+                for line in prev["tail"].splitlines():
+                    line = line.strip()
+                    if line.startswith("{") and '"queries_canary_normalized"' in line:
+                        try:
+                            prev = json.loads(line)
+                        except json.JSONDecodeError:
+                            pass
+            prev_norm = prev.get("queries_canary_normalized") or {}
+            deltas = {}
+            for qn, v in norm.items():
+                pv = prev_norm.get(qn)
+                if pv:
+                    deltas[qn] = round((v - pv) / pv, 3)
+            prev_block = {
+                "prev_artifact": os.path.basename(prev_path),
+                "deltas": deltas,
+                "flagged_over_25pct": sorted(
+                    qn for qn, d in deltas.items() if abs(d) > 0.25
+                ),
+            }
+    except Exception as exc:  # the comparison must never fail the bench
+        prev_block = {"error": repr(exc)[:200]}
+
     print(
         json.dumps(
             {
@@ -111,6 +169,7 @@ def main() -> None:
                     "pre_measure": load_pre_measure,
                     "post": round(os.getloadavg()[0], 2),
                 },
+                "normalized_delta_vs_prev": prev_block,
             }
         )
     )
