@@ -1319,6 +1319,61 @@ def paragraph_exact_dedup(
     )
 
 
+def substring_gram_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """The ExactSubstr posting set: one ``(id, pos, h)`` row per token
+    ``k``-gram of every attributable document (``h`` = xxhash64, or md5
+    under ``portable``). Exactly |tokens| − (k−1)·|docs| rows — LINEAR
+    in the corpus; the basis of :func:`duplicated_substring_spans` and
+    the quantity ``tools/scale_probe.py`` measures for the linearity
+    claim. Factored out so the probe measures the operator's REAL
+    intermediate, not a reimplementation."""
+    from ..functions.text import _let
+
+    def gram_hash(joined: Column) -> Column:
+        return F.md5(joined) if portable else F.xxhash64(joined)
+
+    toks_col = tokens(F.col(text_col))
+    grams = _let(
+        toks_col,
+        lambda toks: _let(
+            F.size(toks) - F.lit(k - 1),
+            lambda num: F.when(
+                num < 1, F.array().cast("array<struct<pos:int,h:string>>")
+                if portable
+                else F.array().cast("array<struct<pos:int,h:bigint>>"),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), num),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        gram_hash(
+                            F.concat_ws(
+                                " ",
+                                *[
+                                    F.element_at(toks, (i + j).cast("int"))
+                                    for j in range(k)
+                                ],
+                            )
+                        ).alias("h"),
+                    ),
+                )
+            ),
+        ),
+    )
+    return (
+        _spread(df)
+        .filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+
+
 def duplicated_substring_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1387,48 +1442,10 @@ def duplicated_substring_spans(
     gate: spans are keyed output (an unattributable span cannot be cut
     from anything) and a NULL text has no tokens.
     """
-    from ..functions.text import _let
-
     if min_span_tokens is None:
         min_span_tokens = 2 * k
 
-    def gram_hash(joined: Column) -> Column:
-        return F.md5(joined) if portable else F.xxhash64(joined)
-
-    toks_col = tokens(F.col(text_col))
-    grams = _let(
-        toks_col,
-        lambda toks: _let(
-            F.size(toks) - F.lit(k - 1),
-            lambda num: F.when(
-                num < 1, F.array().cast("array<struct<pos:int,h:string>>")
-                if portable
-                else F.array().cast("array<struct<pos:int,h:bigint>>"),
-            ).otherwise(
-                F.transform(
-                    F.sequence(F.lit(1), num),
-                    lambda i: F.struct(
-                        i.cast("int").alias("pos"),
-                        gram_hash(
-                            F.concat_ws(
-                                " ",
-                                *[
-                                    F.element_at(toks, (i + j).cast("int"))
-                                    for j in range(k)
-                                ],
-                            )
-                        ).alias("h"),
-                    ),
-                )
-            ),
-        ),
-    )
-    postings = (
-        _spread(df)
-        .filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
-        .select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    )
+    postings = substring_gram_postings(df, text_col, id_col, k, portable)
     dup_hashes = (
         postings.groupBy("h")
         .agg(F.count_distinct("id").alias("nd"))

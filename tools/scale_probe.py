@@ -91,6 +91,23 @@ def probes(spark, sf_dir):
     [w_naive] = deg.agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w")).collect()
     out["triangle_wedges_naive"] = int(w_naive["w"])
 
+    # ExactSubstr (duplicated_substring_spans) intermediates: total
+    # k-gram postings (claimed |tokens|-linear), postings surviving the
+    # ≥2-distinct-docs filter (the claimed-bounded set — a boilerplate
+    # gram shared by m docs costs m rows, never m²), and output spans
+    post = DD.substring_gram_postings(docs, "text", "doc_id", k=8)
+    out["exactsubstr_postings"] = post.count()
+    dup_h = (
+        post.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    out["exactsubstr_dup_postings"] = post.join(dup_h, "h", "left_semi").count()
+    out["exactsubstr_spans"] = DD.duplicated_substring_spans(
+        docs, "text", "doc_id", k=8
+    ).count()
+
     # bloom prefilter survivors on a 1-nation supplier key set
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
@@ -115,7 +132,11 @@ def main():
     print("|" + "---|" * (len(SFS) + 3))
     for m in metrics:
         vals = [rows[sf][m] for sf in SFS]
-        base = "input_docs" if "doc" in m or "token" in m or "lsh" in m or "skip" in m else "input_lineitem"
+        base = (
+            "input_docs"
+            if "doc" in m or "token" in m or "lsh" in m or "skip" in m or "exactsubstr" in m
+            else "input_lineitem"
+        )
         exps = []
         for i in range(2):
             c0, c1 = vals[i], vals[i + 1]
