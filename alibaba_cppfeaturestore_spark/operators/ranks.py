@@ -71,7 +71,7 @@ def two_phase_rank(
     running: dict[str, Column] | None = None,
     n_buckets: int = 64,
     total_col: str | None = None,
-    persist: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Append an exact 1-based global ``row_number`` ordered by ``key``
     (and optional inclusive running sums over the same order) computed
@@ -86,9 +86,13 @@ def two_phase_rank(
     ``total_col``: if set, also keep the total row count (bigint) —
     callers computing NTILE/medians need n anyway; this reuses the
     sampling pass's count instead of a second aggregate.
-    ``persist``: cache the keyed input when the caller will consume the
-    result more than once (the stats and window subtrees re-derive it
-    otherwise — deterministic either way, hash sampling never re-samples).
+    ``persist``: cache the keyed input (default True — the composition
+    references it from FOUR subtrees: count, boundaries, bucket stats,
+    and the ranked output, so an unpersisted upstream would be scanned
+    4×; at 100 TB that difference dominates everything else here).
+    Correctness never depends on it: hash sampling is row-local, so
+    re-derivations are identical. Pass False only when the input is
+    already cached or trivially cheap.
     """
     running = running or {}
     keyed = df.withColumn(_KEY, F.struct(*[c.alias(f"k{i}") for i, c in enumerate(key)]))
