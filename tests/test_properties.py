@@ -44,6 +44,31 @@ def test_assign_stable_ids_always_equals_global_rank(spark, keys):
 
 
 @_prop
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=120
+    ),
+    n_buckets=st.sampled_from([1, 2, 5, 16]),
+)
+def test_two_phase_rank_always_equals_window_row_number(spark, vals, n_buckets):
+    """Contract: two_phase_rank == row_number() OVER (ORDER BY …) for any
+    input — duplicates, NULLs (nulls-first), negative values, any bucket
+    count (1 bucket = degenerate single window, still exact)."""
+    from alibaba_cppfeaturestore_spark.operators.ranks import two_phase_rank
+
+    df = spark.createDataFrame(list(enumerate(vals)), "rid long, v long")
+    w = Window.orderBy(F.asc("v"), F.asc("rid"))
+    want = {(r.rid, r.rk) for r in df.select("rid", F.row_number().over(w).cast("bigint").alias("rk")).collect()}
+    got = {
+        (r.rid, r.rk)
+        for r in two_phase_rank(
+            df, [F.col("v"), F.col("rid")], rank_col="rk", n_buckets=n_buckets, persist=False
+        ).select("rid", "rk").collect()
+    }
+    assert got == want
+
+
+@_prop
 @given(items=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=200))
 def test_countmin_estimate_upper_bounds_truth(spark, items):
     from collections import Counter
