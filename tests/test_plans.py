@@ -198,6 +198,25 @@ def test_parquet_filters_push_down(plans):
     assert "PushedFilters: []" not in p, p
 
 
+def test_two_phase_rewrites_stay_partitioned_after_aqe(spark):
+    # the initial-plan audit above could in principle diverge from the
+    # AQE-final physical plan; execute the round-7 rewrites and re-check
+    # the no-single-partition-window property on isFinalPlan=true
+    for n in [
+        "rfm_customer_segments",
+        "pareto_revenue_concentration",
+        "corpus_data_card",
+        "funnel_time_to_convert",
+        "customer_tier_migration",
+        "dict_encode_event_type",
+    ]:
+        df = QUERIES[n].spark(spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = _single_partition_windows(plan)
+        assert not hits, f"{n} (final plan): {hits}"
+
+
 def test_whole_stage_codegen_active(spark):
     # codegen stages appear only in the FINAL adaptive plan — execute first
     for n in ["q1_pricing_summary", "dedup_minhash_lsh", "text_stats"]:
