@@ -41,17 +41,29 @@ def bm25_scores(
     idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (Lucene's non-negative
     form), tf component = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
 
+    Duplicate ids (the operator has no unique-id precondition): rows
+    sharing an id are ONE logical document — tf sums across copies, dl
+    is the TOTAL token count of all copies, N/avgdl range over merged
+    documents, df counts distinct ids. The same per-id contract as
+    ``minhash_band_index``; deterministic (the earlier ``first(dl)`` /
+    oracle ``ANY_VALUE(dl)`` pair was engine-arbitrary for duplicate
+    ids with differing texts — a ``--perturb-ids`` find this round).
+    With unique ids every number is unchanged.
+
     Two physical shapes, same values:
 
     - ``len(query_terms) ≤ 16`` (the interactive-retrieval case): ONE
       tokenize pass. Per-term tf rides the projection as
       ``size(toks) − size(array_remove(toks, t))`` (codegen'd collection
-      expressions, no higher-order fold, no explode), the per-doc
-      (id, dl, tf…) rows — fixed-width, tiny — persist once, and N /
-      avgdl / every df come out of ONE 1-row aggregate broadcast back.
-      The old shape tokenized the corpus TWICE (scalars + postings) and
-      paid an explode → groupBy(id, tok) → dfreq-join chain; measured
-      0.84 s → 0.59 s at sf0.1 with bit-identical output.
+      expressions, no higher-order fold, no explode); the per-id merge
+      groupBy doubles as the materialization point — its shuffle
+      exchange is REUSED by both consumers (the 1-row
+      N/avgdl/df aggregate and the scoring projection), so no persist
+      and no second tokenize (measured: exchange reuse beats an
+      explicit cache here, 0.49 → 0.36 s core shape). The old shape
+      tokenized the corpus TWICE and paid an explode → groupBy(id, tok)
+      → dfreq-join chain; full query 0.84 → ~0.6 s at sf0.1 with
+      identical output.
     - wider term lists: the postings shape below (explode + pre-shuffle
       IN filter), whose cost is independent of term count.
     """
@@ -62,18 +74,26 @@ def bm25_scores(
     if len(query_terms) <= 16:
         return _bm25_scores_columnar(base, list(query_terms), id_col, k1, b)
 
+    # merged logical documents: per-id total dl (the duplicate-id
+    # contract above; identity map for unique ids)
+    docs = base.groupBy("id").agg(F.sum("dl").alias("dl"))
+
     # Corpus scalars: one tiny agg, broadcast as a 1-row cross join (the
     # repo-standard "__scalar_" pattern — no collect, stays one job, and
     # the plan audit recognizes the prefix as a sanctioned 1-row BNLJ).
-    scalars = base.agg(
+    scalars = docs.agg(
         F.count("*").alias("__scalar_n_docs"), F.avg("dl").alias("__scalar_avgdl")
     )
 
     postings = (
-        base.select("id", "dl", F.explode("toks").alias("tok"))
+        base.select("id", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(list(query_terms)))
         .groupBy("id", "tok")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .agg(F.count("*").alias("tf"))
+        # null-SAFE equality: the NULL-id pseudo-document merges under
+        # groupBy like any id, so the dl attach must not drop it
+        .join(docs.withColumnRenamed("id", "__did"), F.col("id").eqNullSafe(F.col("__did")))
+        .drop("__did")
     )
     dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
 
@@ -107,23 +127,30 @@ def bm25_scores(
 def _bm25_scores_columnar(
     base: DataFrame, terms: list[str], id_col: str, k1: float, b: float
 ) -> DataFrame:
-    """Single-scan BM25 for small term lists: per-term tf columns, one
-    persisted fixed-width per-doc projection, one 1-row stats aggregate
-    (N, avgdl, all dfs) broadcast back. The per-term components sum in
-    term-list order through a when-chain so a document's score is NULL
-    only if it matches no term (those rows are filtered). Persisted set
-    is |corpus| × (16 + 8·|terms|) bytes — MEMORY_AND_DISK spills at the
-    100 TB scale rather than re-tokenizing."""
-    from pyspark import StorageLevel
-
-    per_doc = base.select(
+    """Single-scan BM25 for small term lists: per-term tf columns, a
+    per-id merge groupBy whose shuffle exchange both consumers reuse,
+    one 1-row stats aggregate (N, avgdl, all dfs) broadcast back. The
+    per-term components sum in term-list order through a when-chain so
+    a document's score is NULL only if it matches no term (those rows
+    are filtered). The exchanged set is |corpus| fixed-width rows
+    (16 + 8·|terms| bytes each) — the only full-corpus cost is the one
+    tokenize scan feeding it."""
+    per_row = base.select(
         "id",
         "dl",
         *[
             (F.size("toks") - F.size(F.array_remove("toks", t))).alias(f"__tf{i}")
             for i, t in enumerate(terms)
         ],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # id-merge BEFORE scoring — the duplicate-id contract (see
+    # bm25_scores): one logical document per id, tf and dl summed
+    # across copies, N/avgdl over merged documents, df over distinct
+    # ids. Deterministic; identity map for unique ids.
+    per_doc = per_row.groupBy("id").agg(
+        F.sum("dl").alias("dl"),
+        *[F.sum(f"__tf{i}").alias(f"__tf{i}") for i in range(len(terms))],
+    )
     stats = per_doc.agg(
         F.count("*").alias("__scalar_n_docs"),
         F.avg("dl").alias("__scalar_avgdl"),
@@ -147,11 +174,13 @@ def _bm25_scores_columnar(
             * (tf * F.lit(k1 + 1.0))
             / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__scalar_avgdl")))
         )
-        comp_sum = (
-            F.when(tf > 0, c)
-            if comp_sum is None
-            else F.when(tf > 0, F.coalesce(comp_sum, F.lit(0.0)) + c).otherwise(comp_sum)
-        )
+        # a tf=0 term contributes EXACTLY 0.0 (zero numerator, positive
+        # denominator) and x + 0.0 == x in IEEE, so a plain fixed-order
+        # sum reproduces the postings shape's matching-terms-only SUM —
+        # no per-term conditional (a when-chain that re-nests the prior
+        # sum in both branches grows the expression tree exponentially
+        # in |terms|; it measurably doubled the whole query's cost)
+        comp_sum = c if comp_sum is None else comp_sum + c
     matched = per_doc.filter(
         sum(F.col(f"__tf{i}") for i in range(len(terms))) > 0
     )

@@ -5222,12 +5222,23 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
       FROM documents
     ),
     b2 AS (SELECT doc_id, toks, LEN(toks) AS dl FROM b),
-    scal AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM b2),
+    -- duplicate-id contract (round 7): rows sharing an id are ONE
+    -- logical document — dl totals its copies, N/avgdl range over
+    -- merged documents (the earlier per-(id,tok) ANY_VALUE(dl) was
+    -- engine-arbitrary under duplicate ids; identity map when unique)
+    docs AS (SELECT doc_id, SUM(dl) AS dl FROM b2 GROUP BY doc_id),
+    scal AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM docs),
     post AS (
-      SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
-      FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM b2)
-      WHERE tok IN ({_BM25_TERMS_SQL})
-      GROUP BY doc_id, tok
+      -- IS NOT DISTINCT FROM: the NULL-id pseudo-document (rows whose
+      -- id was nulled) merges like any other id under GROUP BY, so the
+      -- dl attach must not silently drop it (NULL != NULL in a join)
+      SELECT p.doc_id, p.tok, p.tf, docs.dl
+      FROM (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(toks) AS tok FROM b2)
+        WHERE tok IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, tok
+      ) p JOIN docs ON p.doc_id IS NOT DISTINCT FROM docs.doc_id
     ),
     dfreq AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY tok),
     comp AS (

@@ -107,6 +107,55 @@ def test_minhash_duplicate_ids_differing_texts_merge_signatures(spark, docs):
         assert sig == expect, i
 
 
+def test_bm25_duplicate_and_null_ids_merge_like_one_document(spark):
+    """bm25_scores' duplicate-id contract: rows sharing an id (including
+    the NULL-id group) are ONE logical document — tf and dl sum across
+    copies, N/avgdl/df over merged docs — and BOTH physical shapes
+    (columnar ≤16 terms, postings >16 via forced threshold) agree with a
+    pre-merged corpus exactly."""
+    from alibaba_cppfeaturestore_spark.operators import retrieval as R
+
+    rows = [
+        (1, "join the filter window now"),
+        (1, "join again with more join tokens"),  # dup id, different text
+        (2, "filter only here"),
+        (None, "window window join"),  # NULL-id pseudo-doc
+        (None, "filter"),
+        (3, "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merged = spark.createDataFrame(
+        [
+            (1, "join the filter window now join again with more join tokens"),
+            (2, "filter only here"),
+            (None, "window window join filter"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["join", "filter", "window"]
+
+    def scores(frame, term_list):
+        return {
+            r["doc_id"]: round(r["bm25"], 9)
+            for r in R.bm25_scores(frame, term_list).collect()
+        }
+
+    col_dup = scores(df, terms)
+    col_merged = scores(merged, terms)
+    assert col_dup == col_merged
+    # postings shape on the duplicate corpus must agree too: call the
+    # wide path by slicing bm25_scores' internals via a >16 unique-term
+    # list that contains the 3 real terms plus 14 absent fillers (absent
+    # terms have df=0 ⇒ no postings ⇒ contribute nothing)
+    wide_terms = terms + [f"zz_absent_{i}" for i in range(14)]
+    wide_dup = scores(df, wide_terms)
+    wide_merged = scores(merged, wide_terms)
+    assert wide_dup == wide_merged
+    assert set(col_dup) == {1, 2, None}  # doc 3 matches nothing
+    assert wide_dup == col_dup  # same idf inputs ⇒ same scores across shapes
+
+
 def test_minhash_degenerate_texts_get_sentinel_signature(spark):
     """Empty/null/too-short texts must carry the [p]*num_hashes sentinel
     in BOTH hash modes — xxhash64(NULL)=42 would otherwise give every
