@@ -25,17 +25,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _rank_counts(counts: DataFrame) -> DataFrame:
+def _rank_counts(counts: DataFrame, persist: bool = True) -> DataFrame:
     """(value, cnt) → (value, index): 0-based contiguous indices ordered
     by (count desc, value asc — NULLS FIRST, matching ``asc()``), via the
     two-phase global rank (no single-partition window; descending count
-    enters the ascending composite key negated)."""
+    enters the ascending composite key negated). ``persist=False`` when
+    ``counts`` already sits on a cached upstream (the grouping-sets fit)
+    — double-caching each slice would only burn memory."""
     from .ranks import two_phase_rank
 
     ranked = two_phase_rank(
         counts,
         [(-F.col("cnt")).cast("long").alias("neg_cnt"), F.col("value")],
         rank_col="__rank",
+        persist=persist,
     )
     return ranked.select("value", (F.col("__rank") - F.lit(1)).cast("int").alias("index"))
 
@@ -84,7 +87,7 @@ def fit_dictionaries(df: DataFrame, columns: list[str]) -> dict[str, DataFrame]:
         counts = agg.filter(F.col("__gid") == gid).select(
             F.col(c).alias("value"), "cnt"
         )
-        out[c] = _rank_counts(counts)
+        out[c] = _rank_counts(counts, persist=False)
     return out
 
 
