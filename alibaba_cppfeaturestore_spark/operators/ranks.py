@@ -81,6 +81,11 @@ def two_phase_rank(
     components upstream, e.g. ``-count``; NULLS sort FIRST, matching
     ``asc()``). Pass a key set that is a total order (the usual
     tie-broken contract) for deterministic ranks.
+    ``n_buckets``: each window task handles ≈ n/B rows, each input row
+    pays O(B) struct comparisons, the offset fold is O(B²) on one row —
+    so B=64 suits aggregates up to ~10⁹ rows (~16M rows/task); raise it
+    (say 512 for 10¹¹-row inputs) when a bucket wouldn't fit an
+    executor. Balance only — ANY B gives identical ranks.
     ``running``: name → column; each yields an output column holding
     ``SUM(col) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING..CURRENT)``.
     ``total_col``: if set, also keep the total row count (bigint) —
