@@ -7783,12 +7783,18 @@ def text_token_entropy(spark, sf_dir):
       FROM documents
     ),
     b2 AS (SELECT doc_id, toks, LEN(toks) AS dl FROM b),
-    scal AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM b2),
+    -- duplicate-id contract, mirrored from the bm25_topk_retrieval
+    -- oracle (round 7): rows sharing an id are ONE logical document
+    docs AS (SELECT doc_id, SUM(dl) AS dl FROM b2 GROUP BY doc_id),
+    scal AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM docs),
     post AS (
-      SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
-      FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM b2)
-      WHERE tok IN ({{terms}})
-      GROUP BY doc_id, tok
+      SELECT p.doc_id, p.tok, p.tf, docs.dl
+      FROM (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(toks) AS tok FROM b2)
+        WHERE tok IN ({{terms}})
+        GROUP BY doc_id, tok
+      ) p JOIN docs ON p.doc_id IS NOT DISTINCT FROM docs.doc_id
     ),
     dfreq AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY tok),
     comp AS (
