@@ -88,6 +88,11 @@ def fit_quantile_bins(
             f"percentile({column}, array({', '.join(str(q) for q in qs)}))"
         ).alias("qs")
     ).collect()[0]
+    if row["qs"] is None:
+        # Nothing observed (empty feed / all-NULL column): no cut points.
+        # apply_quantile_bins([]) assigns bin 0 to every non-null value,
+        # the only consistent reading of "no learned boundaries".
+        return []
     return [float(x) for x in row["qs"]]
 
 
@@ -219,7 +224,10 @@ def fit_imputer(
     else:
         raise ValueError(f"unknown strategy: {strategy!r}")
     row = df.agg(*aggs).collect()[0]
-    return {c: row[c] for c in columns}
+    # A column with nothing observed (empty feed / all NULL) fits no fill
+    # value: leave it out, so apply_imputer passes its NULLs through
+    # rather than crashing DataFrameNaFunctions.fill on a None.
+    return {c: row[c] for c in columns if row[c] is not None}
 
 
 def apply_imputer(df: DataFrame, fills: dict[str, float]) -> DataFrame:

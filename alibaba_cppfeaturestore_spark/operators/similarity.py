@@ -240,6 +240,13 @@ def ivf_fit_centroids(
     vecs = sample.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     ).limit(cap)
+    if vecs.isEmpty():
+        # empty feed / filtered-away corpus: nothing to quantize. Callers
+        # treat [] as "no cells" and return an empty, well-typed result
+        # instead of crashing MLlib's fit (driver_sim --perturb-empty).
+        if sem is not None:
+            _CENTROID_CACHE[key] = []
+        return []
     model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(vecs)
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     if sem is not None:
@@ -304,6 +311,24 @@ def ivf_topk(
     cents = centroids or ivf_fit_centroids(
         corpus, vec_col, n_centroids, sample_fraction
     )
+    if not cents:
+        # no quantizer cells (empty corpus): an empty, correctly-typed
+        # result — limit(0) inputs keep id/vector types without a scan
+        empty = (
+            queries.limit(0)
+            .select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("__qvec"),
+            )
+            .crossJoin(
+                corpus.limit(0).select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("__cvec"),
+                )
+            )
+            .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        )
+        return _topk_by_cosine(empty, k)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),

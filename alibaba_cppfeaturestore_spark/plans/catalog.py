@@ -834,17 +834,40 @@ def agg_rollup_order_revenue(spark, sf_dir):
     """,
 )
 def agg_cube_event_matrix(spark, sf_dir):
-    """OLAP cube over (event_type, year): all 4 grouping sets in one
-    shuffle (2ⁿ expansion happens before the exchange)."""
+    """OLAP cube over (event_type, year): the grouped sets expand in one
+    shuffle (2ⁿ expansion happens before the exchange). The () grand
+    total is computed as a separate GLOBAL aggregate and unioned in:
+    Spark's Expand-based cube routes every grouping set through a keyed
+    aggregation, which yields ZERO rows on an empty input, while
+    standard SQL (and the DuckDB oracle) emit the grand-total row with
+    count 0 even then (driver_sim --perturb-empty find). The second
+    scan is column-pruned to (value) and aggregates map-side — at scale
+    it costs far less than the 4× Expand of the main cube."""
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.select("event_type", F.year("ts").alias("event_year"), "value")
-        .cube("event_type", "event_year")
+    ev2 = ev.select("event_type", F.year("ts").alias("event_year"), "value")
+    cubed = (
+        ev2.cube("event_type", "event_year")
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
+            F.grouping_id().alias("__gid"),
+        )
+        .filter(F.col("__gid") != 3)  # () row replaced by the global agg
+        .drop("__gid")
+    )
+    total = (
+        ev2.agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("int").alias("event_year"),
+            "n",
+            "total_value",
         )
     )
+    return cubed.unionByName(total)
 
 
 @_q(
@@ -5893,7 +5916,13 @@ def partition_pruned_read(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="part_write_") + "/events_by_type"
     write_table(ev, path, partition_by=["event_type"])
     return (
-        spark.read.parquet(path)
+        # declared schema: partition-layout readers must not depend on
+        # inference — an EMPTY feed writes a directory with no part files
+        # at all, which a schema-less read cannot even open
+        # (driver_sim --perturb-empty find); at scale, inference is also
+        # an extra footer-sampling job the declared schema skips.
+        spark.read.schema(ev.schema)
+        .parquet(path)
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "value")
     )
@@ -8009,13 +8038,18 @@ def dq_event_order_cadence(spark, sf_dir):
 def txlog_wap_publish(spark, sf_dir):
     """Write–Audit–Publish on the transaction-logged table: the staged
     frame commits to a STAGING TxTable, audits run against the staged
-    version (row count > 0, no NULL keys), and only a passing audit
-    promotes the staged files into the published table's log — readers
-    of the published table never see unaudited data, and a failing
-    audit leaves the publication untouched (proven here by staging a
-    corrupt frame first, whose audit fails and publishes nothing). The
-    read-back of the published table matches the direct batch oracle
-    iff exactly the audited commit became visible."""
+    version (no NULL keys), and only a passing audit promotes the staged
+    files into the published table's log — readers of the published
+    table never see unaudited data, and a failing audit leaves the
+    publication untouched (proven here by staging a corrupt frame first
+    — the good frame plus a poisoned NULL-key row — whose audit fails
+    and publishes nothing). An EMPTY batch audits clean and publishes:
+    a feed can legally be empty, and refusing the commit would leave
+    yesterday's stale snapshot visible as if it were today's
+    (driver_sim --perturb-empty find — the original row-count>0 audit
+    wedged the pipeline on exactly that day). The read-back of the
+    published table matches the direct batch oracle iff exactly the
+    audited commit became visible."""
     import tempfile
 
     from ..sources.txlog import TxTable
@@ -8029,7 +8063,14 @@ def txlog_wap_publish(spark, sf_dir):
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
-    corrupt = good.withColumn("event_type", F.lit(None).cast("string"))
+    # corruption independent of the data: a NULL-key row the audit must
+    # catch even when the feed itself is empty
+    poison = spark.range(1).select(
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(-1).cast("bigint").alias("n_rows"),
+        F.lit(-1).cast("bigint").alias("n_users"),
+    )
+    corrupt = good.unionByName(poison)
 
     root = tempfile.mkdtemp(prefix="wap_")
     published = TxTable(f"{root}/published")
@@ -8038,9 +8079,8 @@ def txlog_wap_publish(spark, sf_dir):
         staging = TxTable(f"{root}/staging_{published.latest_version() or 0}")
         staging.commit(staged_df, mode="overwrite")
         staged = staging.read(spark)
-        n = staged.count()
         n_null_keys = staged.where(F.col("event_type").isNull()).count()
-        if n == 0 or n_null_keys > 0:
+        if n_null_keys > 0:
             return False  # audit failed: nothing publishes
         published.commit(staged, mode="overwrite")
         return True
@@ -8135,8 +8175,12 @@ def dedup_lsh_recall_audit(spark, sf_dir):
             F.col("__scalar_truth").alias("n_planted_true"),
             F.col("__scalar_found").alias("n_found_total"),
             F.col("__scalar_hits").alias("n_planted_found"),
+            # try_divide: an EMPTY corpus has no planted truth — recall is
+            # NULL (undefined), matching DuckDB's x/0 → NULL, instead of
+            # raising DIVIDE_BY_ZERO under ANSI mode
+            # (driver_sim --perturb-empty find).
             F.round(
-                F.col("__scalar_hits") / F.col("__scalar_truth").cast("double"), 6
+                F.try_divide(F.col("__scalar_hits"), F.col("__scalar_truth").cast("double")), 6
             ).alias("recall"),
         )
     )
@@ -8389,12 +8433,21 @@ def corpus_data_card(spark, sf_dir):
             * F.lit(0.5)
         ).alias("__scalar_p50")
     )
+    # Majority language as a GLOBAL aggregate (min over (-cnt, lang)
+    # structs — struct ordering is per-field asc NULLS FIRST, exactly
+    # the oracle's ORDER BY cnt DESC, lang ASC NULLS FIRST) rather than
+    # orderBy().limit(1): an aggregate yields its one row even on an
+    # EMPTY corpus (NULL top_lang), where a limit-1 subplan yields zero
+    # rows and the crossJoin would annihilate the whole data card
+    # (driver_sim --perturb-empty find).
     top_lang = (
         d.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("lang"))
-        .limit(1)
-        .select(F.col("lang").alias("__scalar_top_lang"))
+        .agg(
+            F.min(F.struct((-F.col("cnt")).alias("negc"), F.col("lang").alias("l")))
+            .getField("l")
+            .alias("__scalar_top_lang")
+        )
     )
     doc_stats = d.agg(
         F.count(F.lit(1)).cast("bigint").alias("__scalar_n_docs"),

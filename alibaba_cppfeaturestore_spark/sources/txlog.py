@@ -239,6 +239,11 @@ class TxTable:
         record = {
             "mode": "overwrite" if mode == "overwrite" else "append",
             "add": [group],
+            # schema rides in the log (Delta's metaData action): an EMPTY
+            # commit writes zero parquet part files, so a schema-less read
+            # of it could not even infer column names
+            # (driver_sim --perturb-empty find)
+            "schema": df.schema.json(),
         }
         # O_EXCL create = the atomic commit point; a concurrent writer
         # that claimed this version first makes this raise (caller may
@@ -254,14 +259,36 @@ class TxTable:
 
     # -- reads --------------------------------------------------------------
 
+    def _schema_as_of(self, as_of: int | None = None) -> str | None:
+        """Newest logged schema at or below ``as_of`` (Delta's metaData
+        resolution). Commit records are tiny and never deleted (vacuum
+        reclaims data groups, not log entries), so walking down from the
+        snapshot version is O(1) in practice — the newest commit carries
+        it. None for pre-schema logs (reads fall back to inference)."""
+        for v in reversed(self._versions()):
+            if as_of is not None and v > as_of:
+                continue
+            s = self._read_commit(v).get("schema")
+            if s:
+                return s
+        return None
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read as of ``version`` (default: latest). The file
         set comes from the log — concurrent commits after the fold
-        cannot affect this scan."""
+        cannot affect this scan. The scan schema comes from the log too,
+        so a snapshot whose commits wrote zero part files (a legally
+        EMPTY batch) still reads back as an empty, well-typed frame."""
         files = self._live_files(as_of=version)
         if not files:
             raise FileNotFoundError(f"TxTable at {self.path} is empty")
-        return spark.read.parquet(*[os.path.join(self.path, g) for g in files])
+        reader = spark.read
+        schema_json = self._schema_as_of(as_of=version)
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(*[os.path.join(self.path, g) for g in files])
 
     def history(self) -> list[dict]:
         """Commit history (newest last): version, mode, file groups."""

@@ -65,19 +65,39 @@ def run_bounded_to_memory(
     stream_df: DataFrame,
     output_mode: str = "complete",
     name: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a bounded streaming query to a memory sink and return the result
-    table. availableNow + processAllAvailable = deterministic completion."""
+    table. availableNow + processAllAvailable = deterministic completion.
+
+    ``state_partitions`` sizes the stateful operators' store count
+    explicitly (via ``spark.sql.shuffle.partitions`` scoped to this
+    query's lifetime — restored afterwards). Streaming state partitioning
+    is PINNED at checkpoint creation and never re-derived, so production
+    jobs must size it to expected state volume up front: the batch
+    default (high, AQE-coalesced) is wrong for streams because AQE does
+    not apply to stateful exchanges, and every micro-batch pays a
+    fixed per-store maintenance cost (snapshot, delta file, commit) —
+    32 near-empty HDFS-backed stores cost more scheduling than one
+    well-filled store per core does work."""
     qname = name or f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions") if state_partitions else None
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return stream_df.sparkSession.table(qname)
 
 

@@ -321,6 +321,36 @@ def test_scalers_and_bins_deterministic_and_sane(spark):
     assert ybin[3] is None
 
 
+def test_fit_operators_degrade_on_empty_input(spark):
+    """Empty-feed discipline (driver_sim --perturb-empty): fit steps on an
+    empty or all-NULL input must fit 'nothing' — no cut points, no fill
+    values — and their apply steps must pass data through rather than
+    crash. A daily feed partition being empty is routine in production."""
+    from alibaba_cppfeaturestore_spark.operators.scaling import (
+        apply_imputer,
+        apply_quantile_bins,
+        fit_imputer,
+        fit_quantile_bins,
+    )
+
+    empty = spark.createDataFrame([], "id bigint, x double")
+    assert fit_quantile_bins(empty, "x", n_bins=4) == []
+    assert fit_imputer(empty, ["x"], strategy="median") == {}
+
+    # all-NULL column on a NON-empty frame fits nothing either; apply
+    # leaves the NULLs in place (no observed value to impute with)
+    allnull = spark.createDataFrame([(1, None), (2, None)], "id bigint, x double")
+    fills = fit_imputer(allnull, ["x"], strategy="mean")
+    assert fills == {}
+    out = {r["id"]: r["x"] for r in apply_imputer(allnull, fills).collect()}
+    assert out == {1: None, 2: None}
+
+    # zero learned boundaries => every non-null value lands in bin 0
+    some = spark.createDataFrame([(1, 7.0), (2, None)], "id bigint, x double")
+    binned = {r["id"]: r["x_bin"] for r in apply_quantile_bins(some, "x", []).collect()}
+    assert binned == {1: 0, 2: None}
+
+
 def test_snapshot_diff_ops_and_null_safety(spark):
     import pytest as _pytest
 

@@ -319,6 +319,13 @@ def test_ivf_topk_recall_and_reused_centroids(spark):
     a2 = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(
         emb, queries, k=5, n_probe=3, centroids=cents).collect()}
     assert a == a2
+    # empty-feed discipline: no corpus -> no cells -> empty typed result,
+    # never a crashed MLlib fit (driver_sim --perturb-empty find)
+    none = emb.filter(F.lit(False))
+    assert ivf_fit_centroids(none, n_centroids=8) == []
+    degraded = ivf_topk(none, queries.limit(0), k=5, n_centroids=8)
+    assert degraded.count() == 0
+    assert set(degraded.columns) == {"query_id", "neighbor_id", "cosine_sim"}
 
 
 def test_incremental_minhash_matches_full_corpus(spark, docs):

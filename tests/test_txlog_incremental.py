@@ -45,6 +45,25 @@ def test_append_overwrite_time_travel(spark, tx):
     assert [h["version"] for h in tx.history()] == [0, 1, 2, 3]
 
 
+def test_empty_commit_reads_back_typed(spark, tx):
+    """Schema rides in the commit log (Delta metaData): a commit whose
+    frame is EMPTY writes zero parquet part files, yet the snapshot —
+    and any time-travel version pinned to it — must read back as an
+    empty, correctly-typed frame, not an inference error
+    (driver_sim --perturb-empty find)."""
+    empty = spark.createDataFrame([], "k string, v bigint")
+    assert tx.commit(empty, "overwrite") == 0
+    got = tx.read(spark)
+    assert got.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema] == [
+        ("k", "string"), ("v", "bigint"),
+    ]
+    # a later non-empty commit doesn't disturb the pinned empty snapshot
+    assert tx.commit(_df(spark, [("a", 1)]), "append") == 1
+    assert tx.read(spark).count() == 1
+    assert tx.read(spark, version=0).count() == 0
+
+
 def test_ignore_is_noop_and_error_raises(spark, tx):
     assert tx.commit(_df(spark, [("a", 1)]), "ignore") == 0  # first write lands
     assert tx.commit(_df(spark, [("X", 99)]), "ignore") is None  # then no-ops

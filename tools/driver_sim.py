@@ -398,6 +398,97 @@ def perturb_order_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_skew_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with HOT KEYS planted: a seeded ~30% of
+    ``events.user_id`` collapses onto one existing user, ~20% of
+    ``orders.o_custkey`` onto one customer, ~20% of
+    ``lineitem.l_suppkey`` onto one supplier, and ~10% of
+    ``documents.text`` onto one document's text. Values are swapped,
+    never invented, so referential integrity holds and both engines see
+    identical bytes — any red row is a genuine skew-regime divergence
+    (a tie-break that was total only because groups were small, a
+    bucket/candidate cap that drops pairs the oracle keeps, a
+    representative selection that assumed near-unique keys). This is
+    also the local stand-in for the 100 TB hot-key regime the salted
+    join / bucket-cap / AQE-skew designs exist for: the catalog must be
+    value-correct on exactly the data shape those designs defend
+    against. Hot values are chosen deterministically from the data
+    (first non-null value of the table's first row group), so the mode
+    survives driver-regenerated testdata."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # (table, column to overwrite, key column(s) seeding the coin, pct)
+    plan = {
+        "events": ("user_id", ["event_id"], 30),
+        "orders": ("o_custkey", ["o_orderkey"], 20),
+        "lineitem": ("l_suppkey", ["l_orderkey", "l_linenumber"], 20),
+        "documents": ("text", ["doc_id"], 10),
+    }
+    out = f"/tmp/driver_sim_skewperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t not in plan:
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        col_name, key_cols, pct = plan[t]
+        tbl = pq.read_table(src)
+        vals = tbl.column(col_name).combine_chunks().to_pylist()
+        keys = list(
+            zip(*(tbl.column(k).combine_chunks().to_pylist() for k in key_cols))
+        )
+        hot = next((v for v in vals if v is not None), None)
+        mutated = [
+            hot
+            if zlib.crc32(f"{seed}/{t}/{'/'.join(map(str, k))}".encode()) % 100 < pct
+            else v
+            for v, k in zip(vals, keys)
+        ]
+        arrays = [
+            pa.array(mutated, type=f.type) if f.name == col_name else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
+def perturb_empty_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with the three PIPELINE-FED tables
+    (``events``, ``documents``, ``embeddings``) truncated to ZERO rows,
+    schema preserved. The TPC-H tables stay intact — they model curated
+    warehouse dimensions/facts — but the custom tables model production
+    FEEDS, and a daily feed partition being empty is routine (upstream
+    outage, first run of a new tenant, weekend gap). Green means every
+    operator degrades to an empty-but-well-typed result instead of
+    crashing in a fit/collect step or writing nothing where a reader
+    expects a directory. Both engines see identical (zero-row) bytes;
+    SQL aggregate-on-empty semantics (global agg → one NULL row,
+    GROUP BY → no rows) are shared, so any divergence is a genuine
+    empty-input bug. ``seed`` is accepted for CLI symmetry; the
+    transform is deterministic."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    empty_tables = {"events", "documents", "embeddings"}
+    out = f"/tmp/driver_sim_emptyfeeds_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t not in empty_tables:
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        tbl = pq.read_table(src)
+        pq.write_table(tbl.slice(0, 0), dst)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -419,6 +510,12 @@ def main() -> int:
                     help="shuffle every table's row order (4 row groups)")
     ap.add_argument("--perturb-schema", type=int, default=None, metavar="SEED",
                     help="reverse column order + downcast custom ids to int32")
+    ap.add_argument("--perturb-skew", type=int, default=None, metavar="SEED",
+                    help="plant hot keys: ~30%% of events.user_id, ~20%% of "
+                         "orders.o_custkey / lineitem.l_suppkey, ~10%% of "
+                         "documents.text collapse onto one value")
+    ap.add_argument("--perturb-empty", type=int, default=None, metavar="SEED",
+                    help="truncate the feed tables (events/documents/embeddings) to 0 rows")
     args = ap.parse_args()
     if args.perturb is not None:
         args.sf = perturb_sf(args.sf, args.perturb)
@@ -441,6 +538,12 @@ def main() -> int:
     if args.perturb_schema is not None:
         args.sf = perturb_schema_sf(args.sf, args.perturb_schema)
         print(f"# schema-drifted testdata -> {args.sf}")
+    if args.perturb_skew is not None:
+        args.sf = perturb_skew_sf(args.sf, args.perturb_skew)
+        print(f"# skew-perturbed testdata (seed {args.perturb_skew}) -> {args.sf}")
+    if args.perturb_empty is not None:
+        args.sf = perturb_empty_sf(args.sf, args.perturb_empty)
+        print(f"# empty-feed testdata -> {args.sf}")
 
     import __spark_entry__ as entry
 
