@@ -30,6 +30,7 @@ DuckDB-vs-Spark gotchas handled here:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from decimal import Decimal as _Decimal
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -4766,12 +4767,20 @@ def q8_market_share(spark, sf_dir):
 
 @_q(
     "q9_product_type_profit",
+    # DECIMAL profit arithmetic: a hot supplier key concentrates ~20% of
+    # lineitem into one (nation, year) group, where double-sum
+    # reassociation flips ROUND(,2) boundaries between engines
+    # (driver_sim --perturb-skew find: 3/175 rows). Decimal addition is
+    # associative, so any aggregation tree reproduces; the final cast
+    # back to DOUBLE is bit-identical from identical decimals.
     """
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-             l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 AS amount
+             CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(8,6)))
+               - CAST(p_retailprice AS DECIMAL(15,4)) * CAST(l_quantity AS DECIMAL(8,2))
+                 * CAST(0.1 AS DECIMAL(2,1)) AS amount
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -4797,9 +4806,16 @@ def q9_product_type_profit(spark, sf_dir):
         .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
+    # DECIMAL operands: profit must reproduce under ANY aggregation tree
+    # (a skewed supplier inflates one group past where double-sum order
+    # starts flipping cent boundaries — driver_sim --perturb-skew find);
+    # sizes keep every product/sum strictly inside precision 38
     amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+        F.col("l_extendedprice").cast("decimal(15,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
+        - F.col("p_retailprice").cast("decimal(15,4)")
+        * F.col("l_quantity").cast("decimal(8,2)")
+        * F.lit(_Decimal("0.1"))
     )
     return (
         _t(spark, sf_dir, "lineitem")
@@ -4808,7 +4824,7 @@ def q9_product_type_profit(spark, sf_dir):
         .join(_t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
               F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
     )
 
 
