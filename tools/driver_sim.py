@@ -8,7 +8,11 @@ round-1 ``kv_merge_lastwin`` crash).  This script reproduces the hard gate
 locally: vanilla session, column-name-sorted value comparison, JSON report.
 
 Usage:  python tools/driver_sim.py [--sf /root/testdata/sf0.01] [--only name,...]
-                                   [--strict] [--perturb SEED]
+                                   [--strict] [--perturb SEED] [--perturb-text S]
+                                   [--perturb-ids S] [--perturb-ts S]
+                                   [--perturb-nulls S] [--perturb-order S]
+                                   [--perturb-schema S] [--perturb-skew S]
+                                   [--perturb-empty S]   (modes stack)
 
 ``--strict`` compares values EXACTLY (the driver hashes values, so a
 mismatch in the 7th decimal is red there while the default rtol=1e-6
