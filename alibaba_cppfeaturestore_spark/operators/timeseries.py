@@ -267,9 +267,17 @@ def grouped_ewma(
         )
         return pdf
 
+    # Pin the pandas stage's parallelism (the AQE bytes-vs-cost trap,
+    # SCALING.md): the pre-kernel exchange carries few BYTES, so AQE
+    # coalesces it to 1-2 partitions and the per-key sequential kernels
+    # serialize onto 1-2 cores (measured at sf0.1: 3.3 s on 2 tasks).
+    # An explicit hash repartition on the key satisfies the grouped-map
+    # distribution requirement, so no second exchange is added.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(key_col, *order_cols, value_col)
         .filter(F.col(value_col).isNotNull())
+        .repartition(parallelism, key_col)
         .groupBy(key_col)
         .applyInPandas(kernel, schema)
     )
