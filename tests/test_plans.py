@@ -98,6 +98,23 @@ def test_global_topn_is_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans["sort_global_topn"]
 
 
+def test_grouped_pandas_parallelism_is_pinned(plans):
+    # The grouped-map (applyInPandas) stage shuffles few BYTES but runs
+    # expensive per-key kernels, so AQE coalesces its exchange to 1-2
+    # partitions and the kernels serialize (measured: 3.3 s -> 1.4 s at
+    # sf0.1). The operator pins an explicit numbered repartition on the
+    # key, which doubles as the grouped-map distribution — the plan must
+    # show the pandas stage fed by that REPARTITION_BY_NUM exchange and
+    # no second exchange above it.
+    p = plans["ewma_user_value"]
+    assert "FlatMapGroupsInPandas" in p
+    pandas_part = p.split("FlatMapGroupsInPandas")[1]
+    first_exchange = pandas_part.split("Exchange ")[1].split("\n")[0]
+    assert "REPARTITION_BY_NUM" in first_exchange, (
+        f"grouped pandas stage lost its parallelism pin:\n{p}"
+    )
+
+
 def test_vocab_rank_window_is_partitioned(plans):
     # The PPJoin index's token-frequency rank must NOT serialize the
     # vocabulary through a single-partition window (SURVEY §7.3 W2): the
