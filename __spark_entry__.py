@@ -44,10 +44,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #       feature_hashing_trick (oracle null-policy alignment). All 8
 #       re-verified this round under driver_sim --strict clean +
 #       perturb/nulls/order seeds.
-#   (c) 30 of the 49 r03-cohort entries (the oldest remaining rows),
+#   (b2) 6 more entries whose implementation or oracle changed in the
+#       round-7 continuation session (empty-feed/skew fuzz fixes):
+#       agg_cube_event_matrix (grand-total row from a global agg),
+#       txlog_wap_publish (poison-row audit + schema-in-log read),
+#       dedup_lsh_recall_audit (try_divide recall),
+#       partition_pruned_read (declared-schema read-back),
+#       feature_quantile_bins + feature_impute_missing (empty-fit
+#       degradation). Four more changed entries were ALREADY windowed:
+#       corpus_data_card (top_lang as global min-struct agg),
+#       q9_product_type_profit (decimal profit arithmetic),
+#       ewma_user_value (pinned grouped-pandas parallelism),
+#       stream_tumbling_window_counts (state store sizing).
+#   (c) 24 of the 49 r03-cohort entries (the oldest remaining rows),
 #       leading with the four touched by this round's dictionary/minhash
-#       changes (aliccp_*_e2e, dedup_minhash_lsh/incremental); the 19
-#       r03 entries left over stay r03-green and head the r08 window.
+#       changes (aliccp_*_e2e, dedup_minhash_lsh/incremental); the 25
+#       r03 entries left over stay r03-green and head the r08 window
+#       (csv_codec_roundtrip, sample_stratified, regression_daily_trend,
+#       timeseries_rollup_cascade, q2_min_cost_supplier and
+#       q4_late_order_priority yielded their slots to (b2)).
 # The only oracle-less entry is ann_ivf_topk (learned KMeans centroids —
 # permanently pytest-pinned, see its docstring); it sits in the tail,
 # outside the window.
@@ -74,6 +89,13 @@ _DRIVER_WINDOW = [
     "dict_apply_lang",
     "dict_encode_event_type",
     "feature_hashing_trick",
+    # (b2) continuation-session changes
+    "agg_cube_event_matrix",
+    "txlog_wap_publish",
+    "dedup_lsh_recall_audit",
+    "partition_pruned_read",
+    "feature_quantile_bins",
+    "feature_impute_missing",
     # (c) r03 refresh — change-affected first, then oldest alphabetical
     "aliccp_bronze_to_silver_e2e",
     "aliccp_silver_to_gold_e2e",
@@ -83,7 +105,6 @@ _DRIVER_WINDOW = [
     "anomaly_mad_outliers",
     "bm25_topk_retrieval",
     "corpus_top_terms",
-    "csv_codec_roundtrip",
     "dedup_bottomk_sketch",
     "dedup_simhash",
     "embedding_random_projection",
@@ -96,15 +117,10 @@ _DRIVER_WINDOW = [
     "interval_overlap_sessions",
     "join_salted_skew_enrich",
     "layout_zorder_clustering",
-    "q2_min_cost_supplier",
-    "q4_late_order_priority",
     "q7_nation_volume_shipping",
     "q8_market_share",
     "q9_product_type_profit",
-    "regression_daily_trend",
-    "sample_stratified",
     "stream_checkpoint_restart",
-    "timeseries_rollup_cascade",
 ]
 
 
