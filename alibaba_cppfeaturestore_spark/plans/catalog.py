@@ -3748,7 +3748,10 @@ def stream_dedup_exact(spark, sf_dir):
 
     doubled = _stream_events(spark, sf_dir).unionByName(_stream_events(spark, sf_dir))
     deduped = stream_dedup(doubled, keys=["event_id"], ts_col="ts", watermark="1 minute")
-    out = run_bounded_to_memory(deduped, output_mode="append")
+    # state_partitions: see stream_tumbling_window_counts — sized to
+    # state volume (|event_id| keys within the watermark), pinned at
+    # checkpoint creation
+    out = run_bounded_to_memory(deduped, output_mode="append", state_partitions=8)
     return out.select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
 
 
@@ -3791,7 +3794,9 @@ def stream_interval_join_attribution(spark, sf_dir):
         F.col("r.event_id").alias("view_id"),
         (F.unix_timestamp("l.ts") - F.unix_timestamp("r.ts")).alias("secs_before_click"),
     )
-    return run_bounded_to_memory(joined, output_mode="append")
+    # state_partitions: see stream_tumbling_window_counts — join state
+    # is watermark-bounded on both sides
+    return run_bounded_to_memory(joined, output_mode="append", state_partitions=8)
 
 
 # ---------------------------------------------------------------------------
@@ -4265,7 +4270,9 @@ def stream_sliding_window_counts(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    result = run_bounded_to_memory(agg, output_mode="complete")
+    # state_partitions: see stream_tumbling_window_counts (state =
+    # |sliding windows| x |event types|)
+    result = run_bounded_to_memory(agg, output_mode="complete", state_partitions=8)
     return result.select(
         F.col("window.start").alias("window_start"),
         "event_type",
@@ -4515,7 +4522,9 @@ def stream_session_window_stats(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    result = run_bounded_to_memory(agg, output_mode="append")
+    # state_partitions: see stream_tumbling_window_counts (state =
+    # open sessions x users within the watermark)
+    result = run_bounded_to_memory(agg, output_mode="append", state_partitions=8)
     return result.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
@@ -7973,7 +7982,9 @@ def stream_topk_trending(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").cast("bigint").alias("n_events"))
     )
-    result = run_bounded_to_memory(agg, output_mode="complete").select(
+    # state_partitions: see stream_tumbling_window_counts (state =
+    # |hour windows| x |event types|)
+    result = run_bounded_to_memory(agg, output_mode="complete", state_partitions=8).select(
         F.col("window.start").alias("window_start"), "event_type", "n_events"
     )
     w = Window.partitionBy("window_start").orderBy(
