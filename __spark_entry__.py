@@ -51,7 +51,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #       dedup_lsh_recall_audit (try_divide recall),
 #       partition_pruned_read (declared-schema read-back),
 #       feature_quantile_bins + feature_impute_missing (empty-fit
-#       degradation). Four more changed entries were ALREADY windowed:
+#       degradation), plus contamination_ngram_overlap (per-id merged
+#       gram sets — the stacked skew+ids sweep found the old
+#       (doc_id, n_sh) grouping diverging from the row-paired oracle
+#       exactly when duplicate ids carry identical texts;
+#       embedding_random_projection yielded its slot).
+#       Four more changed entries were ALREADY windowed:
 #       corpus_data_card (top_lang as global min-struct agg),
 #       q9_product_type_profit (decimal profit arithmetic),
 #       ewma_user_value (pinned grouped-pandas parallelism),
@@ -96,6 +101,7 @@ _DRIVER_WINDOW = [
     "partition_pruned_read",
     "feature_quantile_bins",
     "feature_impute_missing",
+    "contamination_ngram_overlap",
     # (c) r03 refresh — change-affected first, then oldest alphabetical
     "aliccp_bronze_to_silver_e2e",
     "aliccp_silver_to_gold_e2e",
@@ -107,7 +113,6 @@ _DRIVER_WINDOW = [
     "corpus_top_terms",
     "dedup_bottomk_sketch",
     "dedup_simhash",
-    "embedding_random_projection",
     "embedding_stats_by_label",
     "embedding_threshold_pairs",
     "ewma_user_value",

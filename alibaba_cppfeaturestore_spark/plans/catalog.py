@@ -1692,45 +1692,70 @@ def text_repetition_rules(spark, sf_dir):
                          || toks[i+3] || ' ' || toks[i+4]))
              ELSE []::VARCHAR[] END AS sh
       FROM t
+    ),
+    -- per-id merged gram SETS (rows sharing an id are one logical
+    -- document — the engine-wide duplicate-id contract)
+    g AS (
+      SELECT DISTINCT doc_id, g
+      FROM (SELECT doc_id, UNNEST(sh) AS g FROM s)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM g GROUP BY doc_id),
+    pairs AS (
+      SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS shared
+      FROM g c JOIN g b ON c.g = b.g AND b.doc_id < 20 AND c.doc_id != b.doc_id
+      GROUP BY c.doc_id, b.doc_id
     )
-    SELECT c.doc_id, b.doc_id AS bench_id,
-           ROUND(LEN(list_intersect(c.sh, b.sh))::DOUBLE / LEN(c.sh), 6) AS overlap_frac
-    FROM s c JOIN s b ON b.doc_id < 20 AND c.doc_id != b.doc_id
-    WHERE LEN(c.sh) > 0
-      AND ROUND(LEN(list_intersect(c.sh, b.sh))::DOUBLE / LEN(c.sh), 6) >= 0.5
+    SELECT p.doc_id, p.bench_id,
+           ROUND(p.shared::DOUBLE / z.n_sh, 6) AS overlap_frac
+    FROM pairs p JOIN sizes z ON p.doc_id = z.doc_id
+    WHERE ROUND(p.shared::DOUBLE / z.n_sh, 6) >= 0.5
     """,
 )
 def contamination_ngram_overlap(spark, sf_dir):
     """Benchmark-contamination detection: which corpus documents contain
     ≥50% of their 5-gram token shingles from a benchmark document
     (here: docs 0-19 stand in for the eval set). Plan shape is the scale
-    path: the BENCHMARK side's exploded shingles are broadcast (eval sets
-    are small by definition), the corpus side streams — one scan, no
-    corpus self-join; overlap counting is a map-side-combined groupBy.
-    The DuckDB oracle is the quadratic corpus×benchmark formulation —
-    exact same pair set."""
+    path: the BENCHMARK side's shingles are broadcast (eval sets are
+    small by definition), the corpus side streams — no corpus self-join;
+    overlap counting is a map-side-combined groupBy.
+
+    Duplicate-id contract (the engine-wide rule bm25/minhash pin): rows
+    sharing a doc_id are ONE logical document — gram sets merge per id
+    before sizing and pairing. The old shape grouped by (doc_id, n_sh),
+    which silently merged duplicate-id rows ONLY when their texts
+    happened to produce equal-sized gram sets — divergent from the
+    oracle exactly when duplicate ids carry identical texts
+    (driver_sim --perturb-skew + --perturb-ids STACKED find; each mode
+    alone passed). Identity for unique ids, so clean-data output is
+    unchanged. The DuckDB oracle replays the same per-id merge."""
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(TX.token_shingles("text", 5)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    exploded = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("g")).filter(
-        F.col("g").isNotNull()
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(TX.token_shingles("text", 5))).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .distinct()  # merge duplicate ids' gram sets (identity when unique)
     )
-    bench = exploded.filter(F.col("doc_id") < 20).select(
-        F.col("doc_id").alias("bench_id"), F.col("g").alias("g")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    bench = grams.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "g"
     )
     overlap = (
-        exploded.join(F.broadcast(bench), "g")
+        grams.join(F.broadcast(bench), "g")
         .filter(F.col("doc_id") != F.col("bench_id"))
-        .groupBy("doc_id", "n_sh", "bench_id")
-        .agg(F.count("*").alias("shared"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
-    return overlap.select(
-        "doc_id",
-        "bench_id",
-        F.round(F.col("shared") / F.col("n_sh"), 6).alias("overlap_frac"),
-    ).filter(F.col("overlap_frac") >= 0.5)
+    return (
+        overlap.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.round(F.col("shared") / F.col("n_sh"), 6).alias("overlap_frac"),
+        )
+        .filter(F.col("overlap_frac") >= 0.5)
+    )
 
 
 @_q(
