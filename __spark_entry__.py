@@ -55,7 +55,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #       gram sets — the stacked skew+ids sweep found the old
 #       (doc_id, n_sh) grouping diverging from the row-paired oracle
 #       exactly when duplicate ids carry identical texts;
-#       embedding_random_projection yielded its slot).
+#       embedding_random_projection yielded its slot), and the three
+#       as-of consumers whose ORACLES moved off DuckDB's native ASOF
+#       JOIN onto the tie-pinned window formulation
+#       (asof_last_view_before_click, asof_join_with_ttl,
+#       feature_store_historical_retrieval — the stacked skew+ts sweep
+#       showed native ASOF picks an engine-arbitrary row among tied
+#       timestamps; layout_zorder_clustering, q7_nation_volume_shipping
+#       and q8_market_share yielded their slots).
 #       Four more changed entries were ALREADY windowed:
 #       corpus_data_card (top_lang as global min-struct agg),
 #       q9_product_type_profit (decimal profit arithmetic),
@@ -102,6 +109,9 @@ _DRIVER_WINDOW = [
     "feature_quantile_bins",
     "feature_impute_missing",
     "contamination_ngram_overlap",
+    "asof_last_view_before_click",
+    "asof_join_with_ttl",
+    "feature_store_historical_retrieval",
     # (c) r03 refresh — change-affected first, then oldest alphabetical
     "aliccp_bronze_to_silver_e2e",
     "aliccp_silver_to_gold_e2e",
@@ -121,9 +131,6 @@ _DRIVER_WINDOW = [
     "incremental_agg_maintenance",
     "interval_overlap_sessions",
     "join_salted_skew_enrich",
-    "layout_zorder_clustering",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
     "q9_product_type_profit",
     "stream_checkpoint_restart",
 ]

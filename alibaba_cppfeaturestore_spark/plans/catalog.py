@@ -1371,16 +1371,28 @@ def kv_merge_lastwin(spark, sf_dir):
 
 @_q(
     "asof_last_view_before_click",
+    # window formulation, NOT DuckDB's native ASOF JOIN: ASOF picks an
+    # ENGINE-ARBITRARY row among ties at the winning timestamp, which
+    # diverged from asof_join's pinned struct tie-break the first time
+    # the data actually sampled a tie (driver_sim --perturb-skew +
+    # --perturb-ts STACKED find: a hot user × hour-truncated ts). The
+    # ORDER BY replays asof_join exactly: feature_ts DESC, then feature
+    # values DESC, nulls last.
     """
     WITH clicks AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ), views AS (
       SELECT user_id, ts, value FROM events WHERE event_type = 'view'
     )
-    SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
-           ROUND(v.value, 2) AS last_view_value
-    FROM clicks c ASOF LEFT JOIN views v
-      ON c.user_id = v.user_id AND v.ts <= c.ts
+    SELECT event_id, user_id, ts, last_view_value FROM (
+      SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+             ROUND(v.value, 2) AS last_view_value,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                ORDER BY v.ts DESC NULLS LAST,
+                                         v.value DESC NULLS LAST) AS rn
+      FROM clicks c LEFT JOIN views v
+        ON c.user_id = v.user_id AND v.ts <= c.ts
+    ) WHERE rn = 1
     """,
     headline=True,
 )
@@ -1406,17 +1418,26 @@ def asof_last_view_before_click(spark, sf_dir):
 
 @_q(
     "asof_join_with_ttl",
+    # window formulation with the TTL inside the join predicate —
+    # mirrors asof_join exactly, incl. the struct tie-break on tied
+    # timestamps (see asof_last_view_before_click for why DuckDB's
+    # native ASOF is not usable as an oracle under ties).
     """
     WITH clicks AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ), views AS (
       SELECT user_id, ts, value FROM events WHERE event_type = 'view'
     )
-    SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
-           ROUND(CASE WHEN v.ts >= c.ts - INTERVAL 2 HOUR THEN v.value END, 2)
-             AS last_view_value
-    FROM clicks c ASOF LEFT JOIN views v
-      ON c.user_id = v.user_id AND v.ts <= c.ts
+    SELECT event_id, user_id, ts, last_view_value FROM (
+      SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+             ROUND(v.value, 2) AS last_view_value,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                ORDER BY v.ts DESC NULLS LAST,
+                                         v.value DESC NULLS LAST) AS rn
+      FROM clicks c LEFT JOIN views v
+        ON c.user_id = v.user_id AND v.ts <= c.ts
+       AND v.ts >= c.ts - INTERVAL 2 HOUR
+    ) WHERE rn = 1
     """,
 )
 def asof_join_with_ttl(spark, sf_dir):
@@ -3615,25 +3636,40 @@ def cohort_weekly_retention(spark, sf_dir):
 
 @_q(
     "feature_store_historical_retrieval",
+    # chained window formulations (see asof_last_view_before_click for
+    # why native ASOF JOIN cannot oracle tied timestamps). The views
+    # register ROUNDED values, so each step's tie-break orders by the
+    # rounded feature — exactly the struct asof_join sees.
     """
     WITH clicks AS (
       SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
       FROM events WHERE event_type = 'click'
     ), purchases AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      SELECT user_id, ts, ROUND(value, 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
     ), views AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+      SELECT user_id, ts, ROUND(value, 2) AS view_value
+      FROM events WHERE event_type = 'view'
     ), step1 AS (
-      SELECT c.event_id, c.user_id, c.event_timestamp,
-             ROUND(CASE WHEN p.ts >= c.event_timestamp - INTERVAL 2 HOUR
-                        THEN p.value END, 2) AS purchase_value
-      FROM clicks c ASOF LEFT JOIN purchases p
-        ON c.user_id = p.user_id AND p.ts <= c.event_timestamp
+      SELECT event_id, user_id, event_timestamp, purchase_value FROM (
+        SELECT c.event_id, c.user_id, c.event_timestamp, p.purchase_value,
+               ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                  ORDER BY p.ts DESC NULLS LAST,
+                                           p.purchase_value DESC NULLS LAST) AS rn
+        FROM clicks c LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND p.ts <= c.event_timestamp
+         AND p.ts >= c.event_timestamp - INTERVAL 2 HOUR
+      ) WHERE rn = 1
     )
-    SELECT s.event_id, s.user_id, s.event_timestamp, s.purchase_value,
-           ROUND(v.value, 2) AS view_value
-    FROM step1 s ASOF LEFT JOIN views v
-      ON s.user_id = v.user_id AND v.ts <= s.event_timestamp
+    SELECT event_id, user_id, event_timestamp, purchase_value, view_value FROM (
+      SELECT s.event_id, s.user_id, s.event_timestamp, s.purchase_value,
+             v.view_value,
+             ROW_NUMBER() OVER (PARTITION BY s.event_id
+                                ORDER BY v.ts DESC NULLS LAST,
+                                         v.view_value DESC NULLS LAST) AS rn
+      FROM step1 s LEFT JOIN views v
+        ON s.user_id = v.user_id AND v.ts <= s.event_timestamp
+    ) WHERE rn = 1
     """,
 )
 def feature_store_historical_retrieval(spark, sf_dir):
