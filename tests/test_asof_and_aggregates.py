@@ -64,6 +64,30 @@ def test_asof_basic_picks_latest_at_or_before(spark):
     assert got[(3, "2024-01-04T00:00:00")] is None
 
 
+def test_asof_tie_at_winning_timestamp_picks_max_feature_struct(spark):
+    """Two feature rows TIED at the as-of winning timestamp: the pick is
+    the later-sorted feature struct (max value), per the documented
+    tie-break — the case the stacked skew+ts fuzz first sampled on real
+    data (DuckDB's native ASOF JOIN is engine-arbitrary here, which is
+    why the catalog oracles replay this order as an explicit window)."""
+    feats = spark.createDataFrame(
+        [
+            (1, ts("2024-01-05T00:00:00"), 10.0),
+            (1, ts("2024-01-05T00:00:00"), 30.0),  # tie -> max value wins
+            (1, ts("2024-01-05T00:00:00"), 20.0),
+            (1, ts("2024-01-01T00:00:00"), 99.0),
+        ],
+        ["user_id", "feat_ts", "score"],
+    )
+    entities = spark.createDataFrame(
+        [(1, ts("2024-01-06T00:00:00"))], ["user_id", "event_ts"]
+    )
+    out = asof_join(
+        entities, feats, keys=["user_id"], event_ts="event_ts", feature_ts="feat_ts"
+    )
+    assert [r["score"] for r in out.collect()] == [30.0]
+
+
 def test_asof_ttl_boundary(spark):
     feats = _feature_df(spark)
     entities = spark.createDataFrame(
