@@ -240,3 +240,56 @@ def test_grouped_ewma_skips_and_drops_nulls(spark, series):
     )
     assert got == want
     assert len(got) == sum(v is not None for v in series)
+
+
+@_prop
+@given(
+    feats=st.lists(
+        st.tuples(
+            st.integers(1, 3),            # key
+            st.integers(0, 6),            # feature ts (coarse -> frequent ties)
+            st.integers(-5, 5),           # value
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    events=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 6)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_asof_join_always_matches_reference_under_ties(spark, feats, events):
+    """asof_join's full contract against a pure-Python reference:
+    latest feature at-or-before the event; ties at the winning timestamp
+    resolve to the LARGEST feature struct (value desc) — the order the
+    catalog oracles replay. Coarse integer timestamps make ties the
+    common case, the regime the stacked skew+ts fuzz first exposed."""
+    from alibaba_cppfeaturestore_spark.operators.joins import asof_join
+
+    ts0 = 1_700_000_000
+    fdf = spark.createDataFrame(
+        [(k, t + ts0, float(v)) for k, t, v in feats] or [(None, None, None)],
+        "k long, ft long, v double",
+    ).select("k", F.timestamp_seconds("ft").alias("ft"), "v")
+    edf = spark.createDataFrame(
+        [(i, k, t + ts0) for i, (k, t) in enumerate(events)],
+        "rid long, k long, et long",
+    ).select("rid", "k", F.timestamp_seconds("et").alias("et"))
+
+    got = {
+        r.rid: r.v
+        for r in asof_join(
+            edf, fdf, keys=["k"], event_ts="et", feature_ts="ft", features=["v"]
+        ).collect()
+    }
+
+    def ref(k, t):
+        cands = [(ft, v) for fk, ft, v in feats if fk == k and ft <= t]
+        if not cands:
+            return None
+        best_ts = max(ft for ft, _ in cands)
+        return float(max(v for ft, v in cands if ft == best_ts))
+
+    want = {i: ref(k, t) for i, (k, t) in enumerate(events)}
+    assert got == want
