@@ -72,6 +72,36 @@ def test_windowed_agg_stream_matches_batch(spark, workdir):
     }
 
 
+def test_state_partitions_knob_is_scoped_and_value_invariant(spark, workdir):
+    """run_bounded_to_memory(state_partitions=N) sizes ONLY the stateful
+    stores of that query: the session's shuffle-partition conf is
+    restored afterwards, and the result is identical to the default
+    sizing (state partitioning changes layout, never values)."""
+    rows = [
+        (1, ts("2024-01-01T00:10:00"), "view", 1.0),
+        (2, ts("2024-01-01T01:10:00"), "click", 3.0),
+        (1, ts("2024-01-01T02:05:00"), "view", 5.0),
+    ]
+    src = os.path.join(workdir, "events_sp")
+    _write_events(spark, src, rows)
+
+    def run(sp):
+        agg = tumbling_window_agg(
+            stream_from_parquet(spark, src), "ts", "1 hour", "10 minutes",
+            ["event_type"],
+            [F.count("*").alias("n"), F.sum("value").alias("total")],
+        )
+        out = run_bounded_to_memory(agg, output_mode="complete", state_partitions=sp)
+        return {
+            (r["window"]["start"].isoformat(), r["event_type"]): (r["n"], r["total"])
+            for r in out.collect()
+        }
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert run(2) == run(None) == run(8)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_online_store_upsert_and_restart_idempotency(spark, workdir):
     src = os.path.join(workdir, "events")
     store_path = os.path.join(workdir, "store")
