@@ -63,6 +63,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #       showed native ASOF picks an engine-arbitrary row among tied
 #       timestamps; layout_zorder_clustering, q7_nation_volume_shipping
 #       and q8_market_share yielded their slots).
+#   (b3) 10 entries re-verified after the extremes-regime
+#       (--perturb-extremes: NaN/±Inf/±1e300 in events.value)
+#       finite-domain campaign — out-of-domain measurements become
+#       missing at every decimal ingestion point, fits, moments and the
+#       profiler; profile_events_table is the only one whose CLEAN-data
+#       values changed (fixed-scale decimal min/max rendering).
+#       jdbc_roundtrip_derby and seasonal_decompose_daily carry the same
+#       clean-identical cast change without slots — they head the r08
+#       window with the other deferred r03 rows.
 #       Four more changed entries were ALREADY windowed:
 #       corpus_data_card (top_lang as global min-struct agg),
 #       q9_product_type_profit (decimal profit arithmetic),
@@ -109,6 +118,17 @@ _DRIVER_WINDOW = [
     "feature_quantile_bins",
     "feature_impute_missing",
     "contamination_ngram_overlap",
+    # (b3) extremes-regime (NaN/Inf/1e300) finite-domain fixes
+    "profile_events_table",
+    "regression_daily_trend",
+    "grouped_mode_bucket",
+    "ab_test_group_summary",
+    "ab_test_cuped_adjusted",
+    "timeseries_twap_user",
+    "window_range_moving_avg",
+    "timeseries_rollup_cascade",
+    "write_ignore_roundtrip",
+    "anomaly_seasonal_residuals",
     "asof_last_view_before_click",
     "asof_join_with_ttl",
     "feature_store_historical_retrieval",
@@ -117,22 +137,12 @@ _DRIVER_WINDOW = [
     "aliccp_silver_to_gold_e2e",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
-    "analytics_percentile_bands",
     "anomaly_mad_outliers",
     "bm25_topk_retrieval",
-    "corpus_top_terms",
-    "dedup_bottomk_sketch",
-    "dedup_simhash",
-    "embedding_stats_by_label",
-    "embedding_threshold_pairs",
     "ewma_user_value",
-    "graph_pagerank_trade_network",
-    "heavy_hitter_tokens",
     "incremental_agg_maintenance",
-    "interval_overlap_sessions",
     "join_salted_skew_enrich",
     "q9_product_type_profit",
-    "stream_checkpoint_restart",
 ]
 
 

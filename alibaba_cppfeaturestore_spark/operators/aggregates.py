@@ -183,13 +183,27 @@ def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
     this is the audit-before-training primitive at 100 TB. The wide
     1-row aggregate is unpivoted driver-side-free via ``stack``.
     """
+    # float/double min/max range over the FINITE DECIMAL(30,6) domain,
+    # rendered as fixed-scale decimal strings: raw double→string casts
+    # are engine-specific exactly where profiling matters most (NaN vs
+    # nan, -Infinity vs -inf, 1.0E300 vs 1e+300). Out-of-domain values
+    # are excluded from the RANGE (they still count in n_distinct /
+    # n_nulls); their existence is the DQ layer's job to flag.
+    dtypes = dict(df.dtypes)
     aggs = [F.count("*").alias("__n")]
     for c in columns:
+        if dtypes.get(c) in ("double", "float"):
+            mm = F.when(~F.isnan(F.col(c)), F.col(c).try_cast("decimal(30,6)"))
+            mn = F.min(mm).cast("string")
+            mx = F.max(mm).cast("string")
+        else:
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
         aggs += [
             F.count(c).alias(f"{c}__nn"),
             F.countDistinct(c).alias(f"{c}__nd"),
-            F.min(c).cast("string").alias(f"{c}__mn"),
-            F.max(c).cast("string").alias(f"{c}__mx"),
+            mn.alias(f"{c}__mn"),
+            mx.alias(f"{c}__mx"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(

@@ -57,7 +57,14 @@ def grouped_ols(
     (slope/intercept NULL for degenerate groups with zero x-variance).
     """
     x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("bigint")
-    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast(DEC)
+    # finite-domain y ingestion: NaN / ±Inf / out-of-decimal-domain
+    # magnitudes become NULL (missing) instead of crashing the ANSI cast
+    # (driver_sim --perturb-extremes). The double round-trip makes the
+    # isnan guard type-safe for decimal inputs too. Sums skip missing y;
+    # n still counts all rows — callers wanting an observed-pairs fit
+    # filter y IS NOT NULL first (regression_daily_trend does).
+    yc = F.col(y_col) if isinstance(y_col, str) else y_col
+    y = F.when(~F.isnan(yc.cast("double")), yc.try_cast(DEC))
 
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
@@ -144,9 +151,20 @@ def mad_outliers(
     # SCALING.md scan-economy audit), re-scanning the raw input up to 3×.
     # Persisting the two narrow projections bounds the operator to ONE
     # raw scan; exact MAD is inherently multi-pass beyond that.
+    # observed FINITE values only: NaN/±Inf/out-of-domain magnitudes are
+    # dropped like NULLs — they are not rankable observations, and the
+    # ANSI decimal cast would crash on them (driver_sim --perturb-extremes)
+    vcol = F.col(value_col)
+    # the raw isNotNull stays FIRST so it pushes to the parquet scan
+    # (plan-asserted); the finite-domain filter on the derived column
+    # then drops the (rare) specials scan-side before any shuffle
     dec = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, F.col(value_col).cast("decimal(20,7)").alias("_v"))
+        df.filter(vcol.isNotNull())
+        .select(
+            *group_cols,
+            F.when(~F.isnan(vcol), vcol.try_cast("decimal(20,7)")).alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     med = _exact_median(dec, group_cols, "_v", "_med", "decimal(24,8)", "decimal(22,7)")
@@ -221,8 +239,8 @@ def cuped_adjusted_means(
     Returns one row per arm: (grp, n_users, mean_y, mean_y_adjusted,
     theta)."""
     per_user = df.groupBy(user_col, grp_col).agg(
-        F.sum(F.col(x_col).cast(DEC)).cast("decimal(19,6)").alias("x"),
-        F.sum(F.col(y_col).cast(DEC)).cast("decimal(18,6)").alias("y"),
+        F.sum(F.when(~F.isnan(F.col(x_col)), F.col(x_col).try_cast(DEC))).cast("decimal(19,6)").alias("x"),
+        F.sum(F.when(~F.isnan(F.col(y_col)), F.col(y_col).try_cast(DEC))).cast("decimal(18,6)").alias("y"),
     )
     pool = per_user.agg(
         F.count(F.lit(1)).cast("decimal(12,0)").alias("__scalar_n"),

@@ -274,9 +274,15 @@ def grouped_ewma(
     # An explicit hash repartition on the key satisfies the grouped-map
     # distribution requirement, so no second exchange is added.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # skip-and-drop extends to NON-FINITE ticks: pandas ewm carries the
+    # last state through a NaN while a plain SQL recurrence NULL-poisons
+    # from it onward — the operator pins one policy instead of
+    # inheriting either accident (driver_sim --perturb-extremes; same
+    # reasoning as the NULL case above)
+    v = F.col(value_col)
     return (
         df.select(key_col, *order_cols, value_col)
-        .filter(F.col(value_col).isNotNull())
+        .filter(v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf"))))
         .repartition(parallelism, key_col)
         .groupBy(key_col)
         .applyInPandas(kernel, schema)
@@ -311,7 +317,12 @@ def time_weighted_avg(
     w = Window.partitionBy(*group_cols).orderBy(ts_col, *(tiebreak or []))
     nxt = F.lead(ts).over(w)
     dt = (F.unix_micros(nxt) - F.unix_micros(ts)).cast("decimal(14,0)")
-    v = F.col(value_col).cast("decimal(18,6)")
+    # finite-domain decimal ingestion: NaN/±Inf/out-of-domain magnitudes
+    # become NULL (missing observation) instead of crashing the ANSI cast
+    # (driver_sim --perturb-extremes); identical to CAST for finite
+    # in-domain values
+    vc = F.col(value_col)
+    v = F.when(~F.isnan(vc), vc.try_cast("decimal(18,6)"))
     stepped = df.select(
         *group_cols,
         v.alias("_v"),

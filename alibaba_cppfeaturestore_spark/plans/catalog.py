@@ -49,6 +49,29 @@ from ..operators.joins import anti_join_not_in, asof_join, online_lookup, semi_j
 from .views import load_table
 
 
+
+def _dec_value(col_name: str = "value", typ: str = "decimal(18,6)"):
+    """Finite-domain decimal ingestion of an unbounded double column:
+    NaN / ±Inf / out-of-decimal-domain magnitudes become NULL (missing),
+    so the entry's pinned NULL policy absorbs them; finite in-domain
+    values cast bit-identically to a plain CAST. Oracles spell the same
+    policy as (CASE WHEN NOT isnan(v) THEN TRY_CAST(v AS ...) END) —
+    the isnan guard dodges DuckDB 1.0's TRY_CAST-NaN hole
+    (driver_sim --perturb-extremes)."""
+    c = F.col(col_name)
+    return F.when(~F.isnan(c), c.try_cast(typ))
+
+
+def _finite_value(col_name: str = "value"):
+    """The double itself when inside the finite DECIMAL(18,6) domain,
+    else NULL — the entry-level sanitizer for operators that consume the
+    raw double (fits, moments) but must treat out-of-domain measurements
+    as missing. Oracle spelling (nested CASE — DuckDB's AND is eager):
+    CASE WHEN NOT isnan(v) THEN
+      CASE WHEN TRY_CAST(v AS DECIMAL(18,6)) IS NOT NULL THEN v END END"""
+    return F.when(_dec_value(col_name).isNotNull(), F.col(col_name))
+
+
 @dataclass
 class QueryDef:
     spark: Callable[[SparkSession, str], DataFrame]
@@ -985,22 +1008,38 @@ def feature_standard_scale(spark, sf_dir):
 @_q(
     "feature_quantile_bins",
     """
-    WITH e AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS q FROM events)
+    WITH s AS (
+      -- finite-domain measurements only (out-of-domain -> missing, so
+      -- the fit never sees a NaN whose percentile rank the engines
+      -- place differently, and the binned output is NULL like any
+      -- other missing value)
+      SELECT event_id,
+             CASE WHEN NOT isnan(value) THEN
+               CASE WHEN TRY_CAST(value AS DECIMAL(18,6)) IS NOT NULL
+                    THEN value END
+             END AS value
+      FROM events
+    ),
+    e AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS q FROM s)
     SELECT event_id,
            CASE WHEN value IS NULL THEN NULL
                 WHEN value <= q[1] THEN 0
                 WHEN value <= q[2] THEN 1
                 WHEN value <= q[3] THEN 2
                 ELSE 3 END AS value_bin
-    FROM events, e
+    FROM s, e
     """,
 )
 def feature_quantile_bins(spark, sf_dir):
     """Deterministic QuantileDiscretizer: exact-percentile edges (one
-    agg), CASE-expression apply (no shuffle, streaming-safe)."""
+    agg), CASE-expression apply (no shuffle, streaming-safe).
+    Out-of-domain measurements (NaN/±Inf/overflow) are missing — the fit
+    skips them and their bin is NULL (see oracle comment)."""
     from ..operators.scaling import apply_quantile_bins, fit_quantile_bins
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", _finite_value().alias("value")
+    )
     edges = fit_quantile_bins(ev, "value", n_bins=4)
     return apply_quantile_bins(ev, "value", edges).select("event_id", "value_bin")
 
@@ -1048,8 +1087,15 @@ def feature_winsorize(spark, sf_dir):
       SELECT 'value', n_rows,
              (SELECT COUNT(*) FROM events WHERE value IS NULL),
              (SELECT COUNT(DISTINCT value) FROM events),
-             (SELECT CAST(MIN(value) AS VARCHAR) FROM events),
-             (SELECT CAST(MAX(value) AS VARCHAR) FROM events)
+             -- finite-decimal-domain range, fixed-scale rendering (see
+             -- profile_table: raw double->string casts are
+             -- engine-specific exactly on the special values)
+             (SELECT CAST(MIN(CASE WHEN NOT isnan(value)
+                                   THEN TRY_CAST(value AS DECIMAL(30,6)) END) AS VARCHAR)
+              FROM events),
+             (SELECT CAST(MAX(CASE WHEN NOT isnan(value)
+                                   THEN TRY_CAST(value AS DECIMAL(30,6)) END) AS VARCHAR)
+              FROM events)
       FROM n
     )
     """,
@@ -2530,7 +2576,7 @@ def stream_online_upsert(spark, sf_dir):
     """
     WITH g AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS m
+             CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) * 1000000 AS BIGINT) AS m
       FROM events GROUP BY event_type
     )
     SELECT event_type, n_events,
@@ -2560,7 +2606,7 @@ def write_ignore_roundtrip(spark, sf_dir):
         .agg(
             F.count("*").alias("n_events"),
             F.expr(
-                "CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+                "CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) * 1000000 AS BIGINT)"
             ).alias("m"),
         )
         .select(
@@ -2870,8 +2916,10 @@ def analytics_percentile_bands(spark, sf_dir):
     """
     WITH g AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS m,
-             CAST(COUNT(value) AS BIGINT) AS cv
+             CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) * 1000000 AS BIGINT) AS m,
+             -- count the SANITIZED column (out-of-domain = missing),
+             -- mirroring the incremental state's count measure
+             CAST(COUNT((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) AS BIGINT) AS cv
       FROM events GROUP BY event_type
     )
     SELECT event_type, n,
@@ -2898,7 +2946,7 @@ def incremental_agg_maintenance(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events").withColumn(
-        "value", F.col("value").cast("decimal(18,6)")
+        "value", _dec_value()
     )
     keys = ["event_type"]
     measures = {"total_value": ("value", "sum"), "value_cnt": ("value", "count")}
@@ -2928,7 +2976,7 @@ def incremental_agg_maintenance(spark, sf_dir):
     """
     WITH src AS (
       SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
-             CAST(value AS DECIMAL(18,6)) AS v
+             (CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS v
       FROM events
     ),
     hourly AS (
@@ -2980,7 +3028,7 @@ def timeseries_rollup_cascade(spark, sf_dir):
     from ..operators.timeseries import rollup_cascade
 
     ev = _t(spark, sf_dir, "events").withColumn(
-        "value", F.col("value").cast("decimal(18,6)")
+        "value", _dec_value()
     )
     out = rollup_cascade(
         ev,
@@ -3078,8 +3126,10 @@ def graph_pagerank_trade_network(spark, sf_dir):
     """
     WITH b AS (
       SELECT event_id, user_id,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT) AS m,
-             CAST(COUNT(value) OVER w AS BIGINT) AS c
+             CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) OVER w * 1000000 AS BIGINT) AS m,
+             -- count the SANITIZED column: out-of-domain values are
+             -- missing, so they must not inflate the average's denominator
+             CAST(COUNT((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) OVER w AS BIGINT) AS c
       FROM events
       WINDOW w AS (PARTITION BY user_id
                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
@@ -3102,7 +3152,7 @@ def window_range_moving_avg(spark, sf_dir):
     from ..operators.timeseries import range_moving_agg
 
     ev = _t(spark, sf_dir, "events").withColumn(
-        "vdec", F.col("value").cast("decimal(18,6)")
+        "vdec", _dec_value()
     )
     out = range_moving_agg(
         ev, "user_id", "ts", "vdec", 7 * 86400,
@@ -3343,7 +3393,18 @@ def record_linkage_customers(spark, sf_dir):
 @_q(
     "feature_impute_missing",
     """
-    WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events WHERE event_id % 7 <> 0)
+    WITH s AS (
+      -- finite-domain measurements only: a NaN/±Inf/overflow reading is
+      -- MISSING — i.e. it gets imputed, which is exactly what an
+      -- imputer is for (driver_sim --perturb-extremes)
+      SELECT event_id,
+             CASE WHEN NOT isnan(value) THEN
+               CASE WHEN TRY_CAST(value AS DECIMAL(18,6)) IS NOT NULL
+                    THEN value END
+             END AS value
+      FROM events
+    ),
+    m AS (SELECT quantile_cont(value, 0.5) AS med FROM s WHERE event_id % 7 <> 0)
     SELECT event_id,
            -- the imputer fills EVERY null, planted or natural (that is
            -- what an imputer is for) — imputing only the planted rows
@@ -3353,7 +3414,7 @@ def record_linkage_customers(spark, sf_dir):
            -- so the fit side needs no guard
            ROUND(CASE WHEN event_id % 7 = 0 OR value IS NULL
                       THEN m.med ELSE value END, 6) AS value
-    FROM events, m
+    FROM s, m
     """,
 )
 def feature_impute_missing(spark, sf_dir):
@@ -3364,7 +3425,9 @@ def feature_impute_missing(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
-        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value")).alias("value"),
+        # planted nulls + finite-domain sanitization (out-of-domain
+        # readings are missing -> imputed; see oracle comment)
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(_finite_value()).alias("value"),
     )
     fills = fit_imputer(ev, ["value"], strategy="median")
     return apply_imputer(ev, fills).select(
@@ -3509,8 +3572,20 @@ def feature_correlations(spark, sf_dir):
     "ab_test_group_summary",
     """
     WITH g AS (
-      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp, value
-      FROM events WHERE event_type = 'purchase'
+      -- observed FINITE in-domain measurements only: NaN/±Inf/1e300 are
+      -- not valid readouts (DuckDB's STDDEV even hard-errors on them),
+      -- and n must count what the mean/stddev actually used
+      SELECT grp, value FROM (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+               -- nested CASE, not AND: DuckDB evaluates AND operands
+               -- eagerly (vectorized), so TRY_CAST would still see the
+               -- NaN its 1.0 build cannot cast; CASE branches are lazy
+               CASE WHEN NOT isnan(value) THEN
+                 CASE WHEN TRY_CAST(value AS DECIMAL(18,6)) IS NOT NULL
+                      THEN value END
+               END AS value
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE value IS NOT NULL
     )
     SELECT grp,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -3524,8 +3599,12 @@ def ab_test_group_summary(spark, sf_dir):
     """Experiment readout: per-arm n / mean / sample stddev / standard
     error in one aggregation (deterministic hash-split arms). The z-score
     between arms is a driver-side subtraction of two rows — no second
-    scan."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    scan. Measurements outside the finite decimal domain are excluded
+    (see oracle comment), so n counts exactly the observations the
+    moments used."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & _dec_value().isNotNull()
+    )
     g = ev.select(
         F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"), "value"
     )
@@ -5448,15 +5527,16 @@ def embedding_random_projection(spark, sf_dir):
     "ewma_user_value",
     """
     WITH RECURSIVE e AS (
-      -- observed ticks only: the EWMA recurrence is defined over the
-      -- observed series — an unobserved (NULL) tick updates nothing and
-      -- is not emitted (unguarded, NULL poisons the recurrence and
-      -- cascades NULL through the rest of the user's history; the
-      -- pandas kernel instead carries the last state forward — two
-      -- defensible semantics, so the operator pins ONE: skip-and-drop)
+      -- observed FINITE ticks only: the EWMA recurrence is defined over
+      -- the observed series — an unobserved (NULL) or non-finite tick
+      -- updates nothing and is not emitted (unguarded, NULL poisons the
+      -- recurrence and cascades NULL through the rest of the user's
+      -- history, and a NaN tick diverges the engines: the pandas kernel
+      -- carries the last state through NaN while the plain recurrence
+      -- poisons — so the operator pins ONE policy: skip-and-drop)
       SELECT user_id, event_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     r AS (
       SELECT user_id, event_id, i, value, value AS ewma FROM e WHERE i = 0
@@ -5648,9 +5728,13 @@ from ..operators.statistics import grouped_ols, mad_outliers  # noqa: E402
     WITH base AS (
       SELECT event_type,
              CAST(DATEDIFF('day', DATE '2000-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
-             CAST(value AS DECIMAL(18,6)) AS y
+             (CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS y
       FROM events
     ),
+    -- observed-pairs fit: a row whose y is missing (NULL or out of the
+    -- finite decimal domain) contributes to NO sum — mixing an all-rows
+    -- n/sx with observed-only sy/sxy would bias the normal equations
+    obs AS (SELECT * FROM base WHERE y IS NOT NULL),
     sums AS (
       SELECT event_type,
              CAST(COUNT(*) AS DECIMAL(12,0)) AS n,
@@ -5658,7 +5742,7 @@ from ..operators.statistics import grouped_ols, mad_outliers  # noqa: E402
              CAST(SUM(y) AS DECIMAL(18,6)) AS sy,
              CAST(SUM(x * x) AS DECIMAL(24,0)) AS sxx,
              CAST(SUM(CAST(CAST(x AS DECIMAL(12,0)) * y AS DECIMAL(30,6))) AS DECIMAL(24,6)) AS sxy
-      FROM base GROUP BY event_type
+      FROM obs GROUP BY event_type
     ),
     calc AS (
       -- operands widened to force DuckDB's INT128 decimal path (its
@@ -5687,7 +5771,11 @@ def regression_daily_trend(spark, sf_dir):
     decimal sums in ONE partial-aggregable GROUP BY, slope/intercept as
     single double ops over identical decimal operands (bit-identical on
     any engine / any aggregation tree; see module docstring)."""
-    ev = _t(spark, sf_dir, "events")
+    # observed-pairs fit (see oracle comment): drop rows whose value is
+    # missing or out of the finite decimal domain BEFORE the sums
+    ev = _t(spark, sf_dir, "events").withColumn("value", _dec_value()).filter(
+        F.col("value").isNotNull()
+    )
     x = F.datediff(F.col("ts").cast("date"), F.lit("2000-01-01").cast("date"))
     return grouped_ols(ev.withColumn("_x", x), "_x", "value", ["event_type"])
 
@@ -5696,11 +5784,14 @@ def regression_daily_trend(spark, sf_dir):
     "anomaly_mad_outliers",
     """
     WITH dec AS (
-      -- observed values only: mad_outliers ignores NULLs like every SQL
-      -- aggregate (unguarded, NULLs shift the rank-window middle
-      -- selection by the engines' opposite null orders)
-      SELECT event_type, CAST(value AS DECIMAL(20,7)) AS v
-      FROM events WHERE value IS NOT NULL
+      -- observed FINITE values only: mad_outliers drops NULLs AND
+      -- out-of-domain values (NaN/±Inf/overflow) before ranking —
+      -- unguarded, either class shifts the rank-window middle selection
+      SELECT event_type, v FROM (
+        SELECT event_type,
+               (CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(20,7)) END) AS v
+        FROM events
+      ) WHERE v IS NOT NULL
     ),
     ranked AS (
       SELECT event_type, v,
@@ -5870,7 +5961,7 @@ def heavy_hitter_tokens(spark, sf_dir):
     FROM events e
     JOIN (
       SELECT event_type, COUNT(*) AS type_n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS type_total
+             CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) AS DOUBLE) AS type_total
       FROM events GROUP BY event_type
     ) t USING (event_type)
     """,
@@ -5885,7 +5976,7 @@ def join_salted_skew_enrich(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("type_n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("type_total"),
+        F.sum(_dec_value()).cast("double").alias("type_total"),
     )
     out = JN.salted_join(
         ev.select("event_id", "event_type"), per_type, on=["event_type"], salt=8
@@ -5933,7 +6024,7 @@ def chunk_documents_rag(spark, sf_dir):
     """
     WITH g AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS m
+             CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) * 1000000 AS BIGINT) AS m
       FROM events GROUP BY event_type
     )
     SELECT event_type, n_events,
@@ -5962,7 +6053,7 @@ def jdbc_roundtrip_derby(spark, sf_dir):
         .agg(
             F.count("*").alias("n_events"),
             F.expr(
-                "CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+                "CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) * 1000000 AS BIGINT)"
             ).alias("m"),
         )
         .select(
@@ -6082,10 +6173,18 @@ def join_full_outer_reconcile(spark, sf_dir):
       -- mode(); unguarded, a large-enough NULL cohort "wins" the
       -- argmax here while pandas value_counts drops NaN on the Spark
       -- side (driver_sim --perturb-nulls find)
-      SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bucket
+      -- finite buckets only, on the DECIMAL(24,6) domain: Spark's
+      -- floor(double) SATURATES on NaN/±Inf (0 / Long.MAX) instead of
+      -- erroring or NULLing, so both sides floor the try-cast DECIMAL —
+      -- out-of-domain values have no bucket (the isnan guard dodges
+      -- DuckDB's TRY_CAST-NaN hole)
+      SELECT event_type,
+             CAST(FLOOR((CASE WHEN NOT isnan(value)
+                              THEN TRY_CAST(value AS DECIMAL(24,6)) END)) AS BIGINT) AS bucket
       FROM events WHERE value IS NOT NULL
     ),
-    c AS (SELECT event_type, bucket, COUNT(*) AS n FROM b GROUP BY event_type, bucket),
+    bf AS (SELECT * FROM b WHERE bucket IS NOT NULL),
+    c AS (SELECT event_type, bucket, COUNT(*) AS n FROM bf GROUP BY event_type, bucket),
     r AS (
       SELECT event_type, bucket,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, bucket ASC) AS rn
@@ -6103,13 +6202,20 @@ def grouped_mode_bucket(spark, sf_dir):
     engines."""
     from ..operators.statistics import mode_bucket_udaf
 
-    # observed values only — see oracle comment (a group that is all
-    # NULL vanishes on both engines)
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    mode = mode_bucket_udaf()
-    return ev.groupBy("event_type").agg(
-        mode(F.floor(F.col("value")).cast("long")).alias("mode_bucket")
+    # observed FINITE buckets only — see oracle comment (a group that is
+    # all NULL/non-finite vanishes on both engines)
+    # raw isNotNull first (pushes to the scan, plan-asserted); the
+    # finite-domain bucket filter then drops specials scan-side
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn(
+            "bucket", F.floor(_dec_value("value", "decimal(24,6)")).cast("long")
+        )
+        .filter(F.col("bucket").isNotNull())
     )
+    mode = mode_bucket_udaf()
+    return ev.groupBy("event_type").agg(mode(F.col("bucket")).alias("mode_bucket"))
 
 
 @_q(
@@ -6278,7 +6384,7 @@ def ann_ivf_portable_topk(spark, sf_dir):
     """
     WITH stepped AS (
       SELECT user_id,
-             CAST(value AS DECIMAL(18,6)) AS v,
+             (CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS v,
              CAST(COALESCE(
                date_diff('microseconds', CAST(ts AS TIMESTAMP),
                          LEAD(CAST(ts AS TIMESTAMP)) OVER
@@ -6874,10 +6980,10 @@ def inverted_index_postings(spark, sf_dir):
       SELECT user_id,
              CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
              CAST(SUM(CASE WHEN event_type = 'view'
-                           THEN CAST(value AS DECIMAL(18,6))
+                           THEN (CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)
                            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(19,6)) AS x,
              CAST(SUM(CASE WHEN event_type = 'purchase'
-                           THEN CAST(value AS DECIMAL(18,6))
+                           THEN (CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)
                            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS y
       FROM events GROUP BY user_id
     ),
@@ -7437,7 +7543,7 @@ def funnel_time_to_convert(spark, sf_dir):
     WITH daily AS (
       SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              CAST(DATEDIFF('day', DATE '2000-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+             CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) AS DECIMAL(18,6)) AS y
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1, 2
     ),
@@ -7498,7 +7604,7 @@ def seasonal_decompose_daily(spark, sf_dir):
             F.col("value"),
         )
         .groupBy("day", "x")
-        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("y"))
+        .agg(F.sum(_dec_value()).cast("decimal(18,6)").alias("y"))
     )
     fit = (
         grouped_ols(daily.withColumn("__g", F.lit(1)), "x", "y", ["__g"])
@@ -8289,7 +8395,7 @@ def dedup_lsh_recall_audit(spark, sf_dir):
     WITH daily AS (
       SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              CAST(DATEDIFF('day', DATE '2000-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+             CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) AS DECIMAL(18,6)) AS y
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1, 2
     ),
@@ -8381,7 +8487,7 @@ def anomaly_seasonal_residuals(spark, sf_dir):
             F.col("value"),
         )
         .groupBy("day", "x")
-        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("y"))
+        .agg(F.sum(_dec_value()).cast("decimal(18,6)").alias("y"))
     )
     from ..operators.statistics import grouped_ols
 

@@ -461,6 +461,49 @@ def perturb_skew_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_extremes_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with a seeded ~5% of ``events.value``
+    overwritten by IEEE specials and out-of-domain magnitudes: NaN,
+    ±Inf, ±1e300. Real feeds emit all five (sensor glitches, div-by-zero
+    upstream, unit bugs), and they are the values where engine semantics
+    diverge hardest: NaN ordering, decimal-cast overflow (Spark ANSI
+    throws, DuckDB's TRY_CAST has a NaN hole), STDDEV over Inf. Green
+    means every value-consuming entry pins an explicit FINITE-DOMAIN
+    policy (out-of-domain → NULL → the already-pinned null policies
+    absorb it) instead of inheriting either engine's accident. Both
+    engines see identical bytes."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    specials = [float("nan"), float("inf"), float("-inf"), 1e300, -1e300]
+    out = f"/tmp/driver_sim_extremes_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t != "events":
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        tbl = pq.read_table(src)
+        vals = tbl.column("value").combine_chunks().to_pylist()
+        eids = tbl.column("event_id").combine_chunks().to_pylist()
+        mut = [
+            specials[zlib.crc32(f"{seed}/pick/{e}".encode()) % len(specials)]
+            if zlib.crc32(f"{seed}/hit/{e}".encode()) % 20 == 0
+            else v
+            for v, e in zip(vals, eids)
+        ]
+        arrays = [
+            pa.array(mut, type=f.type) if f.name == "value" else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
 def perturb_empty_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with the three PIPELINE-FED tables
     (``events``, ``documents``, ``embeddings``) truncated to ZERO rows,
@@ -520,6 +563,8 @@ def main() -> int:
                          "documents.text collapse onto one value")
     ap.add_argument("--perturb-empty", type=int, default=None, metavar="SEED",
                     help="truncate the feed tables (events/documents/embeddings) to 0 rows")
+    ap.add_argument("--perturb-extremes", type=int, default=None, metavar="SEED",
+                    help="seed NaN/±Inf/±1e300 into ~5%% of events.value")
     args = ap.parse_args()
     if args.perturb is not None:
         args.sf = perturb_sf(args.sf, args.perturb)
@@ -548,6 +593,9 @@ def main() -> int:
     if args.perturb_empty is not None:
         args.sf = perturb_empty_sf(args.sf, args.perturb_empty)
         print(f"# empty-feed testdata -> {args.sf}")
+    if args.perturb_extremes is not None:
+        args.sf = perturb_extremes_sf(args.sf, args.perturb_extremes)
+        print(f"# extremes-perturbed testdata (seed {args.perturb_extremes}) -> {args.sf}")
 
     import __spark_entry__ as entry
 
