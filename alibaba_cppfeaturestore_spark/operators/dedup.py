@@ -372,7 +372,7 @@ def minhash_band_index(
     precondition, so this per-id semantics is the contract: rows
     sharing an id are treated as one logical document — matching the
     oracle's ``GROUP BY id`` shape (pinned in
-    tests/test_dedup.py::test_minhash_duplicate_ids_*).
+    tests/test_dedup_similarity.py::test_minhash_duplicate_ids_*).
     """
     rows_per_band = num_hashes // bands
     a, b = _perm_constants(num_hashes)

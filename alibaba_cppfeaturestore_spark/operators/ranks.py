@@ -54,6 +54,26 @@ from pyspark.sql import types as T
 
 _KEY, _BKT, _OFF = "__tpr_key", "__tpr_bkt", "__tpr_off"
 
+# DataFrames persisted by two_phase_rank(persist=True). The output is
+# lazy, so the operator cannot know when its consumer materializes —
+# unpersisting inside would just turn the 4-subtree reuse back into 4
+# scans. Instead every cache is registered here and the HARNESS (bench,
+# driver_sim — the places that know an action just completed) calls
+# release_persisted() between queries. Without that call the blocks
+# live for the session (documented leak, bounded by aggregate sizes).
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted(blocking: bool = False) -> int:
+    """Unpersist every DataFrame two_phase_rank cached since the last
+    call; returns how many were released. Safe to call at any time —
+    a consumer materialized later simply recomputes (hash-sampled
+    boundaries are row-local, so recomputation is value-identical)."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking=blocking)
+    return n
+
 
 def _wide_type(dt: T.DataType) -> T.DataType:
     """An accumulator type stable under repeated ``acc + x`` (decimal
@@ -97,7 +117,11 @@ def two_phase_rank(
     4×; at 100 TB that difference dominates everything else here).
     Correctness never depends on it: hash sampling is row-local, so
     re-derivations are identical. Pass False only when the input is
-    already cached or trivially cheap.
+    already cached or trivially cheap. Each cache is registered in the
+    module-level ``_PERSISTED`` list; call ``release_persisted()`` once
+    the consumer has materialized (bench.py / tools/driver_sim.py do
+    this between queries) so blocks don't accumulate across a long
+    session.
     """
     running = running or {}
     keyed = df.withColumn(_KEY, F.struct(*[c.alias(f"k{i}") for i, c in enumerate(key)]))
@@ -105,6 +129,7 @@ def two_phase_rank(
         from pyspark import StorageLevel
 
         keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(keyed)
 
     n = keyed.agg(F.count(F.lit(1)).cast("bigint").alias("__scalar_n"))
     mod = F.greatest(F.lit(1).cast("bigint"), (F.col("__scalar_n") / F.lit(n_buckets)).cast("bigint"))

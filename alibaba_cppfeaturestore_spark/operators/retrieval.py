@@ -66,10 +66,26 @@ def bm25_scores(
       identical output.
     - wider term lists: the postings shape below (explode + pre-shuffle
       IN filter), whose cost is independent of term count.
+
+    ``query_terms`` is deduplicated on entry (first occurrence wins) so
+    both shapes see distinct terms — the columnar shape builds one tf
+    column per LIST INDEX and would otherwise double-count a repeated
+    term, while the postings shape dedups implicitly via groupBy(tok);
+    without the entry dedup the two shapes would diverge exactly when a
+    duplicated list crosses the 16-term threshold. An EMPTY term list
+    returns an empty, correctly-typed (id_col, bm25) frame (no document
+    matches ≥1 of zero terms) instead of entering either shape.
     """
+    query_terms = list(dict.fromkeys(query_terms))
+
     base = corpus.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     ).select("id", "toks", F.size("toks").alias("dl"))
+
+    if not query_terms:
+        return base.select(
+            F.col("id").alias(id_col), F.lit(None).cast("double").alias("bm25")
+        ).limit(0)
 
     if len(query_terms) <= 16:
         return _bm25_scores_columnar(base, list(query_terms), id_col, k1, b)

@@ -7679,14 +7679,26 @@ def rfm_customer_segments(spark, sf_dir):
     before, now it is simply not built — the oracle SQL retains it
     unreferenced); monetary itself stays in the aggregate to mirror the
     oracle's CTE. Decimal-exact sums."""
+    from pyspark import StorageLevel
+
+    from ..operators import ranks
     from ..operators.ranks import ntile_from_rank, two_phase_rank
 
     o = _t(spark, sf_dir, "orders")
-    rfm = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("monetary"),
+    # Persist the |customers|-row aggregate ONCE and rank it twice with
+    # persist=False — the two quintiles differ only in the rank key, so
+    # letting each two_phase_rank cache its own keyed copy (the pre-r08
+    # shape) double-cached identical data.
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("monetary"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    ranks._PERSISTED.append(rfm)  # released by harness release_persisted()
 
     def quintile(key_desc, name):
         ranked = two_phase_rank(
@@ -7698,7 +7710,7 @@ def rfm_customer_segments(spark, sf_dir):
             ],
             rank_col="__rk",
             total_col="__n",
-            persist=True,
+            persist=False,
         )
         return ranked.select(
             "o_custkey",

@@ -79,7 +79,14 @@ def run_bounded_to_memory(
     not apply to stateful exchanges, and every micro-batch pays a
     fixed per-store maintenance cost (snapshot, delta file, commit) —
     32 near-empty HDFS-backed stores cost more scheduling than one
-    well-filled store per core does work."""
+    well-filled store per core does work.
+
+    CONCURRENCY: the scoping mutates the SESSION conf for the query's
+    (bounded, availableNow) run — any OTHER query planned on the same
+    SparkSession inside that window silently inherits the reduced
+    partition count. Callers are single-threaded here (bench/driver_sim
+    run queries serially); a concurrent caller should pass a cloned
+    session (``spark.newSession()``) so the conf stays private."""
     qname = name or f"mem_{uuid.uuid4().hex[:12]}"
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions") if state_partitions else None
@@ -393,6 +400,9 @@ def stateful_running_count_tws(stream_df: DataFrame, key_col: str) -> DataFrame:
             yield pd.DataFrame({"k": [key[0]], "n_events": [n]})
 
         def close(self) -> None:
+            # Required StatefulProcessor lifecycle hook; no resources to
+            # release (state handles are runtime-owned). Not an error
+            # swallow — there is no try/except in this module.
             pass
 
     out_schema = StructType(

@@ -15,6 +15,7 @@ import os
 import sys
 import time
 
+from alibaba_cppfeaturestore_spark.operators.ranks import release_persisted
 from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
 from alibaba_cppfeaturestore_spark.session import get_spark
 
@@ -74,6 +75,9 @@ def main() -> None:
             df = QUERIES[name].spark(spark, SF_DIR)
             n = df.count()
             samples.append(time.perf_counter() - t0)
+            # clearCache() above already drops the blocks; this empties
+            # two_phase_rank's registry so stale refs don't accumulate.
+            release_persisted()
         best = min(samples)
         timings[name] = round(best, 3)
         total += best

@@ -207,6 +207,24 @@ def test_asof_join_uses_window_group_limit(plans):
         assert "WindowGroupLimit" in plans[n], f"{n}:\n{plans[n]}"
 
 
+def test_retrieval_rank_heads_stay_pushed_down(plans):
+    # The retrieval top-k heads must never degrade to a full
+    # single-partition sort over |scored docs|:
+    # - hybrid_rrf's two rank-<=-50 windows rely on Spark's
+    #   LimitPushDownThroughWindow rewrite: each compiles to
+    #   TakeOrderedAndProject(limit=50) FEEDING the window, so the
+    #   single-partition window sorts <=50 rows, not every scored doc.
+    #   If a Spark upgrade or refactor loses the rewrite, each window
+    #   becomes a full single-partition sort of the corpus.
+    # - bm25_topk's orderBy().limit(k) must compile to TakeOrdered
+    #   (per-partition partial top-k merged on the driver).
+    p = plans["hybrid_rrf_retrieval"]
+    assert p.count("TakeOrderedAndProject(limit=50") >= 2, p
+    assert "TakeOrderedAndProject" in plans["bm25_topk_retrieval"], plans[
+        "bm25_topk_retrieval"
+    ]
+
+
 def test_parquet_filters_push_down(plans):
     p = plans["filter_theta_or"]
     assert "PushedFilters: [" in p

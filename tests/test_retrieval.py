@@ -76,6 +76,34 @@ def test_bm25_matches_hand_formula(tiny_corpus):
         assert got[doc] == pytest.approx(score, rel=1e-9)
 
 
+def test_bm25_empty_terms_returns_empty_typed_frame(tiny_corpus):
+    # regression (r08): the columnar shape crashed on [] (comp_sum None);
+    # an empty query matches no document, typed (doc_id, bm25 double)
+    out = bm25_scores(tiny_corpus, [])
+    assert out.columns == ["doc_id", "bm25"]
+    assert dict(out.dtypes)["bm25"] == "double"
+    assert out.count() == 0
+
+
+def test_bm25_duplicate_terms_dedup_both_shapes(tiny_corpus):
+    # a repeated term must not double its component — and the dedup must
+    # hold on BOTH physical shapes (<=16 terms columnar, >16 postings)
+    clean = {r["doc_id"]: r["bm25"] for r in bm25_scores(tiny_corpus, ["joins", "data"]).collect()}
+    dup_cols = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(tiny_corpus, ["joins", "data", "joins"]).collect()
+    }
+    # 15 distinct absent fillers + dup crosses the 16-term threshold into
+    # the postings shape with the same distinct-term set
+    fillers = [f"zz{i}" for i in range(15)]
+    dup_postings = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(tiny_corpus, ["joins", "data", "joins", *fillers]).collect()
+    }
+    assert dup_cols == pytest.approx(clean, rel=1e-9)
+    assert dup_postings == pytest.approx(clean, rel=1e-9)
+
+
 def test_bm25_topk_cut_and_tiebreak(tiny_corpus):
     rows = bm25_topk(tiny_corpus, ["joins", "data"], k=2).collect()
     assert len(rows) == 2
