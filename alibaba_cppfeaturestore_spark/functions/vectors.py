@@ -20,6 +20,31 @@ def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+def is_finite_vector(v: Column) -> Column:
+    """True iff every component is finite — no NaN, no ±Inf. The
+    comparison ``|x| < Inf`` is false for NaN (IEEE NaN comparisons) and
+    for ±Inf, so one predicate covers all three specials. Empty arrays
+    are (vacuously) finite; NULL vectors stay NULL."""
+    return F.forall(
+        _as_double(v), lambda x: F.abs(x) < F.lit(float("inf"))
+    )
+
+
+def finite_vector(v: Column) -> Column:
+    """FINITE-DOMAIN ingestion policy for embedding columns: the vector
+    itself when every component is finite, else NULL. A NaN/±Inf
+    component poisons every downstream similarity (dot → NaN/Inf, norm
+    → NaN/Inf, cosine → engine-accident), so such a vector is one
+    corrupt MEASUREMENT and becomes missing — the same policy the
+    decimal ingestion points pin for scalar doubles
+    (plans/catalog._dec_value). Extreme-but-finite magnitudes (±3e38,
+    the float32 edge) are in-domain: double accumulation handles them
+    exactly. Oracle spelling:
+    ``CASE WHEN len(list_filter(v, x -> NOT isfinite(x))) = 0 THEN v END``
+    (DuckDB's isfinite is false for NaN and ±Inf alike)."""
+    return F.when(is_finite_vector(v), v)
+
+
 def dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)

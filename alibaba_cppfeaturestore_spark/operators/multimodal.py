@@ -68,6 +68,72 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+def codec_available() -> bool:
+    """True when Pillow is importable — the capability probe mirroring
+    the delta-jar ``Class.forName`` pattern in ``sources/readers.py``:
+    detect at call time, never hard-import, so the module loads (and the
+    stub path runs) in codec-less containers."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def pil_decode(payload: bytes) -> dict:
+    """Real-codec decode via Pillow: width/height from the image header,
+    n_frames from multi-frame formats (GIF/TIFF; 1 otherwise). Raises on
+    non-image bytes like any decoder — callers' per-object try/except
+    turns that into null decode fields."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return {
+            "width": im.width,
+            "height": im.height,
+            "n_frames": int(getattr(im, "n_frames", 1)),
+        }
+
+
+def pil_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Real-codec resize via Pillow, re-encoded in the source format
+    (PNG when the source format is unknown)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        fmt = im.format or "PNG"
+        out = io.BytesIO()
+        im.resize((w, h)).save(out, format=fmt)
+        return out.getvalue()
+
+
+def default_decode_fn() -> Callable[[bytes], dict]:
+    """The decode kernel the operators use when the caller passes none:
+    the real Pillow codec when importable, else the deterministic stub.
+    NOTE for differential-checked pipelines: the CATALOG entries pin
+    ``decode_fn=_fake_decode`` explicitly — their DuckDB oracles replay
+    the hash-chained stub, which must not silently change value when a
+    codec library appears in the environment."""
+    return pil_decode if codec_available() else _fake_decode
+
+
+def default_resize_fn() -> Callable[[bytes, int, int], bytes]:
+    """Resize kernel default — real Pillow resize when importable, else
+    the hash-chained stub (see ``default_decode_fn``)."""
+    if codec_available():
+        return pil_resize
+
+    def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        return hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
+
+    return fake_resize
+
+
 def decode_media_metadata(
     media: DataFrame,
     decode_fn: Callable[[bytes], dict] | None = None,
@@ -77,8 +143,11 @@ def decode_media_metadata(
     Output schema is fixed (``MEDIA_META_SCHEMA``); corrupt/null payloads
     yield a row with null decode fields rather than failing the batch —
     at 100 TB a single bad object must not kill the job.
+
+    ``decode_fn=None`` selects by capability: the real Pillow codec when
+    importable, else the deterministic stub (``default_decode_fn``).
     """
-    fn = decode_fn or _fake_decode
+    fn = decode_fn or default_decode_fn()
 
     def decode_one(payload) -> tuple:
         # (n_bytes, width, height, n_frames, sha256) for one object; the
@@ -141,10 +210,7 @@ def resize_media(
         ]
     )
 
-    def fake_resize(payload: bytes, w: int, h: int) -> bytes:
-        return hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
-
-    fn = resize_fn or fake_resize
+    fn = resize_fn or default_resize_fn()
 
     def resize_one(payload):
         if payload is None:
@@ -250,7 +316,7 @@ def sample_frames(
             T.StructField("frame_idx", T.IntegerType(), False),
         ]
     )
-    fn = decode_fn or _fake_decode
+    fn = decode_fn or default_decode_fn()
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd

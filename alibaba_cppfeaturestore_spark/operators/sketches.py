@@ -271,11 +271,22 @@ def binned_histogram(
     quantile sketch: cell-wise sum of shard histograms equals the
     histogram of the union (tested), so per-day / per-shard partials
     roll up without revisiting data. ≤ ``num_bins`` rows regardless of
-    input size; values below/above the range clamp to the edge bins."""
-    b = F.floor(F.col(col) / F.lit(bin_width)).cast("int")
+    input size; values below/above the range clamp to the edge bins.
+
+    FINITE-DOMAIN ingestion (plans/catalog._finite_value policy): a
+    NaN/±Inf/out-of-decimal-domain measurement is corrupt, not "large" —
+    clamping it into a tail bin would fabricate a count (and the int
+    cast of floor(1e300/width) hard-errors under ANSI anyway), so such
+    rows are excluded, like NULLs."""
+    x = F.col(col)
+    fin = F.when(
+        ~F.isnan(x) & x.try_cast("decimal(18,6)").isNotNull(), x
+    )
+    b = F.floor(fin / F.lit(bin_width)).cast("int")
     bin_col = F.least(F.greatest(b, F.lit(0)), F.lit(num_bins - 1))
     return (
         df.select(bin_col.alias("bin"))
+        .where(F.col("bin").isNotNull())
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )

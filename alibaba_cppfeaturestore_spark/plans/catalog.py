@@ -308,7 +308,12 @@ def q3(spark, sf_dir):
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           -- finite-domain revenue: an out-of-domain l_extendedprice
+           -- (NaN/±Inf/±1e300) is a corrupt measurement -> missing,
+           -- contributing to no sum (see plans/catalog._finite_value)
+           ROUND(SUM((CASE WHEN NOT isnan(l_extendedprice) THEN
+                        CASE WHEN TRY_CAST(l_extendedprice AS DECIMAL(18,6)) IS NOT NULL
+                             THEN l_extendedprice END END) * (1 - l_discount)), 2) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -353,7 +358,9 @@ def q5(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            F.round(
+                F.sum(_finite_value("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
         )
     )
 
@@ -363,7 +370,12 @@ def q5(spark, sf_dir):
     """
     SELECT l_orderkey, l_linenumber,
            CAST(TRUNC(l_quantity) AS INTEGER) AS qty_int,
-           CAST(l_extendedprice AS VARCHAR) AS price_str,
+           -- finite-domain render: engines disagree on special-value
+           -- spelling (Spark 'Infinity' vs DuckDB 'inf'), so an
+           -- out-of-domain price renders as NULL, not engine dialect
+           CAST((CASE WHEN NOT isnan(l_extendedprice) THEN
+                   CASE WHEN TRY_CAST(l_extendedprice AS DECIMAL(18,6)) IS NOT NULL
+                        THEN l_extendedprice END END) AS VARCHAR) AS price_str,
            l_returnflag AS flag
     FROM lineitem
     WHERE l_orderkey % 100 = 0
@@ -383,7 +395,7 @@ def proj_select_cast(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("int").alias("qty_int"),
-        F.col("l_extendedprice").cast("string").alias("price_str"),
+        _finite_value("l_extendedprice").cast("string").alias("price_str"),
         F.col("l_returnflag").alias("flag"),
     )
 
@@ -481,26 +493,36 @@ def scalar_date_funcs(spark, sf_dir):
 @_q(
     "scalar_math_funcs",
     """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
+             -- finite-domain ingestion: LN/SQRT of a special diverge the
+             -- engines (DuckDB errors on LN(-inf+1), Spark returns NULL)
+             CASE WHEN NOT isnan(l_extendedprice) THEN
+               CASE WHEN TRY_CAST(l_extendedprice AS DECIMAL(18,6)) IS NOT NULL
+                    THEN l_extendedprice END END AS ep
+      FROM lineitem WHERE l_orderkey % 200 = 0
+    )
     SELECT l_orderkey, l_linenumber,
-           ROUND(ABS(l_extendedprice - 50000), 2) AS abs_diff,
+           ROUND(ABS(ep - 50000), 2) AS abs_diff,
            CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
            CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_pct,
-           ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
-           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+           ROUND(SQRT(ep), 4) AS price_sqrt,
+           ROUND(LN(ep + 1), 6) AS price_ln,
            ROUND(POW(1 + l_tax, 2), 6) AS tax_sq
-    FROM lineitem WHERE l_orderkey % 200 = 0
+    FROM li
     """,
 )
 def scalar_math_funcs(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    ep = _finite_value("l_extendedprice")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.abs(F.col("l_extendedprice") - 50000), 2).alias("abs_diff"),
+        F.round(F.abs(ep - 50000), 2).alias("abs_diff"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor(F.col("l_discount") * 100).alias("disc_pct"),
-        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.sqrt(ep), 4).alias("price_sqrt"),
+        F.round(F.log(ep + 1), 6).alias("price_ln"),
         F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
     )
 
@@ -923,11 +945,20 @@ def agg_pivot_user_event_values(spark, sf_dir):
 @_q(
     "agg_quantiles_order_value",
     """
+    WITH s AS (
+      -- finite-domain measurements only: engines place NaN at opposite
+      -- ends of the percentile order (see _finite_value)
+      SELECT o_orderpriority,
+             CASE WHEN NOT isnan(o_totalprice) THEN
+               CASE WHEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
+                    THEN o_totalprice END END AS tp
+      FROM orders
+    )
     SELECT o_orderpriority,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
-    FROM orders
+           ROUND(quantile_cont(tp, 0.5), 4) AS p50,
+           ROUND(quantile_cont(tp, 0.9), 4) AS p90,
+           ROUND(quantile_cont(tp, 0.99), 4) AS p99
+    FROM s
     GROUP BY o_orderpriority
     """,
 )
@@ -935,12 +966,15 @@ def agg_quantiles_order_value(spark, sf_dir):
     """Exact continuous percentiles per group (Spark ``percentile``; the
     approx path is ``agg_approx_stats``). Exact quantiles shuffle the
     value multiset per group — fine for bounded groups; use the sketch
-    variant when groups are huge."""
-    o = _t(spark, sf_dir, "orders")
+    variant when groups are huge. Out-of-domain totals (NaN/±Inf/
+    overflow) are missing — percentile skips NULL on both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", _finite_value("o_totalprice").alias("__tp")
+    )
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.round(F.expr("percentile(__tp, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(__tp, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(__tp, 0.99)"), 4).alias("p99"),
     )
 
 
@@ -990,19 +1024,31 @@ def agg_approx_stats(spark, sf_dir):
 @_q(
     "feature_standard_scale",
     """
+    WITH s AS (
+      -- finite-domain fit: one Inf reading would make mean/stddev Inf/NaN
+      -- and zero every other z-score's information (see _finite_value)
+      SELECT o_orderkey,
+             CASE WHEN NOT isnan(o_totalprice) THEN
+               CASE WHEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
+                    THEN o_totalprice END END AS o_totalprice
+      FROM orders
+    )
     SELECT o_orderkey,
            ROUND((o_totalprice - AVG(o_totalprice) OVER ())
                  / STDDEV_POP(o_totalprice) OVER (), 6) AS price_z
-    FROM orders
+    FROM s
     """,
 )
 def feature_standard_scale(spark, sf_dir):
     """Deterministic StandardScaler fit/apply: one-pass mean/stddev fit,
     pure-projection apply (literals to executors — identical in batch and
-    streaming micro-batches)."""
+    streaming micro-batches). Out-of-domain measurements are missing:
+    the fit skips them and their z-score is NULL."""
     from ..operators.scaling import apply_standard_scaler, fit_standard_scaler
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", _finite_value("o_totalprice").alias("o_totalprice")
+    )
     stats = fit_standard_scaler(o, ["o_totalprice"])
     return apply_standard_scaler(o, stats).select(
         "o_orderkey", F.round("o_totalprice", 6).alias("price_z")
@@ -1051,18 +1097,33 @@ def feature_quantile_bins(spark, sf_dir):
 @_q(
     "feature_winsorize",
     """
-    WITH b AS (SELECT quantile_cont(o_totalprice, [0.05, 0.95]) AS q FROM orders)
+    WITH s AS (
+      -- finite-domain fit/apply (see _finite_value); the CASE keeps the
+      -- NULL path explicit rather than relying on either engine's
+      -- LEAST/GREATEST null semantics
+      SELECT o_orderkey,
+             CASE WHEN NOT isnan(o_totalprice) THEN
+               CASE WHEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
+                    THEN o_totalprice END END AS tp
+      FROM orders
+    ),
+    b AS (SELECT quantile_cont(tp, [0.05, 0.95]) AS q FROM s)
     SELECT o_orderkey,
-           ROUND(LEAST(GREATEST(o_totalprice, q[1]), q[2]), 4) AS price_clipped
-    FROM orders, b
+           CASE WHEN tp IS NOT NULL
+                THEN ROUND(LEAST(GREATEST(tp, q[1]), q[2]), 4) END AS price_clipped
+    FROM s, b
     """,
 )
 def feature_winsorize(spark, sf_dir):
     """Winsorization: clip to exact p05/p95 (one-pass fit, projection
-    apply) — outlier taming before scaling/binning."""
+    apply) — outlier taming before scaling/binning. Out-of-domain
+    measurements are missing: excluded from the fit, NULL in the
+    output (clipping a corrupt reading to p95 would fabricate data)."""
     from ..operators.scaling import fit_winsor_bounds, winsorize
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", _finite_value("o_totalprice").alias("o_totalprice")
+    )
     bounds = fit_winsor_bounds(o, "o_totalprice", 0.05, 0.95)
     return winsorize(o, "o_totalprice", bounds).select(
         "o_orderkey", F.round("o_totalprice", 4).alias("price_clipped")
@@ -1359,20 +1420,28 @@ def set_except_keys(spark, sf_dir):
     """
     SELECT o_orderkey AS sample_id,
            CAST(o_custkey AS INTEGER) AS user_id,
-           CAST(TRUNC(o_totalprice) AS INTEGER) AS price_feature
+           -- finite-int-domain feature: a NaN/±Inf/overflow price has no
+           -- int encoding — the triplet is simply absent from the kv
+           -- string, so the parsed feature is NULL (the isnan guard
+           -- dodges DuckDB's TRY_CAST-NaN hole, see _dec_value)
+           CASE WHEN NOT isnan(o_totalprice)
+                THEN TRY_CAST(TRUNC(o_totalprice) AS INTEGER) END AS price_feature
     FROM orders WHERE o_orderkey % 10 = 0
     """,
 )
 def kv_parse_roundtrip(spark, sf_dir):
     """F1: build an Ali-CCP kv-triplet string from real columns, parse it
-    with the native parser, extract typed fields back."""
+    with the native parser, extract typed fields back. An out-of-int-
+    domain price (NaN/±Inf/overflow) cannot be encoded — ``try_cast``
+    yields NULL, ``concat`` propagates it, ``concat_ws`` drops the NULL
+    part, so the triplet is absent and the parsed feature is NULL."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     encoded = o.select(
         F.col("o_orderkey").alias("sample_id"),
         F.concat_ws(
             "\x01",
             F.concat(F.lit("101"), F.lit("\x02"), F.col("o_custkey").cast("string"), F.lit("\x03"), F.lit("1.0")),
-            F.concat(F.lit("205"), F.lit("\x02"), F.col("o_totalprice").cast("int").cast("string"), F.lit("\x03"), F.lit("1.0")),
+            F.concat(F.lit("205"), F.lit("\x02"), F.col("o_totalprice").try_cast("int").cast("string"), F.lit("\x03"), F.lit("1.0")),
         ).alias("feat_list"),
     )
     parsed = encoded.select(
@@ -3521,7 +3590,11 @@ def melt_lineitem_charges(spark, sf_dir):
     WITH weekly AS (
       SELECT time_bucket(INTERVAL 1 WEEK, CAST(o_orderdate AS TIMESTAMP),
                          TIMESTAMP '1970-01-01') AS week_start,
-             SUM(o_totalprice) AS revenue
+             -- finite-domain revenue (see _finite_value): one Inf order
+             -- would poison every week-over-week delta downstream
+             SUM(CASE WHEN NOT isnan(o_totalprice) THEN
+                   CASE WHEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
+                        THEN o_totalprice END END) AS revenue
       FROM orders GROUP BY 1
     )
     SELECT week_start,
@@ -3540,7 +3613,7 @@ def wow_revenue_change(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     weekly = (
         o.groupBy(F.window("o_orderdate", "1 week")["start"].alias("week_start"))
-        .agg(F.sum("o_totalprice").alias("revenue"))
+        .agg(F.sum(_finite_value("o_totalprice")).alias("revenue"))
     )
     w = W.orderBy("week_start")
     prev = F.lag("revenue").over(w)
@@ -3555,16 +3628,32 @@ def wow_revenue_change(spark, sf_dir):
 @_q(
     "feature_correlations",
     """
+    WITH s AS (
+      -- finite-domain ingestion (see _finite_value): DuckDB's corr
+      -- hard-errors on Inf inputs, Spark's returns NaN — neither is a
+      -- statement about the data; corr skips NULL pairs on both
+      SELECT l_quantity, l_discount, l_tax,
+             CASE WHEN NOT isnan(l_extendedprice) THEN
+               CASE WHEN TRY_CAST(l_extendedprice AS DECIMAL(18,6)) IS NOT NULL
+                    THEN l_extendedprice END END AS l_extendedprice
+      FROM lineitem
+    )
     SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price,
            ROUND(corr(l_discount, l_extendedprice), 6) AS disc_price,
            ROUND(corr(l_quantity, l_tax), 6) AS qty_tax
-    FROM lineitem
+    FROM s
     """,
 )
 def feature_correlations(spark, sf_dir):
     """Pairwise Pearson correlations for declared feature pairs in ONE
-    aggregation pass (feature-selection screen; no |cols|² shuffle)."""
-    li = _t(spark, sf_dir, "lineitem")
+    aggregation pass (feature-selection screen; no |cols|² shuffle).
+    Out-of-domain measurements are missing — corr skips NULL pairs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        "l_discount",
+        "l_tax",
+        _finite_value("l_extendedprice").alias("l_extendedprice"),
+    )
     return li.agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
         F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("disc_price"),
@@ -3624,26 +3713,33 @@ def ab_test_group_summary(spark, sf_dir):
     "histogram_order_values",
     """
     WITH b AS (
-      SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 50000) AS INT), 0), 9) AS bin
+      -- finite-domain bins (see _finite_value): a NaN/±Inf/overflow
+      -- total has no bin — the row is excluded, not clamped into a tail
+      SELECT LEAST(GREATEST(CAST(FLOOR(
+               (CASE WHEN NOT isnan(o_totalprice) THEN
+                  CASE WHEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
+                       THEN o_totalprice END END) / 50000) AS INT), 0), 9) AS bin
       FROM orders
     )
     SELECT bin,
            CAST(bin * 50000 AS DOUBLE) AS bin_lo,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM b GROUP BY bin
+    FROM b WHERE bin IS NOT NULL GROUP BY bin
     """,
 )
 def histogram_order_values(spark, sf_dir):
     """Fixed-width histogram (10 × 50k bins, clamped tails) — one
     groupBy on a computed bin, the profiling companion to
-    ``profile_table``."""
+    ``profile_table``. Out-of-domain totals have no bin: clamping a
+    corrupt reading into a tail bucket would fabricate a count."""
     o = _t(spark, sf_dir, "orders")
     bin_col = F.least(
-        F.greatest(F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(0)),
+        F.greatest(F.floor(_finite_value("o_totalprice") / 50000).cast("int"), F.lit(0)),
         F.lit(9),
     )
     return (
         o.select(bin_col.alias("bin"))
+        .where(F.col("bin").isNotNull())
         .groupBy("bin")
         .agg(F.count("*").alias("n"))
         .select("bin", (F.col("bin") * 50000.0).alias("bin_lo"), "n")
@@ -3956,7 +4052,11 @@ def stream_interval_join_attribution(spark, sf_dir):
     SELECT CAST(o_orderkey AS VARCHAR) AS sample_id,
            CAST(c_custkey AS INTEGER) AS user_id,
            CAST(c_nationkey AS INTEGER) AS user_group,
-           CAST(TRUNC(o_totalprice) AS INTEGER) AS item_id,
+           -- finite-int-domain item feature: an unencodable price means
+           -- the 205 triplet is absent from the kv string -> NULL
+           -- (same policy as kv_parse_roundtrip)
+           CASE WHEN NOT isnan(o_totalprice)
+                THEN TRY_CAST(TRUNC(o_totalprice) AS INTEGER) END AS item_id,
            CAST(o_orderkey % 7 AS INTEGER) AS position,
            CAST(o_orderkey % 2 AS INTEGER) AS click,
            CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS conversion
@@ -3992,7 +4092,10 @@ def aliccp_bronze_to_silver_e2e(spark, sf_dir):
         F.concat_ws(
             "\x01",
             triplet("101", F.lit(999999)),  # sentinel: common map must win
-            triplet("205", F.col("o_totalprice").cast("int")),
+            # try_cast: an out-of-int-domain price (NaN/±Inf/overflow)
+            # has no encoding — concat propagates the NULL and concat_ws
+            # drops the whole 205 triplet (kv_parse_roundtrip policy)
+            triplet("205", F.col("o_totalprice").try_cast("int")),
             triplet("301", F.col("o_orderkey") % 7),
         ).alias("_c5"),
     )
@@ -4034,11 +4137,14 @@ def multimodal_decode_metadata(spark, sf_dir):
     Payloads are utf-8 text bytes (deterministic stand-in); n_bytes and
     sha256 are decoder-independent and oracle-checked, the stubbed
     width/height/n_frames fields are covered by unit tests."""
-    from ..operators.multimodal import attach_binary_payload, decode_media_metadata
+    from ..operators.multimodal import _fake_decode, attach_binary_payload, decode_media_metadata
 
     docs = _t(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
-    meta = decode_media_metadata(media)
+    # decode_fn PINNED to the stub: this entry's DuckDB oracle replays
+    # the hash-chained fake, which must not change value when a codec
+    # library appears in the environment (default_decode_fn would).
+    meta = decode_media_metadata(media, decode_fn=_fake_decode)
     return meta.select("media_id", "media_type", "n_bytes", "sha256")
 
 
@@ -4446,11 +4552,13 @@ def multimodal_frame_sample(spark, sf_dir):
     derives n_frames from byte 2 of sha256(payload), which DuckDB can
     reproduce from the hex digest — a full value oracle for the
     explosion contract despite the stubbed codec."""
-    from ..operators.multimodal import attach_binary_payload, sample_frames
+    from ..operators.multimodal import _fake_decode, attach_binary_payload, sample_frames
 
     docs = _t(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
-    return sample_frames(media, every_nth=10)
+    # decode_fn pinned to the stub (oracle replays it; see
+    # multimodal_decode_metadata)
+    return sample_frames(media, every_nth=10, decode_fn=_fake_decode)
 
 
 @_q(
@@ -4701,8 +4809,12 @@ def stream_session_window_stats(spark, sf_dir):
                           WHERE r_name = 'EUROPE')
     ),
     offers AS (
+      -- finite-domain offers (see _dec_value): a NaN/±Inf/overflow price
+      -- is no offer — MIN skips the NULL
       SELECT l_partkey, l_suppkey,
-             MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)
+             MIN(CAST((CASE WHEN NOT isnan(l_extendedprice)
+                            THEN TRY_CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                      * 1000000 AS BIGINT)
                  // GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 1)) AS unit_micro
       FROM li GROUP BY l_partkey, l_suppkey
     ),
@@ -4745,8 +4857,12 @@ def q2_min_cost_supplier(spark, sf_dir):
     # on one sf0.1 row (Spark HALF_UPs the decimal repr, DuckDB rounds the
     # binary value) — integer arithmetic ends the class; the published
     # double is micro/1e6 of an identical integer.
+    # finite-domain: TRY_CAST + isnan guard (the _dec_value policy inside
+    # a SQL expr) — an out-of-domain price is no offer, MIN skips NULL
     unit_micro = F.expr(
-        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)"
+        "CAST((CASE WHEN NOT isnan(l_extendedprice)"
+        "       THEN TRY_CAST(l_extendedprice AS DECIMAL(18,2)) END)"
+        "      * 1000000 AS BIGINT)"
         " DIV GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 1L)"
     )
     offers = (
@@ -4940,7 +5056,11 @@ def q8_market_share(spark, sf_dir):
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-             CAST(l_extendedprice AS DECIMAL(15,4)) * (1 - CAST(l_discount AS DECIMAL(8,6)))
+             -- finite-domain price ingestion (see _dec_value): an
+             -- out-of-domain l_extendedprice voids that line's amount
+             (CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+               * (1 - CAST(l_discount AS DECIMAL(8,6)))
                - CAST(p_retailprice AS DECIMAL(15,4)) * CAST(l_quantity AS DECIMAL(8,2))
                  * CAST(0.1 AS DECIMAL(2,1)) AS amount
       FROM part
@@ -4973,7 +5093,7 @@ def q9_product_type_profit(spark, sf_dir):
     # starts flipping cent boundaries — driver_sim --perturb-skew find);
     # sizes keep every product/sum strictly inside precision 38
     amount = (
-        F.col("l_extendedprice").cast("decimal(15,4)")
+        _dec_value("l_extendedprice", "decimal(15,4)")
         * (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
         - F.col("p_retailprice").cast("decimal(15,4)")
         * F.col("l_quantity").cast("decimal(8,2)")
@@ -7107,10 +7227,15 @@ def gdpr_forget_cascade(spark, sf_dir):
     "histogram_percentile_estimate",
     """
     WITH b AS (
-      SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 50000) AS INT), 0), 9) AS bin
+      -- finite-domain bins (binned_histogram policy: corrupt readings
+      -- are excluded, never clamped into a tail bucket)
+      SELECT LEAST(GREATEST(CAST(FLOOR(
+               (CASE WHEN NOT isnan(o_totalprice) THEN
+                  CASE WHEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
+                       THEN o_totalprice END END) / 50000) AS INT), 0), 9) AS bin
       FROM orders
     ),
-    h AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin),
+    h AS (SELECT bin, COUNT(*) AS n FROM b WHERE bin IS NOT NULL GROUP BY bin),
     c AS (
       SELECT bin, n,
              COALESCE(SUM(n) OVER (ORDER BY bin
@@ -7641,7 +7766,11 @@ def seasonal_decompose_daily(spark, sf_dir):
       SELECT o_custkey,
              MAX(o_orderdate) AS last_order,
              CAST(COUNT(*) AS BIGINT) AS frequency,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
+             -- finite-domain monetary (see _dec_value): out-of-domain
+             -- totals are missing, contributing to no customer's sum
+             CAST(SUM(CASE WHEN NOT isnan(o_totalprice)
+                           THEN TRY_CAST(o_totalprice AS DECIMAL(18,2)) END)
+                  AS DECIMAL(18,2)) AS monetary
       FROM orders GROUP BY o_custkey
     ),
     scored AS (
@@ -7694,7 +7823,7 @@ def rfm_customer_segments(spark, sf_dir):
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).cast("bigint").alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("monetary"),
+            F.sum(_dec_value("o_totalprice", "decimal(18,2)")).cast("decimal(18,2)").alias("monetary"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -8889,7 +9018,10 @@ def ml_fold_assignment(spark, sf_dir):
     """
     WITH cust AS (
       SELECT o_custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+             -- finite-domain revenue (see _dec_value)
+             CAST(SUM(CASE WHEN NOT isnan(o_totalprice)
+                           THEN TRY_CAST(o_totalprice AS DECIMAL(18,2)) END)
+                  AS DECIMAL(18,2)) AS rev
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -8923,7 +9055,7 @@ def pareto_revenue_concentration(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(_dec_value("o_totalprice", "decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("rev")
     )
@@ -9129,7 +9261,10 @@ def graph_link_prediction_cn(spark, sf_dir):
     """
     WITH halves AS (
       SELECT o_custkey, o_orderkey % 2 AS h,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+             -- finite-domain revenue (see _dec_value)
+             CAST(SUM(CASE WHEN NOT isnan(o_totalprice)
+                           THEN TRY_CAST(o_totalprice AS DECIMAL(18,2)) END)
+                  AS DECIMAL(18,2)) AS rev
       FROM orders GROUP BY o_custkey, o_orderkey % 2
     ),
     a AS (
@@ -9161,7 +9296,7 @@ def customer_tier_migration(spark, sf_dir):
     halves = o.groupBy(
         "o_custkey", (F.col("o_orderkey") % 2).alias("h")
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(_dec_value("o_totalprice", "decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("rev")
     )
@@ -9197,7 +9332,10 @@ def customer_tier_migration(spark, sf_dir):
     """
     WITH nat AS (
       SELECT r.r_name AS region, n.n_name AS nation,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+             -- finite-domain revenue (see _dec_value)
+             CAST(SUM(CASE WHEN NOT isnan(o_totalprice)
+                           THEN TRY_CAST(o_totalprice AS DECIMAL(18,2)) END)
+                  AS DECIMAL(18,2)) AS rev
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation n ON c_nationkey = n.n_nationkey
@@ -9227,7 +9365,7 @@ def agg_ratio_to_report(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            F.sum(_dec_value("o_totalprice", "decimal(18,2)"))
             .cast("decimal(18,2)")
             .alias("rev")
         )
@@ -9593,13 +9731,21 @@ def ann_index_occupancy_audit(spark, sf_dir):
 @_q(
     "group_percentile_exact",
     """
-    WITH r AS (
-      SELECT o_orderpriority,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS v,
-             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                                ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rk,
-             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    WITH s AS (
+      -- finite-domain order statistics (see _dec_value): out-of-domain
+      -- totals are excluded BEFORE ranking, so n counts exactly the
+      -- population the selected p90 ranks within
+      SELECT o_orderpriority, o_orderkey,
+             CASE WHEN NOT isnan(o_totalprice)
+                  THEN TRY_CAST(o_totalprice AS DECIMAL(18,2)) END AS v
       FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY v, o_orderkey) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM s WHERE v IS NOT NULL
     )
     SELECT o_orderpriority,
            CAST(MAX(n) AS BIGINT) AS n_orders,
@@ -9614,14 +9760,19 @@ def group_percentile_exact(spark, sf_dir):
     member of the exact-statistics family (median/MAD do the k=0.5
     case). The sort is per-group; the selected value is one DECIMAL →
     one double cast — exact. Swap in approx_percentile when the
-    per-group sort is too hot (module docstring guidance)."""
+    per-group sort is too hot (module docstring guidance).
+    Out-of-domain totals are excluded before ranking (oracle comment)."""
     o = _t(spark, sf_dir, "orders")
-    v = F.col("o_totalprice").cast("decimal(18,2)")
-    w = Window.partitionBy("o_orderpriority").orderBy(v, "o_orderkey")
-    wn = Window.partitionBy("o_orderpriority")
-    r = o.select(
+    s = o.select(
         "o_orderpriority",
-        v.alias("v"),
+        "o_orderkey",
+        _dec_value("o_totalprice", "decimal(18,2)").alias("v"),
+    ).where(F.col("v").isNotNull())
+    w = Window.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = s.select(
+        "o_orderpriority",
+        "v",
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )

@@ -33,6 +33,47 @@ def test_decode_metadata_deterministic(spark):
     assert out == again
 
 
+def test_codec_capability_detection(spark):
+    # Both branches of default_decode_fn are pinned:
+    # - codec absent (this container): the default IS the stub, so the
+    #   catalog entries' oracle values are reproduced by default;
+    # - codec present: the default decodes real image bytes (runs only
+    #   where Pillow is installed).
+    import pytest as _pytest
+
+    from alibaba_cppfeaturestore_spark.operators import multimodal as MM
+
+    if not MM.codec_available():
+        assert MM.default_decode_fn() is MM._fake_decode
+        _pytest.skip("Pillow not installed — real-codec branch not exercisable")
+
+    # real-codec branch: a generated PNG decodes to its true dimensions
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert MM.default_decode_fn() is MM.pil_decode
+    meta = MM.pil_decode(png)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (37, 21, 1)
+    resized = MM.pil_resize(png, 10, 5)
+    m2 = MM.pil_decode(resized)
+    assert (m2["width"], m2["height"]) == (10, 5)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+        ]
+    )
+    media = spark.createDataFrame([(1, bytearray(png), "image/png")], schema)
+    row = decode_media_metadata(media).collect()[0]
+    assert (row["width"], row["height"]) == (37, 21)
+
+
 def test_decode_tolerates_null_and_corrupt(spark):
     schema = T.StructType(
         [

@@ -462,14 +462,19 @@ def perturb_skew_sf(sf: str, seed: int) -> str:
 
 
 def perturb_extremes_sf(sf: str, seed: int) -> str:
-    """Copy of the testdata with a seeded ~5% of ``events.value``
-    overwritten by IEEE specials and out-of-domain magnitudes: NaN,
-    ±Inf, ±1e300. Real feeds emit all five (sensor glitches, div-by-zero
-    upstream, unit bugs), and they are the values where engine semantics
-    diverge hardest: NaN ordering, decimal-cast overflow (Spark ANSI
-    throws, DuckDB's TRY_CAST has a NaN hole), STDDEV over Inf. Green
-    means every value-consuming entry pins an explicit FINITE-DOMAIN
-    policy (out-of-domain → NULL → the already-pinned null policies
+    """Copy of the testdata with a seeded ~5% of the raw DOUBLE
+    measurement columns overwritten by IEEE specials and out-of-domain
+    magnitudes: NaN, ±Inf, ±1e300 in ``events.value``,
+    ``orders.o_totalprice`` and ``lineitem.l_extendedprice``, and
+    NaN/±Inf/±3e38 in ``embeddings.embedding`` components (float32 —
+    ±3e38 is the in-type extreme magnitude; 1e300 would round to Inf on
+    the cast and collapse two cases into one). Real feeds emit all of
+    these (sensor glitches, div-by-zero upstream, unit bugs), and they
+    are the values where engine semantics diverge hardest: NaN ordering,
+    decimal-cast overflow (Spark ANSI throws, DuckDB's TRY_CAST has a
+    NaN hole), STDDEV over Inf, cosine of a non-finite vector. Green
+    means every consuming entry pins an explicit FINITE-DOMAIN policy
+    (out-of-domain → NULL/excluded → the already-pinned null policies
     absorb it) instead of inheriting either engine's accident. Both
     engines see identical bytes."""
     import os
@@ -480,24 +485,47 @@ def perturb_extremes_sf(sf: str, seed: int) -> str:
     import pyarrow.parquet as pq
 
     specials = [float("nan"), float("inf"), float("-inf"), 1e300, -1e300]
+    f32_specials = [float("nan"), float("inf"), float("-inf"), 3e38, -3e38]
+    # table -> column to mutate; the hit/pick hash keys on the ROW INDEX
+    # (parquet row order is stable), which stays unique even where the
+    # natural key repeats (lineitem's l_orderkey spans multiple lines)
+    targets = {
+        "events": "value",
+        "orders": "o_totalprice",
+        "lineitem": "l_extendedprice",
+        "embeddings": "embedding",
+    }
     out = f"/tmp/driver_sim_extremes_s{seed}_{os.path.basename(sf.rstrip('/'))}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
-        if t != "events":
+        if t not in targets:
             shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
             continue
+        col = targets[t]
         tbl = pq.read_table(src)
-        vals = tbl.column("value").combine_chunks().to_pylist()
-        eids = tbl.column("event_id").combine_chunks().to_pylist()
-        mut = [
-            specials[zlib.crc32(f"{seed}/pick/{e}".encode()) % len(specials)]
-            if zlib.crc32(f"{seed}/hit/{e}".encode()) % 20 == 0
-            else v
-            for v, e in zip(vals, eids)
-        ]
+        vals = tbl.column(col).combine_chunks().to_pylist()
+        keys = list(range(len(vals)))
+        if t == "embeddings":
+            # mutate ONE seeded component of ~5% of vectors
+            mut = []
+            for v, k in zip(vals, keys):
+                if v and zlib.crc32(f"{seed}/hit/{t}/{k}".encode()) % 20 == 0:
+                    v = list(v)
+                    pos = zlib.crc32(f"{seed}/pos/{k}".encode()) % len(v)
+                    v[pos] = f32_specials[
+                        zlib.crc32(f"{seed}/pick/{t}/{k}".encode()) % len(f32_specials)
+                    ]
+                mut.append(v)
+        else:
+            mut = [
+                specials[zlib.crc32(f"{seed}/pick/{t}/{k}".encode()) % len(specials)]
+                if zlib.crc32(f"{seed}/hit/{t}/{k}".encode()) % 20 == 0
+                else v
+                for v, k in zip(vals, keys)
+            ]
         arrays = [
-            pa.array(mut, type=f.type) if f.name == "value" else tbl.column(i)
+            pa.array(mut, type=f.type) if f.name == col else tbl.column(i)
             for i, f in enumerate(tbl.schema)
         ]
         pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
