@@ -195,6 +195,21 @@ _EMB_UNIQUE_SQL = """embeddings_u AS (
     FROM embeddings e) t WHERE __rn = 1
 )"""
 
+# FINITE-DOMAIN embedding ingestion (functions/vectors.finite_vector
+# policy): a vector with any NaN/±Inf component poisons every downstream
+# similarity (dot/norm/cosine become engine accidents), so the ROW is a
+# corrupt measurement and is excluded — the vector sibling of
+# _dec_value/_finite_value. NULL vectors are excluded by the same
+# predicate on both engines (NULL comparison -> not kept). DuckDB's
+# isfinite() is false for NaN and ±Inf alike; ±3e38 (float32 extremes)
+# stay in-domain — double accumulation handles them exactly.
+_EMB_FINITE_WHERE = "len(list_filter(embedding, x -> NOT isfinite(x))) = 0"
+
+
+def _emb_finite(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Spark twin of ``_EMB_FINITE_WHERE`` (see comment above)."""
+    return df.where(V.is_finite_vector(F.col(vec_col)))
+
 
 def _emb_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_EMB_UNIQUE_SQL`` (same keys, same null order).
@@ -1289,7 +1304,11 @@ def topk_salted_orders_per_priority(spark, sf_dir):
     "window_running_user_spend",
     """
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-           ROUND(SUM(value) OVER (
+           -- finite-domain running sum (see _finite_value): one NaN/Inf
+           -- tick would poison the user's entire suffix
+           ROUND(SUM(CASE WHEN NOT isnan(value) THEN
+                       CASE WHEN TRY_CAST(value AS DECIMAL(18,6)) IS NOT NULL
+                            THEN value END END) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
     FROM events WHERE event_type = 'purchase'
@@ -1306,7 +1325,7 @@ def window_running_user_spend(spark, sf_dir):
         "event_id",
         "user_id",
         "ts",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.round(F.sum(_finite_value()).over(w), 2).alias("running_value"),
     )
 
 
@@ -2307,11 +2326,15 @@ def doc_fingerprint(spark, sf_dir):
 @_q(
     "ann_brute_force_topk",
     """
-    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5)
+    WITH ef AS (
+      -- finite-domain vectors only (see _EMB_FINITE_WHERE)
+      SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    ),
+    q AS (SELECT vec_id AS query_id, embedding FROM ef WHERE vec_id < 5)
     SELECT q.query_id, c.vec_id AS neighbor_id,
            ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                         CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim
-    FROM q JOIN embeddings c ON q.query_id != c.vec_id
+    FROM q JOIN ef c ON q.query_id != c.vec_id
     QUALIFY ROW_NUMBER() OVER (
       PARTITION BY q.query_id
       ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
@@ -2320,8 +2343,9 @@ def doc_fingerprint(spark, sf_dir):
     headline=True,
 )
 def ann_brute_force_topk(spark, sf_dir):
-    """Exact cosine top-k: broadcast query set × corpus scan, window top-k."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """Exact cosine top-k: broadcast query set × corpus scan, window top-k.
+    Non-finite vectors are corrupt measurements, excluded at ingestion."""
+    emb = _emb_finite(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2344,7 +2368,9 @@ def _lsh_ann_oracle() -> str:
     )
     return f"""
     WITH {_EMB_UNIQUE_SQL},
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u),
+    -- finite-domain vectors only (see _EMB_FINITE_WHERE)
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u
+          WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     b AS (
       SELECT e.vec_id, p.tbl,
              CAST(SUM(CASE WHEN list_dot_product(e.v, CAST(p.w AS DOUBLE[])) >= 0
@@ -2377,8 +2403,8 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
     compile-time literals, so the identical ±1 matrix is embedded in the
     DuckDB oracle — the approximate result is still exactly
     differential-checkable. Recall vs brute force asserted in tests.
-    Input id-canonicalized (``_emb_unique``)."""
-    emb = _emb_unique(spark, sf_dir)
+    Input id-canonicalized (``_emb_unique``) then finite-filtered."""
+    emb = _emb_finite(_emb_unique(spark, sf_dir))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2388,18 +2414,23 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
 @_q(
     "embedding_threshold_pairs",
     """
+    WITH ef AS (
+      -- finite-domain vectors only (see _EMB_FINITE_WHERE)
+      SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    )
     SELECT * FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
-    FROM embeddings a JOIN embeddings b
+    FROM ef a JOIN ef b
       ON a.label = b.label AND a.vec_id < b.vec_id
     ) WHERE cosine_sim >= 0.25
     """,
 )
 def embedding_threshold_pairs(spark, sf_dir):
-    """Embedding near-dup: label-blocked cosine-threshold pairs."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """Embedding near-dup: label-blocked cosine-threshold pairs.
+    Non-finite vectors excluded at ingestion (corrupt measurements)."""
+    emb = _emb_finite(_t(spark, sf_dir, "embeddings"))
     return SIM.threshold_pairs(emb, threshold=0.25, block_col="label")
 
 
@@ -2411,12 +2442,16 @@ def embedding_threshold_pairs(spark, sf_dir):
       -- vector can neither form pairs (NULL < x is never true) nor
       -- carry a cluster label anyone can reference, and NULL = NULL
       -- comparisons make its is_canonical flag engine-dependent
+      -- finite-domain vectors only (see _EMB_FINITE_WHERE): a NaN/Inf
+      -- component makes the pair cosine an engine accident
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings WHERE vec_id IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
       UNION ALL
       SELECT vec_id + 100000, label,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
       FROM embeddings WHERE vec_id < 25
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ),
     pairs AS (
       SELECT * FROM (
@@ -2457,7 +2492,7 @@ def dedup_semantic_embedding(spark, sf_dir):
     unchanged."""
     # id-based clustering needs an id — see oracle comment
     emb = (
-        _t(spark, sf_dir, "embeddings")
+        _emb_finite(_t(spark, sf_dir, "embeddings"))
         .filter(F.col("vec_id").isNotNull())
         .select(
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
@@ -4620,7 +4655,12 @@ def multimodal_embed_topk(spark, sf_dir):
 @_q(
     "ann_quantized_topk",
     """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (
+      -- finite-domain vectors only (see _EMB_FINITE_WHERE): a NaN amax
+      -- poisons the whole vector's int8 quantization
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    ),
     a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
     qt AS (
       SELECT vec_id,
@@ -4651,7 +4691,7 @@ def ann_quantized_topk(spark, sf_dir):
     from ..functions.vectors import cosine_int8, quantize_int8
     from ..operators.aggregates import top_k_per_group
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_finite(_t(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("qv"))
     queries = q.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
@@ -4680,8 +4720,10 @@ def ann_ivf_topk(spark, sf_dir):
     PERMANENTLY pytest-pinned (one of exactly two oracle-less entries,
     with dedup_winnow_containment): the Lloyd's-iteration KMeans fit has
     no SQL replay, and the probe set — hence the output — depends on the
-    learned centroids. Recall vs brute force is asserted in tests."""
-    emb = _t(spark, sf_dir, "embeddings")
+    learned centroids. Recall vs brute force is asserted in tests.
+    Finite-filtered at ingestion: MLlib's VectorAssembler/KMeans
+    hard-reject NaN/Inf components (USER_RAISED_EXCEPTION)."""
+    emb = _emb_finite(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -6443,7 +6485,9 @@ def schema_evolution_union_read(spark, sf_dir):
 @_q(
     "ann_ivf_portable_topk",
     "WITH " + _EMB_UNIQUE_SQL + """,
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u),
+    -- finite-domain vectors only (see _EMB_FINITE_WHERE)
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u
+          WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
     qt AS (
       SELECT vec_id,
@@ -6496,10 +6540,12 @@ def ann_ivf_portable_topk(spark, sf_dir):
     DuckDB. Same physical shape as the learned path (broadcast
     centroids, cell equi-join, per-cell top-k); recall traded for a
     value-level audit trail. Input id-canonicalized (``_emb_unique``):
-    a duplicated vec_id makes the smallest-id centroid pick non-total."""
+    a duplicated vec_id makes the smallest-id centroid pick non-total.
+    Finite-filtered after canonicalization (a NaN amax poisons the int8
+    quantizer for the whole vector)."""
     from ..operators.similarity import ivf_portable_topk
 
-    emb = _emb_unique(spark, sf_dir)
+    emb = _emb_finite(_emb_unique(spark, sf_dir))
     return ivf_portable_topk(emb, n_queries=5, nlist=16, nprobe=4, k=5)
 
 
@@ -8185,14 +8231,17 @@ def text_token_entropy(spark, sf_dir):
              CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
       FROM bm25s QUALIFY lex_rank <= 50
     ),
-    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    -- finite-domain vectors only (see _EMB_FINITE_WHERE)
+    ef AS (SELECT * FROM embeddings
+           WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+    qv AS (SELECT embedding FROM ef WHERE vec_id = 0),
     vec AS (
       SELECT e.vec_id AS doc_id,
              CAST(ROW_NUMBER() OVER (
                ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                                CAST(qv.embedding AS DOUBLE[])) DESC,
                         e.vec_id ASC) AS BIGINT) AS vec_rank
-      FROM embeddings e CROSS JOIN qv
+      FROM ef e CROSS JOIN qv
       WHERE e.vec_id != 0
       QUALIFY vec_rank <= 50
     ),
@@ -8220,7 +8269,7 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     from ..operators.retrieval import bm25_scores
 
     docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_finite(_t(spark, sf_dir, "embeddings"))
     bm = bm25_scores(docs, _BM25_TERMS).select(
         "doc_id", F.round("bm25", 6).alias("bm25")
     )
@@ -9683,7 +9732,9 @@ def _lsh_occupancy_oracle() -> str:
     )
     return f"""
     WITH {_EMB_UNIQUE_SQL},
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u),
+    -- finite-domain vectors only (see _EMB_FINITE_WHERE)
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u
+          WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     b AS (
       SELECT e.vec_id, p.tbl,
              CAST(SUM(CASE WHEN list_dot_product(e.v, CAST(p.w AS DOUBLE[])) >= 0
@@ -9713,10 +9764,11 @@ def ann_index_occupancy_audit(spark, sf_dir):
     that justifies (or rebalances) the index BEFORE the candidate join
     runs at scale. Same literal hyperplanes as the serving index; one
     projection pass + two tiny aggregates. Input id-canonicalized
-    (``_emb_unique``)."""
+    (``_emb_unique``) then finite-filtered (a NaN dot flips bucket signs
+    by each engine's NaN-comparison accident)."""
     from ..operators.similarity import _lsh_buckets
 
-    emb = _emb_unique(spark, sf_dir)
+    emb = _emb_finite(_emb_unique(spark, sf_dir))
     b = emb.select(
         F.explode(_lsh_buckets(F.col("embedding"), 4, 8, 64)).alias("tb")
     ).select(F.col("tb.table").alias("tbl"), F.col("tb.bucket").alias("bucket"))

@@ -159,10 +159,81 @@ def skew_probe(spark):
     )
 
 
+def tpr_probe(spark):
+    """Measure ``two_phase_rank``'s scale behavior the way ExactSubstr
+    was probed: for the pareto-shaped |customers|-row aggregate at
+    sf0.01 / sf0.1 and B ∈ {64, 512}, count boundaries actually sampled,
+    bucket-size balance (max / ideal n/(#buckets)), and the stats-stage
+    row volume — the quantities the SCALING.md argument ("two balanced
+    shuffles + tiny broadcasts, no single-partition window") makes
+    claims about. Boundary sampling is hash-Bernoulli with p = 1/mod,
+    so #bounds ≈ B with binomial spread; balance degrades only with
+    boundary luck, never with data volume."""
+    import math as _math
+
+    from alibaba_cppfeaturestore_spark.operators import ranks as R
+
+    print("| sf | n_input | B | mod | n_bounds | n_buckets | max_bucket | ideal | balance(max/ideal) | stats_rows |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
+    results = {}
+    for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+        o = load_table(spark, f"/root/testdata/{sf}", "orders")
+        cust = o.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+        keyed = cust.withColumn(
+            R._KEY,
+            F.struct(
+                F.col("rev").isNull().cast("int").alias("k0"),
+                (-F.col("rev")).alias("k1"),
+                F.col("o_custkey").alias("k2"),
+            ),
+        ).persist()
+        n = keyed.count()
+        for B in [64, 512]:
+            mod = max(1, n // B)
+            bounds = keyed.where(F.pmod(F.xxhash64(R._KEY), F.lit(mod)) == 0)
+            n_bounds = bounds.count()
+            barr = bounds.agg(
+                F.array_sort(F.collect_list(R._KEY)).alias("__scalar_bounds")
+            )
+            sizes = (
+                keyed.crossJoin(F.broadcast(barr))
+                .withColumn(
+                    "__bkt",
+                    F.size(F.filter(F.col("__scalar_bounds"), lambda b: b < F.col(R._KEY))),
+                )
+                .groupBy("__bkt")
+                .agg(F.count(F.lit(1)).alias("m"))
+            )
+            [srow] = sizes.agg(
+                F.count(F.lit(1)).alias("nb"), F.max("m").alias("mx")
+            ).collect()
+            ideal = n / srow["nb"]
+            results[(sf, B)] = (n, n_bounds, srow["nb"], srow["mx"])
+            print(
+                f"| {sf} | {n} | {B} | {mod} | {n_bounds} | {srow['nb']} | "
+                f"{srow['mx']} | {ideal:.0f} | {srow['mx'] / ideal:.2f} | {srow['nb']} |"
+            )
+        keyed.unpersist()
+    # growth exponents for the boundary/stats stage (the only new
+    # materialized sets; the windowed stage is the input itself = 1.0
+    # by construction)
+    for B in [64, 512]:
+        (n0, b0, _, _) = results[("sf0.01", B)]
+        (n1, b1, _, _) = results[("sf0.1", B)]
+        e = _math.log(max(b1, 1) / max(b0, 1)) / _math.log(n1 / n0)
+        print(f"# B={B}: boundary-count exponent sf0.01→0.1 = {e:.2f} "
+              "(≈0 expected — #bounds targets B regardless of n)")
+
+
 def main():
     spark = get_spark()
     if "--skew" in sys.argv:
         skew_probe(spark)
+        return
+    if "--tpr" in sys.argv:
+        tpr_probe(spark)
         return
     rows = {}
     for sf in SFS:
