@@ -544,6 +544,52 @@ def test_binned_histogram_merges_cellwise(spark):
     }
 
 
+def test_binned_histogram_excludes_nonfinite(spark):
+    # finite-domain policy (r08): NaN/±Inf/out-of-decimal-domain
+    # readings are excluded, never clamped into a tail bin
+    from alibaba_cppfeaturestore_spark.operators.sketches import binned_histogram
+
+    vals = [10.0, 250.0, float("nan"), float("inf"), float("-inf"), 1e300, -1e300, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.bin: r.n for r in binned_histogram(df, "v", 100.0, 10).collect()}
+    assert got == {0: 1, 2: 1}  # only the two finite in-domain values
+
+
+def test_finite_vector_policy(spark):
+    # a vector with ANY non-finite component is NULL; 3e38 (finite
+    # float32 extreme) stays in-domain; empty vector vacuously finite
+    from alibaba_cppfeaturestore_spark.functions.vectors import (
+        finite_vector,
+        is_finite_vector,
+    )
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [1.0, float("nan")]),
+        (3, [float("inf"), 0.0]),
+        (4, [float("-inf")]),
+        (5, [3e38, -3e38]),
+        (6, []),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {
+        r.id: (r.fin, r.kept)
+        for r in df.select(
+            "id",
+            is_finite_vector(F.col("v")).alias("fin"),
+            finite_vector(F.col("v")).isNotNull().alias("kept"),
+        ).collect()
+    }
+    assert got[1] == (True, True)
+    assert got[2] == (False, False)
+    assert got[3] == (False, False)
+    assert got[4] == (False, False)
+    assert got[5] == (True, True)
+    assert got[6] == (True, True)
+    assert got[7][0] is None and got[7][1] is False
+
+
 def test_histogram_percentile_within_bin_width_of_exact(spark):
     import numpy as np
     from alibaba_cppfeaturestore_spark.operators.sketches import (
