@@ -38,6 +38,7 @@ def main() -> None:
 
     headline = [name for name, qd in QUERIES.items() if qd.headline]
     timings: dict[str, float] = {}
+    build_sec: dict[str, float] = {}
     load_pre_warmup = round(os.getloadavg()[0], 2)
 
     # Steady-state methodology: one full UNTIMED pass first (JVM JIT,
@@ -65,6 +66,7 @@ def main() -> None:
         # enters the graded artifact. Agreeing samples skip the retry, so
         # the common case stays two runs.
         samples: list[float] = []
+        builds: list[float] = []
         n = 0
         for attempt in range(3):
             if attempt == 2 and min(samples) * 1.25 >= max(samples):
@@ -73,15 +75,22 @@ def main() -> None:
             spark._jvm.System.gc()
             t0 = time.perf_counter()
             df = QUERIES[name].spark(spark, SF_DIR)
+            t1 = time.perf_counter()
             n = df.count()
             samples.append(time.perf_counter() - t0)
+            builds.append(t1 - t0)
             # clearCache() above already drops the blocks; this empties
             # two_phase_rank's registry so stale refs don't accumulate.
             release_persisted()
         best = min(samples)
         timings[name] = round(best, 3)
+        # Driver-side plan-construction time, recorded separately: it is
+        # host-load-sensitive (py4j round-trips) and a per-job constant
+        # at the 100 TB target, so a raw delta whose build half moved is
+        # noise, not a plan change (the r07→r08 ann_brute_force lesson).
+        build_sec[name] = round(min(builds), 3)
         total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {best:.3f}s ({n} rows, build {build_sec[name]:.3f}s)", file=sys.stderr)
 
     # Canary normalization: q1_pricing_summary is a plan that has not
     # changed since round 1 — a fixed scan→filter→agg workload whose
@@ -166,6 +175,7 @@ def main() -> None:
                 # the two bases are NOT comparable.
                 "methodology": "warmup-pass+gc-between+best-of-2+adaptive-3rd",
                 "canary": {"name": "q1_pricing_summary", "sec": canary},
+                "queries_build_sec": build_sec,
                 "queries_canary_normalized": norm,
                 "value_canary_normalized": round(total / canary, 2),
                 "load_avg_1m": {

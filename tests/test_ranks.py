@@ -132,3 +132,26 @@ def test_plan_has_no_single_partition_window(spark):
         if "Window" in ln and "windowspecdefinition" in ln:
             tail = "\n".join(lines[i : i + 4])
             assert "Exchange SinglePartition" not in tail, plan
+
+
+def test_release_persisted_registry(spark):
+    # persist=True registers the cache; release_persisted unpersists and
+    # empties the registry (the r08 harness contract — bench/driver_sim
+    # call it between queries so blocks don't accumulate)
+    from alibaba_cppfeaturestore_spark.operators import ranks
+
+    ranks.release_persisted()  # drain anything earlier tests left
+    df = spark.createDataFrame(_rows(50, 3), "id long, v long, s string")
+    out = two_phase_rank(df, [F.col("v"), F.col("id")], rank_col="rk")
+    assert out.count() == 50
+    assert len(ranks._PERSISTED) == 1
+    assert ranks.release_persisted() == 1
+    assert ranks.release_persisted() == 0  # idempotent, registry empty
+    # persist=False registers nothing
+    out2 = two_phase_rank(df, [F.col("v"), F.col("id")], rank_col="rk", persist=False)
+    assert out2.count() == 50
+    assert ranks.release_persisted() == 0
+    # releasing BEFORE materialization is safe: the consumer recomputes
+    out3 = two_phase_rank(df, [F.col("v"), F.col("id")], rank_col="rk")
+    assert ranks.release_persisted() == 1
+    assert out3.count() == 50
