@@ -323,12 +323,15 @@ def q3(spark, sf_dir):
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           -- finite-domain revenue: an out-of-domain l_extendedprice
-           -- (NaN/±Inf/±1e300) is a corrupt measurement -> missing,
-           -- contributing to no sum (see plans/catalog._finite_value)
-           ROUND(SUM((CASE WHEN NOT isnan(l_extendedprice) THEN
-                        CASE WHEN TRY_CAST(l_extendedprice AS DECIMAL(18,6)) IS NOT NULL
-                             THEN l_extendedprice END END) * (1 - l_discount)), 2) AS revenue
+           -- finite-domain revenue (out-of-domain -> missing, _dec_value
+           -- policy) in DECIMAL arithmetic: decimal addition is
+           -- associative, so the sum reproduces under ANY aggregation
+           -- tree — a double sum flipped a ROUND(,2) cent boundary
+           -- under row reorder (order+extremes stack, r08; the q9
+           -- lesson applied here)
+           CAST(ROUND(SUM((CASE WHEN NOT isnan(l_extendedprice)
+                                THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+                          * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -374,8 +377,14 @@ def q5(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(_finite_value("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    _dec_value("l_extendedprice", "decimal(15,4)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
