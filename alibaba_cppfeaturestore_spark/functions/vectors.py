@@ -21,12 +21,16 @@ def _as_double(v: Column) -> Column:
 
 
 def is_finite_vector(v: Column) -> Column:
-    """True iff every component is finite — no NaN, no ±Inf. The
-    comparison ``|x| < Inf`` is false for NaN (IEEE NaN comparisons) and
-    for ±Inf, so one predicate covers all three specials. Empty arrays
-    are (vacuously) finite; NULL vectors stay NULL."""
+    """True iff every component is non-NULL and finite — no NaN, no
+    ±Inf, no missing element. ``|x| < Inf`` is false for NaN (IEEE NaN
+    comparisons) and ±Inf; the explicit ``isNotNull`` makes a NULL
+    COMPONENT non-finite too (without it Spark's ``forall`` yields NULL
+    for [1.0, NULL] while DuckDB's ``list_filter`` silently drops the
+    NULL element — the two oracles would diverge; r08 review find).
+    Empty arrays are (vacuously) finite; NULL vectors stay NULL."""
     return F.forall(
-        _as_double(v), lambda x: F.abs(x) < F.lit(float("inf"))
+        _as_double(v),
+        lambda x: x.isNotNull() & (F.abs(x) < F.lit(float("inf"))),
     )
 
 
@@ -40,8 +44,11 @@ def finite_vector(v: Column) -> Column:
     (plans/catalog._dec_value). Extreme-but-finite magnitudes (±3e38,
     the float32 edge) are in-domain: double accumulation handles them
     exactly. Oracle spelling:
-    ``CASE WHEN len(list_filter(v, x -> NOT isfinite(x))) = 0 THEN v END``
-    (DuckDB's isfinite is false for NaN and ±Inf alike)."""
+    ``CASE WHEN len(list_filter(v, x -> x IS NULL OR NOT isfinite(x))) = 0
+    THEN v END`` — the ``x IS NULL`` leg mirrors the Spark predicate's
+    isNotNull (DuckDB's list_filter drops NULL-predicate elements, so
+    without it a NULL component would be silently kept; DuckDB's
+    isfinite is false for NaN and ±Inf alike)."""
     return F.when(is_finite_vector(v), v)
 
 

@@ -156,6 +156,11 @@ def decode_media_metadata(
         if payload is None:
             return (None, None, None, None, None)
         b = bytes(payload)
+        # n_bytes and sha256 are DECODER-INDEPENDENT (documented
+        # contract) — computed outside the try so a decode failure
+        # (routine when the real codec meets non-image bytes) nulls
+        # only the decode fields, never the content hash
+        sha = hashlib.sha256(b).hexdigest()
         try:
             meta = fn(b)
             return (
@@ -163,10 +168,10 @@ def decode_media_metadata(
                 meta.get("width"),
                 meta.get("height"),
                 meta.get("n_frames"),
-                hashlib.sha256(b).hexdigest(),
+                sha,
             )
         except Exception:
-            return (len(b), None, None, None, None)  # corrupt -> null fields
+            return (len(b), None, None, None, sha)  # corrupt -> null decode fields
 
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd

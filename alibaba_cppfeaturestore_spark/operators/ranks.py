@@ -64,6 +64,15 @@ _KEY, _BKT, _OFF = "__tpr_key", "__tpr_bkt", "__tpr_off"
 _PERSISTED: list[DataFrame] = []
 
 
+def register_persisted(df: DataFrame) -> DataFrame:
+    """Public registration point for caller-persisted DataFrames (e.g. a
+    catalog entry that persists an aggregate itself and ranks it with
+    ``persist=False``): the next ``release_persisted()`` unpersists it
+    alongside two_phase_rank's own caches. Returns ``df`` for chaining."""
+    _PERSISTED.append(df)
+    return df
+
+
 def release_persisted(blocking: bool = False) -> int:
     """Unpersist every DataFrame two_phase_rank cached since the last
     call; returns how many were released. Safe to call at any time —

@@ -283,7 +283,12 @@ def binned_histogram(
         ~F.isnan(x) & x.try_cast("decimal(18,6)").isNotNull(), x
     )
     b = F.floor(fin / F.lit(bin_width)).cast("int")
-    bin_col = F.least(F.greatest(b, F.lit(0)), F.lit(num_bins - 1))
+    # clamp ONLY when a bin exists: greatest()/least() SKIP NULLs (both
+    # Spark and DuckDB), so an unguarded clamp would resurrect every
+    # excluded reading as bin 0 — the exclusion must wrap the clamp
+    bin_col = F.when(
+        b.isNotNull(), F.least(F.greatest(b, F.lit(0)), F.lit(num_bins - 1))
+    )
     return (
         df.select(bin_col.alias("bin"))
         .where(F.col("bin").isNotNull())

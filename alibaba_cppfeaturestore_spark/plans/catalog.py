@@ -203,7 +203,7 @@ _EMB_UNIQUE_SQL = """embeddings_u AS (
 # predicate on both engines (NULL comparison -> not kept). DuckDB's
 # isfinite() is false for NaN and ±Inf alike; ±3e38 (float32 extremes)
 # stay in-domain — double accumulation handles them exactly.
-_EMB_FINITE_WHERE = "len(list_filter(embedding, x -> NOT isfinite(x))) = 0"
+_EMB_FINITE_WHERE = "len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
 
 
 def _emb_finite(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -2337,7 +2337,7 @@ def doc_fingerprint(spark, sf_dir):
     """
     WITH ef AS (
       -- finite-domain vectors only (see _EMB_FINITE_WHERE)
-      SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     q AS (SELECT vec_id AS query_id, embedding FROM ef WHERE vec_id < 5)
     SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -2379,7 +2379,7 @@ def _lsh_ann_oracle() -> str:
     WITH {_EMB_UNIQUE_SQL},
     -- finite-domain vectors only (see _EMB_FINITE_WHERE)
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u
-          WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+          WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
     b AS (
       SELECT e.vec_id, p.tbl,
              CAST(SUM(CASE WHEN list_dot_product(e.v, CAST(p.w AS DOUBLE[])) >= 0
@@ -2425,7 +2425,7 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
     """
     WITH ef AS (
       -- finite-domain vectors only (see _EMB_FINITE_WHERE)
-      SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     )
     SELECT * FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2455,12 +2455,12 @@ def embedding_threshold_pairs(spark, sf_dir):
       -- component makes the pair cosine an engine accident
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings WHERE vec_id IS NOT NULL
-        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
       UNION ALL
       SELECT vec_id + 100000, label,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
       FROM embeddings WHERE vec_id < 25
-        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     pairs AS (
       SELECT * FROM (
@@ -3758,12 +3758,19 @@ def ab_test_group_summary(spark, sf_dir):
     """
     WITH b AS (
       -- finite-domain bins (see _finite_value): a NaN/±Inf/overflow
-      -- total has no bin — the row is excluded, not clamped into a tail
-      SELECT LEAST(GREATEST(CAST(FLOOR(
-               (CASE WHEN NOT isnan(o_totalprice) THEN
-                  CASE WHEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
-                       THEN o_totalprice END END) / 50000) AS INT), 0), 9) AS bin
-      FROM orders
+      -- total has no bin — the row is excluded, not clamped into a tail.
+      -- The null-check must wrap the CLAMP: GREATEST/LEAST skip NULLs on
+      -- both engines, so an unguarded clamp resurrects every excluded
+      -- reading as bin 0 (r08 review find).
+      SELECT CASE WHEN raw_bin IS NOT NULL
+                  THEN LEAST(GREATEST(raw_bin, 0), 9) END AS bin
+      FROM (
+        SELECT CAST(FLOOR(
+                 (CASE WHEN NOT isnan(o_totalprice) THEN
+                    CASE WHEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
+                         THEN o_totalprice END END) / 50000) AS INT) AS raw_bin
+        FROM orders
+      )
     )
     SELECT bin,
            CAST(bin * 50000 AS DOUBLE) AS bin_lo,
@@ -3777,9 +3784,12 @@ def histogram_order_values(spark, sf_dir):
     ``profile_table``. Out-of-domain totals have no bin: clamping a
     corrupt reading into a tail bucket would fabricate a count."""
     o = _t(spark, sf_dir, "orders")
-    bin_col = F.least(
-        F.greatest(F.floor(_finite_value("o_totalprice") / 50000).cast("int"), F.lit(0)),
-        F.lit(9),
+    raw_bin = F.floor(_finite_value("o_totalprice") / 50000).cast("int")
+    # null-check wraps the clamp: greatest()/least() skip NULLs on both
+    # engines, so an unguarded clamp would resurrect excluded readings
+    # as bin 0 (r08 review find)
+    bin_col = F.when(
+        raw_bin.isNotNull(), F.least(F.greatest(raw_bin, F.lit(0)), F.lit(9))
     )
     return (
         o.select(bin_col.alias("bin"))
@@ -4668,7 +4678,7 @@ def multimodal_embed_topk(spark, sf_dir):
       -- finite-domain vectors only (see _EMB_FINITE_WHERE): a NaN amax
       -- poisons the whole vector's int8 quantization
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
     qt AS (
@@ -6496,7 +6506,7 @@ def schema_evolution_union_read(spark, sf_dir):
     "WITH " + _EMB_UNIQUE_SQL + """,
     -- finite-domain vectors only (see _EMB_FINITE_WHERE)
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u
-          WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+          WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
     a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
     qt AS (
       SELECT vec_id,
@@ -7283,12 +7293,17 @@ def gdpr_forget_cascade(spark, sf_dir):
     """
     WITH b AS (
       -- finite-domain bins (binned_histogram policy: corrupt readings
-      -- are excluded, never clamped into a tail bucket)
-      SELECT LEAST(GREATEST(CAST(FLOOR(
-               (CASE WHEN NOT isnan(o_totalprice) THEN
-                  CASE WHEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
-                       THEN o_totalprice END END) / 50000) AS INT), 0), 9) AS bin
-      FROM orders
+      -- are excluded, never clamped into a tail bucket; null-check
+      -- wraps the clamp — GREATEST/LEAST skip NULLs, r08 review find)
+      SELECT CASE WHEN raw_bin IS NOT NULL
+                  THEN LEAST(GREATEST(raw_bin, 0), 9) END AS bin
+      FROM (
+        SELECT CAST(FLOOR(
+                 (CASE WHEN NOT isnan(o_totalprice) THEN
+                    CASE WHEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
+                         THEN o_totalprice END END) / 50000) AS INT) AS raw_bin
+        FROM orders
+      )
     ),
     h AS (SELECT bin, COUNT(*) AS n FROM b WHERE bin IS NOT NULL GROUP BY bin),
     c AS (
@@ -7865,8 +7880,7 @@ def rfm_customer_segments(spark, sf_dir):
     oracle's CTE. Decimal-exact sums."""
     from pyspark import StorageLevel
 
-    from ..operators import ranks
-    from ..operators.ranks import ntile_from_rank, two_phase_rank
+    from ..operators.ranks import ntile_from_rank, register_persisted, two_phase_rank
 
     o = _t(spark, sf_dir, "orders")
     # Persist the |customers|-row aggregate ONCE and rank it twice with
@@ -7882,7 +7896,7 @@ def rfm_customer_segments(spark, sf_dir):
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ranks._PERSISTED.append(rfm)  # released by harness release_persisted()
+    register_persisted(rfm)  # released by harness release_persisted()
 
     def quintile(key_desc, name):
         ranked = two_phase_rank(
@@ -8242,7 +8256,7 @@ def text_token_entropy(spark, sf_dir):
     ),
     -- finite-domain vectors only (see _EMB_FINITE_WHERE)
     ef AS (SELECT * FROM embeddings
-           WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+           WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
     qv AS (SELECT embedding FROM ef WHERE vec_id = 0),
     vec AS (
       SELECT e.vec_id AS doc_id,
@@ -9743,7 +9757,7 @@ def _lsh_occupancy_oracle() -> str:
     WITH {_EMB_UNIQUE_SQL},
     -- finite-domain vectors only (see _EMB_FINITE_WHERE)
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u
-          WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+          WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
     b AS (
       SELECT e.vec_id, p.tbl,
              CAST(SUM(CASE WHEN list_dot_product(e.v, CAST(p.w AS DOUBLE[])) >= 0

@@ -48,6 +48,11 @@ def main() -> None:
     # long-lived warmed cluster, so the warm number is the honest one.
     for name in headline:
         QUERIES[name].spark(spark, SF_DIR).count()
+        # drop two_phase_rank/catalog caches per warmup query too — the
+        # warmup otherwise accumulates every entry's persisted blocks at
+        # once, and the measured pass inherits the heap pressure
+        release_persisted()
+        spark.catalog.clearCache()
     spark.catalog.clearCache()
     load_pre_measure = round(os.getloadavg()[0], 2)
 
