@@ -41,7 +41,13 @@ def finite_vector(v: Column) -> Column:
     → NaN/Inf, cosine → engine-accident), so such a vector is one
     corrupt MEASUREMENT and becomes missing — the same policy the
     decimal ingestion points pin for scalar doubles
-    (plans/catalog._dec_value). Extreme-but-finite magnitudes (±3e38,
+    (plans/catalog._dec_value). The measured cross-engine mechanism
+    (NOT a comparison disagreement — both engines treat NaN as greatest
+    and NaN >= 0 as true): DuckDB's list_cosine_similarity clamps to
+    [-1, 1] and returns -1.0 for non-finite inputs, while these explicit
+    IEEE expressions yield NaN, which Spark's DESC ordering places
+    FIRST — a corrupt vector dominates every Spark top-k and silently
+    sinks in DuckDB's. Extreme-but-finite magnitudes (±3e38,
     the float32 edge) are in-domain: double accumulation handles them
     exactly. Oracle spelling:
     ``CASE WHEN len(list_filter(v, x -> x IS NULL OR NOT isfinite(x))) = 0

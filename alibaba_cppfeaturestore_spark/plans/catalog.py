@@ -9787,8 +9787,10 @@ def ann_index_occupancy_audit(spark, sf_dir):
     that justifies (or rebalances) the index BEFORE the candidate join
     runs at scale. Same literal hyperplanes as the serving index; one
     projection pass + two tiny aggregates. Input id-canonicalized
-    (``_emb_unique``) then finite-filtered (a NaN dot flips bucket signs
-    by each engine's NaN-comparison accident)."""
+    (``_emb_unique``) then finite-filtered (policy uniformity with the
+    serving index — bucket signs themselves AGREE on NaN, `NaN >= 0` is
+    true on both engines; the divergence lives in the downstream cosine,
+    see _EMB_FINITE_WHERE)."""
     from ..operators.similarity import _lsh_buckets
 
     emb = _emb_finite(_emb_unique(spark, sf_dir))
