@@ -82,19 +82,27 @@ def test_decode_tolerates_null_and_corrupt(spark):
             T.StructField("media_type", T.StringType()),
         ]
     )
-    media = spark.createDataFrame(
-        [(1, bytearray(b"ok"), "image/png"), (2, None, "image/png")], schema
-    )
-
     def angry_decoder(payload: bytes) -> dict:
         if payload == b"ok":
             return {"width": 1, "height": 2, "n_frames": 3}
         raise ValueError("corrupt")
 
+    media2 = spark.createDataFrame(
+        [(1, bytearray(b"ok"), "image/png"),
+         (2, None, "image/png"),
+         (3, bytearray(b"garbage"), "image/png")],  # decoder raises
+        schema,
+    )
     out = {r["media_id"]: r.asDict() for r in
-           decode_media_metadata(media, decode_fn=angry_decoder).collect()}
+           decode_media_metadata(media2, decode_fn=angry_decoder).collect()}
     assert out[1]["width"] == 1 and out[1]["n_frames"] == 3
     assert out[2]["n_bytes"] is None and out[2]["width"] is None  # row survives
+    # decode failure nulls ONLY the decode fields: n_bytes and sha256
+    # are decoder-independent (r08 review find — the real-codec default
+    # makes this path routine on non-image payloads)
+    assert out[3]["width"] is None and out[3]["n_frames"] is None
+    assert out[3]["n_bytes"] == len(b"garbage")
+    assert out[3]["sha256"] == hashlib.sha256(b"garbage").hexdigest()
 
 
 def test_sample_frames_explodes_rows(spark):
