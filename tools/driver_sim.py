@@ -705,8 +705,8 @@ def main() -> int:
             from alibaba_cppfeaturestore_spark.operators.ranks import release_persisted
 
             release_persisted()
-        except Exception:
-            pass
+        except Exception as exc:  # never fail the gate over cache cleanup
+            print(f"# release_persisted failed for {name}: {exc!r}", flush=True)
         ok = row.get("hash_match")
         tag = "PASS" if ok else ("NO_ORACLE" if row.get("err") == "no_oracle" else "FAIL")
         print(f"{tag:9s} {name:45s} {row['sec']:7.2f}s", flush=True)
