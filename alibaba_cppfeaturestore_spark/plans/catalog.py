@@ -2337,7 +2337,7 @@ def doc_fingerprint(spark, sf_dir):
     """
     WITH ef AS (
       -- finite-domain vectors only (see _EMB_FINITE_WHERE)
-      SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+      SELECT * FROM embeddings WHERE """ + _EMB_FINITE_WHERE + """
     ),
     q AS (SELECT vec_id AS query_id, embedding FROM ef WHERE vec_id < 5)
     SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -2379,7 +2379,7 @@ def _lsh_ann_oracle() -> str:
     WITH {_EMB_UNIQUE_SQL},
     -- finite-domain vectors only (see _EMB_FINITE_WHERE)
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u
-          WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
+          WHERE {_EMB_FINITE_WHERE}),
     b AS (
       SELECT e.vec_id, p.tbl,
              CAST(SUM(CASE WHEN list_dot_product(e.v, CAST(p.w AS DOUBLE[])) >= 0
@@ -2425,7 +2425,7 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
     """
     WITH ef AS (
       -- finite-domain vectors only (see _EMB_FINITE_WHERE)
-      SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+      SELECT * FROM embeddings WHERE """ + _EMB_FINITE_WHERE + """
     )
     SELECT * FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2455,12 +2455,12 @@ def embedding_threshold_pairs(spark, sf_dir):
       -- component makes the pair cosine an engine accident
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings WHERE vec_id IS NOT NULL
-        AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+        AND """ + _EMB_FINITE_WHERE + """
       UNION ALL
       SELECT vec_id + 100000, label,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
       FROM embeddings WHERE vec_id < 25
-        AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+        AND """ + _EMB_FINITE_WHERE + """
     ),
     pairs AS (
       SELECT * FROM (
@@ -4678,7 +4678,7 @@ def multimodal_embed_topk(spark, sf_dir):
       -- finite-domain vectors only (see _EMB_FINITE_WHERE): a NaN amax
       -- poisons the whole vector's int8 quantization
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+      WHERE """ + _EMB_FINITE_WHERE + """
     ),
     a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
     qt AS (
@@ -6506,7 +6506,7 @@ def schema_evolution_union_read(spark, sf_dir):
     "WITH " + _EMB_UNIQUE_SQL + """,
     -- finite-domain vectors only (see _EMB_FINITE_WHERE)
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u
-          WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
+          WHERE """ + _EMB_FINITE_WHERE + """),
     a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
     qt AS (
       SELECT vec_id,
@@ -8221,7 +8221,10 @@ def text_token_entropy(spark, sf_dir):
 
 @_q(
     "hybrid_rrf_retrieval",
-    f"""
+    # parens: .replace must apply to the WHOLE concatenation (the
+    # {terms} placeholder lives in the first segment, before the
+    # spliced-in _EMB_FINITE_WHERE)
+    (f"""
     WITH b AS (
       SELECT doc_id, regexp_split_to_array(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \\t\\n\\r\\f\\x0B]+') AS toks
       FROM documents
@@ -8256,7 +8259,7 @@ def text_token_entropy(spark, sf_dir):
     ),
     -- finite-domain vectors only (see _EMB_FINITE_WHERE)
     ef AS (SELECT * FROM embeddings
-           WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
+           WHERE """ + _EMB_FINITE_WHERE + """),
     qv AS (SELECT embedding FROM ef WHERE vec_id = 0),
     vec AS (
       SELECT e.vec_id AS doc_id,
@@ -8277,7 +8280,7 @@ def text_token_entropy(spark, sf_dir):
     )
     SELECT doc_id, lex_rank, vec_rank, rrf
     FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
-    """.replace("{terms}", _BM25_TERMS_SQL),
+    """).replace("{terms}", _BM25_TERMS_SQL),
 )
 def hybrid_rrf_retrieval(spark, sf_dir):
     """Hybrid retrieval via Reciprocal Rank Fusion — the modern RAG
@@ -9757,7 +9760,7 @@ def _lsh_occupancy_oracle() -> str:
     WITH {_EMB_UNIQUE_SQL},
     -- finite-domain vectors only (see _EMB_FINITE_WHERE)
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u
-          WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
+          WHERE {_EMB_FINITE_WHERE}),
     b AS (
       SELECT e.vec_id, p.tbl,
              CAST(SUM(CASE WHEN list_dot_product(e.v, CAST(p.w AS DOUBLE[])) >= 0

@@ -53,7 +53,6 @@ def main() -> None:
         # once, and the measured pass inherits the heap pressure
         release_persisted()
         spark.catalog.clearCache()
-    spark.catalog.clearCache()
     load_pre_measure = round(os.getloadavg()[0], 2)
 
     total = 0.0

@@ -30,9 +30,8 @@ import re
 import sys
 from collections import Counter
 
-sys.path.insert(0, "/root/repo")
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 WINDOW = 50
 
 

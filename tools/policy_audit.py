@@ -46,27 +46,46 @@ GUARD_IDIOMS = {
 }
 
 
+# Idiom SPANS stripped from the SQL before counting leftover mentions.
+# Each pattern contains exactly the column mentions the guard idiom
+# itself spells, so whatever survives the strip is a mention OUTSIDE any
+# guard — an alias reuse or a genuinely raw consumption (both -> MIXED
+# when a guard is also present; human review decides which).
+_STRIP = {
+    "scalar": [
+        r"isnan\(\s*{col}\s*\)",
+        r"TRY_CAST\(\s*(?:TRUNC\()?\s*{col}",
+        r"THEN\s+{col}\s+END",
+        r"isfinite\(\s*{col}\s*\)",
+    ],
+    "embedding": [
+        r"list_filter\(embedding,\s*x\s*->\s*x IS NULL OR NOT isfinite\(x\)\)",
+    ],
+}
+
+
 def _classify(sql: str, col: str, pat: str) -> tuple[str, int, int]:
-    """(tag, n_mentions, n_guarded_mentions) for one column in one
-    oracle. Mention counting is textual: each guarded consumption spells
-    the idiom as ``isnan(col) … TRY_CAST(col …) … THEN col END`` (three
-    mentions per guard) or the list_filter form (one mention). A column
-    whose mention count exceeds what its guard idioms account for is
-    MIXED — it has raw consumptions alongside guarded ones, which is
-    exactly the refactoring hazard this audit exists to flag."""
+    """(tag, n_mentions, n_unguarded_mentions). GUARDED means EVERY
+    mention of the column sits inside a guard idiom span (strip the
+    spans, nothing is left); MIXED means a guard exists but extra
+    mentions survive the strip (alias reuse or raw consumption — the
+    refactoring hazard this audit flags); RAW means no guard at all.
+    Unlike a fixed per-idiom allowance, span-stripping leaves NO slack:
+    one raw consumption added to a fully-guarded oracle flips it to
+    MIXED."""
     mentions = len(re.findall(pat, sql))
     guards = sum(len(re.findall(g, sql)) for g in GUARD_IDIOMS[col])
+    strips = _STRIP["embedding"] if col == "embedding" else [
+        s.format(col=re.escape(col) if col != "events.value" else r"value")
+        for s in _STRIP["scalar"]
+    ]
+    stripped = sql
+    for s in strips:
+        stripped = re.sub(s, "", stripped)
+    leftover = len(re.findall(pat, stripped))
     if guards == 0:
-        return "RAW", mentions, 0
-    # mentions accounted for by guard idioms: the scalar idiom touches
-    # the column 3× per guard-pair (isnan + TRY_CAST counted in
-    # `guards`, plus the THEN <col> END value mention); the vector
-    # idiom (list_filter) touches it once and `guards` counts it once
-    if col == "embedding":
-        accounted = guards
-    else:
-        accounted = guards + guards // 2  # isnan+trycast pairs -> +1 THEN-mention each
-    return ("GUARDED" if mentions <= accounted else "MIXED"), mentions, guards
+        return "RAW", mentions, leftover
+    return ("GUARDED" if leftover == 0 else "MIXED"), mentions, leftover
 
 
 def main() -> None:
@@ -84,21 +103,22 @@ def main() -> None:
                 continue
             if not re.search(pat, sql):
                 continue
-            tag, mentions, guards = _classify(sql, col, pat)
+            tag, mentions, leftover = _classify(sql, col, pat)
             counts[tag] += 1
-            rows.append((name, col, tag, mentions, guards))
+            rows.append((name, col, tag, mentions, leftover))
 
-    print("| entry | hazard column | policy | mentions | guard idioms |")
+    print("| entry | hazard column | policy | mentions | outside guards |")
     print("|---|---|---|---|---|")
-    for name, col, tag, mentions, guards in rows:
-        print(f"| {name} | {col} | {tag} | {mentions} | {guards} |")
+    for name, col, tag, mentions, leftover in rows:
+        print(f"| {name} | {col} | {tag} | {mentions} | {leftover} |")
     total = sum(counts.values())
     print(
         f"\n# {total} (entry, column) consumptions: "
-        f"{counts['GUARDED']} guarded, {counts['MIXED']} mixed "
-        f"(guarded + extra raw mentions — review each), {counts['RAW']} raw "
+        f"{counts['GUARDED']} guarded (every mention inside a guard idiom), "
+        f"{counts['MIXED']} mixed (guard present + mentions outside it — "
+        f"alias reuse or raw; review each), {counts['RAW']} raw "
         "(raw/mixed-extra = passthrough/IEEE-identical, certified by "
-        "extremes seeds 11/23/37)"
+        "extremes seeds 11/23/37/53)"
     )
 
 
