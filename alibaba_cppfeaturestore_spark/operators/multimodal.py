@@ -170,6 +170,13 @@ def decode_media_metadata(
                 meta.get("n_frames"),
                 sha,
             )
+        except ImportError:
+            # environment mismatch, NOT data corruption: codec_available()
+            # probed the DRIVER, but this import ran on an EXECUTOR. A
+            # driver-only Pillow install would otherwise null every row's
+            # decode fields — indistinguishable from 100% corrupt payloads
+            # (r08 ADVICE find). Fail the task loudly instead.
+            raise
         except Exception:
             return (len(b), None, None, None, sha)  # corrupt -> null decode fields
 
@@ -222,6 +229,8 @@ def resize_media(
             return None
         try:
             return fn(bytes(payload), width, height)
+        except ImportError:
+            raise  # executor-side codec missing: env mismatch, not corruption
         except Exception:
             return None
 
@@ -287,6 +296,8 @@ def extract_features(
             v = [float(x) for x in fn(bytes(payload))]
             norm = math.sqrt(sum(x * x for x in v)) or 1.0
             return [x / norm for x in v]
+        except ImportError:
+            raise  # executor-side codec missing: env mismatch, not corruption
         except Exception:
             return None
 

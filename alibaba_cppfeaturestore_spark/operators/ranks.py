@@ -48,6 +48,8 @@ version needs (``operators/dictionary.py`` consumes it).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -77,11 +79,41 @@ def release_persisted(blocking: bool = False) -> int:
     """Unpersist every DataFrame two_phase_rank cached since the last
     call; returns how many were released. Safe to call at any time —
     a consumer materialized later simply recomputes (hash-sampled
-    boundaries are row-local, so recomputation is value-identical)."""
+    boundaries are row-local, so recomputation is value-identical).
+
+    This is a GLOBAL sweep for single-threaded harnesses (bench,
+    driver_sim): it releases every registered cache, including ones a
+    concurrent query on the same session still needs (they'd silently
+    recompute). Interleaved callers should wrap their query in
+    ``persist_scope()`` and release only their own caches."""
     n = len(_PERSISTED)
     while _PERSISTED:
         _PERSISTED.pop().unpersist(blocking=blocking)
     return n
+
+
+@contextmanager
+def persist_scope(blocking: bool = False):
+    """Scoped alternative to the global ``release_persisted()`` sweep for
+    callers sharing a session with other live queries: on exit, unpersist
+    ONLY the caches registered inside the ``with`` block, leaving caches
+    other queries registered (before or concurrently outside this scope)
+    untouched. Yields nothing; registration stays implicit via
+    ``two_phase_rank(persist=True)`` / ``register_persisted``.
+
+    Caveat: Spark's cache manager keys on the ANALYZED PLAN, so if two
+    scopes persist plan-identical DataFrames they share one cache entry
+    and either scope's exit drops it for both (the survivor recomputes —
+    correct, just slower). Scoping isolates distinct plans, which is the
+    realistic interleaved-queries case."""
+    before = {id(df) for df in _PERSISTED}
+    try:
+        yield
+    finally:
+        own = [df for df in _PERSISTED if id(df) not in before]
+        _PERSISTED[:] = [df for df in _PERSISTED if id(df) in before]
+        for df in own:
+            df.unpersist(blocking=blocking)
 
 
 def _wide_type(dt: T.DataType) -> T.DataType:

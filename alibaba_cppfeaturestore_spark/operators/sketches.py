@@ -273,21 +273,26 @@ def binned_histogram(
     roll up without revisiting data. ≤ ``num_bins`` rows regardless of
     input size; values below/above the range clamp to the edge bins.
 
-    FINITE-DOMAIN ingestion (plans/catalog._finite_value policy): a
-    NaN/±Inf/out-of-decimal-domain measurement is corrupt, not "large" —
-    clamping it into a tail bin would fabricate a count (and the int
-    cast of floor(1e300/width) hard-errors under ANSI anyway), so such
-    rows are excluded, like NULLs."""
+    FINITE-DOMAIN ingestion: NaN/±Inf is corrupt, not "large" — such
+    rows are excluded, like NULLs. Every FINITE value honors the clamp
+    contract above, however large: the clamp runs on the DOUBLE domain
+    BEFORE the floor, so floor never sees a magnitude the int cast
+    can't hold (floor(1e300/width) would hard-error under ANSI). r09
+    fix: the previous guard borrowed the catalog's decimal(18,6) money
+    policy, silently excluding legit finite values above ~1e12 — a
+    bound unrelated to this histogram's own range. Callers that DO
+    want an exact-decimal domain (prices) pre-filter with their policy
+    (see plans/catalog._finite_value)."""
     x = F.col(col)
-    fin = F.when(
-        ~F.isnan(x) & x.try_cast("decimal(18,6)").isNotNull(), x
-    )
-    b = F.floor(fin / F.lit(bin_width)).cast("int")
-    # clamp ONLY when a bin exists: greatest()/least() SKIP NULLs (both
-    # Spark and DuckDB), so an unguarded clamp would resurrect every
-    # excluded reading as bin 0 — the exclusion must wrap the clamp
+    top = F.lit(bin_width * (num_bins - 1))
+    # the finite guard must WRAP the clamp: greatest()/least() SKIP
+    # NULLs (both Spark and DuckDB), so a bare clamp would resurrect
+    # every excluded reading as bin 0 (r08 review find)
     bin_col = F.when(
-        b.isNotNull(), F.least(F.greatest(b, F.lit(0)), F.lit(num_bins - 1))
+        ~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))),
+        F.floor(F.least(F.greatest(x, F.lit(0.0)), top) / F.lit(bin_width)).cast(
+            "int"
+        ),
     )
     return (
         df.select(bin_col.alias("bin"))

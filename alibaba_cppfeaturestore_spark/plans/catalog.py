@@ -7292,18 +7292,16 @@ def gdpr_forget_cascade(spark, sf_dir):
     "histogram_percentile_estimate",
     """
     WITH b AS (
-      -- finite-domain bins (binned_histogram policy: corrupt readings
-      -- are excluded, never clamped into a tail bucket; null-check
-      -- wraps the clamp — GREATEST/LEAST skip NULLs, r08 review find)
-      SELECT CASE WHEN raw_bin IS NOT NULL
-                  THEN LEAST(GREATEST(raw_bin, 0), 9) END AS bin
-      FROM (
-        SELECT CAST(FLOOR(
-                 (CASE WHEN NOT isnan(o_totalprice) THEN
-                    CASE WHEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
-                         THEN o_totalprice END END) / 50000) AS INT) AS raw_bin
-        FROM orders
-      )
+      -- binned_histogram policy (r09): NaN/±Inf readings are corrupt
+      -- and excluded; every FINITE value clamps into an edge bin, with
+      -- the clamp on the double domain BEFORE the floor so the int
+      -- cast never overflows. The finite guard wraps the clamp —
+      -- GREATEST/LEAST skip NULLs on both engines (r08 review find).
+      SELECT CASE WHEN isfinite(o_totalprice)
+                  THEN CAST(FLOOR(
+                    LEAST(GREATEST(o_totalprice, 0), 450000.0) / 50000) AS INT)
+             END AS bin
+      FROM orders
     ),
     h AS (SELECT bin, COUNT(*) AS n FROM b WHERE bin IS NOT NULL GROUP BY bin),
     c AS (

@@ -10,8 +10,10 @@ so the action cost is the query, not the transfer).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -20,6 +22,123 @@ from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
 from alibaba_cppfeaturestore_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Measurement basis, recorded so cross-round comparisons aren't misread.
+# v1 (rounds 2-7): warmup pass + gc-between + best-of-2 + adaptive 3rd.
+# v2 (round 8+):   v1 PLUS release_persisted() after every warmup query
+#                  AND after every measured attempt — persist-reusing
+#                  queries (minhash index) no longer keep their cache
+#                  between samples, so v1 and v2 numbers are NOT
+#                  comparable for that class. Round 8 made this change
+#                  without bumping the string (r08 verdict item 3); the
+#                  basis below names it, and _SAME_BASIS records that
+#                  r08's artifact — string notwithstanding — already ran
+#                  on v2, so the r08→r09 delta IS like-for-like.
+METHODOLOGY = "v2:warmup+gc+best-of-2+adaptive-3rd+release-per-attempt"
+_V2_FIRST_ROUND = 8  # first driver artifact measured on the v2 basis
+
+# The builder's own full bench JSON, persisted each run: the comparison
+# anchor that survives the driver's head-truncation of stdout tails
+# (BENCH_r07.json's tail begins mid-token, which r08's parser turned
+# into an empty prev dict and a vacuous zero-flag result).
+LOCAL_ANCHOR = os.path.join(REPO, "BENCH_LOCAL.json")
+
+
+def _extract_bench_fields(raw: str) -> dict:
+    """Pull the comparison fields out of a bench artifact REGARDLESS of
+    shape: a clean full-payload JSON file (the local anchor), a driver
+    wrapper whose ``tail`` string holds the stdout JSON line, or a
+    head-truncated ``tail`` where only the final fields of that line
+    survive (BENCH_r07.json's tail begins mid-token — the shape that
+    silently blinded r08's detector). The per-query dicts are flat (no
+    nested braces), so a brace regex recovers them from any suffix that
+    still contains the key; the regex must run on the UNESCAPED tail —
+    inside the wrapper the quotes are \\" and a quote-anchored pattern
+    never matches the raw file bytes."""
+    texts = []
+    try:
+        whole = json.loads(raw)
+    except json.JSONDecodeError:
+        whole = None
+    if isinstance(whole, dict):
+        if "queries_canary_normalized" in whole:  # full payload (anchor)
+            return whole
+        if isinstance(whole.get("tail"), str):  # driver wrapper
+            texts.append(whole["tail"])
+    texts.append(raw)  # last resort: regex over the raw bytes
+    out: dict = {}
+    for text in texts:
+        for key in ("queries_canary_normalized", "queries", "queries_build_sec"):
+            if key in out:
+                continue
+            matches = re.findall(r'"%s"\s*:\s*(\{[^{}]*\})' % key, text)
+            if matches:
+                try:
+                    out[key] = json.loads(matches[-1])
+                except json.JSONDecodeError:
+                    pass
+        m = re.findall(r'"methodology"\s*:\s*"([^"]*)"', text)
+        if m and "methodology" not in out:
+            out["methodology"] = m[-1]
+    return out
+
+
+def _prev_comparison(norm: dict[str, float]) -> dict:
+    """Round-over-round regression block. Reads the newest driver
+    BENCH_r*.json (robust to tail truncation), falling back to the
+    builder's local anchor; emits per-query canary-normalized deltas and
+    flags |Δ| > 25%. An empty comparison is an ERROR in the artifact,
+    never a silent zero-flag pass (the r08 failure mode)."""
+    candidates: list[tuple[str, int]] = []  # (path, driver round or -1)
+    arts = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if arts:
+        candidates.append(
+            (arts[-1], int(re.search(r"r(\d+)", os.path.basename(arts[-1])).group(1)))
+        )
+    if os.path.exists(LOCAL_ANCHOR):
+        candidates.append((LOCAL_ANCHOR, -1))
+
+    for path, rnd in candidates:
+        try:
+            with open(path) as f:
+                fields = _extract_bench_fields(f.read())
+        except OSError as exc:
+            return {"error": f"unreadable prev artifact {path}: {exc!r:.120}"}
+        prev_norm = fields.get("queries_canary_normalized") or {}
+        deltas = {
+            qn: round((v - prev_norm[qn]) / prev_norm[qn], 3)
+            for qn, v in norm.items()
+            if prev_norm.get(qn)
+        }
+        if not deltas:
+            continue  # artifact too truncated even for regex — try next
+        # basis check: v1-era artifacts (rounds < 8) are NOT comparable
+        # for persist-reusing queries; r08 ran on v2 despite its stale
+        # methodology string (see METHODOLOGY comment above)
+        prev_meth = fields.get("methodology", "")
+        same_basis = (
+            prev_meth == METHODOLOGY
+            or (rnd >= _V2_FIRST_ROUND)
+            or (rnd == -1 and prev_meth.startswith("v2:"))
+        )
+        return {
+            "prev_artifact": os.path.basename(path),
+            "prev_methodology": prev_meth or "(not recorded)",
+            "same_measurement_basis": same_basis,
+            "deltas": deltas,
+            "flagged_over_25pct": sorted(
+                qn for qn, d in deltas.items() if abs(d) > 0.25
+            ),
+        }
+    return {
+        "error": "no prev artifact yielded a non-empty comparison "
+        f"(tried {[os.path.basename(p) for p, _ in candidates]}); "
+        "an empty deltas dict is a detector failure, not a flat bench"
+    }
 
 
 def main() -> None:
@@ -108,90 +227,88 @@ def main() -> None:
     canary = timings.get("q1_pricing_summary") or min(timings.values())
     norm = {n: round(t / canary, 2) for n, t in timings.items()}
 
-    # Round-over-round regression detection (round-7 brief item 4): read
-    # the newest BENCH_r*.json next to this script and emit per-query
-    # CANARY-NORMALIZED deltas, flagging |Δ| > 25%. Normalized deltas
-    # attribute code-vs-noise from the artifact alone: a host slowdown
-    # moves raw numbers uniformly but leaves normalized values flat, so
-    # a flagged normalized delta is (almost always) a plan/code change.
-    prev_block = None
-    try:
-        import glob
-        import re as _re
+    # Second canary (r08 verdict item 7): q1 is scan→filter→agg — it
+    # cannot witness harness changes that only touch the persist-reusing
+    # class (r08's release-per-attempt change slowed 13 queries while q1
+    # sped up). canary2 is a FROZEN MinHash-LSH probe over a stable 1/4
+    # hash-slice of documents: it persists its band index exactly like
+    # dedup_minhash_lsh, so a harness/persist-policy change moves it, a
+    # pure host change moves both canaries together, and a single-query
+    # code change moves neither. Excluded from queries/total.
+    c2_samples = []
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _canary2_minhash(spark).count()
+        c2_samples.append(time.perf_counter() - t0)
+        release_persisted()
+    canary2 = round(min(c2_samples), 3)
 
-        arts = sorted(
-            glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
-            key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-        )
-        if arts:
-            prev_path = arts[-1]
-            with open(prev_path) as f:
-                raw = f.read()
-            # driver artifacts wrap the JSON line with runner metadata —
-            # take the LAST parseable {...} line containing "queries"
-            prev = None
-            for line in raw.splitlines():
-                line = line.strip()
-                if line.startswith("{") and '"queries"' in line:
-                    try:
-                        cand_ = json.loads(line)
-                        if isinstance(cand_, dict):
-                            prev = cand_
-                    except json.JSONDecodeError:
-                        continue
-            if prev is None:
-                prev = json.loads(raw)
-            if isinstance(prev.get("tail"), str):
-                for line in prev["tail"].splitlines():
-                    line = line.strip()
-                    if line.startswith("{") and '"queries_canary_normalized"' in line:
-                        try:
-                            prev = json.loads(line)
-                        except json.JSONDecodeError:
-                            pass
-            prev_norm = prev.get("queries_canary_normalized") or {}
-            deltas = {}
-            for qn, v in norm.items():
-                pv = prev_norm.get(qn)
-                if pv:
-                    deltas[qn] = round((v - pv) / pv, 3)
-            prev_block = {
-                "prev_artifact": os.path.basename(prev_path),
-                "deltas": deltas,
-                "flagged_over_25pct": sorted(
-                    qn for qn, d in deltas.items() if abs(d) > 0.25
-                ),
-            }
+    # Round-over-round regression detection: per-query CANARY-NORMALIZED
+    # deltas vs the newest prior artifact, |Δ| > 25% flagged. Normalized
+    # deltas attribute code-vs-noise from the artifact alone: a host
+    # slowdown moves raw numbers uniformly but leaves normalized values
+    # flat, so a flagged normalized delta is (almost always) a plan/code
+    # change. The comparison NEVER silently degrades to zero queries —
+    # r08's detector parsed a truncated tail to {} and certified a
+    # regressing bench as flat (r08 verdict item 1).
+    try:
+        prev_block = _prev_comparison(norm)
     except Exception as exc:  # the comparison must never fail the bench
         prev_block = {"error": repr(exc)[:200]}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # Measurement basis, recorded so cross-round comparisons
-                # aren't misread: round 1 timed cold single-shot runs;
-                # rounds ≥2 use this steady-state harness. Numbers from
-                # the two bases are NOT comparable.
-                "methodology": "warmup-pass+gc-between+best-of-2+adaptive-3rd",
-                "canary": {"name": "q1_pricing_summary", "sec": canary},
-                "queries_build_sec": build_sec,
-                "queries_canary_normalized": norm,
-                "value_canary_normalized": round(total / canary, 2),
-                "load_avg_1m": {
-                    "pre_warmup": load_pre_warmup,
-                    "pre_measure": load_pre_measure,
-                    "post": round(os.getloadavg()[0], 2),
-                },
-                "normalized_delta_vs_prev": prev_block,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "methodology": METHODOLOGY,
+        "canary": {"name": "q1_pricing_summary", "sec": canary},
+        "canary2": {"name": "minhash_lsh_fixed_probe", "sec": canary2},
+        "queries_build_sec": build_sec,
+        "queries_canary_normalized": norm,
+        "value_canary_normalized": round(total / canary, 2),
+        "load_avg_1m": {
+            "pre_warmup": load_pre_warmup,
+            "pre_measure": load_pre_measure,
+            "post": round(os.getloadavg()[0], 2),
+        },
+        "normalized_delta_vs_prev": prev_block,
+    }
+    print(json.dumps(payload))
+    # persist the full JSON beside the driver artifacts: next round's
+    # comparison anchor when the driver's tail truncation eats the line
+    try:
+        with open(LOCAL_ANCHOR, "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as exc:
+        print(f"# warning: could not write {LOCAL_ANCHOR}: {exc!r}", file=sys.stderr)
     spark.stop()
+
+
+def _canary2_minhash(spark):
+    """Frozen persist-class canary: MinHash-LSH near-dup pairs over a
+    deterministic hash-slice of documents. This plan must NEVER change —
+    its wall-clock moves only with host conditions and persist/harness
+    policy, which is exactly what it exists to witness."""
+    from pyspark.sql import functions as F
+
+    from alibaba_cppfeaturestore_spark.operators import dedup as DD
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .where(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+        .select("doc_id", "text")
+    )
+    return DD.minhash_lsh_duplicates(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        num_hashes=32,
+        bands=4,
+        jaccard_threshold=0.8,
+    )
 
 
 if __name__ == "__main__":

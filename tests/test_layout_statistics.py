@@ -545,14 +545,17 @@ def test_binned_histogram_merges_cellwise(spark):
 
 
 def test_binned_histogram_excludes_nonfinite(spark):
-    # finite-domain policy (r08): NaN/±Inf/out-of-decimal-domain
-    # readings are excluded, never clamped into a tail bin
+    # finite-domain policy (r09): NaN/±Inf/NULL readings are excluded —
+    # never resurrected as bin 0 — while every FINITE value, however
+    # large, honors the docstring's clamp-to-edge-bin contract (the r08
+    # guard borrowed the decimal(18,6) money domain and silently dropped
+    # legit finite values above ~1e12; ADVICE r08 find)
     from alibaba_cppfeaturestore_spark.operators.sketches import binned_histogram
 
     vals = [10.0, 250.0, float("nan"), float("inf"), float("-inf"), 1e300, -1e300, None]
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     got = {r.bin: r.n for r in binned_histogram(df, "v", 100.0, 10).collect()}
-    assert got == {0: 1, 2: 1}  # only the two finite in-domain values
+    assert got == {0: 2, 2: 1, 9: 1}  # ±1e300 clamp to the edge bins
 
 
 def test_finite_vector_policy(spark):

@@ -155,3 +155,33 @@ def test_release_persisted_registry(spark):
     out3 = two_phase_rank(df, [F.col("v"), F.col("id")], rank_col="rk")
     assert ranks.release_persisted() == 1
     assert out3.count() == 50
+
+
+def test_persist_scope_releases_only_own_caches(spark):
+    # persist_scope (r09, ADVICE find): interleaved callers sharing a
+    # session release only caches registered INSIDE their scope — a
+    # concurrent query's still-needed cache survives, unlike the global
+    # release_persisted() sweep
+    from alibaba_cppfeaturestore_spark.operators import ranks
+
+    ranks.release_persisted()
+    df = spark.createDataFrame(_rows(50, 3), "id long, v long, s string")
+    outer = two_phase_rank(df, [F.col("v"), F.col("id")], rank_col="rk")
+    assert outer.count() == 50
+    assert len(ranks._PERSISTED) == 1
+    outer_cache = ranks._PERSISTED[0]
+    # the inner query must be a DIFFERENT plan: Spark's cache manager
+    # keys on the analyzed plan, so unpersisting an identical plan would
+    # drop the shared entry regardless of which DataFrame handle did it
+    with ranks.persist_scope():
+        inner = two_phase_rank(df, [F.col("id"), F.col("v")], rank_col="rk")
+        assert inner.count() == 50
+        assert len(ranks._PERSISTED) == 2
+    # scope exit released ONLY the inner cache; the outer one is intact
+    assert [id(d) for d in ranks._PERSISTED] == [id(outer_cache)]
+    assert outer_cache.storageLevel.useMemory  # still persisted
+    assert ranks.release_persisted() == 1
+    # scope exits cleanly with nothing registered inside it
+    with ranks.persist_scope():
+        pass
+    assert ranks.release_persisted() == 0

@@ -462,21 +462,31 @@ def perturb_skew_sf(sf: str, seed: int) -> str:
 
 
 def perturb_extremes_sf(sf: str, seed: int) -> str:
-    """Copy of the testdata with a seeded ~5% of the raw DOUBLE
-    measurement columns overwritten by IEEE specials and out-of-domain
-    magnitudes: NaN, ±Inf, ±1e300 in ``events.value``,
-    ``orders.o_totalprice`` and ``lineitem.l_extendedprice``, and
-    NaN/±Inf/±3e38 in ``embeddings.embedding`` components (float32 —
-    ±3e38 is the in-type extreme magnitude; 1e300 would round to Inf on
-    the cast and collapse two cases into one). Real feeds emit all of
-    these (sensor glitches, div-by-zero upstream, unit bugs), and they
-    are the values where engine semantics diverge hardest: NaN ordering,
-    decimal-cast overflow (Spark ANSI throws, DuckDB's TRY_CAST has a
-    NaN hole), STDDEV over Inf, cosine of a non-finite vector. Green
-    means every consuming entry pins an explicit FINITE-DOMAIN policy
+    """Copy of the testdata with a seeded ~5% of EVERY raw DOUBLE
+    measurement column overwritten by IEEE specials and out-of-domain
+    magnitudes: NaN, ±Inf, ±1e300 in the scalar doubles — ring 1 (r08):
+    ``events.value``, ``orders.o_totalprice``,
+    ``lineitem.l_extendedprice``; ring 2 (r09, closing the surface —
+    no unexercised double column remains): ``lineitem.l_quantity /
+    l_discount / l_tax``, ``customer.c_acctbal``, ``supplier.s_acctbal``,
+    ``part.p_retailprice`` — and NaN/±Inf/±3e38 in
+    ``embeddings.embedding`` components (float32 — ±3e38 is the in-type
+    extreme magnitude; 1e300 would round to Inf on the cast and collapse
+    two cases into one). Real feeds emit all of these (sensor glitches,
+    div-by-zero upstream, unit bugs), and they are the values where
+    engine semantics diverge hardest: NaN ordering, decimal-cast
+    overflow (Spark ANSI throws, DuckDB's TRY_CAST has a NaN hole),
+    STDDEV over Inf, cosine of a non-finite vector. Green means every
+    consuming entry pins an explicit FINITE-DOMAIN policy
     (out-of-domain → NULL/excluded → the already-pinned null policies
     absorb it) instead of inheriting either engine's accident. Both
-    engines see identical bytes."""
+    engines see identical bytes.
+
+    REGIME NOTE (r09): the hit/pick hash keys gained the column name
+    when the per-table target became a column LIST, so a given seed
+    selects a DIFFERENT row subset for the ring-1 columns than it did
+    in r08 — r09's certification re-ran every seed under this wider
+    regime, so no green row rests on the old key shape."""
     import os
     import shutil
     import zlib
@@ -486,14 +496,17 @@ def perturb_extremes_sf(sf: str, seed: int) -> str:
 
     specials = [float("nan"), float("inf"), float("-inf"), 1e300, -1e300]
     f32_specials = [float("nan"), float("inf"), float("-inf"), 3e38, -3e38]
-    # table -> column to mutate; the hit/pick hash keys on the ROW INDEX
+    # table -> columns to mutate; the hit/pick hash keys on the ROW INDEX
     # (parquet row order is stable), which stays unique even where the
     # natural key repeats (lineitem's l_orderkey spans multiple lines)
-    targets = {
-        "events": "value",
-        "orders": "o_totalprice",
-        "lineitem": "l_extendedprice",
-        "embeddings": "embedding",
+    targets: dict[str, list[str]] = {
+        "events": ["value"],
+        "orders": ["o_totalprice"],
+        "lineitem": ["l_extendedprice", "l_quantity", "l_discount", "l_tax"],
+        "customer": ["c_acctbal"],
+        "supplier": ["s_acctbal"],
+        "part": ["p_retailprice"],
+        "embeddings": ["embedding"],
     }
     out = f"/tmp/driver_sim_extremes_s{seed}_{os.path.basename(sf.rstrip('/'))}"
     os.makedirs(out, exist_ok=True)
@@ -502,30 +515,37 @@ def perturb_extremes_sf(sf: str, seed: int) -> str:
         if t not in targets:
             shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
             continue
-        col = targets[t]
         tbl = pq.read_table(src)
-        vals = tbl.column(col).combine_chunks().to_pylist()
-        keys = list(range(len(vals)))
-        if t == "embeddings":
-            # mutate ONE seeded component of ~5% of vectors
-            mut = []
-            for v, k in zip(vals, keys):
-                if v and zlib.crc32(f"{seed}/hit/{t}/{k}".encode()) % 20 == 0:
-                    v = list(v)
-                    pos = zlib.crc32(f"{seed}/pos/{k}".encode()) % len(v)
-                    v[pos] = f32_specials[
-                        zlib.crc32(f"{seed}/pick/{t}/{k}".encode()) % len(f32_specials)
+        mutated: dict[str, list] = {}
+        for col in targets[t]:
+            vals = tbl.column(col).combine_chunks().to_pylist()
+            keys = list(range(len(vals)))
+            if t == "embeddings":
+                # mutate ONE seeded component of ~5% of vectors
+                mut = []
+                for v, k in zip(vals, keys):
+                    if v and zlib.crc32(f"{seed}/hit/{t}/{col}/{k}".encode()) % 20 == 0:
+                        v = list(v)
+                        pos = zlib.crc32(f"{seed}/pos/{k}".encode()) % len(v)
+                        v[pos] = f32_specials[
+                            zlib.crc32(f"{seed}/pick/{t}/{col}/{k}".encode())
+                            % len(f32_specials)
+                        ]
+                    mut.append(v)
+            else:
+                mut = [
+                    specials[
+                        zlib.crc32(f"{seed}/pick/{t}/{col}/{k}".encode()) % len(specials)
                     ]
-                mut.append(v)
-        else:
-            mut = [
-                specials[zlib.crc32(f"{seed}/pick/{t}/{k}".encode()) % len(specials)]
-                if zlib.crc32(f"{seed}/hit/{t}/{k}".encode()) % 20 == 0
-                else v
-                for v, k in zip(vals, keys)
-            ]
+                    if zlib.crc32(f"{seed}/hit/{t}/{col}/{k}".encode()) % 20 == 0
+                    else v
+                    for v, k in zip(vals, keys)
+                ]
+            mutated[col] = mut
         arrays = [
-            pa.array(mut, type=f.type) if f.name == col else tbl.column(i)
+            pa.array(mutated[f.name], type=f.type)
+            if f.name in mutated
+            else tbl.column(i)
             for i, f in enumerate(tbl.schema)
         ]
         pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
@@ -592,7 +612,10 @@ def main() -> int:
     ap.add_argument("--perturb-empty", type=int, default=None, metavar="SEED",
                     help="truncate the feed tables (events/documents/embeddings) to 0 rows")
     ap.add_argument("--perturb-extremes", type=int, default=None, metavar="SEED",
-                    help="seed NaN/±Inf/±1e300 into ~5%% of events.value")
+                    help="seed NaN/±Inf/±1e300 into ~5%% of EVERY double "
+                         "column (events.value, o_totalprice, all four "
+                         "lineitem doubles, c_acctbal, s_acctbal, "
+                         "p_retailprice) + ±3e38 into embedding components")
     args = ap.parse_args()
     if args.perturb is not None:
         args.sf = perturb_sf(args.sf, args.perturb)

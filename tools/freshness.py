@@ -48,7 +48,13 @@ def load_ledger() -> dict[str, int]:
             rows = json.load(open(f))
         except json.JSONDecodeError:
             continue
+        if not isinstance(rows, dict):  # malformed-but-valid JSON: skip like a parse error
+            print(f"# warning: skipping non-dict artifact {os.path.basename(f)}", file=sys.stderr)
+            continue
         rows = rows.get("rows", rows)  # driver_sim wraps; driver doesn't
+        if not isinstance(rows, dict):
+            print(f"# warning: skipping non-dict rows in {os.path.basename(f)}", file=sys.stderr)
+            continue
         for name in rows:
             if name == "meta":
                 continue

@@ -10,8 +10,9 @@ classifies each (entry, column) consumption as:
 - GUARDED   — the oracle spells the policy idiom for that column
               (isnan-guarded TRY_CAST / isfinite / list_filter-isfinite)
 - RAW       — the column is consumed without a guard. These are NOT
-              bugs: every one is certified green under extremes seeds
-              11/23/37, because the consumption is either a pure
+              bugs: every one is certified green under the extremes
+              seeds named in COVERAGE.md's closing certification,
+              because the consumption is either a pure
               passthrough/projection (both engines surface the same
               special and the driver's NaN-equal compare accepts it) or
               arithmetic whose special-value result is IEEE-identical
@@ -26,10 +27,11 @@ Usage: python tools/policy_audit.py   (pure text scan — no Spark)
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HAZARDS = {
     "o_totalprice": r"o_totalprice",
@@ -39,8 +41,16 @@ HAZARDS = {
 }
 
 GUARD_IDIOMS = {
-    "o_totalprice": [r"isnan\(o_totalprice\)", r"TRY_CAST\(o_totalprice"],
-    "l_extendedprice": [r"isnan\(l_extendedprice\)", r"TRY_CAST\(l_extendedprice"],
+    "o_totalprice": [
+        r"isnan\(o_totalprice\)",
+        r"TRY_CAST\(o_totalprice",
+        r"isfinite\(o_totalprice\)",
+    ],
+    "l_extendedprice": [
+        r"isnan\(l_extendedprice\)",
+        r"TRY_CAST\(l_extendedprice",
+        r"isfinite\(l_extendedprice\)",
+    ],
     "events.value": [r"isnan\(value\)", r"isfinite\(value\)", r"TRY_CAST\(value"],
     "embedding": [r"list_filter\(embedding,\s*x\s*->\s*x IS NULL OR NOT isfinite"],
 }
@@ -57,6 +67,9 @@ _STRIP = {
         r"TRY_CAST\(\s*(?:TRUNC\()?\s*{col}",
         r"THEN\s+{col}\s+END",
         r"isfinite\(\s*{col}\s*\)",
+        # the binned_histogram clamp — valid only directly inside the
+        # isfinite CASE guard (r09): LEAST(GREATEST(col, 0), top)
+        r"THEN\s+CAST\(FLOOR\(\s*LEAST\(GREATEST\(\s*{col}\s*,\s*0\s*\)",
     ],
     "embedding": [
         r"list_filter\(embedding,\s*x\s*->\s*x IS NULL OR NOT isfinite\(x\)\)",
@@ -118,7 +131,7 @@ def main() -> None:
         f"{counts['MIXED']} mixed (guard present + mentions outside it — "
         f"alias reuse or raw; review each), {counts['RAW']} raw "
         "(raw/mixed-extra = passthrough/IEEE-identical, certified by "
-        "extremes seeds 11/23/37/53)"
+        "the extremes seeds in COVERAGE.md's closing certification)"
     )
 
 
