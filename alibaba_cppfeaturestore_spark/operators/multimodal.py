@@ -81,6 +81,71 @@ def codec_available() -> bool:
         return False
 
 
+def _skip_gif_subblocks(payload: bytes, pos: int) -> int:
+    """Advance past a GIF data-sub-block chain (len-prefixed blocks,
+    0x00 terminator); returns the position after the terminator."""
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF sub-blocks")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return pos
+        pos += n
+
+
+def header_decode(payload: bytes) -> dict:
+    """Dependency-free REAL decoder for the two container formats whose
+    metadata lives in fixed public-spec headers: PNG (width/height from
+    the IHDR chunk, per the PNG spec every file leads with it) and GIF
+    (width/height from the logical screen descriptor; n_frames by
+    walking the block stream and counting 0x2C image descriptors).
+    Raises ValueError on any other bytes, exactly like a real codec
+    meeting a non-image — callers' per-object try/except nulls the
+    decode fields.
+
+    Exists so the real-codec decode path has an EXECUTED test in
+    codec-less containers (r08 verdict item 6): unlike ``_fake_decode``
+    this parses actual image bytes, and unlike ``pil_decode`` it needs
+    only the stdlib. Pillow stays the preferred real codec when
+    importable (``default_decode_fn``) — this decoder reads container
+    headers, it does not decompress pixel data."""
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("PNG without leading IHDR chunk")
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"width": w, "height": h, "n_frames": 1}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 13:
+            raise ValueError("truncated GIF header")
+        w, h = struct.unpack("<HH", payload[6:10])
+        flags = payload[10]
+        pos = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
+        frames = 0
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x2C:  # image descriptor = one frame
+                frames += 1
+                if pos + 10 > len(payload):
+                    raise ValueError("truncated GIF image descriptor")
+                lflags = payload[pos + 9]
+                pos += 10 + (3 * (2 << (lflags & 0x07)) if lflags & 0x80 else 0)
+                pos += 1  # LZW minimum code size byte
+                pos = _skip_gif_subblocks(payload, pos)
+            elif b0 == 0x21:  # extension: label byte then sub-blocks
+                pos = _skip_gif_subblocks(payload, pos + 2)
+            else:
+                raise ValueError(f"corrupt GIF block 0x{b0:02x}")
+        if frames == 0:
+            raise ValueError("GIF with no image descriptors")
+        return {"width": w, "height": h, "n_frames": frames}
+    raise ValueError("unsupported container (header_decode reads PNG/GIF)")
+
+
 def pil_decode(payload: bytes) -> dict:
     """Real-codec decode via Pillow: width/height from the image header,
     n_frames from multi-frame formats (GIF/TIFF; 1 otherwise). Raises on

@@ -331,7 +331,9 @@ def q3(spark, sf_dir):
            -- lesson applied here)
            CAST(ROUND(SUM((CASE WHEN NOT isnan(l_extendedprice)
                                 THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
-                          * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE) AS revenue
+                          * (1 - (CASE WHEN NOT isnan(l_discount)
+                                       THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END))), 2)
+                AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -379,7 +381,7 @@ def q5(spark, sf_dir):
             F.round(
                 F.sum(
                     _dec_value("l_extendedprice", "decimal(15,4)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
+                    * (F.lit(1) - _dec_value("l_discount", "decimal(8,6)"))
                 ),
                 2,
             )
@@ -393,7 +395,10 @@ def q5(spark, sf_dir):
     "proj_select_cast",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(TRUNC(l_quantity) AS INTEGER) AS qty_int,
+           -- finite-domain int feature (r09 ring 2): NaN/±Inf/overflow
+           -- quantity has no int representation — NULL, not saturation
+           (CASE WHEN NOT isnan(l_quantity)
+                 THEN TRY_CAST(TRUNC(l_quantity) AS INTEGER) END) AS qty_int,
            -- finite-domain render: engines disagree on special-value
            -- spelling (Spark 'Infinity' vs DuckDB 'inf'), so an
            -- out-of-domain price renders as NULL, not engine dialect
@@ -415,10 +420,15 @@ def proj_select_cast(spark, sf_dir):
     but flips ~50% of rows on perturbed data (caught by
     ``driver_sim --perturb``)."""
     li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
     return li.filter(F.col("l_orderkey") % 100 == 0).select(
         "l_orderkey",
         "l_linenumber",
-        F.col("l_quantity").cast("int").alias("qty_int"),
+        # isnan guard + try_cast (the _dec_value policy on an int
+        # domain): Spark's try_cast truncates toward zero like the
+        # oracle's TRUNC and NULLs NaN/±Inf/overflow instead of the
+        # ANSI CAST_OVERFLOW error (r09 ring-2 extremes find)
+        F.when(~F.isnan(qty), qty.try_cast("int")).alias("qty_int"),
         _finite_value("l_extendedprice").cast("string").alias("price_str"),
         F.col("l_returnflag").alias("flag"),
     )
@@ -518,18 +528,25 @@ def scalar_date_funcs(spark, sf_dir):
     "scalar_math_funcs",
     """
     WITH li AS (
-      SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
+      SELECT l_orderkey, l_linenumber, l_tax,
              -- finite-domain ingestion: LN/SQRT of a special diverge the
-             -- engines (DuckDB errors on LN(-inf+1), Spark returns NULL)
+             -- engines (DuckDB errors on LN(-inf+1), Spark returns NULL);
+             -- CEIL/FLOOR→BIGINT of a special hard-errors on both (r09
+             -- ring 2) — the int feature goes through the guarded
+             -- decimal, where CEIL/FLOOR stay exact and in-range
              CASE WHEN NOT isnan(l_extendedprice) THEN
                CASE WHEN TRY_CAST(l_extendedprice AS DECIMAL(18,6)) IS NOT NULL
-                    THEN l_extendedprice END END AS ep
+                    THEN l_extendedprice END END AS ep,
+             (CASE WHEN NOT isnan(l_quantity)
+                   THEN TRY_CAST(l_quantity AS DECIMAL(18,6)) END) AS qd,
+             (CASE WHEN NOT isnan(l_discount)
+                   THEN TRY_CAST(l_discount AS DECIMAL(18,6)) END) AS dd
       FROM lineitem WHERE l_orderkey % 200 = 0
     )
     SELECT l_orderkey, l_linenumber,
            ROUND(ABS(ep - 50000), 2) AS abs_diff,
-           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
-           CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_pct,
+           CAST(CEIL(qd) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(dd * 100) AS BIGINT) AS disc_pct,
            ROUND(SQRT(ep), 4) AS price_sqrt,
            ROUND(LN(ep + 1), 6) AS price_ln,
            ROUND(POW(1 + l_tax, 2), 6) AS tax_sq
@@ -543,8 +560,8 @@ def scalar_math_funcs(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.round(F.abs(ep - 50000), 2).alias("abs_diff"),
-        F.ceil("l_quantity").alias("qty_ceil"),
-        F.floor(F.col("l_discount") * 100).alias("disc_pct"),
+        F.ceil(_dec_value("l_quantity", "decimal(18,6)")).cast("bigint").alias("qty_ceil"),
+        F.floor(_dec_value("l_discount", "decimal(18,6)") * 100).cast("bigint").alias("disc_pct"),
         F.round(F.sqrt(ep), 4).alias("price_sqrt"),
         F.round(F.log(ep + 1), 6).alias("price_ln"),
         F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
@@ -3673,10 +3690,19 @@ def wow_revenue_change(spark, sf_dir):
     "feature_correlations",
     """
     WITH s AS (
-      -- finite-domain ingestion (see _finite_value): DuckDB's corr
-      -- hard-errors on Inf inputs, Spark's returns NaN — neither is a
-      -- statement about the data; corr skips NULL pairs on both
-      SELECT l_quantity, l_discount, l_tax,
+      -- finite-domain ingestion (see _finite_value) on EVERY input
+      -- column (r09 ring 2): DuckDB's corr/STDDEV hard-error on Inf
+      -- inputs, Spark's return NaN — neither is a statement about the
+      -- data; corr skips NULL pairs on both
+      SELECT CASE WHEN NOT isnan(l_quantity) THEN
+               CASE WHEN TRY_CAST(l_quantity AS DECIMAL(18,6)) IS NOT NULL
+                    THEN l_quantity END END AS l_quantity,
+             CASE WHEN NOT isnan(l_discount) THEN
+               CASE WHEN TRY_CAST(l_discount AS DECIMAL(18,6)) IS NOT NULL
+                    THEN l_discount END END AS l_discount,
+             CASE WHEN NOT isnan(l_tax) THEN
+               CASE WHEN TRY_CAST(l_tax AS DECIMAL(18,6)) IS NOT NULL
+                    THEN l_tax END END AS l_tax,
              CASE WHEN NOT isnan(l_extendedprice) THEN
                CASE WHEN TRY_CAST(l_extendedprice AS DECIMAL(18,6)) IS NOT NULL
                     THEN l_extendedprice END END AS l_extendedprice
@@ -3693,9 +3719,9 @@ def feature_correlations(spark, sf_dir):
     aggregation pass (feature-selection screen; no |cols|² shuffle).
     Out-of-domain measurements are missing — corr skips NULL pairs."""
     li = _t(spark, sf_dir, "lineitem").select(
-        "l_quantity",
-        "l_discount",
-        "l_tax",
+        _finite_value("l_quantity").alias("l_quantity"),
+        _finite_value("l_discount").alias("l_discount"),
+        _finite_value("l_tax").alias("l_tax"),
         _finite_value("l_extendedprice").alias("l_extendedprice"),
     )
     return li.agg(
@@ -4870,14 +4896,22 @@ def stream_session_window_stats(spark, sf_dir):
                           WHERE r_name = 'EUROPE')
     ),
     offers AS (
-      -- finite-domain offers (see _dec_value): a NaN/±Inf/overflow price
-      -- is no offer — MIN skips the NULL
+      -- finite-domain offers (see _dec_value): a NaN/±Inf/overflow
+      -- price OR quantity is no offer — MIN skips the NULL. The
+      -- quantity guard must WRAP the GREATEST (it skips NULLs on both
+      -- engines, so a bare clamp would resurrect a corrupt quantity
+      -- as qty=1); FLOOR on the guarded DECIMAL stays in BIGINT range
       SELECT l_partkey, l_suppkey,
-             MIN(CAST((CASE WHEN NOT isnan(l_extendedprice)
-                            THEN TRY_CAST(l_extendedprice AS DECIMAL(18,2)) END)
-                      * 1000000 AS BIGINT)
-                 // GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 1)) AS unit_micro
-      FROM li GROUP BY l_partkey, l_suppkey
+             MIN(CASE WHEN qf IS NOT NULL THEN
+                   CAST((CASE WHEN NOT isnan(l_extendedprice)
+                              THEN TRY_CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                        * 1000000 AS BIGINT)
+                   // GREATEST(qf, 1) END) AS unit_micro
+      FROM (SELECT *, CAST(FLOOR(CASE WHEN NOT isnan(l_quantity)
+                                      THEN TRY_CAST(l_quantity AS DECIMAL(18,6)) END)
+                           AS BIGINT) AS qf
+            FROM li)
+      GROUP BY l_partkey, l_suppkey
     ),
     best AS (SELECT l_partkey, MIN(unit_micro) AS bc FROM offers GROUP BY l_partkey)
     SELECT s_acctbal, s_name, n_name, p_partkey,
@@ -4919,12 +4953,20 @@ def q2_min_cost_supplier(spark, sf_dir):
     # binary value) — integer arithmetic ends the class; the published
     # double is micro/1e6 of an identical integer.
     # finite-domain: TRY_CAST + isnan guard (the _dec_value policy inside
-    # a SQL expr) — an out-of-domain price is no offer, MIN skips NULL
+    # a SQL expr) — an out-of-domain price OR quantity is no offer, MIN
+    # skips NULL. The quantity guard WRAPS the GREATEST (NULL-skipping
+    # clamp would resurrect a corrupt quantity as qty=1, r09 ring 2);
+    # FLOOR on the guarded DECIMAL keeps the BIGINT cast in range.
     unit_micro = F.expr(
-        "CAST((CASE WHEN NOT isnan(l_extendedprice)"
+        "CASE WHEN CAST(FLOOR(CASE WHEN NOT isnan(l_quantity)"
+        "                          THEN TRY_CAST(l_quantity AS DECIMAL(18,6)) END)"
+        "               AS BIGINT) IS NOT NULL THEN"
+        " CAST((CASE WHEN NOT isnan(l_extendedprice)"
         "       THEN TRY_CAST(l_extendedprice AS DECIMAL(18,2)) END)"
         "      * 1000000 AS BIGINT)"
-        " DIV GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 1L)"
+        " DIV GREATEST(CAST(FLOOR(CASE WHEN NOT isnan(l_quantity)"
+        "                              THEN TRY_CAST(l_quantity AS DECIMAL(18,6)) END)"
+        "                   AS BIGINT), 1L) END"
     )
     offers = (
         li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
@@ -5117,12 +5159,17 @@ def q8_market_share(spark, sf_dir):
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-             -- finite-domain price ingestion (see _dec_value): an
-             -- out-of-domain l_extendedprice voids that line's amount
+             -- finite-domain ingestion (see _dec_value) on EVERY double
+             -- operand (r09 ring 2): an out-of-domain price, discount,
+             -- retail price, or quantity voids that line's amount
              (CASE WHEN NOT isnan(l_extendedprice)
                    THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
-               * (1 - CAST(l_discount AS DECIMAL(8,6)))
-               - CAST(p_retailprice AS DECIMAL(15,4)) * CAST(l_quantity AS DECIMAL(8,2))
+               * (1 - (CASE WHEN NOT isnan(l_discount)
+                            THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END))
+               - (CASE WHEN NOT isnan(p_retailprice)
+                       THEN TRY_CAST(p_retailprice AS DECIMAL(15,4)) END)
+                 * (CASE WHEN NOT isnan(l_quantity)
+                         THEN TRY_CAST(l_quantity AS DECIMAL(8,2)) END)
                  * CAST(0.1 AS DECIMAL(2,1)) AS amount
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
@@ -5155,9 +5202,9 @@ def q9_product_type_profit(spark, sf_dir):
     # sizes keep every product/sum strictly inside precision 38
     amount = (
         _dec_value("l_extendedprice", "decimal(15,4)")
-        * (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
-        - F.col("p_retailprice").cast("decimal(15,4)")
-        * F.col("l_quantity").cast("decimal(8,2)")
+        * (F.lit(1) - _dec_value("l_discount", "decimal(8,6)"))
+        - _dec_value("p_retailprice", "decimal(15,4)")
+        * _dec_value("l_quantity", "decimal(8,2)")
         * F.lit(_Decimal("0.1"))
     )
     return (
@@ -6991,13 +7038,22 @@ def graph_triangle_count(spark, sf_dir):
 @_q(
     "sample_weighted_bernoulli",
     """
-    WITH wm AS (SELECT CAST(MAX(CAST(FLOOR(l_quantity) AS BIGINT)) AS DECIMAL(4,0)) AS wmax
-                FROM lineitem)
-    SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS BIGINT) AS weight
-    FROM lineitem, wm
+    WITH l2 AS (
+      -- finite-domain weight (r09 ring 2): a NaN/±Inf/overflow quantity
+      -- has no weight — the row can never be sampled and MAX skips it;
+      -- FLOOR on the guarded DECIMAL keeps the BIGINT cast in range
+      SELECT l_orderkey, l_linenumber,
+             CAST(FLOOR(CASE WHEN NOT isnan(l_quantity)
+                             THEN TRY_CAST(l_quantity AS DECIMAL(18,6)) END)
+                  AS BIGINT) AS qf
+      FROM lineitem
+    ),
+    wm AS (SELECT CAST(MAX(qf) AS DECIMAL(4,0)) AS wmax FROM l2)
+    SELECT l_orderkey, l_linenumber, qf AS weight
+    FROM l2, wm
     WHERE CAST(CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 15) AS BIGINT)
                AS DECIMAL(19,0)) * wm.wmax * 8
-          < CAST(FLOOR(l_quantity) AS BIGINT) * CAST(1152921504606846976 AS DECIMAL(19,0))
+          < qf * CAST(1152921504606846976 AS DECIMAL(19,0))
     """,
 )
 def sample_weighted_bernoulli(spark, sf_dir):
@@ -7016,10 +7072,13 @@ def sample_weighted_bernoulli(spark, sf_dir):
 
     # FLOOR before the integer cast: Spark's double→long TRUNCATES while
     # DuckDB's ROUNDS — floor is the one bit-identical bridge for any
-    # double weight, integral or not (perturbed-data finding).
-    wm = li.agg(
-        F.max(F.floor("l_quantity").cast("long")).cast("decimal(4,0)").alias("__scalar_wmax")
-    )
+    # double weight, integral or not (perturbed-data finding). The floor
+    # runs on the GUARDED decimal (r09 ring 2): a NaN/±Inf/overflow
+    # quantity has no weight — NULL comparison keeps the row out and
+    # MAX skips it — where floor of the raw double would hard-error on
+    # the ANSI long cast.
+    qf = F.floor(_dec_value("l_quantity", "decimal(18,6)")).cast("long")
+    wm = li.agg(F.max(qf).cast("decimal(4,0)").alias("__scalar_wmax"))
     h = portable_hash60(
         F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
     ).cast("decimal(19,0)")
@@ -7027,13 +7086,12 @@ def sample_weighted_bernoulli(spark, sf_dir):
         li.crossJoin(F.broadcast(wm))
         .where(
             h * F.col("__scalar_wmax") * F.lit(8)
-            < F.floor("l_quantity").cast("long")
-            * F.lit(1152921504606846976).cast("decimal(19,0)")
+            < qf * F.lit(1152921504606846976).cast("decimal(19,0)")
         )
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.floor("l_quantity").cast("long").alias("weight"),
+            qf.alias("weight"),
         )
     )
 

@@ -38,21 +38,35 @@ HAZARDS = {
     "l_extendedprice": r"l_extendedprice",
     "events.value": r"\bvalue\b",
     "embedding": r"\bembedding\b",
+    # ring 2 (r09): the remaining double columns — the extremes regime
+    # now seeds specials into every one of these too
+    "l_quantity": r"l_quantity",
+    "l_discount": r"l_discount",
+    "l_tax": r"l_tax",
+    "c_acctbal": r"c_acctbal",
+    "s_acctbal": r"s_acctbal",
+    "p_retailprice": r"p_retailprice",
 }
 
+def _scalar_idioms(col: str) -> list[str]:
+    return [
+        rf"isnan\({col}\)",
+        rf"TRY_CAST\({col}",
+        rf"isfinite\({col}\)",
+    ]
+
+
 GUARD_IDIOMS = {
-    "o_totalprice": [
-        r"isnan\(o_totalprice\)",
-        r"TRY_CAST\(o_totalprice",
-        r"isfinite\(o_totalprice\)",
-    ],
-    "l_extendedprice": [
-        r"isnan\(l_extendedprice\)",
-        r"TRY_CAST\(l_extendedprice",
-        r"isfinite\(l_extendedprice\)",
-    ],
-    "events.value": [r"isnan\(value\)", r"isfinite\(value\)", r"TRY_CAST\(value"],
+    "o_totalprice": _scalar_idioms("o_totalprice"),
+    "l_extendedprice": _scalar_idioms("l_extendedprice"),
+    "events.value": _scalar_idioms("value"),
     "embedding": [r"list_filter\(embedding,\s*x\s*->\s*x IS NULL OR NOT isfinite"],
+    "l_quantity": _scalar_idioms("l_quantity"),
+    "l_discount": _scalar_idioms("l_discount"),
+    "l_tax": _scalar_idioms("l_tax"),
+    "c_acctbal": _scalar_idioms("c_acctbal"),
+    "s_acctbal": _scalar_idioms("s_acctbal"),
+    "p_retailprice": _scalar_idioms("p_retailprice"),
 }
 
 
