@@ -13,8 +13,9 @@ absorbing garbage:
   percentiles, histograms and scalers see only real readings;
 - embedding vectors    -> a vector with any non-finite component is one
   corrupt measurement and its row is excluded before similarity search;
-- histogram bins       -> corrupt readings are EXCLUDED, never clamped
-  into a tail bucket (clamping would fabricate counts).
+- histogram bins       -> NaN/±Inf readings are EXCLUDED (a corrupt
+  reading never fabricates a bin count), while every FINITE value —
+  however large — clamps into an edge bin per the operator's contract.
 """
 
 from __future__ import annotations
@@ -60,9 +61,10 @@ def main() -> None:
     print("scalar feed (3 real readings survive 5 corrupt/missing):")
     stats.show()
 
-    # the histogram EXCLUDES the corrupt readings — no fabricated bin-0
-    # or tail-bin counts (greatest/least would otherwise resurrect them)
-    print("histogram over the same feed (only real readings binned):")
+    # the histogram EXCLUDES NaN/±Inf (no fabricated bin-0 counts —
+    # greatest/least would otherwise resurrect them) but CLAMPS the
+    # finite 1e300 outlier into the top bin per the clamp contract
+    print("histogram over the same feed (NaN/Inf dropped, 1e300 -> top bin):")
     binned_histogram(readings, "value", 5.0, 4).orderBy("bin").show()
 
     # a scaler fit never sees the specials, so z-scores stay informative
