@@ -1091,7 +1091,17 @@ def winnow_containment_pairs(
     """
     from ..functions.text import _let
 
-    fps = _spread(df).select(
+    # NULL ids dropped AT THE GATE (r09 five-way-stack find, seed 59):
+    # this is the catalog's ONE pair generator that expands pairs
+    # POSITIONALLY (array_sort + slice) instead of via a join or an
+    # id_a < id_b comparison, so nothing downstream would drop a NULL-id
+    # row the way SQL's NULL-propagating `<` does everywhere else
+    # (minhash's screen filter, bottomk's join condition, the oracles'
+    # a.doc_id < b.doc_id). A pair with an unattributable member is
+    # unactionable output; the divergence stayed latent until a NULL-id
+    # doc carried a HOT (skew-planted) text — unique-text NULL-id docs
+    # never cross the containment threshold with anyone.
+    fps = _spread(df.filter(F.col(id_col).isNotNull())).select(
         F.col(id_col).alias("id"),
         winnow_fingerprints(F.col(text_col), k, window, portable=portable).alias("fp"),
     )

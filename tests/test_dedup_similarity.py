@@ -914,3 +914,27 @@ def test_remove_duplicated_spans_scrub_semantics(spark):
     assert out[3].n_tokens_removed == 0
     assert out[4].clean_text is None and out[4].n_tokens_removed == 10
     assert out[5].clean_text is None and out[5].n_tokens_kept == 0
+
+
+def test_winnow_drops_null_ids_at_the_gate(spark):
+    # r09 five-way-stack find (seed 59): winnow is the one pair generator
+    # that expands pairs POSITIONALLY (array_sort + slice), so a NULL-id
+    # row would pair with every doc sharing its text instead of being
+    # dropped by a NULL-propagating id_a < id_b comparison like the
+    # join-based generators. Contract: NULL ids never appear in output.
+    from alibaba_cppfeaturestore_spark.operators.dedup import (
+        winnow_containment_pairs,
+    )
+
+    hot = "the same long shared boilerplate text appears here verbatim in full"
+    df = spark.createDataFrame(
+        [(1, hot), (2, hot), (None, hot), (4, "a totally unrelated document")],
+        "doc_id long, text string",
+    )
+    pairs = winnow_containment_pairs(
+        df, k=5, window=4, threshold=0.5, portable=True
+    ).collect()
+    assert pairs, "the two non-null hot docs must still pair"
+    for r in pairs:
+        assert r.id_a is not None and r.id_b is not None
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
