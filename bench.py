@@ -257,24 +257,30 @@ def main() -> None:
     except Exception as exc:  # the comparison must never fail the bench
         prev_block = {"error": repr(exc)[:200]}
 
+    # Field ORDER is load-bearing: the driver's artifact keeps only the
+    # last 2000 bytes of stdout, so the fields the NEXT round's detector
+    # needs (methodology + the normalized dict, ~1.1 KB together) sit at
+    # the END of the line — everything truncation eats is recoverable
+    # from BENCH_LOCAL.json anyway, but the tail should stay
+    # self-sufficient (the r07 artifact lost its head, not its tail).
     payload = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": METHODOLOGY,
         "canary": {"name": "q1_pricing_summary", "sec": canary},
         "canary2": {"name": "minhash_lsh_fixed_probe", "sec": canary2},
         "queries_build_sec": build_sec,
-        "queries_canary_normalized": norm,
-        "value_canary_normalized": round(total / canary, 2),
         "load_avg_1m": {
             "pre_warmup": load_pre_warmup,
             "pre_measure": load_pre_measure,
             "post": round(os.getloadavg()[0], 2),
         },
         "normalized_delta_vs_prev": prev_block,
+        "methodology": METHODOLOGY,
+        "value_canary_normalized": round(total / canary, 2),
+        "queries_canary_normalized": norm,
     }
     print(json.dumps(payload))
     # persist the full JSON beside the driver artifacts: next round's
