@@ -1,0 +1,94 @@
+"""The perturbation fuzzers themselves are load-bearing test
+infrastructure: a fuzzer that silently stops mutating a column turns
+every downstream "certified under extremes" claim vacuous (the r08
+bench-detector lesson, applied to the data side). These tests pin the
+r09 widened extremes regime — EVERY double column seeded — with pure
+pyarrow, no Spark session."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+SF = "/root/testdata/sf0.001"
+
+RING = {
+    "events": ["value"],
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_extendedprice", "l_quantity", "l_discount", "l_tax"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+}
+
+
+def _specials(vals):
+    n_nan = sum(1 for v in vals if v is not None and isinstance(v, float) and math.isnan(v))
+    n_inf = sum(1 for v in vals if v is not None and isinstance(v, float) and math.isinf(v))
+    n_big = sum(
+        1
+        for v in vals
+        if v is not None and isinstance(v, float) and math.isfinite(v) and abs(v) >= 1e299
+    )
+    return n_nan, n_inf, n_big
+
+
+def test_extremes_seeds_every_double_column():
+    from driver_sim import perturb_extremes_sf
+
+    out = perturb_extremes_sf(SF, 97)
+    for table, cols in RING.items():
+        tbl = pq.read_table(os.path.join(out, f"{table}.parquet"))
+        for col in cols:
+            vals = tbl.column(col).to_pylist()
+            n_nan, n_inf, n_big = _specials(vals)
+            n_hit = n_nan + n_inf + n_big
+            # ~5% hit rate, all three special classes present on any
+            # column with enough rows to make that statistically certain
+            assert n_hit > 0, f"{table}.{col}: no specials seeded"
+            if len(vals) >= 400:
+                assert n_nan and n_inf and n_big, (
+                    f"{table}.{col}: special mix incomplete "
+                    f"(nan={n_nan}, inf={n_inf}, big={n_big})"
+                )
+                frac = n_hit / len(vals)
+                assert 0.02 < frac < 0.10, f"{table}.{col}: hit rate {frac:.3f}"
+
+    # embeddings: ~5% of vectors carry one non-finite or ±3e38 component
+    emb = pq.read_table(os.path.join(out, "embeddings.parquet")).column("embedding").to_pylist()
+    n_bad = sum(
+        1
+        for v in emb
+        if v and any(x is not None and (math.isnan(x) or math.isinf(x) or abs(x) >= 3e38) for x in v)
+    )
+    assert n_bad > 0 and 0.01 < n_bad / max(len(emb), 1) < 0.12
+
+    # different columns get DIFFERENT hit rows (the r09 key-shape point:
+    # per-column keys, not per-table) — on lineitem the four columns'
+    # hit sets must not coincide
+    li = pq.read_table(os.path.join(out, "lineitem.parquet"))
+    hitsets = {}
+    for col in RING["lineitem"]:
+        vals = li.column(col).to_pylist()
+        hitsets[col] = {
+            i
+            for i, v in enumerate(vals)
+            if v is not None and (math.isnan(v) or math.isinf(v) or abs(v) >= 1e299)
+        }
+    sets = list(hitsets.values())
+    assert any(sets[0] != s for s in sets[1:]), "per-column hit keys collapsed to per-table"
+
+
+def test_extremes_leaves_non_target_columns_intact():
+    from driver_sim import perturb_extremes_sf
+
+    out = perturb_extremes_sf(SF, 97)
+    for table, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey"), ("customer", "c_custkey")]:
+        before = pq.read_table(os.path.join(SF, f"{table}.parquet")).column(key).to_pylist()
+        after = pq.read_table(os.path.join(out, f"{table}.parquet")).column(key).to_pylist()
+        assert before == after, f"{table}.{key} mutated by the extremes fuzzer"
