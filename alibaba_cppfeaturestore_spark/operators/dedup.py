@@ -893,6 +893,27 @@ def ngram_jaccard_pairs_indexed(
     instead of OOMing; callers that keep the result lazy inherit the
     materialized index on first action.
     """
+    sorted_docs, postings, bnames, parallelism = _ppjoin_index(
+        df, text_col, id_col, threshold, shingle_n, block_cols
+    )
+    cand = _ppjoin_candidates(postings, bnames, threshold, parallelism)
+    return _ppjoin_verify(sorted_docs, cand, threshold)
+
+
+def _ppjoin_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_n: int | None = None,
+    block_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame, list[str], int]:
+    """The PPJoin index build: (sorted_docs, prefix postings, block-col
+    names, parallelism). Split out of :func:`ngram_jaccard_pairs_indexed`
+    (pure code motion) so ``tools/scale_probe.py`` can count the
+    operator's ACTUAL intermediate volumes — not a replica's — across
+    scale factors. Both returned frames are persisted; callers that
+    materialize them own the unpersist."""
     from pyspark import StorageLevel
 
     from ..functions.text import token_shingles
@@ -994,7 +1015,17 @@ def ngram_jaccard_pairs_indexed(
         .filter(F.col("tok").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return sorted_docs, postings, bnames, parallelism
 
+
+def _ppjoin_candidates(
+    postings: DataFrame,
+    bnames: list[str],
+    threshold: float,
+    parallelism: int,
+) -> DataFrame:
+    """Prefix-postings equi-self-join → distinct candidate id pairs
+    (the Σ-postings² bound the SCALING.md claim is about)."""
     a, b = postings.alias("a"), postings.alias("b")
     cand_cond = (
         (F.col("a.tok") == F.col("b.tok"))
@@ -1020,6 +1051,14 @@ def ngram_jaccard_pairs_indexed(
         # cost-per-row dwarfs row width.
         .repartition(parallelism, "id_a")
     )
+    return cand
+
+
+def _ppjoin_verify(
+    sorted_docs: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the
+    rank-encoded token arrays."""
     return (
         cand.join(
             sorted_docs.select(

@@ -2,8 +2,10 @@
 the catalog, and which entries carry an explicit guard?
 
 The extremes regime (driver_sim --perturb-extremes) seeds IEEE specials
-and overflow magnitudes into events.value, orders.o_totalprice,
-lineitem.l_extendedprice, and embeddings.embedding. This audit scans
+and overflow magnitudes into EVERY double column: events.value,
+orders.o_totalprice, embeddings.embedding, and — since the r09 ring-2
+widening — l_extendedprice / l_quantity / l_discount / l_tax,
+c_acctbal, s_acctbal, and p_retailprice. This audit scans
 every catalog ORACLE (the SQL is the entry's declared semantics) and
 classifies each (entry, column) consumption as:
 

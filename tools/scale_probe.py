@@ -108,6 +108,21 @@ def probes(spark, sf_dir):
         docs, "text", "doc_id", k=8
     ).count()
 
+    # PPJoin (ngram_jaccard_pairs_indexed) intermediates, measured on the
+    # operator's OWN index build (pure-code-motion split, not a replica):
+    # prefix postings (claimed (1-t)·|tokens|-linear) and distinct
+    # candidate pairs surviving the prefix+size filters (the claimed-
+    # bounded set — this is what the equi-self-join actually exchanges)
+    sorted_docs, postings, bnames, par = DD._ppjoin_index(
+        docs, "text", "doc_id", 0.9, None, None
+    )
+    out["ppjoin_prefix_postings"] = postings.count()
+    cand = DD._ppjoin_candidates(postings, bnames, 0.9, par)
+    out["ppjoin_candidates"] = cand.count()
+    out["ppjoin_pairs_out"] = DD._ppjoin_verify(sorted_docs, cand, 0.9).count()
+    sorted_docs.unpersist()
+    postings.unpersist()
+
     # bloom prefilter survivors on a 1-nation supplier key set
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
@@ -247,7 +262,8 @@ def main():
         vals = [rows[sf][m] for sf in SFS]
         base = (
             "input_docs"
-            if "doc" in m or "token" in m or "lsh" in m or "skip" in m or "exactsubstr" in m
+            if "doc" in m or "token" in m or "lsh" in m or "skip" in m
+            or "exactsubstr" in m or "ppjoin" in m
             else "input_lineitem"
         )
         exps = []
