@@ -423,6 +423,18 @@ def ivf_portable_topk(
     from ..functions.vectors import cosine_int8, quantize_int8
     from ..operators.aggregates import top_k_per_group
 
+    # NULL-id gate (the winnow precedent: an unattributable member is
+    # unactionable): this quantizer is ID-KEYED — centroids are the
+    # nlist smallest-id vectors — and an id-less vector cannot hold an
+    # id-ordered slot. Without the gate it claims one on exactly ONE
+    # engine: Spark's ASC sort default is NULLS FIRST, DuckDB's is NULLS
+    # LAST (driver_sim five-way stack find, seed 71: a nulls-fuzzed
+    # vec_id became Spark centroid #1 and displaced id 18's slot). As a
+    # neighbor or query a NULL id already drops through the != and <
+    # conditions below — and through the same conditions in brute-force
+    # and LSH top-k, so those operators need no gate (audited r09).
+    emb = emb.where(F.col(id_col).isNotNull())
+
     # _spread: quantization + per-cell scoring are scan-stage CPU work;
     # parallelize a singly-split corpus file before them
     q = _spread(emb).select(

@@ -211,6 +211,50 @@ def _emb_finite(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.where(V.is_finite_vector(F.col(vec_col)))
 
 
+# events_u: id-canonicalized events, for entries whose SEMANTICS are
+# keyed by event_id — the asof family's output key, the feature store's
+# entity key, attribution's purchase identity. The driver regenerates
+# data each round and nothing guarantees event_id uniqueness (the same
+# contract gap that made doc_id/vec_id canonicalization necessary);
+# under duplicate ids "one row per click" and "one row per event_id"
+# silently diverge (driver_sim --perturb-ids find, r09 widened regime,
+# seed 73). Tie order mirrors _DOCS_UNIQUE_SQL: md5() for the free-form
+# string (collation-proof), direct compare for the enum/numeric/ts
+# columns, NULLS FIRST everywhere.
+_EVENTS_UNIQUE_SQL = """events_u AS (
+  SELECT event_id, ts, user_id, event_type, value, props FROM (
+    SELECT e.*, ROW_NUMBER() OVER (
+      PARTITION BY event_id
+      ORDER BY ts ASC NULLS FIRST, user_id ASC NULLS FIRST,
+               event_type ASC NULLS FIRST, value ASC NULLS FIRST,
+               md5(props) ASC NULLS FIRST) AS __rn
+    FROM events e) t WHERE __rn = 1
+)"""
+
+
+def _events_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_EVENTS_UNIQUE_SQL`` (same keys, same null
+    order). Skipped outright (identity) when the NDV probe shows
+    event_id is already unique — see ``_key_is_unique``."""
+    e = _t(spark, sf_dir, "events")
+    if _key_is_unique(e, sf_dir, "events", "event_id"):
+        return e
+    keys = [
+        F.asc_nulls_first("ts"),
+        F.asc_nulls_first("user_id"),
+        F.asc_nulls_first("event_type"),
+        F.asc_nulls_first("value"),
+    ]
+    if "props" in e.columns:
+        keys.append(F.asc_nulls_first(F.md5("props")))
+    w = Window.partitionBy("event_id").orderBy(*keys)
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def _emb_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_EMB_UNIQUE_SQL`` (same keys, same null order).
     ``label`` is applied only when present (reduced-schema test tables);
@@ -959,11 +1003,23 @@ def agg_cube_event_matrix(spark, sf_dir):
 
 @_q(
     "agg_pivot_user_event_values",
+    # DECIMAL sums (the q9 discipline): a hot user concentrates ~30% of
+    # events into one group under --perturb-skew, where double-sum
+    # reassociation flips a ROUND(,2) boundary between engines (seed-71
+    # five-way find: 1/150 rows). Decimal addition is associative;
+    # out-of-domain values (NaN/±Inf/overflow) are missing per
+    # _dec_value — they no longer poison a user's whole pivot cell.
     """
     SELECT user_id,
-           ROUND(COALESCE(SUM(value) FILTER (event_type = 'view'), 0), 2) AS view_value,
-           ROUND(COALESCE(SUM(value) FILTER (event_type = 'click'), 0), 2) AS click_value,
-           ROUND(COALESCE(SUM(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase_value
+           CAST(ROUND(COALESCE(SUM((CASE WHEN NOT isnan(value)
+                  THEN TRY_CAST(value AS DECIMAL(18,6)) END))
+                  FILTER (event_type = 'view'), 0), 2) AS DOUBLE) AS view_value,
+           CAST(ROUND(COALESCE(SUM((CASE WHEN NOT isnan(value)
+                  THEN TRY_CAST(value AS DECIMAL(18,6)) END))
+                  FILTER (event_type = 'click'), 0), 2) AS DOUBLE) AS click_value,
+           CAST(ROUND(COALESCE(SUM((CASE WHEN NOT isnan(value)
+                  THEN TRY_CAST(value AS DECIMAL(18,6)) END))
+                  FILTER (event_type = 'purchase'), 0), 2) AS DOUBLE) AS purchase_value
     FROM events
     GROUP BY user_id
     """,
@@ -971,15 +1027,27 @@ def agg_cube_event_matrix(spark, sf_dir):
 def agg_pivot_user_event_values(spark, sf_dir):
     """Pivot (long→wide): per-user value totals by event type. With the
     pivot values DECLARED, Spark needs one pass; leaving them out adds a
-    distinct-scan job to discover them — always declare at scale."""
+    distinct-scan job to discover them — always declare at scale.
+    Decimal-summed (finite-domain _dec_value ingestion) so any
+    aggregation tree reproduces the cent rounding bit-for-bit."""
     ev = _t(spark, sf_dir, "events")
-    return (
+    p = (
         ev.groupBy("user_id")
         .pivot("event_type", ["view", "click", "purchase"])
-        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
-        .withColumnsRenamed(
-            {"view": "view_value", "click": "click_value", "purchase": "purchase_value"}
-        )
+        .agg(F.round(F.sum(_dec_value("value")), 2).cast("double"))
+    )
+    # zero-fill OUTSIDE the pivot: an aggregate inside .agg() never runs
+    # for a pivot cell with no source rows (the cell is NULL by
+    # construction), while SQL's FILTER aggregate always evaluates — an
+    # in-agg COALESCE leaves Spark NULL where the oracle says 0
+    # (five-way stack find, seed 71: one user's purchase rows all lost
+    # their event_type to the nulls fuzzer)
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).alias(f"{c}_value")
+            for c in ("view", "click", "purchase")
+        ],
     )
 
 
@@ -1541,12 +1609,14 @@ def kv_merge_lastwin(spark, sf_dir):
     # the data actually sampled a tie (driver_sim --perturb-skew +
     # --perturb-ts STACKED find: a hot user × hour-truncated ts). The
     # ORDER BY replays asof_join exactly: feature_ts DESC, then feature
-    # values DESC, nulls last.
-    """
-    WITH clicks AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    # values DESC, nulls last. Input id-canonicalized (events_u, r09):
+    # event_id IS the output key, and under duplicate ids "one row per
+    # click" vs the window's "one row per event_id" silently diverge.
+    "WITH " + _EVENTS_UNIQUE_SQL + """,
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events_u WHERE event_type = 'click'
     ), views AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+      SELECT user_id, ts, value FROM events_u WHERE event_type = 'view'
     )
     SELECT event_id, user_id, ts, last_view_value FROM (
       SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
@@ -1561,8 +1631,10 @@ def kv_merge_lastwin(spark, sf_dir):
     headline=True,
 )
 def asof_last_view_before_click(spark, sf_dir):
-    """J3: as-of join — for each click, the latest view at-or-before it."""
-    ev = _t(spark, sf_dir, "events")
+    """J3: as-of join — for each click, the latest view at-or-before it.
+    Input id-canonicalized (``_events_unique``): event_id is the output
+    key."""
+    ev = _events_unique(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("view_ts"), "value"
@@ -1585,12 +1657,13 @@ def asof_last_view_before_click(spark, sf_dir):
     # window formulation with the TTL inside the join predicate —
     # mirrors asof_join exactly, incl. the struct tie-break on tied
     # timestamps (see asof_last_view_before_click for why DuckDB's
-    # native ASOF is not usable as an oracle under ties).
-    """
-    WITH clicks AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    # native ASOF is not usable as an oracle under ties). Input
+    # id-canonicalized (events_u): see asof_last_view_before_click.
+    "WITH " + _EVENTS_UNIQUE_SQL + """,
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events_u WHERE event_type = 'click'
     ), views AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+      SELECT user_id, ts, value FROM events_u WHERE event_type = 'view'
     )
     SELECT event_id, user_id, ts, last_view_value FROM (
       SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
@@ -1607,8 +1680,9 @@ def asof_last_view_before_click(spark, sf_dir):
 def asof_join_with_ttl(spark, sf_dir):
     """J3 with TTL: feature rows older than event_ts - ttl are invisible
     (Feast TTL, ``user_features.py:11``). Equivalent to ASOF + freshness
-    mask because the as-of winner is the newest candidate."""
-    ev = _t(spark, sf_dir, "events")
+    mask because the as-of winner is the newest candidate. Input
+    id-canonicalized (``_events_unique``)."""
+    ev = _events_unique(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("view_ts"), "value"
@@ -3898,17 +3972,19 @@ def cohort_weekly_retention(spark, sf_dir):
     # chained window formulations (see asof_last_view_before_click for
     # why native ASOF JOIN cannot oracle tied timestamps). The views
     # register ROUNDED values, so each step's tie-break orders by the
-    # rounded feature — exactly the struct asof_join sees.
-    """
-    WITH clicks AS (
+    # rounded feature — exactly the struct asof_join sees. Input
+    # id-canonicalized (events_u): the entity key of a feature-store
+    # retrieval must be unique — see asof_last_view_before_click.
+    "WITH " + _EVENTS_UNIQUE_SQL + """,
+    clicks AS (
       SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
-      FROM events WHERE event_type = 'click'
+      FROM events_u WHERE event_type = 'click'
     ), purchases AS (
       SELECT user_id, ts, ROUND(value, 2) AS purchase_value
-      FROM events WHERE event_type = 'purchase'
+      FROM events_u WHERE event_type = 'purchase'
     ), views AS (
       SELECT user_id, ts, ROUND(value, 2) AS view_value
-      FROM events WHERE event_type = 'view'
+      FROM events_u WHERE event_type = 'view'
     ), step1 AS (
       SELECT event_id, user_id, event_timestamp, purchase_value FROM (
         SELECT c.event_id, c.user_id, c.event_timestamp, p.purchase_value,
@@ -3936,10 +4012,12 @@ def feature_store_historical_retrieval(spark, sf_dir):
     registry: two TTL'd views (purchase features, 2 h TTL; view features,
     unbounded) chained as point-in-time joins onto a click entity frame —
     the engine's ``get_historical_features``
-    (reference ``feature_retrieval/get_fv.py:32-47``)."""
+    (reference ``feature_retrieval/get_fv.py:32-47``). Input
+    id-canonicalized (``_events_unique``): a feature store's entity key
+    must be unique."""
     from .feature_views import FeatureStore, FeatureView
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _events_unique(spark, sf_dir)
     fs = FeatureStore()
     fs.register(
         FeatureView("user_purchase", ["user_id"], "ts", ["purchase_value"], ttl="2 hours"),
@@ -4054,20 +4132,35 @@ def scd2_interval_lookup(spark, sf_dir):
 
 @_q(
     "stream_dedup_exact",
+    # Dedup key = the FULL message payload, not event_id alone (r09
+    # --perturb-ids find): with a duplicate-id source, keys=[event_id]
+    # makes the streaming winner ARBITRARY (whichever copy a micro-batch
+    # sees first) — unoracleable. Redelivery dedup is by message
+    # identity; two different events sharing a corrupt id are both kept.
     """
     SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
-    FROM events
+    FROM (SELECT DISTINCT event_id, user_id, event_type, value, ts
+          FROM events)
     """,
 )
 def stream_dedup_exact(spark, sf_dir):
     """Streaming dedup with watermark-bounded state: the event stream
     unioned with a replayed copy of itself (at-least-once delivery), run
     through ``dropDuplicatesWithinWatermark`` — the bounded result is
-    exactly the original events."""
+    exactly the original events. Keys = the full payload tuple (message
+    identity): at-least-once redelivery duplicates the MESSAGE, so the
+    key must be the message — an id-only key silently drops distinct
+    events that share a corrupted id, and which one survives is a
+    micro-batch accident no oracle can replay."""
     from ..streaming.pipeline import run_bounded_to_memory, stream_dedup
 
     doubled = _stream_events(spark, sf_dir).unionByName(_stream_events(spark, sf_dir))
-    deduped = stream_dedup(doubled, keys=["event_id"], ts_col="ts", watermark="1 minute")
+    deduped = stream_dedup(
+        doubled,
+        keys=["event_id", "user_id", "event_type", "value", "ts"],
+        ts_col="ts",
+        watermark="1 minute",
+    )
     # state_partitions: see stream_tumbling_window_counts — sized to
     # state volume (|event_id| keys within the watermark), pinned at
     # checkpoint creation
@@ -6551,9 +6644,11 @@ def schema_evolution_union_read(spark, sf_dir):
 @_q(
     "ann_ivf_portable_topk",
     "WITH " + _EMB_UNIQUE_SQL + """,
-    -- finite-domain vectors only (see _EMB_FINITE_WHERE)
+    -- finite-domain vectors only (see _EMB_FINITE_WHERE); NULL ids out
+    -- at the gate — the centroid pick is id-ordered and engine NULL
+    -- sort defaults differ (see ivf_portable_topk's operator gate)
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings_u
-          WHERE """ + _EMB_FINITE_WHERE + """),
+          WHERE vec_id IS NOT NULL AND """ + _EMB_FINITE_WHERE + """),
     a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
     qt AS (
       SELECT vec_id,
@@ -6608,7 +6703,10 @@ def ann_ivf_portable_topk(spark, sf_dir):
     value-level audit trail. Input id-canonicalized (``_emb_unique``):
     a duplicated vec_id makes the smallest-id centroid pick non-total.
     Finite-filtered after canonicalization (a NaN amax poisons the int8
-    quantizer for the whole vector)."""
+    quantizer for the whole vector). NULL ids dropped at the operator
+    gate (r09): the centroid pick is id-ORDERED, and a NULL id sorts
+    first on Spark but last in DuckDB — the one ANN path where a NULL
+    id doesn't already die in a join condition."""
     from ..operators.similarity import ivf_portable_topk
 
     emb = _emb_finite(_emb_unique(spark, sf_dir))
@@ -9570,14 +9668,18 @@ def dq_key_skew_report(spark, sf_dir):
 
 @_q(
     "attribution_first_vs_last_touch",
-    """
-    WITH purchases AS (
+    # Input id-canonicalized (events_u, r09): event_id is the purchase
+    # identity — under duplicate ids PARTITION BY p.event_id merges two
+    # purchases' touch windows and undercounts n_purchases (driver_sim
+    # five-way stack find, seed 71).
+    "WITH " + _EVENTS_UNIQUE_SQL + """,
+    purchases AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS pts
-      FROM events WHERE event_type = 'purchase'
+      FROM events_u WHERE event_type = 'purchase'
     ),
     touches AS (
       SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tts, event_id AS tid
-      FROM events WHERE event_type IN ('view', 'click')
+      FROM events_u WHERE event_type IN ('view', 'click')
     ),
     tj AS (
       SELECT p.event_id, t.event_type, t.tts, t.tid,
@@ -9605,8 +9707,9 @@ def attribution_first_vs_last_touch(spark, sf_dir):
     the measure of how much the attribution-model CHOICE changes
     credit — the argument data for the marketing-mix meeting. Equi-join
     on user + time-range predicate; aggregation state is two structs
-    per purchase."""
-    ev = _t(spark, sf_dir, "events")
+    per purchase. Input id-canonicalized (``_events_unique``): event_id
+    is the purchase identity."""
+    ev = _events_unique(spark, sf_dir)
     ts = F.col("ts").cast("timestamp")
     p = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "event_id", ts.alias("pts")

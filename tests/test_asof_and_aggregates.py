@@ -521,3 +521,32 @@ def test_quality_checks_nulls_and_mappings(spark):
     orphans = [r["id"] for r in referential_violations(
         child, parent, {"fk": "pk"}).collect()]
     assert orphans == [2]  # NULL fk is not a violation
+
+
+def test_events_unique_canonicalization_contract(spark, tmp_path):
+    # r09 widened-ids find (seed 73): entries KEYED by event_id (asof
+    # output key, feature-store entity key, attribution purchase
+    # identity) id-canonicalize through _events_unique — one row per
+    # event_id, picked by a total, collation-proof order, identity on
+    # already-unique data. Mirrors the _docs_unique/_emb_unique
+    # contract for the third custom table.
+    from alibaba_cppfeaturestore_spark.plans.catalog import _events_unique
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view", 2.0, "{}"),
+            (1, "2024-01-01 09:00:00", 7, "click", 9.0, "{}"),  # earlier ts wins
+            (2, "2024-01-01 11:00:00", 8, "purchase", 1.0, "{}"),
+            (None, "2024-01-01 12:00:00", 9, "view", 3.0, "{}"),
+            (None, "2024-01-01 13:00:00", 9, "view", 4.0, "{}"),  # NULL ids: one survives
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props"
+    ).write.parquet(f"{sf}/events.parquet")
+    rows = {r.event_id: r for r in _events_unique(spark, sf).collect()}
+    assert len(rows) == 3  # 1, 2, and the single surviving NULL-id row
+    assert rows[1].event_type == "click"  # smallest ts wins the tie order
+    assert rows[None].value == 3.0  # smallest ts among the NULL-id group

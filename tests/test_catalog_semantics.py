@@ -249,3 +249,32 @@ def test_id_canonicalization_null_keys(spark, tmp_path):
     assert sp == du
     assert len(sp) == 3                        # ONE surviving NULL-id row
     assert None in sp
+
+
+def test_pivot_zero_fills_empty_cells(run, spark, tmp_path):
+    # r09 five-way-stack find (seed 71): a pivot cell with NO source rows
+    # is NULL by construction in Spark (the in-agg expression never
+    # runs), while SQL's FILTER aggregate always evaluates and COALESCEs
+    # to 0 — so the zero-fill must sit OUTSIDE the pivot. Contract: a
+    # user with no purchase rows gets purchase_value 0.0, never NULL,
+    # and an all-out-of-domain cell (NaN readings) zero-fills too.
+    import pyspark.sql.functions as F
+
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "view", 2.5),
+            (1, "click", 1.0),          # user 1: no purchase rows at all
+            (2, "purchase", float("nan")),  # user 2: only corrupt purchases
+            (2, "view", 3.0),
+        ],
+        "user_id long, event_type string, value double",
+    ).write.parquet(f"{sf}/events.parquet")
+    rows = {r.user_id: r for r in
+            QUERIES["agg_pivot_user_event_values"].spark(spark, sf).collect()}
+    assert rows[1].purchase_value == 0.0
+    assert rows[2].purchase_value == 0.0
+    assert rows[2].click_value == 0.0
+    assert rows[1].view_value == 2.5

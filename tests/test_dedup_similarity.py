@@ -938,3 +938,37 @@ def test_winnow_drops_null_ids_at_the_gate(spark):
     for r in pairs:
         assert r.id_a is not None and r.id_b is not None
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_ivf_portable_drops_null_ids_at_the_gate(spark):
+    # r09 five-way-stack find (seed 71): the portable IVF's coarse
+    # quantizer is id-KEYED (centroids = nlist smallest ids), and
+    # Spark's ASC sort default (NULLS FIRST) differs from DuckDB's
+    # (NULLS LAST) — so an id-less vector claimed a centroid slot on one
+    # engine only. Contract: a NULL-id vector is never a centroid, query,
+    # or neighbor; the id-bearing rows behave as if it never existed.
+    from alibaba_cppfeaturestore_spark.operators.similarity import (
+        ivf_portable_topk,
+    )
+
+    base = [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(8)]) for i in range(10)]
+    clean = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    # the NULL-id vector copies vec 1 exactly: without the gate it would
+    # be vec 1's perfect-cosine neighbor AND the smallest "id" centroid
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(None, [float((1 * 7 + j) % 13) - 6.0 for j in range(8)])],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    kw = dict(n_queries=3, nlist=4, nprobe=2, k=3)
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in ivf_portable_topk(dirty, **kw).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in ivf_portable_topk(clean, **kw).collect()
+    }
+    assert got == want
+    assert all(n is not None for _, n, _ in got)

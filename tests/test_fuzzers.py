@@ -92,3 +92,28 @@ def test_extremes_leaves_non_target_columns_intact():
         before = pq.read_table(os.path.join(SF, f"{table}.parquet")).column(key).to_pylist()
         after = pq.read_table(os.path.join(out, f"{table}.parquet")).column(key).to_pylist()
         assert before == after, f"{table}.{key} mutated by the extremes fuzzer"
+
+
+def test_ids_fuzzer_duplicates_every_custom_table_key():
+    """The r09-widened ids regime: duplicate ids planted in ALL THREE
+    custom tables' keys — documents.doc_id, embeddings.vec_id, and (new)
+    events.event_id, the tie-break column in most window entries. A
+    fuzzer that silently stops mutating a key column would make every
+    "green under --perturb-ids" claim vacuous."""
+    import driver_sim as DS
+
+    out = DS.perturb_ids_sf(SF, seed=9001)
+    for table, col in (
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("events", "event_id"),
+    ):
+        tbl = pq.read_table(f"{out}/{table}.parquet")
+        vals = [v for v in tbl.column(col).to_pylist() if v is not None]
+        n_dups = len(vals) - len(set(vals))
+        assert n_dups > 0, f"{table}.{col}: fuzzer planted no duplicate ids"
+        # only ids move; row count and the other columns stay intact
+        src = pq.read_table(f"{SF}/{table}.parquet")
+        assert tbl.num_rows == src.num_rows
+        other = [f.name for f in src.schema if f.name != col][0]
+        assert tbl.column(other).to_pylist() == src.column(other).to_pylist()

@@ -163,9 +163,10 @@ def perturb_text_sf(sf: str, seed: int) -> str:
 
 
 def perturb_ids_sf(sf: str, seed: int) -> str:
-    """Copy of the testdata with a seeded ~5% of ``documents.doc_id``
-    and ``embeddings.vec_id`` values overwritten by ANOTHER row's id,
-    creating duplicate ids in the two custom (non-TPC-H) tables.
+    """Copy of the testdata with a seeded ~5% of ``documents.doc_id``,
+    ``embeddings.vec_id``, and ``events.event_id`` (r09) values
+    overwritten by ANOTHER row's id, creating duplicate ids in the
+    three custom (non-TPC-H) tables.
     The driver regenerates data each round and nothing guarantees doc_id
     uniqueness there; ``sequence_packing_plan`` was red for four rounds
     because its cumulative-sum window ordered by doc_id alone — a
@@ -181,8 +182,12 @@ def perturb_ids_sf(sf: str, seed: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # the two CUSTOM tables (no TPC-H-style key discipline behind them)
-    id_cols = {"documents": "doc_id", "embeddings": "vec_id"}
+    # the CUSTOM tables (no TPC-H-style key discipline behind them) —
+    # events joined r09: event_id is the tie-break column in most window
+    # entries, the exact role doc_id played in the four-round
+    # sequence_packing_plan divergence
+    id_cols = {"documents": "doc_id", "embeddings": "vec_id",
+               "events": "event_id"}
     out = f"/tmp/driver_sim_idperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
