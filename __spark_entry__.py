@@ -27,59 +27,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The first 50 entries are the driver's check window (the driver runs a
 # 50-query prefix; every one of the 50 carries a DuckDB oracle). Round-9
-# rotation (generated by ``tools/freshness.py --plan --changed ...``):
-#   (a) the 8 entries whose SPARK IMPLEMENTATION or ORACLE changed this
-#       round: 7 in the ring-2 extremes campaign (--perturb-extremes now
-#       seeds specials into EVERY double column — l_quantity/l_discount/
-#       l_tax, c_acctbal, s_acctbal, p_retailprice joined ring 1's
-#       events.value / o_totalprice / l_extendedprice) — each gained
-#       _dec_value/_finite_value guards at the ingestion points the
-#       widened sweep turned red (decimal/int casts, corr inputs,
-#       CEIL/FLOOR→BIGINT) — plus histogram_percentile_estimate, whose
-#       binned_histogram operator now clamps large-FINITE values into
-#       edge bins per its contract instead of silently excluding them
-#       above the unrelated decimal(18,6) bound (r08 ADVICE find).
-#       All 8 verified this session: strict green on clean data
-#       (bit-identical values) and under extremes seeds 11 and 43, and
-#       the full catalog strict green under the widened regime on
-#       virgin seed 41.
-#   (b) the 14 remaining r03-cohort entries (q21_sole_late_suppliers …
-#       txlog_time_travel) — promised first in this window by the r08
-#       rotation note; after this round no entry's driver row is older
-#       than r04's cohort.
-#   (c) 28 of the 34 r04-cohort entries, alphabetical; the 6 left over
-#       (txlog_checkpointed_read, variant_shred_props, vocab_oov_rate,
-#       window_rank_functions, window_value_functions + the oldest r05
-#       rows) head the r10 window.
-# Clean-identical changes NOT windowed (noted for the record): the q1
-# family kept RAW l_quantity/l_discount/l_tax consumption — certified
-# green under the widened extremes (NaN-poisoning is IEEE-identical on
-# both engines for its double sums); multimodal entries unchanged (the
-# new header_decode pure-Python codec is a third explicitly-passed tier,
-# catalog still pins decode_fn=_fake_decode).
+# rotation, FINAL (the find-and-fix campaigns reshaped the plan):
+#   (a) the 32 entries whose code or oracle changed this round — the
+#       ring-2 extremes guards, the PPJoin index split consumers, and
+#       the duplicate-id / NULL-id / order-totality campaign (see
+#       COVERAGE.md round-9 record). Changed entries always outrank
+#       merely-stale ones.
+#   (b) the 14 remaining r03-cohort entries — promised first by the r08
+#       rotation note; after this round no driver row predates r04.
+#   (c) 4 oldest r04 rows, alphabetical; the campaigns crowded out the
+#       rest of the r04 refresh — the leftovers head the r10 window.
 _DRIVER_WINDOW = [
-    # (a00) r09 five-way-stack finds, fixed this round (seed 71): the
-    # id-ordered centroid pick vs engine NULL sort defaults, and the
-    # pivot empty-cell zero-fill + decimal sums
+    # (a) r09 CHANGED ENTRIES — every entry whose code or oracle moved
+    # this round gets a fresh driver row before anything merely stale.
+    # (a1) five-way / widened-ids finds (seeds 71, 73, 79):
     "ann_ivf_portable_topk",
     "agg_pivot_user_event_values",
-    # (a01) r09 widened-ids finds (events.event_id joined the fuzzer's
-    # key set; seed 73): event_id-KEYED entries under duplicate ids —
-    # asof family + feature store id-canonicalized (_events_unique),
-    # attribution purchase identity, stream dedup keyed by full payload
     "asof_last_view_before_click",
     "asof_join_with_ttl",
     "feature_store_historical_retrieval",
     "stream_dedup_exact",
     "attribution_first_vs_last_touch",
-    # (a0) consumers of the r09 PPJoin index split (pure code motion in
-    # operators/dedup.py — strict-green locally, but changed code gets a
-    # fresh driver row before anything merely stale does)
-    "dedup_ngram_jaccard_indexed",
-    "dedup_clusters",
-    "llm_corpus_curation_e2e",
-    "llm_corpus_curation_funnel",
-    # (a) ring-2 extremes campaign + binned_histogram clamp contract
+    # (a2) the (ts, event_id) order-totality batch (seed 79 twap find +
+    # proactive class closure: payload column joins every event-sequence
+    # window order; latest-per-key oracles extended to the operator's
+    # full-struct order):
+    "timeseries_twap_user",
+    "latest_event_per_user",
+    "online_lookup_latest_features",
+    "stream_online_upsert",
+    "window_running_user_spend",
+    "scd2_user_event_history",
+    "scd2_interval_lookup",
+    "ewma_user_value",
+    "path_top_event_sequences",
+    "feature_lag_rolling",
+    "markov_event_transitions",
+    "window_value_functions",
+    # (a3) ring-2 extremes campaign + binned_histogram clamp contract:
     "q9_product_type_profit",
     "q5_local_supplier_volume",
     "proj_select_cast",
@@ -88,6 +73,12 @@ _DRIVER_WINDOW = [
     "q2_min_cost_supplier",
     "sample_weighted_bernoulli",
     "histogram_percentile_estimate",
+    # (a4) PPJoin index split consumers + the winnow NULL-id gate:
+    "dedup_ngram_jaccard_indexed",
+    "dedup_clusters",
+    "llm_corpus_curation_e2e",
+    "llm_corpus_curation_funnel",
+    "dedup_winnow_containment",
     # (b) the final r03-cohort refresh
     "q21_sole_late_suppliers",
     "q22_dormant_high_balance",
@@ -103,24 +94,11 @@ _DRIVER_WINDOW = [
     "token_count_bpe",
     "txlog_merge_upsert",
     "txlog_time_travel",
-    # (c) r04 refresh — oldest rows, alphabetical
+    # (c) r04 refresh — the oldest rows that still fit
     "agg_grouping_sets_revenue",
     "assoc_event_type_pairs",
     "bpe_merge_pair_counts",
     "chunk_documents_rag",
-    "cooccurrence_skipgram_pairs",
-    "dedup_winnow_containment",
-    "dq_event_order_cadence",
-    "dq_feature_leakage_audit",
-    "feature_lag_rolling",
-    "gdpr_forget_cascade",
-    "graph_bfs_trade_hops",
-    "graph_triangle_count",
-    "ids_stable_assign",
-    "inverted_index_postings",
-    "itemsim_copurchase_topk",
-    "join_bloom_prefilter",
-    "join_full_outer_reconcile",
 ]
 
 

@@ -254,10 +254,14 @@ def grouped_ewma(
     """
     import pandas as pd
 
-    schema_fields = ", ".join(
-        f"`{c}` {t}"
-        for c, t in df.select(key_col, *order_cols, value_col).dtypes
-    )
+    # value_col may ALSO serve as the final order tie-break (r09: rows
+    # tied on every other key then carry equal values, making the
+    # recurrence order-invariant) — dedupe so the kernel schema stays
+    # one column per name
+    cols = [key_col, *order_cols]
+    if value_col not in cols:
+        cols.append(value_col)
+    schema_fields = ", ".join(f"`{c}` {t}" for c, t in df.select(*cols).dtypes)
     schema = f"{schema_fields}, `{out_col}` double"
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -281,7 +285,7 @@ def grouped_ewma(
     # reasoning as the NULL case above)
     v = F.col(value_col)
     return (
-        df.select(key_col, *order_cols, value_col)
+        df.select(*cols)
         .filter(v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf"))))
         .repartition(parallelism, key_col)
         .groupBy(key_col)
@@ -313,8 +317,16 @@ def time_weighted_avg(
     GROUP BY — |groups| rows shuffled after map-side combine.
     """
     ts = F.col(ts_col).cast("timestamp")
-    # tie-break makes lead() deterministic under duplicate timestamps
-    w = Window.partitionBy(*group_cols).orderBy(ts_col, *(tiebreak or []))
+    # tie-break makes lead() deterministic under duplicate timestamps.
+    # Callers should include the VALUE column as the final tie-break:
+    # rows tied on every key then carry equal values, so Σ(v·Δt) is
+    # invariant under their relative order — a total RESULT even where
+    # the order itself is not (r09 find: ts-truncated duplicate-id rows).
+    # NULL placement pinned explicitly (nulls first is Spark's ASC
+    # default, but SQL oracles must spell NULLS FIRST — engines differ).
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.asc_nulls_first(ts_col), *[F.asc_nulls_first(c) for c in (tiebreak or [])]
+    )
     nxt = F.lead(ts).over(w)
     dt = (F.unix_micros(nxt) - F.unix_micros(ts)).cast("decimal(14,0)")
     # finite-domain decimal ingestion: NaN/±Inf/out-of-domain magnitudes

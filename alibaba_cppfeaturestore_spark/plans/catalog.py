@@ -1291,7 +1291,9 @@ def profile_events_table(spark, sf_dir):
            CAST(ts AS TIMESTAMP) AS ts, event_type,
            ROUND(value, 2) AS value
     FROM events
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC,
+                                        event_type DESC, value DESC) = 1
     """,
     headline=True,
 )
@@ -1403,7 +1405,12 @@ def topk_salted_orders_per_priority(spark, sf_dir):
            ROUND(SUM(CASE WHEN NOT isnan(value) THEN
                        CASE WHEN TRY_CAST(value AS DECIMAL(18,6)) IS NOT NULL
                             THEN value END END) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             -- value in the order key (r09): ts-truncated duplicate-id
+             -- rows tie on (ts, event_id); rows still tied carry equal
+             -- values, so the running sum is order-invariant. NULLS
+             -- FIRST matches Spark's ASC default.
+             PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+               event_id ASC NULLS FIRST, value ASC NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
     FROM events WHERE event_type = 'purchase'
     """,
@@ -1412,7 +1419,11 @@ def window_running_user_spend(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(
+            F.asc_nulls_first("ts"),
+            F.asc_nulls_first("event_id"),
+            F.asc_nulls_first("value"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(
@@ -1709,7 +1720,9 @@ def asof_join_with_ttl(spark, sf_dir):
     ), latest AS (
       SELECT user_id, event_type, ROUND(value, 2) AS value
       FROM events
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC,
+                                        event_type DESC, value DESC) = 1
     )
     SELECT k.user_id, l.event_type AS last_event_type, l.value AS last_value
     FROM keys k LEFT JOIN latest l ON k.user_id = l.user_id
@@ -2752,7 +2765,9 @@ def stream_tumbling_window_counts(spark, sf_dir):
     """
     SELECT user_id, event_type AS last_event_type, ROUND(value, 2) AS last_value
     FROM events
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC,
+                                        event_type DESC, value DESC) = 1
     """,
 )
 def stream_online_upsert(spark, sf_dir):
@@ -4042,14 +4057,18 @@ def feature_store_historical_retrieval(spark, sf_dir):
     """
     WITH v AS (
       SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
-             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                                event_id ASC NULLS FIRST, event_type ASC NULLS FIRST) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                                event_id ASC NULLS FIRST, event_type ASC NULLS FIRST) AS rn
       FROM events
     ),
     versions AS (SELECT * FROM v WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
     SELECT user_id, event_type, ts AS valid_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                                event_id ASC NULLS FIRST, event_type ASC NULLS FIRST) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                                event_id ASC NULLS FIRST, event_type ASC NULLS FIRST) IS NULL AS is_current
     FROM versions
     """,
 )
@@ -4066,7 +4085,7 @@ def scd2_user_event_history(spark, sf_dir):
         keys=["user_id"],
         ts_col="ts",
         attrs=["event_type"],
-        tiebreak=["event_id"],
+        tiebreak=["event_id", "event_type"],
     ).select("user_id", "event_type", "valid_from", "valid_to", "is_current")
 
 
@@ -4075,14 +4094,17 @@ def scd2_user_event_history(spark, sf_dir):
     """
     WITH v AS (
       SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
-             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                                event_id ASC NULLS FIRST, event_type ASC NULLS FIRST) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                                event_id ASC NULLS FIRST, event_type ASC NULLS FIRST) AS rn
       FROM events
     ),
     versions AS (SELECT * FROM v WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
     hist AS (
       SELECT user_id, event_type AS state_at_purchase, ts AS valid_from,
-             COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                                event_id ASC NULLS FIRST, event_type ASC NULLS FIRST),
                       TIMESTAMP '2100-01-01') AS valid_to
       FROM versions
     ),
@@ -4109,7 +4131,7 @@ def scd2_interval_lookup(spark, sf_dir):
     hist = scd2_history(
         ev.select("user_id", "event_type", "ts", "event_id"),
         keys=["user_id"], ts_col="ts", attrs=["event_type"],
-        tiebreak=["event_id"],
+        tiebreak=["event_id", "event_type"],
     ).select(
         "user_id",
         F.col("event_type").alias("state_at_purchase"),
@@ -5860,7 +5882,13 @@ def embedding_random_projection(spark, sf_dir):
       -- carries the last state through NaN while the plain recurrence
       -- poisons — so the operator pins ONE policy: skip-and-drop)
       SELECT user_id, event_id, value,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+             -- value in the order key (r09): ts-truncated duplicate-id
+             -- rows tie on (ts, event_id); rows still tied carry equal
+             -- values, so the recurrence is order-invariant. No NULLS
+             -- spelling needed: the finite filter above runs FIRST, and
+             -- the kernel sorts the same filtered series
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id, value) - 1 AS i
       FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     r AS (
@@ -5895,7 +5923,7 @@ def ewma_user_value(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     out = grouped_ewma(
-        ev, "user_id", ["ts", "event_id"], "value", alpha=0.5, out_col="ewma"
+        ev, "user_id", ["ts", "event_id", "value"], "value", alpha=0.5, out_col="ewma"
     )
     return out.select("user_id", "event_id", "ewma")
 
@@ -6722,7 +6750,10 @@ def ann_ivf_portable_topk(spark, sf_dir):
              CAST(COALESCE(
                date_diff('microseconds', CAST(ts AS TIMESTAMP),
                          LEAD(CAST(ts AS TIMESTAMP)) OVER
-                           (PARTITION BY user_id ORDER BY ts, event_id)),
+                           (PARTITION BY user_id
+                            ORDER BY ts ASC NULLS FIRST,
+                                     event_id ASC NULLS FIRST,
+                                     value ASC NULLS FIRST)),
                0) AS DECIMAL(14,0)) AS dt
       FROM events
     ),
@@ -6751,11 +6782,18 @@ def timeseries_twap_user(spark, sf_dir):
     bursts. unix_micros DIFFERENCES cancel the timezone, so
     TIMESTAMP_NTZ is safe on any session zone; Σ(v·Δt), ΣΔt and the
     fallback mean are exact decimals, the published value one double
-    division. One lead() window + one partial-aggregable GROUP BY."""
+    division. One lead() window + one partial-aggregable GROUP BY.
+    Tie-break (ts, event_id, value): ts-truncated duplicate-id rows
+    (r09 five-way find, seed 79) tie on (ts, event_id), and the order
+    between them decides which value carries the interval's weight —
+    adding value makes the RESULT total (rows still tied carry equal v,
+    so Σ(v·Δt) is invariant under their order)."""
     from ..operators.timeseries import time_weighted_avg
 
     ev = _t(spark, sf_dir, "events")
-    return time_weighted_avg(ev, "ts", "value", ["user_id"], tiebreak=["event_id"])
+    return time_weighted_avg(
+        ev, "ts", "value", ["user_id"], tiebreak=["event_id", "value"]
+    )
 
 
 @_q(
@@ -6891,7 +6929,8 @@ def graph_bfs_trade_hops(spark, sf_dir):
              LEAD(event_type, 1) OVER w || '>' ||
              LEAD(event_type, 2) OVER w AS path
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                   event_id ASC NULLS FIRST, event_type ASC NULLS FIRST)
     ),
     counted AS (
       SELECT path, COUNT(*) AS n FROM seq WHERE path IS NOT NULL GROUP BY path
@@ -6908,7 +6947,9 @@ def path_top_event_sequences(spark, sf_dir):
     tie-break ⇒ exact oracle; the window state is one user's stream,
     never the table."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("ts"), F.asc_nulls_first("event_id"),
+        F.asc_nulls_first("event_type"))
     seq = ev.select(
         F.concat_ws(
             ">",
@@ -7673,7 +7714,8 @@ def variant_shred_props(spark, sf_dir):
              AS roll_n7
     FROM events
     WHERE event_type = 'purchase'
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                 event_id ASC NULLS FIRST, value ASC NULLS FIRST)
     """,
 )
 def feature_lag_rolling(spark, sf_dir):
@@ -7685,7 +7727,9 @@ def feature_lag_rolling(spark, sf_dir):
     or before the current event. Frame sums are short fixed-order runs
     ⇒ ROUND(·,6) is stable cross-engine."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("ts"), F.asc_nulls_first("event_id"),
+        F.asc_nulls_first("value"))
     w3 = w.rowsBetween(-2, 0)
     w7 = w.rowsBetween(-6, 0)
     return ev.select(
@@ -7777,7 +7821,8 @@ def negative_sampling_pairs(spark, sf_dir):
     """
     WITH seq AS (
       SELECT event_type AS cur,
-             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+               event_id ASC NULLS FIRST, event_type ASC NULLS FIRST) AS nxt
       FROM events
     ),
     t AS (SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
@@ -7794,7 +7839,9 @@ def markov_event_transitions(spark, sf_dir):
     rejoined from the tiny transition table (never a second raw scan).
     p is one division of identical integers ⇒ ROUND(·,6) stable."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("ts"), F.asc_nulls_first("event_id"),
+        F.asc_nulls_first("event_type"))
     seq = ev.select(
         F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
     ).where(F.col("nxt").isNotNull())
@@ -8273,12 +8320,14 @@ def dq_feature_leakage_audit(spark, sf_dir):
     SELECT event_id, user_id,
            ROUND(FIRST_VALUE(value) OVER w, 6) AS first_val,
            ROUND(LAST_VALUE(value) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id
+             (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                event_id ASC NULLS FIRST, value ASC NULLS FIRST
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS last_val,
            ROUND(NTH_VALUE(value, 2) OVER w, 6) AS second_val
     FROM events
     WHERE event_type = 'purchase'
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
+                 event_id ASC NULLS FIRST, value ASC NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
@@ -8293,12 +8342,16 @@ def window_value_functions(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(
+            F.asc_nulls_first("ts"), F.asc_nulls_first("event_id"),
+            F.asc_nulls_first("value"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wfull = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(
+            F.asc_nulls_first("ts"), F.asc_nulls_first("event_id"),
+            F.asc_nulls_first("value"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return ev.select(

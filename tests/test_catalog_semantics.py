@@ -278,3 +278,44 @@ def test_pivot_zero_fills_empty_cells(run, spark, tmp_path):
     assert rows[2].purchase_value == 0.0
     assert rows[2].click_value == 0.0
     assert rows[1].view_value == 2.5
+
+
+def test_event_sequence_windows_total_under_id_ts_collisions(run, spark, tmp_path):
+    # r09 class closure (seed-79 twap find): ts-truncated duplicate-id
+    # rows tie on (ts, event_id), and a window ordered by that pair
+    # alone assigns engine-arbitrary positions. Every event-sequence
+    # window now carries the consumed payload column in its order, so
+    # the OUTPUT is total: permuting the physical row order of a
+    # collision-bearing input must not change a single output row.
+    import pyspark.sql.functions as F
+
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    sf = str(tmp_path)
+    rows = [
+        # user 1: two purchases tied on (ts, event_id), different values
+        (10, "2024-01-01 10:00:00", 1, "purchase", 5.0, "{}"),
+        (10, "2024-01-01 10:00:00", 1, "purchase", 2.0, "{}"),
+        (11, "2024-01-01 11:00:00", 1, "purchase", 9.0, "{}"),
+        # user 2: tied rows with different event types
+        (20, "2024-01-02 09:00:00", 2, "view", 1.0, "{}"),
+        (20, "2024-01-02 09:00:00", 2, "click", 1.0, "{}"),
+        (21, "2024-01-02 09:30:00", 2, "purchase", 3.0, "{}"),
+    ]
+    schema = ("event_id long, ts string, user_id long, event_type string, "
+              "value double, props string")
+
+    def write(order, path):
+        spark.createDataFrame([rows[i] for i in order], schema).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+            "event_type", "value", "props"
+        ).coalesce(1).write.parquet(path)
+
+    write(range(6), f"{sf}/a/events.parquet")
+    write([1, 0, 4, 3, 5, 2], f"{sf}/b/events.parquet")
+    for entry in ("feature_lag_rolling", "markov_event_transitions",
+                  "window_running_user_spend", "latest_event_per_user"):
+        q = QUERIES[entry].spark
+        a = sorted(map(tuple, q(spark, f"{sf}/a").collect()))
+        b = sorted(map(tuple, q(spark, f"{sf}/b").collect()))
+        assert a == b, f"{entry}: output depends on physical row order"
