@@ -64,6 +64,11 @@ _DRIVER_WINDOW = [
     "feature_lag_rolling",
     "markov_event_transitions",
     "window_value_functions",
+    # (a2b) the decimal-revenue class closure (seed-83 q7 find + the
+    # q3/q14/q8/q15 hardening; q7/q8 sit in the r03 cohort below):
+    "q3_shipping_priority",
+    "q14_promo_revenue_share",
+    "q15_top_revenue_supplier",
     # (a3) ring-2 extremes campaign + binned_histogram clamp contract:
     "q9_product_type_profit",
     "q5_local_supplier_volume",
@@ -96,9 +101,6 @@ _DRIVER_WINDOW = [
     "txlog_time_travel",
     # (c) r04 refresh — the oldest rows that still fit
     "agg_grouping_sets_revenue",
-    "assoc_event_type_pairs",
-    "bpe_merge_pair_counts",
-    "chunk_documents_rag",
 ]
 
 

@@ -328,7 +328,12 @@ def q1(spark, sf_dir):
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           -- finite-domain DECIMAL revenue (the q5/q9/q7 discipline):
+           -- associative sums reproduce on any aggregation tree
+           CAST(ROUND(SUM((CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+               * (1 - (CASE WHEN NOT isnan(l_discount)
+                            THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END))), 2) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -355,7 +360,15 @@ def q3(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            F.round(
+                F.sum(
+                    _dec_value("l_extendedprice", "decimal(15,4)")
+                    * (F.lit(1) - _dec_value("l_discount", "decimal(8,6)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -758,10 +771,18 @@ def q6_forecast_revenue(spark, sf_dir):
 @_q(
     "q14_promo_revenue_share",
     """
+    -- finite-domain DECIMAL sums (the q5/q9/q7 discipline); the share
+    -- is ONE double division of identical decimal-derived operands
     SELECT ROUND(
-             100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+             100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN (CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+               * (1 - (CASE WHEN NOT isnan(l_discount)
+                            THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END)) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM((CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+               * (1 - (CASE WHEN NOT isnan(l_discount)
+                            THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END))) AS DOUBLE), 4) AS promo_share
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -775,14 +796,20 @@ def q14_promo_revenue_share(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _dec_value("l_extendedprice", "decimal(15,4)") * (
+        F.lit(1) - _dec_value("l_discount", "decimal(8,6)")
+    )
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                        F.lit(0).cast("decimal(24,10)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_share")
         )
@@ -5139,11 +5166,19 @@ def q4_late_order_priority(spark, sf_dir):
 @_q(
     "q7_nation_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           -- finite-domain DECIMAL revenue (the q5/q9 discipline): the
+           -- skew-planted hot supplier concentrates one (nation, year)
+           -- group where double-sum reassociation flips a ROUND(,2)
+           -- cent boundary between engines (five-way find, seed 83)
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             (CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+               * (1 - (CASE WHEN NOT isnan(l_discount)
+                            THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END)) AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders ON o_orderkey = l_orderkey
@@ -5190,8 +5225,14 @@ def q7_nation_volume_shipping(spark, sf_dir):
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    _dec_value("l_extendedprice", "decimal(15,4)")
+                    * (F.lit(1) - _dec_value("l_discount", "decimal(8,6)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -5200,11 +5241,16 @@ def q7_nation_volume_shipping(spark, sf_dir):
     "q8_market_share",
     """
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           -- finite-domain DECIMAL volume (the q5/q9/q7 discipline); the
+           -- share is one double division of identical decimal operands
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             (CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+               * (1 - (CASE WHEN NOT isnan(l_discount)
+                            THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END)) AS volume,
              n2.n_name AS nation
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
@@ -5243,7 +5289,9 @@ def q8_market_share(spark, sf_dir):
             F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
         )
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _dec_value("l_extendedprice", "decimal(15,4)") * (
+        F.lit(1) - _dec_value("l_discount", "decimal(8,6)")
+    )
     return (
         _t(spark, sf_dir, "lineitem")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -5253,8 +5301,12 @@ def q8_market_share(spark, sf_dir):
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("decimal(24,10)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -5446,7 +5498,11 @@ def q13_customer_order_distribution(spark, sf_dir):
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             -- finite-domain DECIMAL revenue (the q5/q9/q7 discipline)
+             CAST(ROUND(SUM((CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+               * (1 - (CASE WHEN NOT isnan(l_discount)
+                            THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
@@ -5470,7 +5526,14 @@ def q15_top_revenue_supplier(spark, sf_dir):
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            F.round(
+                F.sum(
+                    _dec_value("l_extendedprice", "decimal(15,4)")
+                    * (F.lit(1) - _dec_value("l_discount", "decimal(8,6)"))
+                ),
+                2,
+            )
+            .cast("double")
             .alias("total_revenue")
         )
     )

@@ -220,6 +220,12 @@ REVIEWED_SINKS = {
         "embedding mentions read the ef finite-filtered CTE; the "
         "flagged CAST .. AS BIGINT casts ROW_NUMBER (exact by "
         "construction), with the vector merely inside its ORDER BY",
+    ("timeseries_twap_user", "events.value"):
+        "the r09 order-totality tie-break put value inside the LEAD "
+        "window's ORDER BY, which nests inside the CAST .. AS "
+        "DECIMAL(14,0) span — but that cast targets the microsecond "
+        "DIFFERENCE; value itself enters decimal only via the guarded "
+        "_dec_value CASE (stripped before detection)",
 }
 
 
