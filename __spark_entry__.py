@@ -28,15 +28,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # The first 50 entries are the driver's check window (the driver runs a
 # 50-query prefix; every one of the 50 carries a DuckDB oracle). Round-9
 # rotation, FINAL (the find-and-fix campaigns reshaped the plan):
-#   (a) the 32 entries whose code or oracle changed this round — the
+#   (a) the 36 entries whose code or oracle changed this round — the
 #       ring-2 extremes guards, the PPJoin index split consumers, and
-#       the duplicate-id / NULL-id / order-totality campaign (see
-#       COVERAGE.md round-9 record). Changed entries always outrank
-#       merely-stale ones.
+#       the duplicate-id / NULL-id / order-totality / decimal-revenue
+#       campaigns (see COVERAGE.md round-9 record). Changed entries
+#       always outrank merely-stale ones.
 #   (b) the 14 remaining r03-cohort entries — promised first by the r08
 #       rotation note; after this round no driver row predates r04.
-#   (c) 4 oldest r04 rows, alphabetical; the campaigns crowded out the
-#       rest of the r04 refresh — the leftovers head the r10 window.
+#   The find-and-fix campaigns crowded the r04 refresh out of this
+#   window entirely — all 28 unrefreshed r04 rows head the r10 window.
 _DRIVER_WINDOW = [
     # (a) r09 CHANGED ENTRIES — every entry whose code or oracle moved
     # this round gets a fresh driver row before anything merely stale.
@@ -65,7 +65,9 @@ _DRIVER_WINDOW = [
     "markov_event_transitions",
     "window_value_functions",
     # (a2b) the decimal-revenue class closure (seed-83 q7 find + the
-    # q3/q14/q8/q15 hardening; q7/q8 sit in the r03 cohort below):
+    # q3/q14/q8/q15 hardening; q7/q8 sit in the r03 cohort below) and
+    # the seed-113 cadence-order fix:
+    "dq_event_order_cadence",
     "q3_shipping_priority",
     "q14_promo_revenue_share",
     "q15_top_revenue_supplier",
@@ -99,8 +101,6 @@ _DRIVER_WINDOW = [
     "token_count_bpe",
     "txlog_merge_upsert",
     "txlog_time_travel",
-    # (c) r04 refresh — the oldest rows that still fit
-    "agg_grouping_sets_revenue",
 ]
 
 

@@ -8659,8 +8659,15 @@ def stream_topk_trending(spark, sf_dir):
     WITH seq AS (
       SELECT user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             -- ts in the order key (r09): duplicated event_ids make the
+             -- bare id order non-total, and the inversion count depends
+             -- on which tied row comes first; rows tied on (event_id,
+             -- ts) carry equal us, so the metric is order-invariant.
+             -- Within a tie group ascending-ts contributes no false
+             -- inversion — the conservative reading of an id collision.
              LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
-               PARTITION BY user_id ORDER BY event_id) AS prev_us
+               PARTITION BY user_id ORDER BY event_id ASC NULLS FIRST,
+                                             ts ASC NULLS FIRST) AS prev_us
       FROM events
     ),
     gaps AS (
@@ -8690,7 +8697,9 @@ def dq_event_order_cadence(spark, sf_dir):
     either way. One per-user LAG window."""
     ev = _t(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy("event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("event_id"), F.asc_nulls_first("ts")
+    )
     seq = ev.select("user_id", us.alias("us"), F.lag(us).over(w).alias("prev_us"))
     gaps = seq.select(
         "user_id",
