@@ -33,10 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #       the duplicate-id / NULL-id / order-totality / decimal-revenue
 #       campaigns (see COVERAGE.md round-9 record). Changed entries
 #       always outrank merely-stale ones.
-#   (b) the 14 remaining r03-cohort entries — promised first by the r08
-#       rotation note; after this round no driver row predates r04.
-#   The find-and-fix campaigns crowded the r04 refresh out of this
-#   window entirely — all 28 unrefreshed r04 rows head the r10 window.
+#   (b) 13 of the 14 remaining r03-cohort entries — promised first by
+#       the r08 rotation note; txlog_time_travel lost its slot to the
+#       final changed entry and heads the r10 window together with all
+#       28 unrefreshed r04 rows (the find-and-fix campaigns crowded the
+#       r04 refresh out of this window entirely).
 _DRIVER_WINDOW = [
     # (a) r09 CHANGED ENTRIES — every entry whose code or oracle moved
     # this round gets a fresh driver row before anything merely stale.
@@ -66,8 +67,10 @@ _DRIVER_WINDOW = [
     "window_value_functions",
     # (a2b) the decimal-revenue class closure (seed-83 q7 find + the
     # q3/q14/q8/q15 hardening; q7/q8 sit in the r03 cohort below) and
-    # the seed-113 cadence-order fix:
+    # the seed-113 cadence-order fix and the quantile-normalize
+    # NULL-order pinning (proactive review of the same class):
     "dq_event_order_cadence",
+    "feature_quantile_normalize",
     "q3_shipping_priority",
     "q14_promo_revenue_share",
     "q15_top_revenue_supplier",
@@ -100,7 +103,6 @@ _DRIVER_WINDOW = [
     "stream_sliding_window_counts",
     "token_count_bpe",
     "txlog_merge_upsert",
-    "txlog_time_travel",
 ]
 
 

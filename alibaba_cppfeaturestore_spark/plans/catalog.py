@@ -9291,7 +9291,16 @@ def corpus_drift_js_divergence(spark, sf_dir):
       -- unguarded, NULLs rank nulls-first in Spark vs nulls-last here
       -- and shift EVERY percentile in the partition
       SELECT event_id, event_type, value,
-             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+             -- r09 NULL-order pinning: NULL event_ids sort first on
+             -- Spark and last on DuckDB, and a NULL id inside a
+             -- value-tie group shifts EVERY tied row's rank (the NULL
+             -- row keeps its rank even though the % filter later drops
+             -- it from the output). Rows tied on (value, event_id) —
+             -- duplicate ids — are interchangeable: same partition,
+             -- same output columns, only their arbitrary pct swap.
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value ASC NULLS FIRST,
+                                         event_id ASC NULLS FIRST) AS rk,
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events WHERE value IS NOT NULL
     )
@@ -9315,7 +9324,9 @@ def feature_quantile_normalize(spark, sf_dir):
     # rank on the RAW double: parquet bits are identical on both engines,
     # so raw ordering is too — ROUND in a sort key reintroduces the
     # half-boundary divergence (caught by the perturbed-sf0.1 battery)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_first("value"), F.asc_nulls_first("event_id")
+    )
     wn = Window.partitionBy("event_type")
     p = ev.select(
         "event_id",
