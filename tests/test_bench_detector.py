@@ -51,21 +51,71 @@ def test_extracts_full_payload_anchor():
     assert fields["methodology"] == bench.METHODOLOGY
 
 
-def test_prev_comparison_yields_nonempty_deltas_and_flags():
-    # against the committed r08 artifact: a 30% normalized regression on
-    # one query must be flagged; matching values delta to 0.
+def _write_prev(tmp_path, rnd: int, norm: dict, spread: dict | None = None):
+    """Synthesize a driver-wrapper artifact whose ``tail`` holds the
+    stdout JSON line — the shape the driver actually deposits."""
+    line: dict = {
+        "methodology": bench.METHODOLOGY,
+        "queries_canary_normalized": norm,
+    }
+    if spread is not None:
+        line["queries_sample_spread"] = spread
+    wrapper = {"n": rnd, "rc": 0, "tail": json.dumps(line) + "\n", "parsed": None}
+    (tmp_path / f"BENCH_r{rnd:02d}.json").write_text(json.dumps(wrapper))
+
+
+def test_prev_comparison_yields_nonempty_deltas_and_flags(tmp_path):
+    # HERMETIC (r09 verdict item 1): the old version globbed the repo's
+    # newest BENCH_r*.json and hard-coded r08 values, so the driver's
+    # own artifact deposit re-broke it every round. Now the prev
+    # artifact is synthesized into tmp_path and the glob root injected.
+    _write_prev(tmp_path, 42, {"q1_pricing_summary": 1.0, "q5_local_supplier_volume": 3.33})
     norm = {"q1_pricing_summary": 1.0, "q5_local_supplier_volume": 3.33 * 1.3}
-    block = bench._prev_comparison(norm)
+    block = bench._prev_comparison(norm, artifact_dir=str(tmp_path))
     assert "error" not in block, block
     assert block["deltas"], "empty deltas is the r08 failure mode"
     assert "q5_local_supplier_volume" in block["flagged_over_25pct"]
     assert block["deltas"]["q1_pricing_summary"] == 0.0
-    # r08 ran on the v2 basis despite its stale methodology string
     assert block["same_measurement_basis"] is True
 
 
-def test_empty_comparison_is_an_error_not_a_pass():
-    # queries that exist in NO prior artifact -> explicit error field
-    block = bench._prev_comparison({"a_query_no_artifact_has": 1.0})
+def test_prev_comparison_picks_newest_artifact(tmp_path):
+    _write_prev(tmp_path, 2, {"qa": 1.0})
+    _write_prev(tmp_path, 10, {"qa": 2.0})  # lexicographic sort would pick r02
+    block = bench._prev_comparison({"qa": 2.0}, artifact_dir=str(tmp_path))
+    assert block["prev_artifact"] == "BENCH_r10.json"
+    assert block["deltas"]["qa"] == 0.0
+
+
+def test_variance_floor_demotes_subnoise_flags(tmp_path):
+    # r09 verdict item 2: a +30% delta whose magnitude does not clear
+    # this run's sample spread (+ the prev artifact's recorded spread)
+    # is a measurement, not a regression — it must land in the subnoise
+    # list, never the attributable flag list.
+    _write_prev(
+        tmp_path,
+        42,
+        {"q_noisy": 2.0, "q_quiet": 2.0},
+        spread={"q_noisy": 0.15, "q_quiet": 0.0},
+    )
+    norm = {"q_noisy": 2.6, "q_quiet": 2.6}  # both +30%
+    block = bench._prev_comparison(
+        norm,
+        artifact_dir=str(tmp_path),
+        spreads={"q_noisy": 0.20, "q_quiet": 0.01},
+    )
+    # q_noisy: noise = 0.20 + 0.15 = 0.35 > 0.30 -> subnoise
+    # q_quiet: noise = 0.01 + 0.00 = 0.01 < 0.30 -> real flag
+    assert block["flagged_over_25pct"] == ["q_quiet"]
+    assert block["flagged_subnoise_over_25pct"] == ["q_noisy"]
+
+
+def test_empty_comparison_is_an_error_not_a_pass(tmp_path):
+    # queries that exist in NO prior artifact -> explicit error field;
+    # hermetic via an artifact dir containing one non-overlapping prev
+    _write_prev(tmp_path, 42, {"some_other_query": 1.0})
+    block = bench._prev_comparison(
+        {"a_query_no_artifact_has": 1.0}, artifact_dir=str(tmp_path)
+    )
     assert "error" in block
     assert "deltas" not in block
