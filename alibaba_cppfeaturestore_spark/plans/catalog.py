@@ -235,7 +235,14 @@ _EVENTS_UNIQUE_SQL = """events_u AS (
 def _events_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_EVENTS_UNIQUE_SQL`` (same keys, same null
     order). Skipped outright (identity) when the NDV probe shows
-    event_id is already unique — see ``_key_is_unique``."""
+    event_id is already unique — see ``_key_is_unique``.
+
+    The full events schema (props included) is REQUIRED — every caller
+    reads the generator's table via ``_t``. A presence guard here once
+    made the Spark tie order structurally weaker than the SQL's on
+    reduced-schema inputs, an asymmetry the shared-contract test could
+    never catch (r09 advice); the twins now fail loudly together
+    instead of silently diverging."""
     e = _t(spark, sf_dir, "events")
     if _key_is_unique(e, sf_dir, "events", "event_id"):
         return e
@@ -244,9 +251,8 @@ def _events_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.asc_nulls_first("user_id"),
         F.asc_nulls_first("event_type"),
         F.asc_nulls_first("value"),
+        F.asc_nulls_first(F.md5("props")),
     ]
-    if "props" in e.columns:
-        keys.append(F.asc_nulls_first(F.md5("props")))
     w = Window.partitionBy("event_id").orderBy(*keys)
     return (
         e.withColumn("__rn", F.row_number().over(w))
@@ -1328,7 +1334,12 @@ def latest_event_per_user(spark, sf_dir):
     """A4/W1: latest-per-key online materialize via max_by(struct) — one
     shuffle of ~|keys| rows (map-side combine), no window sort."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
-    latest = latest_per_key(ev, keys=["user_id"], ts="ts", tiebreak=["event_id"])
+    # FULL tie order spelled out (r09 advice): the oracle's QUALIFY
+    # hard-codes (ts, event_id, event_type, value) DESC — leaving the
+    # tail implicit would silently desync it if the .select() reorders.
+    latest = latest_per_key(
+        ev, keys=["user_id"], ts="ts", tiebreak=["event_id", "event_type", "value"]
+    )
     return latest.select(
         "user_id", "event_id", "ts", "event_type", F.round("value", 2).alias("value")
     )
@@ -1759,7 +1770,10 @@ def online_lookup_latest_features(spark, sf_dir):
     """J4 + A4: materialize latest-per-key, then broadcast-join request
     keys against it (the engine-native Redis GET)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
-    online = latest_per_key(ev, keys=["user_id"], ts="ts", tiebreak=["event_id"])
+    # full tie order explicit — mirrors the oracle's QUALIFY (r09 advice)
+    online = latest_per_key(
+        ev, keys=["user_id"], ts="ts", tiebreak=["event_id", "event_type", "value"]
+    )
     keys = (
         ev.filter(F.col("user_id") % 10 == 0).select("user_id").distinct()
     )
@@ -2810,7 +2824,11 @@ def stream_online_upsert(spark, sf_dir):
     )
     workdir = tempfile.mkdtemp(prefix="online_store_")
     store = OnlineStore(
-        os.path.join(workdir, "store"), keys=["user_id"], ts="ts", tiebreak=["event_id"]
+        os.path.join(workdir, "store"),
+        keys=["user_id"],
+        ts="ts",
+        # full tie order explicit — mirrors the oracle's QUALIFY (r09 advice)
+        tiebreak=["event_id", "event_type", "value"],
     )
     run_stream_upsert(stream, store, os.path.join(workdir, "chk"))
     online = store.read(spark)

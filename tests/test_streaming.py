@@ -308,6 +308,37 @@ def test_stream_dedup_drops_redelivered_rows(spark, workdir):
     assert sorted(r["user_id"] for r in out) == [1, 2, 3]
 
 
+def test_stream_dedup_keeps_and_dedupes_null_ts_rows(spark, workdir):
+    """NULL-event-time contract (r09 advice): rows whose watermark column
+    is NULL are NOT silently dropped by ``dropDuplicatesWithinWatermark``
+    — they pass through and dedup by key like any other row, which is
+    exactly the oracle's SELECT DISTINCT semantics (NULLs equal in
+    DISTINCT). Pinned empirically so a Spark behavior change or a
+    nulls-on-ts data regime flips a test, not a driver row
+    (``stream_dedup_exact`` keys include ts)."""
+    from alibaba_cppfeaturestore_spark.streaming.pipeline import stream_dedup
+
+    path = os.path.join(workdir, "nullts_events")
+    _write_events(spark, path, [
+        (1, ts("2024-01-01 10:00:00"), "view", 1.0),
+        (2, None, "view", 2.0),
+        (3, None, "click", 3.0),
+    ])
+    src = stream_from_parquet(spark, path)
+    doubled = src.unionByName(src)  # redelivery duplicates NULL-ts rows too
+    out = run_bounded_to_memory(
+        stream_dedup(
+            doubled,
+            keys=["user_id", "ts", "event_type", "value"],
+            ts_col="ts",
+            watermark="1 minute",
+        ),
+        output_mode="append",
+    ).collect()
+    assert sorted(r["user_id"] for r in out) == [1, 2, 3]
+    assert sorted(r["user_id"] for r in out if r["ts"] is None) == [2, 3]
+
+
 def test_stream_near_dedup_filters_against_history(spark, workdir):
     """Cross-micro-batch near-dedup: batch 2's near-copy of a batch-1 doc
     is rejected; novel docs are accepted and indexed."""
