@@ -1559,14 +1559,21 @@ def set_intersect_keys(spark, sf_dir):
 )
 def set_except_keys(spark, sf_dir):
     """EXCEPT over key sets (urgent-order restriction keeps it
-    non-empty on the synthetic data)."""
+    non-empty on the synthetic data).
+
+    ``subtract`` = SQL EXCEPT (set semantics, NULL-safe): any value
+    present on the right removes ALL its left copies. The former
+    ``exceptAll().distinct()`` spelling is multiset subtraction — under
+    duplicate left keys it leaves a survivor copy behind and DISTINCT
+    then resurrects the value (r10 --perturb-tpch-ids find, seed 137:
+    Spark 215 vs oracle 196)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").alias("custkey"))
     )
-    return c.exceptAll(o).distinct()
+    return c.subtract(o)
 
 
 # ---------------------------------------------------------------------------
@@ -4288,9 +4295,16 @@ def stream_interval_join_attribution(spark, sf_dir):
 
 @_q(
     "aliccp_bronze_to_silver_e2e",
+    # LEFT JOIN, not inner (r10 --perturb-tpch-ids find, seed 137): the
+    # pipeline's semantics (reference batch_process_Bronze_to_Silver.py
+    # :182-184) KEEP skeleton rows whose common-feature block is absent —
+    # referential integrity is an upstream promise, not a join contract.
+    # An orphan keeps the skeleton's planted 101 sentinel (999999) as
+    # user_id — hence the COALESCE — and has no 122 block, so user_group
+    # is NULL.
     """
     SELECT CAST(o_orderkey AS VARCHAR) AS sample_id,
-           CAST(c_custkey AS INTEGER) AS user_id,
+           CAST(COALESCE(c_custkey, 999999) AS INTEGER) AS user_id,
            CAST(c_nationkey AS INTEGER) AS user_group,
            -- finite-int-domain item feature: an unencodable price means
            -- the 205 triplet is absent from the kv string -> NULL
@@ -4300,7 +4314,7 @@ def stream_interval_join_attribution(spark, sf_dir):
            CAST(o_orderkey % 7 AS INTEGER) AS position,
            CAST(o_orderkey % 2 AS INTEGER) AS click,
            CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS conversion
-    FROM orders JOIN customer ON o_custkey = c_custkey
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
     WHERE o_orderkey % 5 = 0
       AND NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 = 0)
     """,
@@ -7098,9 +7112,14 @@ def join_bloom_prefilter_q(spark, sf_dir):
 
 @_q(
     "ids_stable_assign",
+    # NULLS FIRST pinned (r10 --perturb-tpch-ids find, seed 137): the
+    # engine's range partitioner and window both sort ASC-nulls-first,
+    # DuckDB's bare ORDER BY is NULLS LAST — under NULL keys every rank
+    # shifted by |null rows|. Under duplicate keys the (key, id) output
+    # is multiset-identical whatever the tie order, so ties need no pin.
     """
     SELECT o_orderkey,
-           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS stable_id
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey NULLS FIRST) AS BIGINT) AS stable_id
     FROM orders
     """,
 )
@@ -7299,8 +7318,18 @@ def sample_weighted_bernoulli(spark, sf_dir):
     # the ANSI long cast.
     qf = F.floor(_dec_value("l_quantity", "decimal(18,6)")).cast("long")
     wm = li.agg(F.max(qf).cast("decimal(4,0)").alias("__scalar_wmax"))
+    # NULL-PROPAGATING concat, matching the oracle's `||` (r10
+    # --perturb-tpch-ids find, seed 137): a row with a NULL key has no
+    # stable identity, so it can never be deterministically sampled —
+    # the hash is NULL and the strict `<` keeps it out on both engines.
+    # concat_ws would silently SKIP the null part and coin a hash from
+    # the surviving key alone.
     h = portable_hash60(
-        F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("l_linenumber").cast("string"),
+        )
     ).cast("decimal(19,0)")
     return (
         li.crossJoin(F.broadcast(wm))

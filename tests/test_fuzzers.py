@@ -117,3 +117,47 @@ def test_ids_fuzzer_duplicates_every_custom_table_key():
         assert tbl.num_rows == src.num_rows
         other = [f.name for f in src.schema if f.name != col][0]
         assert tbl.column(other).to_pylist() == src.column(other).to_pylist()
+
+
+def test_tpch_ids_fuzzer_duplicates_and_nulls_every_join_key():
+    """r10 regime (r09 verdict item 4): the TPC-H join keys — the columns
+    every q3/q5/q7/q9-family join, window tie-break, and txlog MERGE
+    key on — get duplicate AND NULL values planted. Contract: every
+    target key column gains duplicates and NULLs, nothing else moves,
+    and the custom tables pass through byte-identical (this mode
+    composes with --perturb-ids, which owns those)."""
+    import driver_sim as DS
+
+    out = DS.perturb_tpch_ids_sf(SF, seed=9001)
+    for table, col in (
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+        ("customer", "c_custkey"),
+        ("supplier", "s_suppkey"),
+    ):
+        tbl = pq.read_table(f"{out}/{table}.parquet")
+        src = pq.read_table(f"{SF}/{table}.parquet")
+        before = src.column(col).to_pylist()
+        after = tbl.column(col).to_pylist()
+        n_null = sum(1 for v in after if v is None)
+        assert n_null > 0, f"{table}.{col}: fuzzer planted no NULL keys"
+        # duplicates BEYOND what the source already carries (l_orderkey
+        # legitimately repeats across a multi-line order)
+        vals = [v for v in after if v is not None]
+        src_vals = [v for v in before if v is not None]
+        extra_dups = (len(vals) - len(set(vals))) - (len(src_vals) - len(set(src_vals)))
+        assert extra_dups + n_null > 0 and vals != src_vals[: len(vals)], (
+            f"{table}.{col}: fuzzer planted no duplicate keys"
+        )
+        if len(after) >= 400:
+            n_mut = sum(1 for a, b in zip(after, before) if a != b)
+            assert 0.02 < n_mut / len(after) < 0.12, f"{table}.{col}: mutation rate off"
+        # only the key column moves
+        assert tbl.num_rows == src.num_rows
+        other = [f.name for f in src.schema if f.name != col][0]
+        assert tbl.column(other).to_pylist() == src.column(other).to_pylist()
+    # custom tables byte-identical
+    for t in ("documents", "embeddings", "events"):
+        a = pq.read_table(f"{out}/{t}.parquet")
+        b = pq.read_table(f"{SF}/{t}.parquet")
+        assert a.equals(b), f"{t} mutated by the tpch-ids fuzzer"

@@ -9,7 +9,8 @@ locally: vanilla session, column-name-sorted value comparison, JSON report.
 
 Usage:  python tools/driver_sim.py [--sf /root/testdata/sf0.01] [--only name,...]
                                    [--strict] [--perturb SEED] [--perturb-text S]
-                                   [--perturb-ids S] [--perturb-ts S]
+                                   [--perturb-ids S] [--perturb-tpch-ids S]
+                                   [--perturb-ts S]
                                    [--perturb-nulls S] [--perturb-order S]
                                    [--perturb-schema S] [--perturb-skew S]
                                    [--perturb-empty S]   (modes stack)
@@ -206,6 +207,70 @@ def perturb_ids_sf(sf: str, seed: int) -> str:
                 ids[i] = orig[i - 1]
         arrays = [
             pa.array(ids, type=f.type) if f.name == id_cols[t] else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
+def perturb_tpch_ids_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with the TPC-H JOIN KEYS degraded: a seeded
+    ~5% of ``orders.o_orderkey``, ``lineitem.l_orderkey``,
+    ``customer.c_custkey``, and ``supplier.s_suppkey`` overwritten by an
+    adjacent row's value (duplicate keys), plus a seeded ~2% set to NULL.
+    The r09 widened-ids campaign found 7 real divergences on
+    events.event_id; this mode exercises the SAME class on the keys that
+    every q3/q5/q7/q9-family join, the window tie-breaks, and the txlog
+    MERGE key on (r09 verdict item 4). Duplicate dimension PKs fan joins
+    out; duplicate fact keys make (key)-only window orders non-total;
+    NULL keys never equi-join and sort on opposite ends of the two
+    engines' default null order. Both engines see identical bytes: any
+    red row is a genuine uniqueness-assumption / join-cardinality /
+    null-key divergence, not data noise. Kept SEPARATE from
+    ``--perturb-ids`` (custom tables) so r09's recorded seed results
+    remain reproducible."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key_cols = {
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey",
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+    }
+    out = f"/tmp/driver_sim_tpchids_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t not in key_cols:
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        tbl = pq.read_table(src)
+        ids = tbl.column(key_cols[t]).combine_chunks().to_pylist()
+        orig = list(ids)
+        for i in range(1, len(ids)):
+            # the hash keys on ROW INDEX, not value: lineitem's l_orderkey
+            # legitimately repeats across lines, and a value-keyed coin
+            # would mutate every line of a hit order at once
+            h = zlib.crc32(f"{seed}/{t}/{i}".encode()) % 100
+            if h < 5:
+                ids[i] = orig[i - 1]  # adjacent duplicate (existing value)
+            elif h < 7:
+                ids[i] = None  # degenerate NULL key
+        # tiny tables (supplier at sf0.001 has ~10 rows) can dodge the
+        # percentage coin entirely — force ≥1 duplicate and ≥1 NULL so
+        # every target table exercises both regimes at every SF
+        if len(ids) >= 3:
+            if ids == orig:
+                ids[1] = orig[0]
+            if not any(v is None for v in ids):
+                ids[2] = None
+        arrays = [
+            pa.array(ids, type=f.type) if f.name == key_cols[t] else tbl.column(i)
             for i, f in enumerate(tbl.schema)
         ]
         pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
@@ -602,6 +667,9 @@ def main() -> int:
                     help="seed exotic whitespace into documents.text")
     ap.add_argument("--perturb-ids", type=int, default=None, metavar="SEED",
                     help="duplicate a seeded ~5%% of documents.doc_id")
+    ap.add_argument("--perturb-tpch-ids", type=int, default=None, metavar="SEED",
+                    help="duplicate ~5%% + NULL ~2%% of the TPC-H join keys "
+                         "(o_orderkey, l_orderkey, c_custkey, s_suppkey)")
     ap.add_argument("--perturb-ts", type=int, default=None, metavar="SEED",
                     help="truncate a seeded ~20%% of events.ts to the hour")
     ap.add_argument("--perturb-nulls", type=int, default=None, metavar="SEED",
@@ -631,6 +699,9 @@ def main() -> int:
     if args.perturb_ids is not None:
         args.sf = perturb_ids_sf(args.sf, args.perturb_ids)
         print(f"# id-perturbed testdata (seed {args.perturb_ids}) -> {args.sf}")
+    if args.perturb_tpch_ids is not None:
+        args.sf = perturb_tpch_ids_sf(args.sf, args.perturb_tpch_ids)
+        print(f"# tpch-id-perturbed testdata (seed {args.perturb_tpch_ids}) -> {args.sf}")
     if args.perturb_ts is not None:
         args.sf = perturb_ts_sf(args.sf, args.perturb_ts)
         print(f"# ts-perturbed testdata (seed {args.perturb_ts}) -> {args.sf}")
