@@ -26,83 +26,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The first 50 entries are the driver's check window (the driver runs a
-# 50-query prefix; every one of the 50 carries a DuckDB oracle). Round-9
-# rotation, FINAL (the find-and-fix campaigns reshaped the plan):
-#   (a) the 36 entries whose code or oracle changed this round — the
-#       ring-2 extremes guards, the PPJoin index split consumers, and
-#       the duplicate-id / NULL-id / order-totality / decimal-revenue
-#       campaigns (see COVERAGE.md round-9 record). Changed entries
-#       always outrank merely-stale ones.
-#   (b) 13 of the 14 remaining r03-cohort entries — promised first by
-#       the r08 rotation note; txlog_time_travel lost its slot to the
-#       final changed entry and heads the r10 window together with all
-#       28 unrefreshed r04 rows (the find-and-fix campaigns crowded the
-#       r04 refresh out of this window entirely).
+# 50-query prefix; every one of the 50 carries a DuckDB oracle). Round-10
+# rotation:
+#   (a) the 15 entries whose code or oracle changed this round — the 4
+#       --perturb-tpch-ids finds (seed 137: NULL/duplicate TPC-H join
+#       keys), the 4 six-way finds (seed 149: NULL-key tie-breaks under
+#       NaN-price ties in the top-k/rank family), the 3 explicit-
+#       tiebreak call sites, and the 4 _events_unique consumers
+#       (guard-drop structural fix). Changed entries always outrank
+#       merely-stale ones.
+#   (b) txlog_time_travel — the catalog's last r03 row, promised this
+#       window by the r09 rotation note — then all 27 unrefreshed
+#       r04-cohort rows, then the alphabetically-first r05 rows.
+#       After this window lands, no driver row is older than r05.
 _DRIVER_WINDOW = [
-    # (a) r09 CHANGED ENTRIES — every entry whose code or oracle moved
-    # this round gets a fresh driver row before anything merely stale.
-    # (a1) five-way / widened-ids finds (seeds 71, 73, 79):
-    "ann_ivf_portable_topk",
-    "agg_pivot_user_event_values",
-    "asof_last_view_before_click",
-    "asof_join_with_ttl",
-    "feature_store_historical_retrieval",
-    "stream_dedup_exact",
-    "attribution_first_vs_last_touch",
-    # (a2) the (ts, event_id) order-totality batch (seed 79 twap find +
-    # proactive class closure: payload column joins every event-sequence
-    # window order; latest-per-key oracles extended to the operator's
-    # full-struct order):
-    "timeseries_twap_user",
+    # (a) r10 CHANGED ENTRIES
+    # (a1) --perturb-tpch-ids finds (seed 137):
+    "sample_weighted_bernoulli",
+    "set_except_keys",
+    "ids_stable_assign",
+    "aliccp_bronze_to_silver_e2e",
+    # (a2) explicit full tie order at the latest-per-key call sites:
     "latest_event_per_user",
     "online_lookup_latest_features",
     "stream_online_upsert",
-    "window_running_user_spend",
-    "scd2_user_event_history",
-    "scd2_interval_lookup",
-    "ewma_user_value",
-    "path_top_event_sequences",
-    "feature_lag_rolling",
-    "markov_event_transitions",
-    "window_value_functions",
-    # (a2b) the decimal-revenue class closure (seed-83 q7 find + the
-    # q3/q14/q8/q15 hardening; q7/q8 sit in the r03 cohort below) and
-    # the seed-113 cadence-order fix and the quantile-normalize
-    # NULL-order pinning (proactive review of the same class):
-    "dq_event_order_cadence",
-    "feature_quantile_normalize",
-    "q3_shipping_priority",
-    "q14_promo_revenue_share",
-    "q15_top_revenue_supplier",
-    # (a3) ring-2 extremes campaign + binned_histogram clamp contract:
-    "q9_product_type_profit",
-    "q5_local_supplier_volume",
-    "proj_select_cast",
-    "scalar_math_funcs",
-    "feature_correlations",
-    "q2_min_cost_supplier",
-    "sample_weighted_bernoulli",
-    "histogram_percentile_estimate",
-    # (a4) PPJoin index split consumers + the winnow NULL-id gate:
-    "dedup_ngram_jaccard_indexed",
-    "dedup_clusters",
-    "llm_corpus_curation_e2e",
-    "llm_corpus_curation_funnel",
-    "dedup_winnow_containment",
-    # (b) the final r03-cohort refresh
-    "q21_sole_late_suppliers",
-    "q22_dormant_high_balance",
-    "q4_late_order_priority",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "quality_unigram_logprob",
-    "sample_stratified",
-    "session_window_stats",
+    # (a3) _events_unique props-guard drop (structural twin symmetry):
+    "asof_last_view_before_click",
+    "asof_join_with_ttl",
+    "feature_store_historical_retrieval",
+    "attribution_first_vs_last_touch",
+    # (a4) six-way finds (seed 149): NULLS-FIRST tie-break pins, plus
+    # q20's decimal quantity sums (raw double sums were run-flaky under
+    # ±1e300 extremes — order-dependent absorption at the 0.3x boundary)
+    "window_rank_functions",
+    "topk_orders_per_priority",
+    "topk_salted_orders_per_priority",
     "sort_global_topn",
-    "stream_checkpoint_restart",
-    "stream_sliding_window_counts",
-    "token_count_bpe",
-    "txlog_merge_upsert",
+    "q20_dominant_part_suppliers",
+    # (a5) six-way find (seed 157): q2's oracle detail join repeated the
+    # EUROPE restriction (duplicate-suppkey fanout to the non-EU copy)
+    "q2_min_cost_supplier",
+    # (b) freshness rotation: final r03 row, the r04 cohort, oldest r05
+    "txlog_time_travel",
+    "agg_grouping_sets_revenue",
+    "assoc_event_type_pairs",
+    "bpe_merge_pair_counts",
+    "chunk_documents_rag",
+    "cooccurrence_skipgram_pairs",
+    "dq_feature_leakage_audit",
+    "gdpr_forget_cascade",
+    "graph_bfs_trade_hops",
+    "graph_triangle_count",
+    "inverted_index_postings",
+    "itemsim_copurchase_topk",
+    "join_bloom_prefilter",
+    "join_full_outer_reconcile",
+    "join_null_safe_eq",
+    "kmeans_lloyd_step",
+    "negative_sampling_pairs",
+    "running_distinct_users",
+    "schema_evolution_union_read",
+    "sketch_countmin_freqs",
+    "stream_topk_trending",
+    "text_token_entropy",
+    "tfidf_top_terms_per_doc",
+    "txlog_checkpointed_read",
+    "variant_shred_props",
+    "vocab_oov_rate",
+    "agg_rollup_order_revenue",
+    "agg_vocab_sizes",
+    "cohort_repeat_rate",
+    "corpus_drift_js_divergence",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dq_key_skew_report",
 ]
 
 

@@ -1397,11 +1397,17 @@ def dict_apply_lang(spark, sf_dir):
 
 @_q(
     "topk_orders_per_priority",
+    # NULLS FIRST pinned on the key tiebreak (r10 six-way find, seed
+    # 149): NaN prices tie under DESC on both engines, and a NULL key
+    # inside the tie sorts Spark-first / DuckDB-last — under NULL keys
+    # (tpch-ids regime) the bare ASC picks different top-3 rows. Rows
+    # still tied after the pin are identical output tuples.
     """
     SELECT o_orderpriority, o_orderkey, o_totalprice
     FROM orders
     QUALIFY ROW_NUMBER() OVER (
-      PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC
+      PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey ASC NULLS FIRST
     ) <= 3
     """,
 )
@@ -1414,11 +1420,13 @@ def topk_orders_per_priority(spark, sf_dir):
 
 @_q(
     "topk_salted_orders_per_priority",
+    # NULLS FIRST: see topk_orders_per_priority (same oracle contract)
     """
     SELECT o_orderpriority, o_orderkey, o_totalprice
     FROM orders
     QUALIFY ROW_NUMBER() OVER (
-      PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC
+      PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey ASC NULLS FIRST
     ) <= 3
     """,
     headline=True,
@@ -4509,10 +4517,17 @@ def aliccp_silver_to_gold_e2e(spark, sf_dir):
 
 @_q(
     "sort_global_topn",
+    # Total order over the OUTPUT columns (r10 six-way find, seed 149):
+    # NaN prices tie under DESC, NULL/duplicate keys (tpch-ids regime)
+    # tie the key tiebreak too — and the tied rows carry DIFFERENT
+    # o_orderdate values, so the LIMIT boundary picked different dates
+    # per engine. NULLS FIRST matches Spark's asc(); o_orderdate closes
+    # the order over every emitted column.
     """
     SELECT o_orderkey, o_orderdate, ROUND(o_totalprice, 2) AS total
     FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
+    ORDER BY o_totalprice DESC, o_orderkey ASC NULLS FIRST,
+             o_orderdate ASC NULLS FIRST
     LIMIT 100
     """,
     headline=True,
@@ -4522,7 +4537,11 @@ def sort_global_topn(spark, sf_dir):
     per-partition heaps + driver merge, never a full global sort."""
     o = _t(spark, sf_dir, "orders")
     return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        o.orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+            F.col("o_orderdate").asc(),
+        )
         .limit(100)
         .select("o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("total"))
     )
@@ -5094,7 +5113,15 @@ def stream_session_window_stats(spark, sf_dir):
     JOIN part ON p_partkey = offers.l_partkey
     JOIN supplier ON s_suppkey = offers.l_suppkey
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE offers.unit_micro = best.bc
+    JOIN region ON n_regionkey = r_regionkey
+    -- dimension restrictions repeated in the DETAIL joins, exactly as
+    -- TPC-H Q2's flat query has them (r10 six-way find, seed 157): with
+    -- a filter only in the IN-subquery, a DUPLICATE dimension key
+    -- carrying one matching and one non-matching row fans the detail
+    -- join out to the non-matching copy — the engine side joins the
+    -- filtered dims (eu_supp / filtered part).
+    WHERE offers.unit_micro = best.bc AND r_name = 'EUROPE'
+      AND p_size = 15 AND p_type = 'SMALL'
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100
     """,
@@ -5648,9 +5675,18 @@ def q17_small_quantity_revenue(spark, sf_dir):
 
 @_q(
     "q20_dominant_part_suppliers",
+    # DECIMAL quantity sums + integer threshold (r10 six-way find, seed
+    # 149): raw double SUM over ±1e300 extremes is ORDER-DEPENDENT
+    # (absorption), so the 0.3x boundary flipped between otherwise
+    # identical runs of the SAME engine — the one flaky class the
+    # cross-engine gate can't pin. The _dec_value guard makes the sums
+    # exact and associative; qty*10 > 3*total keeps the threshold in
+    # integer decimal arithmetic (no 0.3 double).
     """
     WITH ps AS (
-      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      SELECT l_partkey, l_suppkey,
+             SUM(CASE WHEN NOT isnan(l_quantity)
+                      THEN TRY_CAST(l_quantity AS DECIMAL(18,6)) END) AS qty
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       GROUP BY l_partkey, l_suppkey
@@ -5661,7 +5697,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     WHERE s_suppkey IN (
       SELECT ps.l_suppkey FROM ps JOIN pt USING (l_partkey)
       JOIN part ON p_partkey = ps.l_partkey
-      WHERE p_name LIKE '%red%' AND ps.qty > 0.3 * pt.total_qty
+      WHERE p_name LIKE '%red%' AND ps.qty * 10 > 3 * pt.total_qty
     )
     """,
 )
@@ -5670,18 +5706,22 @@ def q20_dominant_part_suppliers(spark, sf_dir):
     threshold subquery). Adapted: "has excess stock of" becomes
     "shipped >30% of a red part's 1996 volume". The per-part total is a
     window over the (part, supplier) aggregate — the partkey shuffle
-    serves both levels; the supplier list then semi-joins. Integral
-    quantities keep the 0.3x threshold exact in both engines."""
+    serves both levels; the supplier list then semi-joins. DECIMAL
+    sums + a qty*10 > 3*total integer threshold keep the boundary exact
+    and order-independent (oracle comment; raw double sums were
+    run-flaky under ±1e300 extremes)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec_value("l_quantity", "decimal(18,6)")).alias("qty")
+    )
     w = Window.partitionBy("l_partkey")
     dominant = (
         ps.withColumn("total_qty", F.sum("qty").over(w))
-        .filter(F.col("qty") > F.lit(0.3) * F.col("total_qty"))
+        .filter(F.col("qty") * F.lit(10) > F.lit(3) * F.col("total_qty"))
         .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .select("l_suppkey")
     )
@@ -6677,7 +6717,8 @@ def grouped_mode_bucket(spark, sf_dir):
            LAG(o_totalprice) OVER w AS prev_price,
            LEAD(o_totalprice) OVER w AS next_price
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC NULLS FIRST)
     """,
 )
 def window_rank_functions(spark, sf_dir):

@@ -134,6 +134,7 @@ def test_tpch_ids_fuzzer_duplicates_and_nulls_every_join_key():
         ("lineitem", "l_orderkey"),
         ("customer", "c_custkey"),
         ("supplier", "s_suppkey"),
+        ("part", "p_partkey"),
     ):
         tbl = pq.read_table(f"{out}/{table}.parquet")
         src = pq.read_table(f"{SF}/{table}.parquet")

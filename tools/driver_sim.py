@@ -216,8 +216,9 @@ def perturb_ids_sf(sf: str, seed: int) -> str:
 def perturb_tpch_ids_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with the TPC-H JOIN KEYS degraded: a seeded
     ~5% of ``orders.o_orderkey``, ``lineitem.l_orderkey``,
-    ``customer.c_custkey``, and ``supplier.s_suppkey`` overwritten by an
-    adjacent row's value (duplicate keys), plus a seeded ~2% set to NULL.
+    ``customer.c_custkey``, ``supplier.s_suppkey``, and
+    ``part.p_partkey`` overwritten by an adjacent row's value (duplicate
+    keys), plus a seeded ~2% set to NULL.
     The r09 widened-ids campaign found 7 real divergences on
     events.event_id; this mode exercises the SAME class on the keys that
     every q3/q5/q7/q9-family join, the window tie-breaks, and the txlog
@@ -241,6 +242,10 @@ def perturb_tpch_ids_sf(sf: str, seed: int) -> str:
         "lineitem": "l_orderkey",
         "customer": "c_custkey",
         "supplier": "s_suppkey",
+        # p_partkey joined the regime the same round (the q2 seed-157
+        # find generalizes: any dimension PK can carry a duplicate whose
+        # copies disagree on the filter columns)
+        "part": "p_partkey",
     }
     out = f"/tmp/driver_sim_tpchids_s{seed}_{os.path.basename(sf.rstrip('/'))}"
     os.makedirs(out, exist_ok=True)
