@@ -66,6 +66,17 @@ _DRIVER_WINDOW = [
     # (a5) six-way find (seed 157): q2's oracle detail join repeated the
     # EUROPE restriction (duplicate-suppkey fanout to the non-EU copy)
     "q2_min_cost_supplier",
+    # (a6) six-way find (seed 167): dictionary-fit oracles pin value ASC
+    # NULLS FIRST (a NULL group's count can tie a real group's)
+    "aliccp_silver_to_gold_e2e",
+    "dict_encode_event_type",
+    # (a7) six-way find (seed 179): q10's LIMIT boundary split a
+    # duplicate-custkey tie differing only in c_name; order made total
+    # over the output + guarded-decimal revenue. q3/q18 closed by class
+    # (q18 also moves its HAVING quantity sums onto decimals).
+    "q10_returned_items",
+    "q18_large_orders",
+    "q3_shipping_priority",
     # (b) freshness rotation: final r03 row, the r04 cohort, oldest r05
     "txlog_time_travel",
     "agg_grouping_sets_revenue",
@@ -95,11 +106,6 @@ _DRIVER_WINDOW = [
     "vocab_oov_rate",
     "agg_rollup_order_revenue",
     "agg_vocab_sizes",
-    "cohort_repeat_rate",
-    "corpus_drift_js_divergence",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dq_key_skew_report",
 ]
 
 

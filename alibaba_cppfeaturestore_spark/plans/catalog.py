@@ -347,7 +347,10 @@ def q1(spark, sf_dir):
       AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
       AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
     GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, l_orderkey ASC
+    -- o_orderdate closes the order over the full output (r10, q10
+    -- seed-179 class): duplicate l_orderkey (degraded-key regime) can
+    -- tie (revenue, key) across two groups differing only in date
+    ORDER BY revenue DESC, l_orderkey ASC NULLS FIRST, o_orderdate ASC
     LIMIT 10
     """,
     headline=True,
@@ -377,7 +380,11 @@ def q3(spark, sf_dir):
             .alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("o_orderdate").asc(),
+        )
         .limit(10)
     )
 
@@ -824,9 +831,19 @@ def q14_promo_revenue_share(spark, sf_dir):
 
 @_q(
     "q10_returned_items",
+    # r10 six-way find (seed 179): duplicate c_custkey rows join the
+    # SAME order set, so two groups tie on (revenue, custkey) differing
+    # only in c_name — the LIMIT boundary picked either copy. c_name /
+    # n_name close the order over the full output. Revenue also moves
+    # to the guarded-decimal recipe (q3/q20 class): raw double sums are
+    # order-dependent under ±1e300 extremes.
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM((CASE WHEN NOT isnan(l.l_extendedprice)
+                                THEN TRY_CAST(l.l_extendedprice AS DECIMAL(15,4)) END)
+                          * (1 - (CASE WHEN NOT isnan(l.l_discount)
+                                       THEN TRY_CAST(l.l_discount AS DECIMAL(8,6)) END))), 2)
+                AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -835,7 +852,7 @@ def q14_promo_revenue_share(spark, sf_dir):
       AND o.o_orderdate >= TIMESTAMP '1996-01-01'
       AND o.o_orderdate <  TIMESTAMP '1997-01-01'
     GROUP BY 1, 2, 3
-    ORDER BY revenue DESC, c_custkey ASC
+    ORDER BY revenue DESC, c_custkey ASC NULLS FIRST, c_name ASC, n_name ASC
     LIMIT 20
     """,
 )
@@ -856,29 +873,50 @@ def q10_returned_items(spark, sf_dir):
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    _dec_value("l_extendedprice", "decimal(15,4)")
+                    * (F.lit(1) - _dec_value("l_discount", "decimal(8,6)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("c_custkey").asc(),
+            F.col("c_name").asc(),
+            F.col("n_name").asc(),
+        )
         .limit(20)
     )
 
 
 @_q(
     "q18_large_orders",
+    # r10 proactive (q20/q10 classes): quantity sums move to guarded
+    # decimals — the raw double HAVING boundary is order-dependent under
+    # ±1e300 extremes (run-flaky in BOTH engines) — and the top-100
+    # order extends over the remaining output columns so a duplicate
+    # o_orderkey tie can't split at the LIMIT boundary.
     """
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
            CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
            ROUND(o.o_totalprice, 2) AS o_totalprice,
-           ROUND(SUM(l.l_quantity), 2) AS total_qty
+           CAST(ROUND(SUM(CASE WHEN NOT isnan(l.l_quantity)
+                               THEN TRY_CAST(l.l_quantity AS DECIMAL(18,6)) END), 2)
+                AS DOUBLE) AS total_qty
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderkey IN (
-      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 210
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CASE WHEN NOT isnan(l_quantity)
+                      THEN TRY_CAST(l_quantity AS DECIMAL(18,6)) END) > 210
     )
     GROUP BY 1, 2, 3, 4, 5
-    ORDER BY o_totalprice DESC, o_orderkey ASC
+    ORDER BY o_totalprice DESC, o_orderkey ASC NULLS FIRST,
+             c_custkey ASC NULLS FIRST, c_name ASC, o_orderdate ASC
     LIMIT 100
     """,
 )
@@ -890,7 +928,7 @@ def q18_large_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
+        .agg(F.sum(_dec_value("l_quantity", "decimal(18,6)")).alias("q"))
         .filter(F.col("q") > 210)
         .select("l_orderkey")
     )
@@ -899,7 +937,11 @@ def q18_large_orders(spark, sf_dir):
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(
+            F.round(F.sum(_dec_value("l_quantity", "decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_qty")
+        )
         .select(
             "c_name",
             "c_custkey",
@@ -908,7 +950,13 @@ def q18_large_orders(spark, sf_dir):
             F.round("o_totalprice", 2).alias("o_totalprice"),
             "total_qty",
         )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+            F.col("c_custkey").asc(),
+            F.col("c_name").asc(),
+            F.col("o_orderdate").asc(),
+        )
         .limit(100)
     )
 
@@ -1347,11 +1395,16 @@ def latest_event_per_user(spark, sf_dir):
 
 @_q(
     "dict_encode_event_type",
+    # NULLS FIRST on the value tie-break (proactive class closure with
+    # the seed-167 silver_to_gold find): a NULL event_type group's count
+    # can tie a real type's, and the fit's pinned order
+    # (_rank_counts: count desc, value asc-nulls-first) must be spelled
+    # out — DuckDB's bare ASC is nulls-last.
     """
     WITH counts AS (
       SELECT event_type AS value, COUNT(*) AS cnt FROM events GROUP BY event_type
     )
-    SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS INTEGER) AS index
+    SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC NULLS FIRST) - 1 AS INTEGER) AS index
     FROM counts
     """,
 )
@@ -4460,16 +4513,23 @@ def _synth_silver(spark, sf_dir):
              o_orderkey % 2 AS click
       FROM orders JOIN customer ON o_custkey = c_custkey
     ),
+    -- value ASC NULLS FIRST: the dictionary fit's pinned order
+    -- (operators/dictionary._rank_counts). r10 six-way find (seed 167):
+    -- NULL o_orderkeys make a NULL category group whose count TIES with
+    -- regular groups, and the unpinned ASC put it last in DuckDB /
+    -- first in Spark — every index past the tie shifted. The NULL rows
+    -- themselves never reach the output (na.drop / inner join), but
+    -- their GROUP holds an index slot in the fit.
     d_group AS (
-      SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS INTEGER) AS idx
+      SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC NULLS FIRST) - 1 AS INTEGER) AS idx
       FROM (SELECT user_group AS value, COUNT(*) AS cnt FROM silver GROUP BY 1)
     ),
     d_cat AS (
-      SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS INTEGER) AS idx
+      SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC NULLS FIRST) - 1 AS INTEGER) AS idx
       FROM (SELECT item_category AS value, COUNT(*) AS cnt FROM silver GROUP BY 1)
     ),
     d_age AS (
-      SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS INTEGER) AS idx
+      SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC NULLS FIRST) - 1 AS INTEGER) AS idx
       FROM (SELECT user_age AS value, COUNT(*) AS cnt FROM silver GROUP BY 1)
     )
     SELECT s.user_id,
@@ -4982,11 +5042,16 @@ def ann_ivf_topk(spark, sf_dir):
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM m
     )
+    -- guarded-decimal session sums (r10 six-way find, seed 191): a raw
+    -- double SUM over a session holding +/-1e300 extremes is
+    -- order-dependent (absorption), flaky within a single engine
     SELECT user_id,
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CASE WHEN NOT isnan(value)
+                               THEN TRY_CAST(value AS DECIMAL(18,6)) END), 2)
+                AS DOUBLE) AS total_value
     FROM s GROUP BY user_id, sid
     """,
 )
@@ -5000,7 +5065,7 @@ def session_window_stats(spark, sf_dir):
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(_dec_value("value")), 2).cast("double").alias("total_value"),
         )
         .select(
             "user_id",
@@ -5028,7 +5093,11 @@ def session_window_stats(spark, sf_dir):
     ), g AS (
       SELECT user_id, MIN(ts) AS session_start,
              MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+             COUNT(*) AS n_events,
+             -- guarded-decimal sums: see session_window_stats (seed 191)
+             CAST(ROUND(SUM(CASE WHEN NOT isnan(value)
+                                 THEN TRY_CAST(value AS DECIMAL(18,6)) END), 2)
+                  AS DOUBLE) AS total_value
       FROM s GROUP BY user_id, sid
     )
     SELECT user_id, session_start, session_end, n_events, total_value
@@ -5051,7 +5120,7 @@ def stream_session_window_stats(spark, sf_dir):
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(_dec_value("value")), 2).cast("double").alias("total_value"),
         )
     )
     # state_partitions: see stream_tumbling_window_counts (state =
@@ -5607,13 +5676,20 @@ def q15_top_revenue_supplier(spark, sf_dir):
 
 @_q(
     "q16_brand_supplier_counts",
+    # s_suppkey IS NOT NULL in the exclusion subquery (r10 six-way find,
+    # seed 181): one NULL key in a NOT IN list makes the predicate
+    # never-true — the oracle returned ZERO rows — while the engine's
+    # anti join just skips the unmatched NULL. A NULL-keyed supplier row
+    # can't be referenced by any lineitem, so excluding it from the
+    # exclusion list is the only sane semantics.
     """
     SELECT p_brand, p_type, p_size,
            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
       AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
     GROUP BY p_brand, p_type, p_size
     """,
 )
@@ -5621,9 +5697,9 @@ def q16_brand_supplier_counts(spark, sf_dir):
     """TPC-H Q16 shape (distinct-supplier counts per part group, minus
     an excluded-supplier NOT IN subquery). Adapted: the part-supplier
     relation comes from lineitem (no partsupp) and the complaints
-    pattern becomes negative account balance. NOT IN on a non-nullable
-    key compiles to a broadcast anti join; the filtered part dim
-    broadcasts onto the fact."""
+    pattern becomes negative account balance. The NOT IN compiles to a
+    broadcast anti join; NULL exclusion keys are dropped on both sides
+    (oracle comment). The filtered part dim broadcasts onto the fact."""
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#3")
         & (F.col("p_type") != "PROMO")
