@@ -154,8 +154,15 @@ def _prev_comparison(
         )
         prev_spread = fields.get("queries_sample_spread") or {}
         now_spread = spreads or {}
+        # The CANARY's spread propagates into every normalized value
+        # (norm = raw/canary), so both runs' canary spreads join each
+        # query's noise term — the r10 freeze run showed a lucky q1
+        # best-of-2 (spread 0.38) inflating every delta by ~+19%.
+        canary_noise = now_spread.get("q1_pricing_summary", 0.0) + prev_spread.get(
+            "q1_pricing_summary", 0.0
+        )
         noise = {
-            qn: now_spread.get(qn, 0.0) + prev_spread.get(qn, 0.0)
+            qn: now_spread.get(qn, 0.0) + prev_spread.get(qn, 0.0) + canary_noise
             for qn in deltas
         }
         over = {qn for qn, d in deltas.items() if abs(d) > 0.25}

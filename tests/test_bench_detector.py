@@ -110,6 +110,24 @@ def test_variance_floor_demotes_subnoise_flags(tmp_path):
     assert block["flagged_subnoise_over_25pct"] == ["q_noisy"]
 
 
+def test_canary_spread_joins_every_noise_term(tmp_path):
+    # The canary divides every normalized value, so ITS sample spread
+    # (either run's) is noise on every delta: a +30% delta on a query
+    # whose own samples were tight must still demote to subnoise when
+    # the canary drew a lucky best-of-2 (r10 freeze-run finding).
+    _write_prev(
+        tmp_path, 42, {"q1_pricing_summary": 1.0, "qx": 2.0},
+        spread={"q1_pricing_summary": 0.0, "qx": 0.0},
+    )
+    block = bench._prev_comparison(
+        {"q1_pricing_summary": 1.0, "qx": 2.6},
+        artifact_dir=str(tmp_path),
+        spreads={"q1_pricing_summary": 0.38, "qx": 0.01},
+    )
+    assert block["flagged_subnoise_over_25pct"] == ["qx"]
+    assert block["flagged_over_25pct"] == []
+
+
 def test_empty_comparison_is_an_error_not_a_pass(tmp_path):
     # queries that exist in NO prior artifact -> explicit error field;
     # hermetic via an artifact dir containing one non-overlapping prev
