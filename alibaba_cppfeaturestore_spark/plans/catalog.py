@@ -839,10 +839,10 @@ def q14_promo_revenue_share(spark, sf_dir):
     # order-dependent under ±1e300 extremes.
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(ROUND(SUM((CASE WHEN NOT isnan(l.l_extendedprice)
-                                THEN TRY_CAST(l.l_extendedprice AS DECIMAL(15,4)) END)
-                          * (1 - (CASE WHEN NOT isnan(l.l_discount)
-                                       THEN TRY_CAST(l.l_discount AS DECIMAL(8,6)) END))), 2)
+           CAST(ROUND(SUM((CASE WHEN NOT isnan(l_extendedprice)
+                                THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+                          * (1 - (CASE WHEN NOT isnan(l_discount)
+                                       THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END))), 2)
                 AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -903,8 +903,8 @@ def q10_returned_items(spark, sf_dir):
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
            CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
            ROUND(o.o_totalprice, 2) AS o_totalprice,
-           CAST(ROUND(SUM(CASE WHEN NOT isnan(l.l_quantity)
-                               THEN TRY_CAST(l.l_quantity AS DECIMAL(18,6)) END), 2)
+           CAST(ROUND(SUM(CASE WHEN NOT isnan(l_quantity)
+                               THEN TRY_CAST(l_quantity AS DECIMAL(18,6)) END), 2)
                 AS DOUBLE) AS total_qty
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
