@@ -28,17 +28,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # The first 50 entries are the driver's check window (the driver runs a
 # 50-query prefix; every one of the 50 carries a DuckDB oracle). Round-10
 # rotation:
-#   (a) the 15 entries whose code or oracle changed this round — the 4
-#       --perturb-tpch-ids finds (seed 137: NULL/duplicate TPC-H join
-#       keys), the 4 six-way finds (seed 149: NULL-key tie-breaks under
-#       NaN-price ties in the top-k/rank family), the 3 explicit-
-#       tiebreak call sites, and the 4 _events_unique consumers
-#       (guard-drop structural fix). Changed entries always outrank
-#       merely-stale ones.
+#   (a) the 24 entries whose code or oracle changed this round — the
+#       finds of the degraded-key campaigns (tpch-ids seed 137, six-way
+#       seeds 149/157/167/179/181/191, fk-ids seed 233) plus the
+#       explicit-tiebreak and _events_unique structural fixes. Changed
+#       entries always outrank merely-stale ones.
 #   (b) txlog_time_travel — the catalog's last r03 row, promised this
 #       window by the r09 rotation note — then all 27 unrefreshed
-#       r04-cohort rows, then the alphabetically-first r05 rows.
-#       After this window lands, no driver row is older than r05.
+#       r04-cohort rows. After this window lands, no driver row is
+#       older than r05.
 _DRIVER_WINDOW = [
     # (a) r10 CHANGED ENTRIES
     # (a1) --perturb-tpch-ids finds (seed 137):
@@ -50,11 +48,13 @@ _DRIVER_WINDOW = [
     "latest_event_per_user",
     "online_lookup_latest_features",
     "stream_online_upsert",
-    # (a3) _events_unique props-guard drop (structural twin symmetry):
+    # (a3) _events_unique props-guard drop (structural twin symmetry;
+    # attribution_first_vs_last_touch shares the change but yields its
+    # slot to the fk-ids finds — it is r09-fresh and the guard drop is
+    # behavior-identical on the full schema the driver always feeds):
     "asof_last_view_before_click",
     "asof_join_with_ttl",
     "feature_store_historical_retrieval",
-    "attribution_first_vs_last_touch",
     # (a4) six-way finds (seed 149): NULLS-FIRST tie-break pins, plus
     # q20's decimal quantity sums (raw double sums were run-flaky under
     # ±1e300 extremes — order-dependent absorption at the 0.3x boundary)
@@ -77,6 +77,13 @@ _DRIVER_WINDOW = [
     "q10_returned_items",
     "q18_large_orders",
     "q3_shipping_priority",
+    # (a8) fk-ids finds (seed 233): NULL-safe NOT IN in the gdpr and
+    # merge oracles (gdpr sits in the r04 cohort below), NULL-entity
+    # gates in ewma/rfm, merge_upsert's delete flag fires only on
+    # explicit TRUE.
+    "txlog_merge_upsert",
+    "ewma_user_value",
+    "rfm_customer_segments",
     # (b) freshness rotation: final r03 row, the r04 cohort, oldest r05
     "txlog_time_travel",
     "agg_grouping_sets_revenue",
@@ -104,8 +111,6 @@ _DRIVER_WINDOW = [
     "txlog_checkpointed_read",
     "variant_shred_props",
     "vocab_oov_rate",
-    "agg_rollup_order_revenue",
-    "agg_vocab_sizes",
 ]
 
 

@@ -3082,6 +3082,12 @@ def txlog_time_travel(spark, sf_dir):
 
 @_q(
     "txlog_merge_upsert",
+    # NULL-key MERGE semantics (r10 --perturb-fk-ids find, seed 233):
+    # MERGE ON user_id never matches a NULL key, so the target's NULL
+    # row SURVIVES and the source's NULL row INSERTS — the oracle's
+    # bare NOT IN was NULL-poisoned (never-true) and its NOT del
+    # dropped the NULL-flag row. NULL-safe spelling on both; delete
+    # fires only on explicit TRUE (COALESCE, mirroring merge_upsert).
     """
     WITH t AS (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
@@ -3093,9 +3099,10 @@ def txlog_time_travel(spark, sf_dir):
       FROM events WHERE event_id % 2 = 1 GROUP BY user_id
     )
     SELECT user_id, n_events FROM t
-    WHERE user_id NOT IN (SELECT user_id FROM s)
+    WHERE user_id IS NULL
+       OR user_id NOT IN (SELECT user_id FROM s WHERE user_id IS NOT NULL)
     UNION ALL
-    SELECT user_id, n_events FROM s WHERE NOT del
+    SELECT user_id, n_events FROM s WHERE NOT COALESCE(del, FALSE)
     """,
 )
 def txlog_merge_upsert(spark, sf_dir):
@@ -6100,7 +6107,14 @@ def embedding_random_projection(spark, sf_dir):
              -- the kernel sorts the same filtered series
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id, value) - 1 AS i
+      -- user_id IS NOT NULL: entity gate (r10 --perturb-fk-ids find,
+      -- seed 233) — an EWMA is per ENTITY; a NULL key is no entity.
+      -- Spark's groupBy would form a NULL group while the recursive
+      -- CTE's equi-join self-step can never follow it (NULL != NULL),
+      -- so the gate is the one shared semantics (winnow/quantizer
+      -- precedent: NULL ids dropped at the id-keyed gate).
       FROM events WHERE value IS NOT NULL AND isfinite(value)
+        AND user_id IS NOT NULL
     ),
     r AS (
       SELECT user_id, event_id, i, value, value AS ewma FROM e WHERE i = 0
@@ -6132,7 +6146,8 @@ def ewma_user_value(spark, sf_dir):
     an already-bit-equal surface only adds divergence."""
     from ..operators.timeseries import grouped_ewma
 
-    ev = _t(spark, sf_dir, "events")
+    # entity gate: NULL user_id is no entity (oracle comment, seed 233)
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     out = grouped_ewma(
         ev, "user_id", ["ts", "event_id", "value"], "value", alpha=0.5, out_col="ewma"
     )
@@ -7671,8 +7686,15 @@ def ab_test_cuped_adjusted(spark, sf_dir):
            CAST((SELECT COUNT(*) FROM lineitem
                  WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders)) AS BIGINT)
              AS n_removed_lineitems,
+           -- NULL-safe NOT IN (r10 --perturb-fk-ids find, seed 233): an
+           -- order with a NULL custkey belongs to NO forgotten customer
+           -- and must remain — the engine's anti join keeps it, while a
+           -- bare NOT IN comparing NULL yields UNKNOWN and dropped it
+           -- from the count (forget itself can hold no NULL keys: the
+           -- % 7 filter is never true for NULL)
            CAST((SELECT COUNT(*) FROM orders
-                 WHERE o_custkey NOT IN (SELECT c_custkey FROM forget)) AS BIGINT)
+                 WHERE o_custkey IS NULL
+                    OR o_custkey NOT IN (SELECT c_custkey FROM forget)) AS BIGINT)
              AS n_remaining_orders
     """,
 )
@@ -8269,7 +8291,11 @@ def seasonal_decompose_daily(spark, sf_dir):
              CAST(SUM(CASE WHEN NOT isnan(o_totalprice)
                            THEN TRY_CAST(o_totalprice AS DECIMAL(18,2)) END)
                   AS DECIMAL(18,2)) AS monetary
-      FROM orders GROUP BY o_custkey
+      -- o_custkey IS NOT NULL: entity gate (r10 --perturb-fk-ids find,
+      -- seed 233) — RFM scores CUSTOMERS; a NULL key is no customer,
+      -- and its phantom entity shifted an NTILE boundary through the
+      -- engines' opposite null tie-break ends
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
     ),
     scored AS (
       SELECT o_custkey,
@@ -8310,7 +8336,8 @@ def rfm_customer_segments(spark, sf_dir):
 
     from ..operators.ranks import ntile_from_rank, register_persisted, two_phase_rank
 
-    o = _t(spark, sf_dir, "orders")
+    # entity gate: NULL o_custkey is no customer (oracle comment)
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
     # Persist the |customers|-row aggregate ONCE and rank it twice with
     # persist=False — the two quintiles differ only in the rank key, so
     # letting each two_phase_rank cache its own keyed copy (the pre-r08

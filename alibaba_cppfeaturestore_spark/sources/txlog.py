@@ -402,7 +402,15 @@ class TxTable:
         survivors = target.join(source.select(*keys), keys, "left_anti")
         incoming = source
         if delete_col is not None:
-            incoming = incoming.filter(~F.col(delete_col)).drop(delete_col)
+            # Only an explicit TRUE deletes: a NULL flag (e.g. computed
+            # from a NULL key) must not silently drop the row — a bare
+            # ~NULL filter did exactly that (r10 --perturb-fk-ids find,
+            # seed 233). NULL-keyed rows themselves follow MERGE-ON
+            # semantics: they match nothing, so the target's NULL row
+            # survives and the source's NULL row inserts.
+            incoming = incoming.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
         merged = survivors.unionByName(incoming)
         return self.commit(merged, "overwrite")
 

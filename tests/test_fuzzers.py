@@ -162,3 +162,44 @@ def test_tpch_ids_fuzzer_duplicates_and_nulls_every_join_key():
         a = pq.read_table(f"{out}/{t}.parquet")
         b = pq.read_table(f"{SF}/{t}.parquet")
         assert a.equals(b), f"{t} mutated by the tpch-ids fuzzer"
+
+
+def test_fk_ids_fuzzer_nulls_and_orphans_every_fk():
+    """r10 FK regime: NULLs in every FK column, plus orphan values
+    (re-pointed at guaranteed-absent parents) in the TPC-H FKs.
+    Contract: every target column gains NULLs; TPC-H FKs gain negative
+    orphans absent from the parent; PK columns and other tables stay
+    byte-identical (composes with --perturb-tpch-ids, which owns PKs)."""
+    import driver_sim as DS
+
+    out = DS.perturb_fk_ids_sf(SF, seed=9001)
+    targets = {
+        "orders": ["o_custkey"],
+        "lineitem": ["l_suppkey", "l_partkey"],
+        "events": ["user_id"],
+    }
+    parents = {
+        "o_custkey": ("customer", "c_custkey"),
+        "l_suppkey": ("supplier", "s_suppkey"),
+        "l_partkey": ("part", "p_partkey"),
+    }
+    for t, cols in targets.items():
+        tbl = pq.read_table(f"{out}/{t}.parquet")
+        src = pq.read_table(f"{SF}/{t}.parquet")
+        assert tbl.num_rows == src.num_rows
+        for col in cols:
+            after = tbl.column(col).to_pylist()
+            assert any(v is None for v in after), f"{t}.{col}: no NULL FKs"
+            if col in parents:
+                orphans = [v for v in after if v is not None and v < 0]
+                assert orphans, f"{t}.{col}: no orphan FKs"
+                ptab, pcol = parents[col]
+                pvals = set(pq.read_table(f"{out}/{ptab}.parquet").column(pcol).to_pylist())
+                assert not (set(orphans) & pvals), f"{t}.{col}: orphan present in parent"
+        # non-target columns untouched
+        other = [f.name for f in src.schema if f.name not in cols][0]
+        assert tbl.column(other).to_pylist() == src.column(other).to_pylist()
+    for t in ("customer", "supplier", "part", "documents", "embeddings"):
+        assert pq.read_table(f"{out}/{t}.parquet").equals(
+            pq.read_table(f"{SF}/{t}.parquet")
+        ), f"{t} mutated by the fk-ids fuzzer"

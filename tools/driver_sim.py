@@ -282,6 +282,63 @@ def perturb_tpch_ids_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_fk_ids_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with the FOREIGN-KEY columns degraded: a
+    seeded ~2% of ``orders.o_custkey``, ``lineitem.l_suppkey``,
+    ``lineitem.l_partkey``, and ``events.user_id`` set to NULL, plus a
+    seeded ~3% of the three TPC-H FKs re-pointed at a GUARANTEED-ABSENT
+    parent (``-v - 1``: generator keys are positive) — orphans. The
+    r10 tpch-ids campaign degraded the PK side; this is the other half
+    of referential-integrity loss: NULL FKs never equi-join (inner
+    joins drop the row, outer joins NULL the attributes, window
+    partitions gain a NULL group), and orphan FKs make inner-vs-left
+    join choices observable (the seed-137 bronze_to_silver find was
+    exactly an orphan-FK divergence, produced there as a PK side
+    effect). Both engines see identical bytes: any red row is a
+    genuine null-key / orphan-semantics divergence."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fk_cols: dict[str, list[str]] = {
+        "orders": ["o_custkey"],
+        "lineitem": ["l_suppkey", "l_partkey"],
+        "events": ["user_id"],
+    }
+    out = f"/tmp/driver_sim_fkids_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t not in fk_cols:
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        tbl = pq.read_table(src)
+        mutated: dict[str, list] = {}
+        for col in fk_cols[t]:
+            vals = tbl.column(col).combine_chunks().to_pylist()
+            new = []
+            for i, v in enumerate(vals):
+                h = zlib.crc32(f"{seed}/{t}/{col}/{i}".encode()) % 100
+                if h < 2:
+                    new.append(None)  # lost reference
+                elif h < 5 and t != "events" and v is not None:
+                    new.append(-v - 1)  # orphan: parent guaranteed absent
+                else:
+                    new.append(v)
+            mutated[col] = new
+        arrays = [
+            pa.array(mutated[f.name], type=f.type)
+            if f.name in mutated
+            else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
 def perturb_ts_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with a seeded ~20% of ``events.ts``
     truncated to the hour, forcing duplicate timestamps — including
@@ -675,6 +732,10 @@ def main() -> int:
     ap.add_argument("--perturb-tpch-ids", type=int, default=None, metavar="SEED",
                     help="duplicate ~5%% + NULL ~2%% of the TPC-H join keys "
                          "(o_orderkey, l_orderkey, c_custkey, s_suppkey)")
+    ap.add_argument("--perturb-fk-ids", type=int, default=None, metavar="SEED",
+                    help="NULL ~2%% of the FK columns (o_custkey, l_suppkey, "
+                         "l_partkey, events.user_id) + orphan ~3%% of the "
+                         "TPC-H FKs (re-point at absent parents)")
     ap.add_argument("--perturb-ts", type=int, default=None, metavar="SEED",
                     help="truncate a seeded ~20%% of events.ts to the hour")
     ap.add_argument("--perturb-nulls", type=int, default=None, metavar="SEED",
@@ -707,6 +768,9 @@ def main() -> int:
     if args.perturb_tpch_ids is not None:
         args.sf = perturb_tpch_ids_sf(args.sf, args.perturb_tpch_ids)
         print(f"# tpch-id-perturbed testdata (seed {args.perturb_tpch_ids}) -> {args.sf}")
+    if args.perturb_fk_ids is not None:
+        args.sf = perturb_fk_ids_sf(args.sf, args.perturb_fk_ids)
+        print(f"# fk-id-perturbed testdata (seed {args.perturb_fk_ids}) -> {args.sf}")
     if args.perturb_ts is not None:
         args.sf = perturb_ts_sf(args.sf, args.perturb_ts)
         print(f"# ts-perturbed testdata (seed {args.perturb_ts}) -> {args.sf}")
