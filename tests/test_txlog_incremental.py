@@ -204,6 +204,29 @@ def test_merge_upsert_updates_inserts_deletes(spark, tx):
     }
 
 
+def test_merge_upsert_null_keys_and_null_delete_flag(spark, tx):
+    """MERGE-ON + delete-flag NULL contract (r10 --perturb-fk-ids find,
+    seed 233): a NULL key matches nothing, so the target's NULL row
+    SURVIVES and the source's NULL row INSERTS; the delete flag fires
+    only on explicit TRUE — a NULL flag (e.g. computed from a NULL key)
+    must not silently drop the row."""
+    tx.commit(_df(spark, [("a", 1), (None, 7)]), "append")
+    source = spark.createDataFrame(
+        [("a", 10, False), (None, 8, None), ("b", 2, None), ("c", 3, True)],
+        "k string, v long, __deleted boolean",
+    )
+    tx.merge_upsert(source, ["k"], delete_col="__deleted")
+    assert sorted(
+        [(r["k"], r["v"]) for r in tx.read(spark).collect()],
+        key=lambda t: (t[0] is None, t),
+    ) == [
+        ("a", 10),   # updated
+        ("b", 2),    # inserted, NULL flag is not a delete
+        (None, 7),   # target NULL row untouched by the merge
+        (None, 8),   # source NULL row inserts (matches nothing)
+    ]
+
+
 def test_vacuum_removes_unreferenced_keeps_retained(spark, tx):
     tx.commit(_df(spark, [("a", 1)]), "append")      # v0 group: dead after v2
     tx.commit(_df(spark, [("b", 2)]), "append")      # v1 group: dead after v2
