@@ -203,3 +203,33 @@ def test_fk_ids_fuzzer_nulls_and_orphans_every_fk():
         assert pq.read_table(f"{out}/{t}.parquet").equals(
             pq.read_table(f"{SF}/{t}.parquet")
         ), f"{t} mutated by the fk-ids fuzzer"
+
+
+def test_dim_ids_fuzzer_degrades_the_nation_region_chain():
+    """r10 dim-key regime: nation/region PKs gain duplicates AND NULLs
+    (forced floor — the tables are tiny), the c_nationkey/s_nationkey
+    FKs gain NULLs; everything else byte-identical."""
+    import driver_sim as DS
+
+    out = DS.perturb_dim_ids_sf(SF, seed=9001)
+    for t, col, want_dups in (
+        ("nation", "n_nationkey", True),
+        ("region", "r_regionkey", True),
+        ("customer", "c_nationkey", False),
+        ("supplier", "s_nationkey", False),
+    ):
+        after = pq.read_table(f"{out}/{t}.parquet").column(col).to_pylist()
+        before = pq.read_table(f"{SF}/{t}.parquet").column(col).to_pylist()
+        assert len(after) == len(before)
+        if want_dups:
+            assert any(v is None for v in after), f"{t}.{col}: no NULLs"
+            vals = [v for v in after if v is not None]
+            assert len(vals) > len(set(vals)) or sorted(vals) != sorted(
+                v for v in before if v is not None
+            ), f"{t}.{col}: no duplicates planted"
+        elif len(before) >= 400:
+            assert any(v is None for v in after), f"{t}.{col}: no NULLs"
+    for t in ("orders", "lineitem", "part", "documents", "embeddings", "events"):
+        assert pq.read_table(f"{out}/{t}.parquet").equals(
+            pq.read_table(f"{SF}/{t}.parquet")
+        ), f"{t} mutated by the dim-ids fuzzer"

@@ -339,6 +339,63 @@ def perturb_fk_ids_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_dim_ids_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with the small-dimension key chain degraded:
+    ~8% of ``nation.n_nationkey`` / ``region.r_regionkey`` duplicated
+    (adjacent value) or NULLed, and ~2% of ``customer.c_nationkey`` /
+    ``supplier.s_nationkey`` NULLed. nation/region are the keys the
+    q5/q7/q8/q9/q10 broadcast-join chain pivots on, and the only key
+    family the r10 tpch-ids/fk-ids regimes left untouched; tiny tables
+    get higher rates plus the forced ≥1-dup/≥1-NULL floor so every SF
+    exercises both regimes. Both engines see identical bytes."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan: dict[str, list[tuple[str, int, bool]]] = {
+        # (column, mutation pct, allow duplicates)
+        "nation": [("n_nationkey", 8, True)],
+        "region": [("r_regionkey", 8, True)],
+        "customer": [("c_nationkey", 2, False)],
+        "supplier": [("s_nationkey", 2, False)],
+    }
+    out = f"/tmp/driver_sim_dimids_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t not in plan:
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        tbl = pq.read_table(src)
+        mutated: dict[str, list] = {}
+        for col, pct, dups in plan[t]:
+            vals = tbl.column(col).combine_chunks().to_pylist()
+            orig = list(vals)
+            for i in range(1, len(vals)):
+                h = zlib.crc32(f"{seed}/{t}/{col}/{i}".encode()) % 100
+                if h < pct // 2 and dups:
+                    vals[i] = orig[i - 1]
+                elif h < pct:
+                    vals[i] = None
+            if dups and len(vals) >= 3:
+                if vals == orig:
+                    vals[1] = orig[0]
+                if not any(v is None for v in vals):
+                    vals[2] = None
+            mutated[col] = vals
+        arrays = [
+            pa.array(mutated[f.name], type=f.type)
+            if f.name in mutated
+            else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
 def perturb_ts_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with a seeded ~20% of ``events.ts``
     truncated to the hour, forcing duplicate timestamps — including
@@ -736,6 +793,9 @@ def main() -> int:
                     help="NULL ~2%% of the FK columns (o_custkey, l_suppkey, "
                          "l_partkey, events.user_id) + orphan ~3%% of the "
                          "TPC-H FKs (re-point at absent parents)")
+    ap.add_argument("--perturb-dim-ids", type=int, default=None, metavar="SEED",
+                    help="duplicate/NULL ~8%% of nation/region keys + NULL "
+                         "~2%% of c_nationkey / s_nationkey")
     ap.add_argument("--perturb-ts", type=int, default=None, metavar="SEED",
                     help="truncate a seeded ~20%% of events.ts to the hour")
     ap.add_argument("--perturb-nulls", type=int, default=None, metavar="SEED",
@@ -771,6 +831,9 @@ def main() -> int:
     if args.perturb_fk_ids is not None:
         args.sf = perturb_fk_ids_sf(args.sf, args.perturb_fk_ids)
         print(f"# fk-id-perturbed testdata (seed {args.perturb_fk_ids}) -> {args.sf}")
+    if args.perturb_dim_ids is not None:
+        args.sf = perturb_dim_ids_sf(args.sf, args.perturb_dim_ids)
+        print(f"# dim-id-perturbed testdata (seed {args.perturb_dim_ids}) -> {args.sf}")
     if args.perturb_ts is not None:
         args.sf = perturb_ts_sf(args.sf, args.perturb_ts)
         print(f"# ts-perturbed testdata (seed {args.perturb_ts}) -> {args.sf}")
