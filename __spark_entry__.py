@@ -44,10 +44,11 @@ _DRIVER_WINDOW = [
     "set_except_keys",
     "ids_stable_assign",
     "aliccp_bronze_to_silver_e2e",
-    # (a2) explicit full tie order at the latest-per-key call sites:
+    # (a2) explicit full tie order at the latest-per-key call sites
+    # (online_lookup_latest_features / stream_online_upsert share the
+    # change but yield their slots to the unicode-fold entries — both
+    # are r09-fresh and the explicit tiebreak is behavior-identical):
     "latest_event_per_user",
-    "online_lookup_latest_features",
-    "stream_online_upsert",
     # (a3) _events_unique props-guard drop (structural twin symmetry;
     # attribution_first_vs_last_touch shares the change but yields its
     # slot to the fk-ids finds — it is r09-fresh and the guard drop is
@@ -84,6 +85,11 @@ _DRIVER_WINDOW = [
     "txlog_merge_upsert",
     "ewma_user_value",
     "rfm_customer_segments",
+    # (a9) unicode case-fold class closure (full-BMP sweep): the two
+    # fingerprint oracles move to the portable_lower spelling — bare
+    # lower() diverges on İ / final sigma / 13 modern cased letters.
+    "doc_fingerprint",
+    "dedup_winnow_containment",
     # (b) freshness rotation: final r03 row, the r04 cohort, oldest r05
     "txlog_time_travel",
     "agg_grouping_sets_revenue",

@@ -43,6 +43,44 @@ def ws_trim(text: Column | str) -> Column:
     return F.btrim(col, F.lit(WS_TRIM_CHARS))
 
 
+# ``lower()`` is NOT portable either (r10 full-BMP sweep, all ~63k
+# codepoints + word-final context variants, Spark 4.1.2 vs DuckDB 1.0):
+# the engines disagree on EXACTLY 15 codepoints — U+0130 İ (Java's full
+# mapping expands to i + U+0307; utf8proc's simple mapping can't expand),
+# U+03A3 Σ (Java applies the contextual final-sigma rule → ς at word
+# end; utf8proc always σ), and 13 recent-Unicode cased letters
+# (U+1C89, U+2C2F, U+A7C0..A7F5) whose mappings Java's tables know and
+# utf8proc's older tables don't. The portable spelling PRE-FOLDS those
+# 15 before lower(): Σ and the 13 modern letters via a 1:1 translate
+# (after which lower() is identity on them in both engines), İ via a
+# replace (it needs expansion). Both sides are generated from these
+# constants so they cannot drift.
+CASEFOLD_PREFOLD_FROM = (
+    "ΣᲉⰯꟀꟇꟉꟋꟌ"
+    "ꟐꟖꟘꟚꟜꟵ"
+)
+CASEFOLD_PREFOLD_TO = (
+    "σᲊⱟꟁꟈꟊɤꟍ"
+    "ꟑꟗꟙꟛƛꟶ"
+)
+
+
+def portable_lower(col: Column) -> Column:
+    """lower() that returns identical bytes on Spark and DuckDB for ANY
+    input (see CASEFOLD_PREFOLD_FROM comment)."""
+    c = F.regexp_replace(col, "İ", "i̇")
+    c = F.translate(c, CASEFOLD_PREFOLD_FROM, CASEFOLD_PREFOLD_TO)
+    return F.lower(c)
+
+
+def portable_lower_sql(expr: str) -> str:
+    """The DuckDB spelling of ``portable_lower`` over ``expr``."""
+    return (
+        f"lower(translate(replace({expr}, 'İ', 'i' || chr(775)), "
+        f"'{CASEFOLD_PREFOLD_FROM}', '{CASEFOLD_PREFOLD_TO}'))"
+    )
+
+
 PUNCT_REGEX = r"[^.,;:!?]"
 
 
@@ -148,7 +186,7 @@ def fingerprint(text: Column | str, seed: int = 42) -> Column:
     """64-bit document fingerprint: xxhash64 over the normalized text.
     Stable across runs/partitions (pure function of the bytes)."""
     col = F.col(text) if isinstance(text, str) else text
-    normalized = F.lower(F.regexp_replace(ws_trim(col), TOKEN_SPLIT_REGEX, " "))
+    normalized = portable_lower(F.regexp_replace(ws_trim(col), TOKEN_SPLIT_REGEX, " "))
     return F.xxhash64(normalized, F.lit(seed))
 
 
@@ -159,7 +197,7 @@ def fingerprint_md5(text: Column | str) -> Column:
     ``fingerprint`` (xxhash64, 8 bytes vs 32-hex) when the ledger stays
     inside Spark and compactness wins."""
     col = F.col(text) if isinstance(text, str) else text
-    normalized = F.lower(F.regexp_replace(ws_trim(col), TOKEN_SPLIT_REGEX, " "))
+    normalized = portable_lower(F.regexp_replace(ws_trim(col), TOKEN_SPLIT_REGEX, " "))
     return F.md5(normalized)
 
 
@@ -212,7 +250,7 @@ def winnow_fingerprints(
     per byte).
     """
     col = F.col(text) if isinstance(text, str) else text
-    normalized = F.lower(F.regexp_replace(ws_trim(col), TOKEN_SPLIT_REGEX, " "))
+    normalized = portable_lower(F.regexp_replace(ws_trim(col), TOKEN_SPLIT_REGEX, " "))
     if portable:
         gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")  # noqa: E731
     else:

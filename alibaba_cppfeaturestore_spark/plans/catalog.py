@@ -2463,7 +2463,11 @@ def dedup_simhash(spark, sf_dir):
       FROM documents_u WHERE doc_id < 50
     ),
     norm AS (
-      SELECT doc_id, lower(regexp_replace(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
+      -- portable_lower spelling (r10 full-BMP sweep): bare lower()
+      -- diverges on 15 codepoints, see functions/text.py
+      SELECT doc_id, """ + TX.portable_lower_sql(
+        r"regexp_replace(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+', ' ', 'g')"
+    ) + r""" AS s
       FROM corpus
     ),
     grams AS (
@@ -2529,9 +2533,13 @@ def dedup_winnow_containment(spark, sf_dir):
 
 @_q(
     "doc_fingerprint",
+    # portable_lower spelling (r10 full-BMP sweep): bare lower()
+    # diverges on 15 codepoints, see functions/text.py
     r"""
     SELECT doc_id,
-           md5(lower(regexp_replace(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fingerprint
+           md5(""" + TX.portable_lower_sql(
+        r"regexp_replace(TRIM(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\r\f\x0B]+', ' ', 'g')"
+    ) + r""") AS fingerprint
     FROM documents
     """,
 )

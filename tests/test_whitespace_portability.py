@@ -36,6 +36,16 @@ EXOTIC_DOCS = [
     " ",
     "\x0b",
     "mixed 　 \x0b\t end",
+    # unicode case-fold divergence carriers (r10 full-BMP sweep): Java's
+    # full/contextual lower() vs utf8proc's simple mapping disagree on
+    # exactly these classes — portable_lower must neutralize them all
+    "İstanbul DİYARBAKIR",   # İ: Java lower expands to i+U+0307
+    "ΣΣ Ο ΣΙΣΥΦΟΣ",              # final-sigma contextual rule
+    "ᲉⰯꟀꟋꟜ", # modern cased letters utf8proc lacks
+    "STRASSE ß ẞ",                     # ß/ẞ (upper diverges; lower must not)
+    "ﬁligature ǅungla Ǆ",              # ligature/titlecase digraphs
+    "é é composed-vs-combining",
+    "😀 non-BMP emoji 𐒰",
 ]
 
 WS_SQL_SET = TX.WS_TRIM_SQL
@@ -100,11 +110,30 @@ def test_nonws_length_matches_duckdb(docs_df):
 
 def test_fingerprint_md5_matches_duckdb(docs_df):
     got = _spark_vals(docs_df, TX.fingerprint_md5("text"))
-    want = _duck(
-        "md5(lower(regexp_replace("
-        f"TRIM(text, {WS_SQL_SET}), '{TX.TOKEN_SPLIT_REGEX}', ' ', 'g')))"
-    )["v"].tolist()
+    norm = TX.portable_lower_sql(
+        f"regexp_replace(TRIM(text, {WS_SQL_SET}), '{TX.TOKEN_SPLIT_REGEX}', ' ', 'g')"
+    )
+    want = _duck(f"md5({norm})")["v"].tolist()
     assert got == want
+
+
+def test_portable_lower_matches_duckdb_on_divergence_carriers(docs_df):
+    """portable_lower neutralizes every codepoint where Spark (Java full
+    case mapping) and DuckDB (utf8proc simple mapping) disagree — İ,
+    contextual final sigma, and the 13 modern cased letters. The carrier
+    docs above would FAIL this test under bare lower()."""
+    got = _spark_vals(docs_df, TX.portable_lower(F.col("text")))
+    want = _duck(TX.portable_lower_sql("text"))["v"].tolist()
+    assert got == want
+
+
+def test_bare_lower_is_not_portable(docs_df):
+    """Sanity: the carriers genuinely diverge under bare lower() — if
+    this ever starts passing, the engines converged and the prefold can
+    be retired."""
+    got = _spark_vals(docs_df, F.lower(F.col("text")))
+    want = _duck("lower(text)")["v"].tolist()
+    assert got != want
 
 
 def test_one_arg_trim_is_not_portable():

@@ -213,6 +213,73 @@ def perturb_ids_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_unicode_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with UNICODE CASE-FOLD DIVERGENCE CARRIERS
+    seeded into ~15% of ``documents.text`` (derived ``n_chars`` kept in
+    sync — all three engines count codepoints). The r10 full-BMP sweep
+    proved Spark (Java full case mapping) and DuckDB (utf8proc simple
+    mapping) disagree under ``lower()`` on exactly 15 codepoints — İ,
+    contextual final sigma Σ, and 13 modern cased letters — plus a wider
+    set under ``upper()`` (ß→SS vs ẞ, ligatures). The palette below
+    carries all of them, plus benign-but-scary unicode (combining marks,
+    non-BMP emoji, CJK, fullwidth forms, RTL, zero-width) that exercises
+    length/tokenize/shingle paths. Both engines see identical bytes: any
+    red row is a genuine unicode-semantics divergence — the class
+    ``portable_lower`` (functions/text.py) exists to neutralize."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    palette = [
+        " İstanbul DİYARBAKIR",          # İ: Java lower expands
+        " ΣΙΣΥΦΟΣ ΕΙΣ",                  # final-sigma contextual rule
+        " ᲉⰯꟀꟋꟜ modern-cased",
+        " STRASSE ß ẞ",                  # sharp s (upper diverges)
+        " ﬁligature ǅungla Ǆ",           # ligatures / titlecase digraphs
+        " café café",              # combining vs precomposed
+        " \U0001F600\U0001F680 emoji",   # non-BMP surrogate pairs
+        " 漢字テスト한글",                 # CJK + Hangul
+        " ＡＢＣ fullwidth", # fullwidth Latin
+        " שלום עולם",                    # RTL Hebrew
+        " zero​width‍join",    # ZWSP/ZWJ
+        " non breaking　space", # NBSP + ideographic space
+    ]
+    out = f"/tmp/driver_sim_unicode_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t != "documents":
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        tbl = pq.read_table(src)
+        ids = tbl.column("doc_id").combine_chunks().to_pylist()
+        texts = tbl.column("text").combine_chunks().to_pylist()
+        mutated = [
+            v + palette[zlib.crc32(f"{seed}/pick/{rid}".encode()) % len(palette)]
+            if v is not None and zlib.crc32(f"{seed}/hit/{rid}".encode()) % 100 < 15
+            else v
+            for rid, v in zip(ids, texts)
+        ]
+        arrays = []
+        for i, f in enumerate(tbl.schema):
+            if f.name == "text":
+                arrays.append(pa.array(mutated, type=f.type))
+            elif f.name == "n_chars":  # derived-column invariant
+                arrays.append(
+                    pa.array(
+                        [None if v is None else len(v) for v in mutated],
+                        type=f.type,
+                    )
+                )
+            else:
+                arrays.append(tbl.column(i))
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
 def perturb_tpch_ids_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with the TPC-H JOIN KEYS degraded: a seeded
     ~5% of ``orders.o_orderkey``, ``lineitem.l_orderkey``,
@@ -796,6 +863,10 @@ def main() -> int:
     ap.add_argument("--perturb-dim-ids", type=int, default=None, metavar="SEED",
                     help="duplicate/NULL ~8%% of nation/region keys + NULL "
                          "~2%% of c_nationkey / s_nationkey")
+    ap.add_argument("--perturb-unicode", type=int, default=None, metavar="SEED",
+                    help="seed unicode case-fold divergence carriers "
+                         "(İ, final sigma, ligatures, emoji, CJK, RTL) "
+                         "into ~15%% of documents.text")
     ap.add_argument("--perturb-ts", type=int, default=None, metavar="SEED",
                     help="truncate a seeded ~20%% of events.ts to the hour")
     ap.add_argument("--perturb-nulls", type=int, default=None, metavar="SEED",
@@ -834,6 +905,9 @@ def main() -> int:
     if args.perturb_dim_ids is not None:
         args.sf = perturb_dim_ids_sf(args.sf, args.perturb_dim_ids)
         print(f"# dim-id-perturbed testdata (seed {args.perturb_dim_ids}) -> {args.sf}")
+    if args.perturb_unicode is not None:
+        args.sf = perturb_unicode_sf(args.sf, args.perturb_unicode)
+        print(f"# unicode-perturbed testdata (seed {args.perturb_unicode}) -> {args.sf}")
     if args.perturb_ts is not None:
         args.sf = perturb_ts_sf(args.sf, args.perturb_ts)
         print(f"# ts-perturbed testdata (seed {args.perturb_ts}) -> {args.sf}")
