@@ -46,6 +46,21 @@ TABLES = [
 ]
 
 
+def _src_tag(sf: str) -> str:
+    """Deterministic short tag for a source dir in a perturbed-copy name.
+    Stacked modes CHAIN output names (each embeds its input's basename),
+    which blows the 255-byte filename limit around 10 modes — long
+    inputs collapse to a crc32 digest + tail, short ones stay readable
+    (and stay byte-identical to the pre-r10 names, so recorded seed
+    certifications remain reproducible)."""
+    import zlib
+
+    base = __import__("os").path.basename(sf.rstrip("/"))
+    if len(base) <= 100:
+        return base
+    return f"x{zlib.crc32(base.encode()):08x}_{base[-60:]}"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
@@ -72,7 +87,7 @@ def perturb_sf(sf: str, seed: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = f"/tmp/driver_sim_perturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_perturbed_s{seed}_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
@@ -116,7 +131,7 @@ def perturb_text_sf(sf: str, seed: int) -> str:
     # semantics rather than the tokenizer split
     exotic = ["\x0b", "\x0c", "\r", "\t\t", " ", "　", "\x01", " \x0b ",
               "x😀y", "好的", "café", "שָׁלוֹם"]
-    out = f"/tmp/driver_sim_textperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_textperturbed_s{seed}_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
@@ -189,7 +204,7 @@ def perturb_ids_sf(sf: str, seed: int) -> str:
     # sequence_packing_plan divergence
     id_cols = {"documents": "doc_id", "embeddings": "vec_id",
                "events": "event_id"}
-    out = f"/tmp/driver_sim_idperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_idperturbed_s{seed}_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
@@ -247,7 +262,7 @@ def perturb_unicode_sf(sf: str, seed: int) -> str:
         " zero​width‍join",    # ZWSP/ZWJ
         " non breaking　space", # NBSP + ideographic space
     ]
-    out = f"/tmp/driver_sim_unicode_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_unicode_s{seed}_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
@@ -314,7 +329,7 @@ def perturb_tpch_ids_sf(sf: str, seed: int) -> str:
         # copies disagree on the filter columns)
         "part": "p_partkey",
     }
-    out = f"/tmp/driver_sim_tpchids_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_tpchids_s{seed}_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
@@ -375,7 +390,7 @@ def perturb_fk_ids_sf(sf: str, seed: int) -> str:
         "lineitem": ["l_suppkey", "l_partkey"],
         "events": ["user_id"],
     }
-    out = f"/tmp/driver_sim_fkids_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_fkids_s{seed}_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
@@ -429,7 +444,7 @@ def perturb_dim_ids_sf(sf: str, seed: int) -> str:
         "customer": [("c_nationkey", 2, False)],
         "supplier": [("s_nationkey", 2, False)],
     }
-    out = f"/tmp/driver_sim_dimids_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_dimids_s{seed}_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
@@ -479,7 +494,7 @@ def perturb_ts_sf(sf: str, seed: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = f"/tmp/driver_sim_tsperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_tsperturbed_s{seed}_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
@@ -539,7 +554,7 @@ def perturb_nulls_sf(sf: str, seed: int) -> str:
         "events": ["event_type", "props", "value"],
     }
     id_cols = {"documents": "doc_id", "embeddings": "vec_id", "events": "event_id"}
-    out = f"/tmp/driver_sim_nullperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_nullperturbed_s{seed}_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
@@ -613,7 +628,7 @@ def perturb_schema_sf(sf: str, seed: int) -> str:
         "embeddings": ["vec_id"],
         "events": ["event_id", "user_id"],
     }
-    out = f"/tmp/driver_sim_schemadrift_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_schemadrift_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         tbl = pq.read_table(f"{sf}/{t}.parquet")
@@ -644,7 +659,7 @@ def perturb_order_sf(sf: str, seed: int) -> str:
 
     import pyarrow.parquet as pq
 
-    out = f"/tmp/driver_sim_orderperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_orderperturbed_s{seed}_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
@@ -689,7 +704,7 @@ def perturb_skew_sf(sf: str, seed: int) -> str:
         "lineitem": ("l_suppkey", ["l_orderkey", "l_linenumber"], 20),
         "documents": ("text", ["doc_id"], 10),
     }
-    out = f"/tmp/driver_sim_skewperturbed_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_skewperturbed_s{seed}_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
@@ -764,7 +779,7 @@ def perturb_extremes_sf(sf: str, seed: int) -> str:
         "part": ["p_retailprice"],
         "embeddings": ["embedding"],
     }
-    out = f"/tmp/driver_sim_extremes_s{seed}_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_extremes_s{seed}_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
@@ -828,7 +843,7 @@ def perturb_empty_sf(sf: str, seed: int) -> str:
     import pyarrow.parquet as pq
 
     empty_tables = {"events", "documents", "embeddings"}
-    out = f"/tmp/driver_sim_emptyfeeds_{os.path.basename(sf.rstrip('/'))}"
+    out = f"/tmp/driver_sim_emptyfeeds_{_src_tag(sf)}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
