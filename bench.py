@@ -38,11 +38,18 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 METHODOLOGY = "v2:warmup+gc+best-of-2+adaptive-3rd+release-per-attempt"
 _V2_FIRST_ROUND = 8  # first driver artifact measured on the v2 basis
 
-# The builder's own full bench JSON, persisted each run: the comparison
-# anchor that survives the driver's head-truncation of stdout tails
+# The committed quiet-host comparison anchor: READ-ONLY to a bench run.
+# It survives the driver's head-truncation of stdout tails
 # (BENCH_r07.json's tail begins mid-token, which r08's parser turned
-# into an empty prev dict and a vacuous zero-flag result).
+# into an empty prev dict and a vacuous zero-flag result). Through r10
+# every run overwrote it in place, which dirtied the tree after each
+# driver round and silently replaced the frozen baseline (r10 verdict
+# item 3); runs now write LATEST_OUT and promotion is an explicit
+# `--promote-anchor` + commit.
 LOCAL_ANCHOR = os.path.join(REPO, "BENCH_LOCAL.json")
+# Every run's full payload lands here (gitignored): the working copy
+# for freeze-run comparisons and for deliberate anchor promotion.
+LATEST_OUT = os.path.join(REPO, "BENCH_LATEST.json")
 
 
 def _extract_bench_fields(raw: str) -> dict:
@@ -86,6 +93,9 @@ def _extract_bench_fields(raw: str) -> dict:
         m = re.findall(r'"methodology"\s*:\s*"([^"]*)"', text)
         if m and "methodology" not in out:
             out["methodology"] = m[-1]
+        m = re.findall(r'"canary"\s*:\s*\{\s*"name"\s*:\s*"([^"]+)"', text)
+        if m and "canary_name" not in out:
+            out["canary_name"] = m[-1]
     return out
 
 
@@ -93,6 +103,7 @@ def _prev_comparison(
     norm: dict[str, float],
     artifact_dir: str | None = None,
     spreads: dict[str, float] | None = None,
+    canary_name: str = "q1_pricing_summary",
 ) -> dict:
     """Round-over-round regression block. Reads the newest driver
     BENCH_r*.json (robust to tail truncation), falling back to the
@@ -158,8 +169,14 @@ def _prev_comparison(
         # (norm = raw/canary), so both runs' canary spreads join each
         # query's noise term — the r10 freeze run showed a lucky q1
         # best-of-2 (spread 0.38) inflating every delta by ~+19%.
-        canary_noise = now_spread.get("q1_pricing_summary", 0.0) + prev_spread.get(
-            "q1_pricing_summary", 0.0
+        # ``canary_name`` is the SAME variable main() used to pick the
+        # divisor (r10 advice: a hard-coded 'q1_pricing_summary' here
+        # silently dropped the real canary's spread whenever main()
+        # fell back to min(timings)); the prev artifact's own recorded
+        # canary name wins for ITS spread lookup when extractable.
+        prev_canary = fields.get("canary_name", canary_name)
+        canary_noise = now_spread.get(canary_name, 0.0) + prev_spread.get(
+            prev_canary, 0.0
         )
         noise = {
             qn: now_spread.get(qn, 0.0) + prev_spread.get(qn, 0.0) + canary_noise
@@ -276,7 +293,15 @@ def main() -> None:
     # the headline; normalized numbers + the 1-min load average make the
     # artifact self-defending: uniform raw drift at stable normalized
     # values = host; a normalized outlier = that query's code.
-    canary = timings.get("q1_pricing_summary") or min(timings.values())
+    # Record WHICH query divides the series once, and reuse that name in
+    # the detector's noise floor — the floor must track the canary that
+    # actually normalized this run, including the min-timing fallback.
+    canary_name = (
+        "q1_pricing_summary"
+        if timings.get("q1_pricing_summary")
+        else min(timings, key=timings.__getitem__)
+    )
+    canary = timings[canary_name]
     norm = {n: round(t / canary, 2) for n, t in timings.items()}
 
     # Second canary (r08 verdict item 7): q1 is scan→filter→agg — it
@@ -305,7 +330,7 @@ def main() -> None:
     # r08's detector parsed a truncated tail to {} and certified a
     # regressing bench as flat (r08 verdict item 1).
     try:
-        prev_block = _prev_comparison(norm, spreads=spread)
+        prev_block = _prev_comparison(norm, spreads=spread, canary_name=canary_name)
     except Exception as exc:  # the comparison must never fail the bench
         prev_block = {"error": repr(exc)[:200]}
 
@@ -321,7 +346,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "canary": {"name": "q1_pricing_summary", "sec": canary},
+        "canary": {"name": canary_name, "sec": canary},
         "canary2": {"name": "minhash_lsh_fixed_probe", "sec": canary2},
         "queries_build_sec": build_sec,
         "load_avg_1m": {
@@ -339,13 +364,21 @@ def main() -> None:
         "queries_canary_normalized": norm,
     }
     print(json.dumps(payload))
-    # persist the full JSON beside the driver artifacts: next round's
-    # comparison anchor when the driver's tail truncation eats the line
-    try:
-        with open(LOCAL_ANCHOR, "w") as f:
-            json.dump(payload, f, indent=1)
-    except OSError as exc:
-        print(f"# warning: could not write {LOCAL_ANCHOR}: {exc!r}", file=sys.stderr)
+    # Persist the full JSON to the GITIGNORED working path. The committed
+    # anchor (BENCH_LOCAL.json) is never touched by a plain run — through
+    # r10 every driver round overwrote it in place, dirtying the tree and
+    # replacing the frozen quiet-host baseline with whatever the driver
+    # host produced. Promotion is now a deliberate act:
+    #     python bench.py --promote-anchor   # then commit the anchor
+    out_paths = [LATEST_OUT]
+    if "--promote-anchor" in sys.argv:
+        out_paths.append(LOCAL_ANCHOR)
+    for path in out_paths:
+        try:
+            with open(path, "w") as f:
+                json.dump(payload, f, indent=1)
+        except OSError as exc:
+            print(f"# warning: could not write {path}: {exc!r}", file=sys.stderr)
     spark.stop()
 
 

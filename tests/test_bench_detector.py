@@ -128,6 +128,49 @@ def test_canary_spread_joins_every_noise_term(tmp_path):
     assert block["flagged_over_25pct"] == []
 
 
+def test_canary_noise_key_follows_fallback_canary(tmp_path):
+    # r10 advice: the noise term hard-coded 'q1_pricing_summary' while
+    # the canary pick falls back to min(timings) when q1 is absent — in
+    # that fallback the real canary's spread silently left every noise
+    # budget. The noise key must follow the SAME name main() divided by.
+    _write_prev(
+        tmp_path, 42, {"q_canary": 1.0, "qx": 2.0},
+        spread={"q_canary": 0.0, "qx": 0.0},
+    )
+    block = bench._prev_comparison(
+        {"q_canary": 1.0, "qx": 2.6},
+        artifact_dir=str(tmp_path),
+        spreads={"q_canary": 0.38, "qx": 0.01},
+        canary_name="q_canary",
+    )
+    assert block["flagged_subnoise_over_25pct"] == ["qx"]
+    assert block["flagged_over_25pct"] == []
+
+
+def test_prev_canary_name_extracted_from_prev_artifact():
+    # The PREV run's spread lookup uses the canary name recorded in the
+    # prev artifact itself (it may differ from this run's fallback pick).
+    raw = json.dumps(
+        {"canary": {"name": "q_other", "sec": 1.5}, "queries": {"q_other": 1.5}}
+    )
+    assert bench._extract_bench_fields(raw)["canary_name"] == "q_other"
+
+
+def test_plain_run_output_path_is_not_the_committed_anchor():
+    # r10 verdict item 3: a driver bench run must leave `git status`
+    # clean — the default write target is the gitignored LATEST path,
+    # and the committed anchor moves only under --promote-anchor.
+    assert os.path.basename(bench.LATEST_OUT) == "BENCH_LATEST.json"
+    assert os.path.basename(bench.LOCAL_ANCHOR) == "BENCH_LOCAL.json"
+    with open(os.path.join(REPO, ".gitignore")) as f:
+        assert "BENCH_LATEST.json" in f.read()
+    # and the anchor path appears in main() only behind the flag
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "--promote-anchor" in src
+
+
 def test_empty_comparison_is_an_error_not_a_pass(tmp_path):
     # queries that exist in NO prior artifact -> explicit error field;
     # hermetic via an artifact dir containing one non-overlapping prev
