@@ -37,6 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #       window by the r09 rotation note — then all 27 unrefreshed
 #       r04-cohort rows. After this window lands, no driver row is
 #       older than r05.
+# Deliberate window omissions for CHANGED entries (r10 verdict item 8:
+# the changed-set was hand-assembled and missed three oracle fixes; now
+# tools/freshness.py diffs catalog.py against the last round-close
+# commit, auto-promotes forgotten entries, and
+# tests/test_driver_window.py fails the round if a git-touched oracled
+# entry is neither windowed nor spelled here WITH a reason).
+_WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
+
 _DRIVER_WINDOW = [
     # (a) r10 CHANGED ENTRIES
     # (a1) --perturb-tpch-ids finds (seed 137):

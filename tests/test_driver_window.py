@@ -1,0 +1,92 @@
+"""Driver-window integrity contract (r10 verdict items 1 + 8).
+
+Round 10 violated the repo's own "changed entries always head the
+window" rule for three entries because the changed-set was assembled by
+hand mid-round. These tests make that class of omission structurally
+impossible: the window is validated mechanically (size, uniqueness,
+oracle coverage, queries() prefix), and every catalog.py entry
+git-touched since the last driver round-close commit must either sit in
+``_DRIVER_WINDOW`` or be spelled in ``_WINDOW_EXEMPT_CHANGED`` with a
+written reason.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry  # noqa: E402
+import freshness  # noqa: E402
+
+
+def test_window_shape():
+    # The playbook's hand-checks, mechanized: 50 entries, no dupes,
+    # every one oracled (the driver's strict gate needs the SQL twin),
+    # and the window is exactly the prefix of queries() — the driver
+    # runs a 50-entry prefix, so any reordering bug silently swaps
+    # which entries get checked.
+    w = entry._DRIVER_WINDOW
+    assert len(w) == 50
+    assert len(set(w)) == 50
+    oracles = entry.oracle_sql()
+    missing = [n for n in w if n not in oracles]
+    assert not missing, f"window entries without oracles: {missing}"
+    assert list(entry.queries())[:50] == w
+
+
+def test_entry_spans_parse_the_real_catalog():
+    with open(os.path.join(REPO, freshness.CATALOG_REL)) as f:
+        spans = freshness.entry_spans(f.read())
+    names = [n for _, _, n in spans]
+    assert len(names) >= 200
+    assert len(set(names)) == len(names)
+    assert "q1_pricing_summary" in names
+    # spans are contiguous and ordered
+    for (s1, e1, _), (s2, _, _) in zip(spans, spans[1:]):
+        assert s1 <= e1 and e1 + 1 == s2
+
+
+def test_entry_spans_hermetic():
+    src = (
+        "PREAMBLE = 1\n"
+        "@_q(\n"
+        '    "alpha",\n'
+        '    "SELECT 1",\n'
+        ")\n"
+        "def a(spark, sf):\n"
+        "    pass\n"
+        "@_q(\n"
+        '    "beta",\n'
+        ")\n"
+        "def b(spark, sf):\n"
+        "    pass\n"
+    )
+    spans = freshness.entry_spans(src)
+    assert spans == [(2, 7, "alpha"), (8, 12, "beta")]
+
+
+def test_touched_entries_in_window_or_exempt():
+    base = freshness.last_round_commit()
+    if base is None:
+        pytest.skip("no round-close commit to diff against")
+    touched = freshness.git_touched_entries(base)
+    oracles = entry.oracle_sql()
+    window = set(entry._DRIVER_WINDOW)
+    exempt = entry._WINDOW_EXEMPT_CHANGED
+    for name, reason in exempt.items():
+        assert reason.strip(), f"exemption for {name} needs a written reason"
+    missing = sorted(
+        n for n in touched if n in oracles and n not in window and n not in exempt
+    )
+    assert not missing, (
+        f"entries git-touched since {base[:8]} but neither windowed nor "
+        f"exempted: {missing} — regenerate the window "
+        f"(python tools/freshness.py --plan --changed ...) or add a "
+        f"reasoned _WINDOW_EXEMPT_CHANGED entry"
+    )

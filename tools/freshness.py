@@ -27,12 +27,83 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 from collections import Counter
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 WINDOW = 50
+CATALOG_REL = "alibaba_cppfeaturestore_spark/plans/catalog.py"
+
+
+def last_round_commit() -> str | None:
+    """Hash of the newest driver round-close commit ('round N: ...') —
+    the baseline 'what changed this round' diffs against."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "--format=%H %s"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    for line in out.splitlines():
+        h, _, subj = line.partition(" ")
+        if re.match(r"round \d+:", subj):
+            return h
+    return None
+
+
+def entry_spans(catalog_src: str) -> list[tuple[int, int, str]]:
+    """(start_line, end_line, entry_name) 1-based inclusive spans of each
+    ``@_q(...)``-decorated entry in catalog.py: decorator line through
+    the line before the next decorator (last entry runs to EOF). Lines
+    before the first decorator are shared preamble (helpers/constants) —
+    deliberately unattributed: a preamble edit potentially touches every
+    entry and is certified by the full-catalog strict run, not by
+    windowing all 200+ entries."""
+    lines = catalog_src.splitlines()
+    starts: list[tuple[int, str]] = []
+    for i, line in enumerate(lines):
+        if line.startswith("@_q("):
+            m = re.search(r'"([^"]+)"', line) or (
+                re.search(r'^\s*"([^"]+)"', lines[i + 1]) if i + 1 < len(lines) else None
+            )
+            if m:
+                starts.append((i + 1, m.group(1)))
+    spans = []
+    for k, (start, name) in enumerate(starts):
+        end = starts[k + 1][0] - 1 if k + 1 < len(starts) else len(lines)
+        spans.append((start, end, name))
+    return spans
+
+
+def git_touched_entries(ref: str) -> set[str]:
+    """Catalog entries whose span intersects any line changed since
+    ``ref`` (new-file coordinates from ``git diff -U0``). Pure deletions
+    (+c,0 hunks) touch the boundary lines c and c+1, so a removed oracle
+    clause still attributes to the entry it was removed from."""
+    try:
+        diff = subprocess.run(
+            ["git", "diff", "-U0", ref, "--", CATALOG_REL],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout
+    except (OSError, subprocess.CalledProcessError):
+        return set()
+    touched: set[int] = set()
+    for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", diff, re.M):
+        c = int(m.group(1))
+        d = int(m.group(2)) if m.group(2) is not None else 1
+        touched.update(range(c, c + d) if d else (c, c + 1))
+    if not touched:
+        return set()
+    with open(os.path.join(REPO, CATALOG_REL)) as f:
+        spans = entry_spans(f.read())
+    return {
+        name
+        for start, end, name in spans
+        if any(start <= ln <= end for ln in touched)
+    }
 
 
 def load_ledger() -> dict[str, int]:
@@ -96,12 +167,37 @@ def main() -> None:
     if bad:
         sys.exit(f"unknown changed entries: {bad}")
 
+    # r10 verdict item 8: the changed-set was assembled by hand and
+    # missed three oracle-fixed entries. The planner now diffs catalog.py
+    # against the last driver round-close commit itself and PROMOTES any
+    # git-touched entry the hand list forgot — deliberate omissions must
+    # be spelled in __spark_entry__._WINDOW_EXEMPT_CHANGED with a reason.
+    exempt = getattr(entry, "_WINDOW_EXEMPT_CHANGED", {})
+    base = last_round_commit()
+    if base:
+        auto = git_touched_entries(base)
+        forgotten = sorted(
+            (auto & set(names)) - set(changed) - set(exempt)
+        )
+        if forgotten:
+            print(
+                f"# auto-promoting git-touched entries missing from --changed: {forgotten}",
+                file=sys.stderr,
+            )
+            changed += forgotten
+
     eligible = [n for n in names if n in oracles]
     pool = [n for n in eligible if n not in changed]
     # new (never-checked) entries first, then oldest rows
     pool.sort(key=lambda n: (ledger.get(n, 0), n))
     window = [n for n in changed if n in oracles] + pool
     window = window[:WINDOW]
+    left_out = [n for n in changed if n in oracles and n not in window]
+    if left_out:
+        sys.exit(
+            f"FAIL: changed entries do not fit the {WINDOW}-entry window: "
+            f"{left_out} — shrink the changed set or split across rounds"
+        )
     print(f"\n# proposed _DRIVER_WINDOW ({len(window)} entries):")
     print("_DRIVER_WINDOW = [")
     for n in window:
