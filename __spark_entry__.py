@@ -46,85 +46,63 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
 
 _DRIVER_WINDOW = [
-    # (a) r10 CHANGED ENTRIES
-    # (a1) --perturb-tpch-ids finds (seed 137):
-    "sample_weighted_bernoulli",
-    "set_except_keys",
-    "ids_stable_assign",
-    "aliccp_bronze_to_silver_e2e",
-    # (a2) explicit full tie order at the latest-per-key call sites
-    # (online_lookup_latest_features / stream_online_upsert share the
-    # change but yield their slots to the unicode-fold entries — both
-    # are r09-fresh and the explicit tiebreak is behavior-identical):
-    "latest_event_per_user",
-    # (a3) _events_unique props-guard drop (structural twin symmetry;
-    # attribution_first_vs_last_touch shares the change but yields its
-    # slot to the fk-ids finds — it is r09-fresh and the guard drop is
-    # behavior-identical on the full schema the driver always feeds):
-    "asof_last_view_before_click",
-    "asof_join_with_ttl",
-    "feature_store_historical_retrieval",
-    # (a4) six-way finds (seed 149): NULLS-FIRST tie-break pins, plus
-    # q20's decimal quantity sums (raw double sums were run-flaky under
-    # ±1e300 extremes — order-dependent absorption at the 0.3x boundary)
-    "window_rank_functions",
-    "topk_orders_per_priority",
-    "topk_salted_orders_per_priority",
-    "sort_global_topn",
-    "q20_dominant_part_suppliers",
-    # (a5) six-way find (seed 157): q2's oracle detail join repeated the
-    # EUROPE restriction (duplicate-suppkey fanout to the non-EU copy)
-    "q2_min_cost_supplier",
-    # (a6) six-way find (seed 167): dictionary-fit oracles pin value ASC
-    # NULLS FIRST (a NULL group's count can tie a real group's)
-    "aliccp_silver_to_gold_e2e",
-    "dict_encode_event_type",
-    # (a7) six-way find (seed 179): q10's LIMIT boundary split a
-    # duplicate-custkey tie differing only in c_name; order made total
-    # over the output + guarded-decimal revenue. q3/q18 closed by class
-    # (q18 also moves its HAVING quantity sums onto decimals).
-    "q10_returned_items",
-    "q18_large_orders",
-    "q3_shipping_priority",
-    # (a8) fk-ids finds (seed 233): NULL-safe NOT IN in the gdpr and
-    # merge oracles (gdpr sits in the r04 cohort below), NULL-entity
-    # gates in ewma/rfm, merge_upsert's delete flag fires only on
-    # explicit TRUE.
-    "txlog_merge_upsert",
-    "ewma_user_value",
-    "rfm_customer_segments",
-    # (a9) unicode case-fold class closure (full-BMP sweep): the two
-    # fingerprint oracles move to the portable_lower spelling — bare
-    # lower() diverges on İ / final sigma / 13 modern cased letters.
-    "doc_fingerprint",
-    "dedup_winnow_containment",
-    # (b) freshness rotation: final r03 row, the r04 cohort, oldest r05
-    "txlog_time_travel",
-    "agg_grouping_sets_revenue",
-    "assoc_event_type_pairs",
-    "bpe_merge_pair_counts",
-    "chunk_documents_rag",
-    "cooccurrence_skipgram_pairs",
-    "dq_feature_leakage_audit",
-    "gdpr_forget_cascade",
-    "graph_bfs_trade_hops",
-    "graph_triangle_count",
-    "inverted_index_postings",
-    "itemsim_copurchase_topk",
-    "join_bloom_prefilter",
-    "join_full_outer_reconcile",
-    "join_null_safe_eq",
-    "kmeans_lloyd_step",
-    "negative_sampling_pairs",
-    "running_distinct_users",
-    "schema_evolution_union_read",
-    "sketch_countmin_freqs",
-    "stream_topk_trending",
-    "text_token_entropy",
-    "tfidf_top_terms_per_doc",
-    "txlog_checkpointed_read",
-    "variant_shred_props",
-    "vocab_oov_rate",
+    # Round-11 rotation (tools/freshness.py --plan, now self-checking):
+    # (a) the three r10 oracle-fixed entries whose driver rows predate
+    #     their fixes (r10 verdict item 1) + this round's changed
+    #     entries (q16 NULL-suppkey symmetry; q3/q10/q18 NULLS FIRST
+    #     tie-break pins — auto-promoted by the planner's git diff);
+    # (b) the 23 r05 rows, then the oldest r06 rows. After this window
+    #     lands, no driver row is older than r06.
+    "q16_brand_supplier_counts",  # changed
+    "session_window_stats",  # changed
+    "stream_session_window_stats",  # changed
+    "q10_returned_items",  # changed
+    "q18_large_orders",  # changed
+    "q3_shipping_priority",  # changed
+    "agg_rollup_order_revenue",  # r05
+    "agg_vocab_sizes",  # r05
+    "cohort_repeat_rate",  # r05
+    "corpus_drift_js_divergence",  # r05
+    "dedup_exact",  # r05
+    "dedup_ngram_jaccard",  # r05
+    "dq_key_skew_report",  # r05
+    "graph_link_prediction_cn",  # r05
+    "join_anti_not_exists",  # r05
+    "join_broadcast_dim_agg",  # r05
+    "lang_id_confusion_matrix",  # r05
+    "lang_id_heuristic",  # r05
+    "ml_fold_assignment",  # r05
+    "q19_bracketed_revenue",  # r05
+    "quality_bigram_logprob",  # r05
+    "scalar_date_funcs",  # r05
+    "scalar_string_funcs",  # r05
+    "sequence_packing_plan",  # r05
+    "sessionize_events",  # r05
+    "set_intersect_keys",  # r05
+    "set_union_keys",  # r05
+    "text_quality_filter",  # r05
+    "text_stats",  # r05
+    "agg_approx_stats",  # r06
+    "case_when_bucketing",  # r06
+    "cohort_weekly_retention",  # r06
+    "dedup_exact_substring_scrub",  # r06
+    "dedup_exact_substring_spans",  # r06
+    "dedup_paragraph_exact",  # r06
+    "dq_key_violations",  # r06
+    "dq_referential_violations",  # r06
+    "feature_one_hot_events",  # r06
+    "feature_target_encoding",  # r06
+    "filter_theta_or",  # r06
+    "funnel_view_click_purchase",  # r06
+    "join_left_enrich",  # r06
+    "join_semi_in_subquery",  # r06
+    "kv_merge_lastwin",  # r06
+    "llm_corpus_curation_lsh_counts",  # r06
+    "q1_pricing_summary",  # r06
+    "q6_forecast_revenue",  # r06
+    "range_join_pre_purchase_views",  # r06
+    "record_linkage_customers",  # r06
+    "snapshot_diff_cdc",  # r06
 ]
 
 

@@ -350,7 +350,10 @@ def q1(spark, sf_dir):
     -- o_orderdate closes the order over the full output (r10, q10
     -- seed-179 class): duplicate l_orderkey (degraded-key regime) can
     -- tie (revenue, key) across two groups differing only in date
-    ORDER BY revenue DESC, l_orderkey ASC NULLS FIRST, o_orderdate ASC
+    -- every ASC tie-break pins NULLS FIRST (r11, r10-advice): Spark
+    -- asc() is NULLS FIRST, DuckDB bare ASC is NULLS LAST — unpinned
+    -- trailing columns were safe only while no fuzz mode nulled them
+    ORDER BY revenue DESC, l_orderkey ASC NULLS FIRST, o_orderdate ASC NULLS FIRST
     LIMIT 10
     """,
     headline=True,
@@ -852,7 +855,11 @@ def q14_promo_revenue_share(spark, sf_dir):
       AND o.o_orderdate >= TIMESTAMP '1996-01-01'
       AND o.o_orderdate <  TIMESTAMP '1997-01-01'
     GROUP BY 1, 2, 3
-    ORDER BY revenue DESC, c_custkey ASC NULLS FIRST, c_name ASC, n_name ASC
+    -- all ASC tie-breaks pinned NULLS FIRST (r11, r10-advice): the
+    -- trailing text columns were unpinned and safe only because no
+    -- fuzz mode nulls them today
+    ORDER BY revenue DESC, c_custkey ASC NULLS FIRST,
+             c_name ASC NULLS FIRST, n_name ASC NULLS FIRST
     LIMIT 20
     """,
 )
@@ -915,8 +922,10 @@ def q10_returned_items(spark, sf_dir):
                       THEN TRY_CAST(l_quantity AS DECIMAL(18,6)) END) > 210
     )
     GROUP BY 1, 2, 3, 4, 5
+    -- all ASC tie-breaks pinned NULLS FIRST (r11, r10-advice)
     ORDER BY o_totalprice DESC, o_orderkey ASC NULLS FIRST,
-             c_custkey ASC NULLS FIRST, c_name ASC, o_orderdate ASC
+             c_custkey ASC NULLS FIRST, c_name ASC NULLS FIRST,
+             o_orderdate ASC NULLS FIRST
     LIMIT 100
     """,
 )
@@ -5703,6 +5712,12 @@ def q15_top_revenue_supplier(spark, sf_dir):
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
       AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      -- l_suppkey IS NOT NULL (r11, r10-advice): NOT IN already drops
+      -- NULL probes here (UNKNOWN), but Spark's left_anti KEEPS them —
+      -- a group consisting solely of NULL-suppkey lines would appear
+      -- engine-side with supplier_cnt=0 and be absent here. Both sides
+      -- now drop NULL-suppkey lines explicitly.
+      AND l_suppkey IS NOT NULL
       AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                             WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
     GROUP BY p_brand, p_type, p_size
@@ -5723,6 +5738,10 @@ def q16_brand_supplier_counts(spark, sf_dir):
     bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         _t(spark, sf_dir, "lineitem")
+        # NULL-suppkey lines dropped BEFORE the anti join (r11): the
+        # anti join's NULL probe never matches and would keep the row,
+        # but the oracle's NOT IN evaluates UNKNOWN and drops it.
+        .filter(F.col("l_suppkey").isNotNull())
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
