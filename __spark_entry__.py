@@ -26,17 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The first 50 entries are the driver's check window (the driver runs a
-# 50-query prefix; every one of the 50 carries a DuckDB oracle). Round-10
-# rotation:
-#   (a) the 24 entries whose code or oracle changed this round — the
-#       finds of the degraded-key campaigns (tpch-ids seed 137, six-way
-#       seeds 149/157/167/179/181/191, fk-ids seed 233) plus the
-#       explicit-tiebreak and _events_unique structural fixes. Changed
-#       entries always outrank merely-stale ones.
-#   (b) txlog_time_travel — the catalog's last r03 row, promised this
-#       window by the r09 rotation note — then all 27 unrefreshed
-#       r04-cohort rows. After this window lands, no driver row is
-#       older than r05.
+# 50-query prefix; every one of the 50 carries a DuckDB oracle). Changed
+# entries always outrank merely-stale ones; the rest rotate oldest
+# driver row first (tools/freshness.py --plan emits the list).
 # Deliberate window omissions for CHANGED entries (r10 verdict item 8:
 # the changed-set was hand-assembled and missed three oracle fixes; now
 # tools/freshness.py diffs catalog.py against the last round-close
@@ -47,19 +39,35 @@ _WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
 
 _DRIVER_WINDOW = [
     # Round-11 rotation (tools/freshness.py --plan, now self-checking):
-    # (a) the three r10 oracle-fixed entries whose driver rows predate
-    #     their fixes (r10 verdict item 1) + this round's changed
-    #     entries (q16 NULL-suppkey symmetry; q3/q10/q18 NULLS FIRST
-    #     tie-break pins — auto-promoted by the planner's git diff);
+    # (a) 20 changed entries — the three r10 oracle fixes never
+    #     driver-verified post-fix (r10 verdict item 1), the q16
+    #     NULL-suppkey symmetry + q3/q10/q18 NULLS FIRST pins (r10
+    #     advice), and the 14-entry guarded-decimal batch that retires
+    #     the order-dependent raw double-SUM oracle class (r10 verdict
+    #     item 2); all but the hand-listed three auto-promoted by the
+    #     planner's git diff against the r10 close commit.
     # (b) the 23 r05 rows, then the oldest r06 rows. After this window
     #     lands, no driver row is older than r06.
     "q16_brand_supplier_counts",  # changed
     "session_window_stats",  # changed
     "stream_session_window_stats",  # changed
+    "agg_cube_event_matrix",  # changed
+    "agg_grouping_sets_revenue",  # changed
+    "agg_rollup_order_revenue",  # changed
+    "embedding_stats_by_label",  # changed
+    "feature_target_encoding",  # changed
+    "join_bloom_prefilter",  # changed
+    "join_broadcast_dim_agg",  # changed
     "q10_returned_items",  # changed
+    "q11_important_part_values",  # changed
+    "q17_small_quantity_revenue",  # changed
     "q18_large_orders",  # changed
+    "q19_bracketed_revenue",  # changed
+    "q22_dormant_high_balance",  # changed
     "q3_shipping_priority",  # changed
-    "agg_rollup_order_revenue",  # r05
+    "q6_forecast_revenue",  # changed
+    "stream_sliding_window_counts",  # changed
+    "stream_tumbling_window_counts",  # changed
     "agg_vocab_sizes",  # r05
     "cohort_repeat_rate",  # r05
     "corpus_drift_js_divergence",  # r05
@@ -68,11 +76,9 @@ _DRIVER_WINDOW = [
     "dq_key_skew_report",  # r05
     "graph_link_prediction_cn",  # r05
     "join_anti_not_exists",  # r05
-    "join_broadcast_dim_agg",  # r05
     "lang_id_confusion_matrix",  # r05
     "lang_id_heuristic",  # r05
     "ml_fold_assignment",  # r05
-    "q19_bracketed_revenue",  # r05
     "quality_bigram_logprob",  # r05
     "scalar_date_funcs",  # r05
     "scalar_string_funcs",  # r05
@@ -91,18 +97,7 @@ _DRIVER_WINDOW = [
     "dq_key_violations",  # r06
     "dq_referential_violations",  # r06
     "feature_one_hot_events",  # r06
-    "feature_target_encoding",  # r06
     "filter_theta_or",  # r06
-    "funnel_view_click_purchase",  # r06
-    "join_left_enrich",  # r06
-    "join_semi_in_subquery",  # r06
-    "kv_merge_lastwin",  # r06
-    "llm_corpus_curation_lsh_counts",  # r06
-    "q1_pricing_summary",  # r06
-    "q6_forecast_revenue",  # r06
-    "range_join_pre_purchase_views",  # r06
-    "record_linkage_customers",  # r06
-    "snapshot_diff_cdc",  # r06
 ]
 
 

@@ -166,11 +166,21 @@ def fit_target_encoding(
     apply."""
     from pyspark import StorageLevel
 
+    # Guarded-decimal label sums (r11): a raw double SUM is
+    # order-dependent under non-finite / out-of-domain magnitudes
+    # (absorption), so the same fit could emit different encodings on
+    # different shuffle orders. Out-of-domain labels (NaN/±Inf/|x| too
+    # large for DECIMAL(18,6)) are treated as missing — excluded from
+    # both the sum and the count — and the decimal partials reproduce on
+    # ANY aggregation tree. The smoothing arithmetic then runs in DOUBLE
+    # on decimal-derived operands: same exact inputs → same bits.
+    lab = F.col(label_col).cast("double")
+    dec = F.when(~F.isnan(lab), lab.try_cast("decimal(18,6)"))
     agg = (
         df.rollup(F.col(cat_col).alias("value"))
         .agg(
-            F.sum(label_col).alias("s"),
-            F.count(label_col).alias("n"),
+            F.sum(dec).alias("s"),
+            F.count(dec).alias("n"),
             F.grouping_id().alias("__gid"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -178,7 +188,9 @@ def fit_target_encoding(
     # "__scalar_" prefix marks a deliberate 1-row broadcast cross join
     # (the plan audit allows BroadcastNestedLoopJoin only for these)
     overall = agg.filter(F.col("__gid") == 1).select(
-        (F.col("s") / F.col("n")).alias("__scalar_gm")
+        (F.col("s").cast("double") / F.nullif(F.col("n"), F.lit(0))).alias(
+            "__scalar_gm"
+        )
     )
     return (
         agg.filter(F.col("__gid") == 0)
@@ -186,7 +198,7 @@ def fit_target_encoding(
         .select(
             "value",
             (
-                (F.col("s") + F.lit(smoothing) * F.col("__scalar_gm"))
+                (F.col("s").cast("double") + F.lit(smoothing) * F.col("__scalar_gm"))
                 / (F.col("n") + F.lit(smoothing))
             ).alias("encoding"),
         )

@@ -707,9 +707,12 @@ def join_anti_not_exists(spark, sf_dir):
 
 @_q(
     "join_broadcast_dim_agg",
+    # guarded-decimal price sum (r11 batch, r10 verdict item 2)
     """
     SELECT p_brand, COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice), 2) AS total_price
+           CAST(ROUND(SUM(CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END), 2)
+                AS DOUBLE) AS total_price
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -725,7 +728,9 @@ def join_broadcast_dim_agg(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.sum(_dec_value("l_extendedprice", "decimal(15,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
         )
     )
 
@@ -755,8 +760,17 @@ def agg_vocab_sizes(spark, sf_dir):
 
 @_q(
     "q6_forecast_revenue",
+    # guarded-decimal revenue (r11 proactive retirement of the raw
+    # double-SUM class, r10 verdict item 2): a raw double SUM over
+    # ±1e300 extremes is ORDER-DEPENDENT (absorption) — run-flaky in
+    # the SAME engine — so every aggregation sink converts instead of
+    # waiting for a seed to flip it
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(ROUND(SUM((CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+               * (CASE WHEN NOT isnan(l_discount)
+                       THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END)), 2)
+                AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -778,7 +792,15 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(
+                F.sum(
+                    _dec_value("l_extendedprice", "decimal(15,4)")
+                    * _dec_value("l_discount", "decimal(8,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n"),
         )
     )
@@ -972,8 +994,14 @@ def q18_large_orders(spark, sf_dir):
 
 @_q(
     "q19_bracketed_revenue",
+    # guarded-decimal revenue (r11 batch, r10 verdict item 2): raw
+    # double SUM over extremes is order-dependent / run-flaky
     """
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT CAST(ROUND(SUM((CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+               * (1 - (CASE WHEN NOT isnan(l_discount)
+                            THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END))), 2)
+                AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
@@ -1005,8 +1033,14 @@ def q19_bracketed_revenue(spark, sf_dir):
         .filter(cond)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    _dec_value("l_extendedprice", "decimal(15,4)")
+                    * (F.lit(1) - _dec_value("l_discount", "decimal(8,6)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n"),
         )
     )
@@ -1014,11 +1048,16 @@ def q19_bracketed_revenue(spark, sf_dir):
 
 @_q(
     "agg_rollup_order_revenue",
+    # guarded-decimal revenue (r11 batch, r10 verdict item 2): the ()
+    # grand-total row sums EVERY order — the widest exposure to
+    # order-dependent double absorption in the catalog
     """
     SELECT CAST(year(o_orderdate) AS INT) AS order_year,
            o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           CAST(ROUND(SUM(CASE WHEN NOT isnan(o_totalprice)
+                   THEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) END), 2)
+                AS DOUBLE) AS revenue
     FROM orders
     GROUP BY ROLLUP (order_year, o_orderpriority)
     """,
@@ -1038,18 +1077,23 @@ def agg_rollup_order_revenue(spark, sf_dir):
         .rollup("order_year", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(_dec_value("o_totalprice")), 2)
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
 
 @_q(
     "agg_cube_event_matrix",
+    # guarded-decimal value sums (r11 batch, r10 verdict item 2)
     """
     SELECT event_type,
            CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS event_year,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CASE WHEN NOT isnan(value)
+                   THEN TRY_CAST(value AS DECIMAL(18,6)) END), 2)
+                AS DOUBLE) AS total_value
     FROM events
     GROUP BY CUBE (event_type, event_year)
     """,
@@ -1070,7 +1114,7 @@ def agg_cube_event_matrix(spark, sf_dir):
         ev2.cube("event_type", "event_year")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(_dec_value()), 2).cast("double").alias("total_value"),
             F.grouping_id().alias("__gid"),
         )
         .filter(F.col("__gid") != 3)  # () row replaced by the global agg
@@ -1079,7 +1123,7 @@ def agg_cube_event_matrix(spark, sf_dir):
     total = (
         ev2.agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(_dec_value()), 2).cast("double").alias("total_value"),
         )
         .select(
             F.lit(None).cast("string").alias("event_type"),
@@ -2754,26 +2798,58 @@ def dedup_semantic_embedding(spark, sf_dir):
 
 @_q(
     "embedding_stats_by_label",
+    # guarded-decimal component/norm averages (r11 batch, r10 verdict
+    # item 2): raw double AVG over ±3e38 float32 extremes is
+    # order-dependent (a +3e38/−3e38 pair cancels or absorbs depending
+    # on reduction order). Per the _dec_value policy an out-of-domain
+    # reading (NaN, ±Inf, |x| ≥ 1e12 — no real embedding component or
+    # norm is near that) is a corrupt measurement: missing from both
+    # the sum and the count. n_vectors still counts every row.
     """
+    WITH f AS (
+      SELECT label,
+             (CASE WHEN NOT isnan(embedding[1])
+                   THEN TRY_CAST(embedding[1] AS DECIMAL(18,6)) END) AS d0,
+             (CASE WHEN NOT isnan(embedding[2])
+                   THEN TRY_CAST(embedding[2] AS DECIMAL(18,6)) END) AS d1,
+             (CASE WHEN NOT isnan(nrm)
+                   THEN TRY_CAST(nrm AS DECIMAL(18,6)) END) AS nrm
+      FROM (SELECT label, embedding,
+                   SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings)
+    )
     SELECT label,
            COUNT(*) AS n_vectors,
-           ROUND(AVG(embedding[1]), 6) AS avg_dim0,
-           ROUND(AVG(embedding[2]), 6) AS avg_dim1,
-           ROUND(AVG(SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
-                                             CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
-    FROM embeddings
-    GROUP BY label
+           ROUND(CAST(SUM(d0) AS DOUBLE) / NULLIF(COUNT(d0), 0), 6) AS avg_dim0,
+           ROUND(CAST(SUM(d1) AS DOUBLE) / NULLIF(COUNT(d1), 0), 6) AS avg_dim1,
+           ROUND(CAST(SUM(nrm) AS DOUBLE) / NULLIF(COUNT(nrm), 0), 6) AS avg_norm
+    FROM f GROUP BY label
     """,
 )
 def embedding_stats_by_label(spark, sf_dir):
     """Vector aggregates per label: element access + norms via native
-    higher-order functions."""
+    higher-order functions; sums in exact decimal, the final mean as
+    ONE double division of identical operands (the q14 ratio recipe)."""
     emb = _t(spark, sf_dir, "embeddings")
+
+    def _g(c):
+        return F.when(~F.isnan(c), c.try_cast("decimal(18,6)"))
+
+    d0 = _g(F.element_at("embedding", 1))
+    d1 = _g(F.element_at("embedding", 2))
+    nrm = _g(V.norm(F.col("embedding")))
+
+    def _avg(c, name):
+        return F.round(
+            F.sum(c).cast("double") / F.nullif(F.count(c), F.lit(0)), 6
+        ).alias(name)
+
     return emb.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
-        F.round(F.avg(F.element_at("embedding", 1)), 6).alias("avg_dim0"),
-        F.round(F.avg(F.element_at("embedding", 2)), 6).alias("avg_dim1"),
-        F.round(F.avg(V.norm(F.col("embedding"))), 6).alias("avg_norm"),
+        _avg(d0, "avg_dim0"),
+        _avg(d1, "avg_dim1"),
+        _avg(nrm, "avg_norm"),
     )
 
 
@@ -2844,11 +2920,16 @@ def _stream_events(spark, sf_dir):
 
 @_q(
     "stream_tumbling_window_counts",
+    # guarded-decimal window sums (r11 batch, r10 verdict item 2):
+    # micro-batch boundaries are one more source of summation-order
+    # variation on top of shuffle order
     """
     SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CASE WHEN NOT isnan(value)
+                   THEN TRY_CAST(value AS DECIMAL(18,6)) END), 2)
+                AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -2874,7 +2955,7 @@ def stream_tumbling_window_counts(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(_dec_value()), 2).cast("double").alias("total_value"),
         )
     )
     result = run_bounded_to_memory(agg, output_mode="complete", state_partitions=8)
@@ -3816,12 +3897,22 @@ def feature_one_hot_events(spark, sf_dir):
 
 @_q(
     "feature_target_encoding",
+    # guarded-decimal fit (r11 batch, r10 verdict item 2): sum/count run
+    # over the finite decimal domain (out-of-domain labels are missing);
+    # the smoothing arithmetic is DOUBLE over decimal-derived operands —
+    # identical bits in both engines (the q14 ratio recipe)
     """
-    WITH g AS (SELECT AVG(value) AS gm FROM events),
+    WITH src AS (
+      SELECT event_id, event_type,
+             (CASE WHEN NOT isnan(value)
+                   THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS v
+      FROM events
+    ),
+    g AS (SELECT CAST(SUM(v) AS DOUBLE) / NULLIF(COUNT(v), 0) AS gm FROM src),
     enc AS (
       SELECT event_type AS value,
-             (SUM(events.value) + 10.0 * g.gm) / (COUNT(events.value) + 10.0) AS encoding
-      FROM events, g GROUP BY event_type, g.gm
+             (CAST(SUM(v) AS DOUBLE) + 10.0 * g.gm) / (COUNT(v) + 10.0) AS encoding
+      FROM src, g GROUP BY event_type, g.gm
     )
     SELECT e.event_id, ROUND(enc.encoding, 6) AS event_type_te
     FROM events e LEFT JOIN enc ON e.event_type = enc.value
@@ -4859,7 +4950,11 @@ def text_clean_normalize(spark, sf_dir):
       FROM e
     )
     SELECT window_start, event_type,
-           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+           COUNT(*) AS n_events,
+           -- guarded-decimal sums (r11 batch, r10 verdict item 2)
+           CAST(ROUND(SUM(CASE WHEN NOT isnan(value)
+                   THEN TRY_CAST(value AS DECIMAL(18,6)) END), 2)
+                AS DOUBLE) AS total_value
     FROM x GROUP BY 1, 2
     """,
 )
@@ -4874,7 +4969,7 @@ def stream_sliding_window_counts(spark, sf_dir):
         .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(_dec_value()), 2).cast("double").alias("total_value"),
         )
     )
     # state_partitions: see stream_tumbling_window_counts (state =
@@ -5539,17 +5634,27 @@ def q9_product_type_profit(spark, sf_dir):
 
 @_q(
     "q11_important_part_values",
+    # guarded-decimal part values (r11 batch, r10 verdict item 2). The
+    # threshold compare runs in DOUBLE on decimal-derived operands: both
+    # engines cast the SAME exact decimals to the SAME doubles and apply
+    # one multiply + one compare — bit-identical (the q14 ratio recipe).
     """
     WITH v AS (
-      SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS part_value
+      SELECT l_partkey,
+             SUM((CASE WHEN NOT isnan(l_extendedprice)
+                       THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+               * (CASE WHEN NOT isnan(l_quantity)
+                       THEN TRY_CAST(l_quantity AS DECIMAL(18,6)) END)) AS part_value
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
       GROUP BY l_partkey
     )
-    SELECT l_partkey AS p_partkey, ROUND(part_value, 2) AS part_value
-    FROM v WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM v)
+    SELECT l_partkey AS p_partkey, CAST(ROUND(part_value, 2) AS DOUBLE) AS part_value
+    FROM v
+    WHERE CAST(part_value AS DOUBLE)
+          > (SELECT CAST(SUM(part_value) AS DOUBLE) * 0.001 FROM v)
     """,
 )
 def q11_important_part_values(spark, sf_dir):
@@ -5569,15 +5674,22 @@ def q11_important_part_values(spark, sf_dir):
         _t(spark, sf_dir, "lineitem")
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+        .agg(
+            F.sum(
+                _dec_value("l_extendedprice", "decimal(15,4)")
+                * _dec_value("l_quantity", "decimal(18,6)")
+            ).alias("part_value")
+        )
     )
-    thresh = v.agg((F.sum("part_value") * F.lit(0.001)).alias("__scalar_thresh"))
+    thresh = v.agg(
+        (F.sum("part_value").cast("double") * F.lit(0.001)).alias("__scalar_thresh")
+    )
     return (
         v.crossJoin(F.broadcast(thresh))
-        .filter(F.col("part_value") > F.col("__scalar_thresh"))
+        .filter(F.col("part_value").cast("double") > F.col("__scalar_thresh"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("part_value", 2).alias("part_value"),
+            F.round("part_value", 2).cast("double").alias("part_value"),
         )
     )
 
@@ -5751,12 +5863,31 @@ def q16_brand_supplier_counts(spark, sf_dir):
 
 @_q(
     "q17_small_quantity_revenue",
+    # guarded-decimal sums + double threshold (r11 batch, r10 verdict
+    # item 2): the AVG threshold becomes (0.5 * CAST(SUM(dec) AS
+    # DOUBLE)) / COUNT — both engines derive the SAME doubles from the
+    # SAME exact decimal sums, so the boundary compare is bit-identical
+    # and order-free. Spelled decorrelated to match the engine plan
+    # (the correlated form is equivalent: the correlation key is the
+    # part, and parts are brand-unique).
     """
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE p_brand = 'Brand#5'
-      AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
-                        FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    WITH li AS (
+      SELECT l_partkey,
+             (CASE WHEN NOT isnan(l_quantity)
+                   THEN TRY_CAST(l_quantity AS DECIMAL(18,6)) END) AS qty,
+             (CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END) AS price
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#5'
+    ),
+    t AS (
+      SELECT l_partkey,
+             0.5 * CAST(SUM(qty) AS DOUBLE) / NULLIF(COUNT(qty), 0) AS qty_thresh
+      FROM li GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(CAST(SUM(price) AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM li JOIN t USING (l_partkey)
+    WHERE CAST(qty AS DOUBLE) < qty_thresh
     """,
 )
 def q17_small_quantity_revenue(spark, sf_dir):
@@ -5771,15 +5902,24 @@ def q17_small_quantity_revenue(spark, sf_dir):
     li = (
         _t(spark, sf_dir, "lineitem")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .select(
+            "l_partkey",
+            _dec_value("l_quantity", "decimal(18,6)").alias("qty"),
+            _dec_value("l_extendedprice", "decimal(15,4)").alias("price"),
+        )
     )
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_thresh")
+        (
+            F.lit(0.5) * F.sum("qty").cast("double")
+            / F.nullif(F.count("qty"), F.lit(0))
+        ).alias("qty_thresh")
     )
     return (
         li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
-        .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+        .filter(F.col("qty").cast("double") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("price").cast("double") / F.lit(7.0), 2).alias("avg_yearly")
+        )
     )
 
 
@@ -5903,14 +6043,30 @@ def q21_sole_late_suppliers(spark, sf_dir):
 
 @_q(
     "q22_dormant_high_balance",
+    # guarded-decimal balances (r11 batch, r10 verdict item 2): the AVG
+    # threshold becomes CAST(SUM(dec) AS DOUBLE)/COUNT over the
+    # finite-domain balance — out-of-domain readings (NaN/±Inf/±1e300)
+    # are missing, so they neither poison the fit nor appear in the
+    # output (the _dec_value policy).
     """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             (CASE WHEN NOT isnan(c_acctbal)
+                   THEN TRY_CAST(c_acctbal AS DECIMAL(18,6)) END) AS bal
+      FROM customer
+    ),
+    a AS (
+      SELECT CAST(SUM(CASE WHEN bal > 0 THEN bal END) AS DOUBLE)
+             / NULLIF(COUNT(CASE WHEN bal > 0 THEN bal END), 0) AS avg_bal
+      FROM c
+    )
     SELECT CAST(cntrycode AS INTEGER) AS cntrycode,
            COUNT(*) AS numcust,
-           ROUND(SUM(c_acctbal), 2) AS totacctbal
+           CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS totacctbal
     FROM (
-      SELECT c_nationkey % 10 AS cntrycode, c_acctbal
-      FROM customer
-      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      SELECT c_nationkey % 10 AS cntrycode, bal
+      FROM c, a
+      WHERE CAST(bal AS DOUBLE) > a.avg_bal
         AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey
                           AND o_orderpriority = '1-URGENT'
@@ -5925,9 +6081,14 @@ def q22_dormant_high_balance(spark, sf_dir):
     (every customer here has SOME order). The global avg is a 1-row
     broadcast ("__scalar_"); the NOT EXISTS is a broadcast anti join of
     the filtered order keys."""
-    cust = _t(spark, sf_dir, "customer")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__scalar_avg_bal")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _dec_value("c_acctbal").alias("bal")
+    )
+    pos = F.when(F.col("bal") > 0, F.col("bal"))
+    avg_bal = cust.agg(
+        (F.sum(pos).cast("double") / F.nullif(F.count(pos), F.lit(0))).alias(
+            "__scalar_avg_bal"
+        )
     )
     recent_urgent = (
         _t(spark, sf_dir, "orders")
@@ -5939,12 +6100,12 @@ def q22_dormant_high_balance(spark, sf_dir):
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("__scalar_avg_bal"))
+        .filter(F.col("bal").cast("double") > F.col("__scalar_avg_bal"))
         .join(F.broadcast(recent_urgent), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
         )
     )
 
@@ -7228,10 +7389,13 @@ def path_top_event_sequences(spark, sf_dir):
 
 @_q(
     "join_bloom_prefilter",
+    # guarded-decimal quantity sums (r11 batch, r10 verdict item 2)
     """
     SELECT l_suppkey,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_quantity), 2) AS sum_qty
+           CAST(ROUND(SUM(CASE WHEN NOT isnan(l_quantity)
+                   THEN TRY_CAST(l_quantity AS DECIMAL(18,6)) END), 2)
+                AS DOUBLE) AS sum_qty
     FROM lineitem
     WHERE l_suppkey IN (
       SELECT s_suppkey FROM supplier
@@ -7264,7 +7428,9 @@ def join_bloom_prefilter_q(spark, sf_dir):
         .groupBy("l_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec_value("l_quantity", "decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
         )
     )
 
@@ -7808,12 +7974,15 @@ def histogram_percentile_estimate_q(spark, sf_dir):
 
 @_q(
     "agg_grouping_sets_revenue",
+    # guarded-decimal revenue (r11 batch, r10 verdict item 2)
     """
     SELECT COALESCE(n_name, '(all)') AS nation,
            COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), '(all)') AS order_year,
            CAST(GROUPING(n_name) * 2 + GROUPING(EXTRACT(year FROM o_orderdate)) AS INT)
              AS grouping_level,
-           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(ROUND(SUM(CASE WHEN NOT isnan(o_totalprice)
+                   THEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) END), 2)
+                AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -7841,7 +8010,9 @@ def agg_grouping_sets_revenue(spark, sf_dir):
         SELECT COALESCE(n_name, '(all)') AS nation,
                COALESCE(CAST(oy AS STRING), '(all)') AS order_year,
                CAST(grouping_id(n_name, oy) AS INT) AS grouping_level,
-               ROUND(SUM(o_totalprice), 2) AS revenue,
+               CAST(ROUND(SUM(CASE WHEN NOT isnan(o_totalprice)
+                       THEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) END), 2)
+                    AS DOUBLE) AS revenue,
                COUNT(*) AS n_orders
         FROM __gs_base
         GROUP BY GROUPING SETS ((n_name), (oy), ())

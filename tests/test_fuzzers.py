@@ -233,3 +233,43 @@ def test_dim_ids_fuzzer_degrades_the_nation_region_chain():
         assert pq.read_table(f"{out}/{t}.parquet").equals(
             pq.read_table(f"{SF}/{t}.parquet")
         ), f"{t} mutated by the dim-ids fuzzer"
+
+
+def test_ts_nulls_fuzzer_degrades_the_event_time_spine():
+    """r11 regime (r10 verdict item 4): events.ts — the column the
+    whole asof/session/watermark/cadence family keys on — gains NULLs,
+    epoch-0 floors, and far-future (2200-01-01) extremes. Contract:
+    all three degradations present at ~2% each, only events.ts moves,
+    every other table passes through byte-identical."""
+    import datetime
+
+    import driver_sim as DS
+
+    out = DS.perturb_ts_nulls_sf(SF, seed=9001)
+    src = pq.read_table(f"{SF}/events.parquet")
+    tbl = pq.read_table(f"{out}/events.parquet")
+    before = src.column("ts").to_pylist()
+    after = tbl.column("ts").to_pylist()
+    assert len(after) == len(before) and tbl.num_rows == src.num_rows
+    n_null = sum(1 for v in after if v is None) - sum(1 for v in before if v is None)
+    n_epoch = sum(
+        1 for v in after if v is not None and v.replace(tzinfo=None) == datetime.datetime(1970, 1, 1)
+    )
+    n_far = sum(
+        1 for v in after if v is not None and v.replace(tzinfo=None) == datetime.datetime(2200, 1, 1)
+    )
+    assert n_null > 0, "fuzzer planted no NULL event times"
+    assert n_epoch > 0, "fuzzer planted no epoch-0 extremes"
+    assert n_far > 0, "fuzzer planted no far-future extremes"
+    if len(after) >= 400:
+        rate = (n_null + n_epoch + n_far) / len(after)
+        assert 0.02 < rate < 0.12, f"mutation rate off: {rate}"
+    # only ts moves; every other column and table is untouched
+    for f in src.schema:
+        if f.name != "ts":
+            assert tbl.column(f.name).to_pylist() == src.column(f.name).to_pylist()
+    for t in ("orders", "lineitem", "part", "customer", "supplier",
+              "nation", "region", "documents", "embeddings"):
+        assert pq.read_table(f"{out}/{t}.parquet").equals(
+            pq.read_table(f"{SF}/{t}.parquet")
+        ), f"{t} mutated by the ts-nulls fuzzer"

@@ -519,6 +519,57 @@ def perturb_ts_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_ts_nulls_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with the event-time spine itself degraded
+    (r10 verdict item 4 — the last un-fuzzed column family): a seeded
+    ~2% of ``events.ts`` overwritten by NULL, ~2% by the epoch floor
+    (1970-01-01), and ~2% by a far-future extreme (2200-01-01; far
+    beyond the data range yet safe under both engines' interval
+    arithmetic — 9999-12-31 would overflow Spark's session_window
+    gap-add). Real feeds emit all three (producer clock loss, zeroed
+    fields, unit bugs), and the whole asof/session/watermark/cadence
+    family keys on ts: a NULL event time must follow each entry's
+    pinned null policy on BOTH engines, not either engine's windowing
+    accident; an epoch/far-future row stresses watermark max-ts
+    derivation, date bucketing, and interval joins. Both engines see
+    identical bytes. ``--perturb-ts`` (hour truncation → ties) and this
+    mode compose: ties AND holes AND extremes in one regime."""
+    import datetime
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/driver_sim_tsnulls_s{seed}_{_src_tag(sf)}"
+    os.makedirs(out, exist_ok=True)
+    epoch = datetime.datetime(1970, 1, 1)
+    far = datetime.datetime(2200, 1, 1)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t != "events":
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        tbl = pq.read_table(src)
+        ts = tbl.column("ts").combine_chunks()
+        eid = tbl.column("event_id").combine_chunks().to_pylist()
+        vals = ts.to_pylist()
+        mutated = []
+        for v, e in zip(vals, eid):
+            pick = zlib.crc32(f"{seed}/ts-nulls/{e}".encode()) % 50
+            if v is None or pick > 2:
+                mutated.append(v)
+            else:
+                mutated.append((None, epoch, far)[pick])
+        arrays = [
+            pa.array(mutated, type=f.type) if f.name == "ts" else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
 def perturb_nulls_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with a seeded ~5% of nullable CUSTOM-table
     values overwritten by NULL: documents.text / documents.lang /
@@ -529,9 +580,10 @@ def perturb_nulls_sf(sf: str, seed: int) -> str:
     ``count(col)`` probe, and sort on opposite ends of the two engines'
     windows, so representative-selection and LIMIT-boundary tie-breaks
     must spell their null order explicitly. events.event_id and
-    timestamps stay non-null (the event stream's identity/time spine
-    carries semantic weight the fuzz must not change; a NULL *value*
-    column is exactly what a lossy upstream producer emits). The
+    timestamps stay non-null IN THIS MODE (a NULL *value* column is
+    exactly what a lossy upstream producer emits; the event-time spine
+    gets its own dedicated regime — ``--perturb-ts-nulls`` — so the two
+    failure families stay bisectable). The
     driver regenerates data
     each round with no null-freeness promise on the custom tables, and
     NULL is the classic cross-engine divergence carrier: Java-regex vs
@@ -884,6 +936,9 @@ def main() -> int:
                          "into ~15%% of documents.text")
     ap.add_argument("--perturb-ts", type=int, default=None, metavar="SEED",
                     help="truncate a seeded ~20%% of events.ts to the hour")
+    ap.add_argument("--perturb-ts-nulls", type=int, default=None, metavar="SEED",
+                    help="NULL ~2%% of events.ts + seed epoch-0 / far-future "
+                         "(2200-01-01) extremes into ~2%% each")
     ap.add_argument("--perturb-nulls", type=int, default=None, metavar="SEED",
                     help="NULL a seeded ~5%% of documents+events value columns + embeddings.label")
     ap.add_argument("--perturb-order", type=int, default=None, metavar="SEED",
@@ -926,6 +981,9 @@ def main() -> int:
     if args.perturb_ts is not None:
         args.sf = perturb_ts_sf(args.sf, args.perturb_ts)
         print(f"# ts-perturbed testdata (seed {args.perturb_ts}) -> {args.sf}")
+    if args.perturb_ts_nulls is not None:
+        args.sf = perturb_ts_nulls_sf(args.sf, args.perturb_ts_nulls)
+        print(f"# ts-nulls-perturbed testdata (seed {args.perturb_ts_nulls}) -> {args.sf}")
     if args.perturb_nulls is not None:
         args.sf = perturb_nulls_sf(args.sf, args.perturb_nulls)
         print(f"# null-perturbed testdata (seed {args.perturb_nulls}) -> {args.sf}")
