@@ -38,24 +38,25 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
 
 _DRIVER_WINDOW = [
-    # Round-11 rotation (tools/freshness.py --plan, now self-checking):
-    # (a) 20 changed entries — the three r10 oracle fixes never
-    #     driver-verified post-fix (r10 verdict item 1), the q16
-    #     NULL-suppkey symmetry + q3/q10/q18 NULLS FIRST pins (r10
-    #     advice), and the 14-entry guarded-decimal batch that retires
-    #     the order-dependent raw double-SUM oracle class (r10 verdict
-    #     item 2); all but the hand-listed three auto-promoted by the
-    #     planner's git diff against the r10 close commit.
-    # (b) the 23 r05 rows, then the oldest r06 rows. After this window
-    #     lands, no driver row is older than r06.
+    # Round-11 rotation (tools/freshness.py --plan, self-checking):
+    # (a) 29 changed entries — the three r10 oracle fixes never
+    #     driver-verified post-fix, the q16 NULL-suppkey symmetry +
+    #     q3/q10/q18 NULLS FIRST pins (r10 advice), the 14-entry
+    #     guarded-decimal batch (r10 verdict item 2), and the 13
+    #     --perturb-ts-nulls finds (seed 337: NULL/epoch/far-future
+    #     event times; r10 verdict item 4); all but the hand-listed
+    #     three auto-promoted by the planner's git diff.
+    # (b) the oldest unchanged driver rows (r05 cohort first).
     "q16_brand_supplier_counts",  # changed
     "session_window_stats",  # changed
     "stream_session_window_stats",  # changed
     "agg_cube_event_matrix",  # changed
     "agg_grouping_sets_revenue",  # changed
     "agg_rollup_order_revenue",  # changed
+    "cohort_weekly_retention",  # changed
     "embedding_stats_by_label",  # changed
     "feature_target_encoding",  # changed
+    "interval_overlap_sessions",  # changed
     "join_bloom_prefilter",  # changed
     "join_broadcast_dim_agg",  # changed
     "q10_returned_items",  # changed
@@ -66,8 +67,15 @@ _DRIVER_WINDOW = [
     "q22_dormant_high_balance",  # changed
     "q3_shipping_priority",  # changed
     "q6_forecast_revenue",  # changed
+    "running_distinct_users",  # changed
+    "sessionize_events",  # changed
+    "stream_dedup_exact",  # changed
+    "stream_interval_join_attribution",  # changed
     "stream_sliding_window_counts",  # changed
+    "stream_topk_trending",  # changed
     "stream_tumbling_window_counts",  # changed
+    "timeseries_rollup_cascade",  # changed
+    "timeseries_twap_user",  # changed
     "agg_vocab_sizes",  # r05
     "cohort_repeat_rate",  # r05
     "corpus_drift_js_divergence",  # r05
@@ -83,21 +91,12 @@ _DRIVER_WINDOW = [
     "scalar_date_funcs",  # r05
     "scalar_string_funcs",  # r05
     "sequence_packing_plan",  # r05
-    "sessionize_events",  # r05
     "set_intersect_keys",  # r05
     "set_union_keys",  # r05
     "text_quality_filter",  # r05
     "text_stats",  # r05
     "agg_approx_stats",  # r06
     "case_when_bucketing",  # r06
-    "cohort_weekly_retention",  # r06
-    "dedup_exact_substring_scrub",  # r06
-    "dedup_exact_substring_spans",  # r06
-    "dedup_paragraph_exact",  # r06
-    "dq_key_violations",  # r06
-    "dq_referential_violations",  # r06
-    "feature_one_hot_events",  # r06
-    "filter_theta_or",  # r06
 ]
 
 

@@ -328,7 +328,11 @@ def time_weighted_avg(
         F.asc_nulls_first(ts_col), *[F.asc_nulls_first(c) for c in (tiebreak or [])]
     )
     nxt = F.lead(ts).over(w)
-    dt = (F.unix_micros(nxt) - F.unix_micros(ts)).cast("decimal(14,0)")
+    # DECIMAL(17,0) durations: ~3170 years of microseconds — a feed
+    # carrying epoch-0 or far-future event times (clock loss, unit
+    # bugs; driver_sim --perturb-ts-nulls) produces multi-century gaps
+    # that overflow the old (14,0) under ANSI (r11 find, seed 337)
+    dt = (F.unix_micros(nxt) - F.unix_micros(ts)).cast("decimal(17,0)")
     # finite-domain decimal ingestion: NaN/±Inf/out-of-domain magnitudes
     # become NULL (missing observation) instead of crashing the ANSI cast
     # (driver_sim --perturb-extremes); identical to CAST for finite
@@ -338,10 +342,11 @@ def time_weighted_avg(
     stepped = df.select(
         *group_cols,
         v.alias("_v"),
-        F.coalesce(dt, F.lit(0).cast("decimal(14,0)")).alias("_dt"),
+        F.coalesce(dt, F.lit(0).cast("decimal(17,0)")).alias("_dt"),
     )
-    # (18,6)×(14,0) -> (33,6) exact; sums re-narrowed under the 38 cap
-    num = F.sum((F.col("_v") * F.col("_dt")).cast("decimal(33,6)")).cast("decimal(34,6)")
+    # (18,6)×(17,0) -> (36,6) exact (inside the 38 cap — no silent
+    # precision loss); the sum re-narrows to (38,6)
+    num = F.sum((F.col("_v") * F.col("_dt")).cast("decimal(36,6)")).cast("decimal(38,6)")
     den = F.sum("_dt").cast("decimal(20,0)")
     # all-zero-duration fallback (single obs / all-duplicate timestamps):
     # plain mean, but decimal-sum÷count — a double AVG would be

@@ -1591,15 +1591,15 @@ def window_running_user_spend(spark, sf_dir):
     """
     WITH flagged AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
                        > INTERVAL 30 MINUTE
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
     SELECT user_id, event_id, ts,
            CAST(SUM(new_session) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
     FROM flagged
     """,
@@ -2931,6 +2931,9 @@ def _stream_events(spark, sf_dir):
                    THEN TRY_CAST(value AS DECIMAL(18,6)) END), 2)
                 AS DOUBLE) AS total_value
     FROM events
+    -- ts IS NOT NULL (r11 ts-nulls find, seed 337): NULL event time
+    -- belongs to no window; Spark's event-time machinery drops the row
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     headline=True,
@@ -3416,9 +3419,12 @@ def incremental_agg_maintenance(spark, sf_dir):
     "timeseries_rollup_cascade",
     """
     WITH src AS (
+      -- ts IS NOT NULL (r11 ts-nulls find, seed 337): a reading with no
+      -- time belongs to no bucket at any rollup level. Spark's window()
+      -- drops such rows structurally; the oracle spells the policy.
       SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
              (CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS v
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     hourly AS (
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
@@ -4188,10 +4194,13 @@ def funnel_view_click_purchase(spark, sf_dir):
     "cohort_weekly_retention",
     """
     WITH active AS (
+      -- ts IS NOT NULL (r11 ts-nulls find, seed 337): an event with no
+      -- time cannot be placed in any activity period. Spark's window()
+      -- drops such rows structurally; the oracle spells the policy.
       SELECT DISTINCT user_id,
              time_bucket(INTERVAL 1 WEEK, CAST(ts AS TIMESTAMP),
                          TIMESTAMP '1970-01-01') AS p
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     first AS (SELECT user_id, MIN(p) AS cohort FROM active GROUP BY user_id)
     SELECT f.cohort,
@@ -4390,7 +4399,14 @@ def scd2_interval_lookup(spark, sf_dir):
     """
     SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
     FROM (SELECT DISTINCT event_id, user_id, event_type, value, ts
-          FROM events)
+          -- post-epoch floor (r11 ts-nulls find, seed 337): Spark's
+          -- watermark-keyed dedup drops epoch-sentinel rows (at/below
+          -- the initial watermark) yet PASSES NULL event times through
+          -- un-deduped — two accidents; the entry pins ONE policy
+          -- (messages must carry a real post-epoch time) and the
+          -- engine filters the same floor explicitly. NULL ts fails
+          -- the > comparison here too.
+          FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '1970-01-01')
     """,
 )
 def stream_dedup_exact(spark, sf_dir):
@@ -4404,7 +4420,13 @@ def stream_dedup_exact(spark, sf_dir):
     micro-batch accident no oracle can replay."""
     from ..streaming.pipeline import run_bounded_to_memory, stream_dedup
 
-    doubled = _stream_events(spark, sf_dir).unionByName(_stream_events(spark, sf_dir))
+    # post-epoch floor (r11, seed 337): see the oracle comment — the
+    # watermark machinery drops epoch rows but passes NULL event times
+    # through UN-deduped; one explicit policy replaces both accidents
+    src = _stream_events(spark, sf_dir).filter(
+        F.col("ts") > F.lit("1970-01-01").cast("timestamp")
+    )
+    doubled = src.unionByName(src)
     deduped = stream_dedup(
         doubled,
         keys=["event_id", "user_id", "event_type", "value", "ts"],
@@ -4426,8 +4448,17 @@ def stream_dedup_exact(spark, sf_dir):
            v.event_id AS view_id,
            CAST(date_diff('second', CAST(v.ts AS TIMESTAMP), CAST(c.ts AS TIMESTAMP)) AS BIGINT)
              AS secs_before_click
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    -- ts > epoch (r11 ts-nulls find, seed 337): Spark's stateful
+    -- append-mode join initializes its watermark at the epoch and
+    -- drops input rows at/below it — an event bearing the zeroed-clock
+    -- sentinel can never traverse a stream-stream join. The engine
+    -- spells the same floor explicitly (robust under any micro-batch
+    -- split) and the oracle mirrors it. NULL ts drops in the join
+    -- comparisons on both engines already.
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click' AND CAST(ts AS TIMESTAMP) > TIMESTAMP '1970-01-01') c
+    JOIN (SELECT * FROM events
+          WHERE event_type = 'view' AND CAST(ts AS TIMESTAMP) > TIMESTAMP '1970-01-01') v
       ON c.user_id = v.user_id
      AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 1 HOUR
      AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
@@ -4440,8 +4471,17 @@ def stream_interval_join_attribution(spark, sf_dir):
     the batch interval join — full oracle parity."""
     from ..streaming.pipeline import run_bounded_to_memory, stream_stream_interval_join
 
-    clicks = _stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
-    views = _stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    # post-epoch floor (r11, seed 337): zeroed-clock events sit AT the
+    # stateful join's initial watermark and are dropped as late — made
+    # an explicit contract here so the behavior doesn't depend on
+    # micro-batch boundaries (the oracle spells the same floor)
+    epoch = F.lit("1970-01-01").cast("timestamp")
+    clicks = _stream_events(spark, sf_dir).filter(
+        (F.col("event_type") == "click") & (F.col("ts") > epoch)
+    )
+    views = _stream_events(spark, sf_dir).filter(
+        (F.col("event_type") == "view") & (F.col("ts") > epoch)
+    )
     joined = stream_stream_interval_join(
         clicks,
         views,
@@ -4942,7 +4982,9 @@ def text_clean_normalize(spark, sf_dir):
     "stream_sliding_window_counts",
     """
     WITH e AS (
+      -- ts IS NOT NULL: see stream_tumbling_window_counts (r11, 337)
       SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+      WHERE ts IS NOT NULL
     ), x AS (
       SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts),
                      time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS window_start,
@@ -5151,7 +5193,11 @@ def ann_ivf_topk(spark, sf_dir):
     "session_window_stats",
     """
     WITH e AS (
+      -- ts IS NOT NULL (r11 ts-nulls find, seed 337): a session is a
+      -- time-axis construct; Spark's session_window drops NULL event
+      -- times structurally and the oracle spells the same policy
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      WHERE ts IS NOT NULL
     ), m AS (
       SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                           < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
@@ -5199,7 +5245,15 @@ def session_window_stats(spark, sf_dir):
 @_q(
     "stream_session_window_stats",
     """
-    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    WITH e AS (
+      -- ts IS NOT NULL (r11): the engine's watermark drops NULL event
+      -- times; before this spelling the oracle only matched because
+      -- NULLS-LAST ordering isolated each NULL row into its own
+      -- NULL-bounded session that the wm filter then dropped — policy
+      -- by accident, now policy by statement
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      WHERE ts IS NOT NULL
+    ),
     wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS w FROM e),
     m AS (
       SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -6618,16 +6672,16 @@ def anomaly_mad_outliers(spark, sf_dir):
     """
     WITH flagged AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
                        > INTERVAL 30 MINUTE
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ),
     sess AS (
       SELECT user_id, event_id, ts,
              CAST(SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     ),
@@ -7169,7 +7223,9 @@ def ann_ivf_portable_topk(spark, sf_dir):
                             ORDER BY ts ASC NULLS FIRST,
                                      event_id ASC NULLS FIRST,
                                      value ASC NULLS FIRST)),
-               0) AS DECIMAL(14,0)) AS dt
+               -- (17,0): multi-century gaps from epoch-0/far-future
+               -- event times overflow (14,0) (r11 ts-nulls find, 337)
+               0) AS DECIMAL(17,0)) AS dt
       FROM events
     ),
     agg AS (
@@ -7178,7 +7234,7 @@ def ann_ivf_portable_topk(spark, sf_dir):
              -- operands widened to DuckDB's INT128 decimal path (the
              -- INT64 fast path overflows on v*dt at these magnitudes)
              CAST(SUM(CAST(CAST(v AS DECIMAL(19,6)) * CAST(dt AS DECIMAL(19,0))
-                           AS DECIMAL(33,6))) AS DECIMAL(34,6)) AS num,
+                           AS DECIMAL(36,6))) AS DECIMAL(38,6)) AS num,
              CAST(SUM(dt) AS DECIMAL(20,0)) AS den,
              CAST(SUM(v) AS DECIMAL(24,6)) AS sv
       FROM stepped GROUP BY user_id
@@ -8027,7 +8083,11 @@ def agg_grouping_sets_revenue(spark, sf_dir):
       SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
-    days AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+    -- ts IS NOT NULL (r11 ts-nulls find, seed 337): NULL is not a day
+    -- on the time axis — unpinned, the two engines place the NULL day
+    -- at opposite ends of the running-sum window
+    days AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+             FROM events WHERE ts IS NOT NULL),
     counts AS (SELECT first_day, COUNT(*) AS n_new FROM firsts GROUP BY first_day)
     SELECT CAST(d.day AS TIMESTAMP) AS day,
            CAST(SUM(COALESCE(c.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT)
@@ -8050,7 +8110,8 @@ def running_distinct_users(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min(day).alias("first_day"))
     )
-    days = ev.select(day.alias("day")).distinct()
+    # NULL is not a day (r11, seed 337) — twin of the oracle's filter
+    days = ev.where(F.col("ts").isNotNull()).select(day.alias("day")).distinct()
     counts = firsts.groupBy("first_day").agg(F.count(F.lit(1)).alias("n_new"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return (
@@ -8997,9 +9058,11 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     "stream_topk_trending",
     """
     WITH w AS (
+      -- ts IS NOT NULL (r11 ts-nulls find, seed 337): NULL event time
+      -- belongs to no trending window (see stream_tumbling)
       SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
              event_type, CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT window_start, event_type, n_events,
            CAST(rnk AS INT) AS rnk
