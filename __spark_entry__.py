@@ -39,13 +39,13 @@ _WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
 
 _DRIVER_WINDOW = [
     # Round-11 rotation (tools/freshness.py --plan, self-checking):
-    # (a) 29 changed entries — the three r10 oracle fixes never
+    # (a) 30 changed entries — the three r10 oracle fixes never
     #     driver-verified post-fix, the q16 NULL-suppkey symmetry +
     #     q3/q10/q18 NULLS FIRST pins (r10 advice), the 14-entry
-    #     guarded-decimal batch (r10 verdict item 2), and the 13
-    #     --perturb-ts-nulls finds (seed 337: NULL/epoch/far-future
-    #     event times; r10 verdict item 4); all but the hand-listed
-    #     three auto-promoted by the planner's git diff.
+    #     guarded-decimal batch (r10 verdict item 2), the 13
+    #     --perturb-ts-nulls finds (seed 337), and dedup_exact's lang
+    #     tie-break (eleven-mode stack find, seed 349); all but the
+    #     hand-listed three auto-promoted by the planner's git diff.
     # (b) the oldest unchanged driver rows (r05 cohort first).
     "q16_brand_supplier_counts",  # changed
     "session_window_stats",  # changed
@@ -54,6 +54,7 @@ _DRIVER_WINDOW = [
     "agg_grouping_sets_revenue",  # changed
     "agg_rollup_order_revenue",  # changed
     "cohort_weekly_retention",  # changed
+    "dedup_exact",  # changed
     "embedding_stats_by_label",  # changed
     "feature_target_encoding",  # changed
     "interval_overlap_sessions",  # changed
@@ -79,7 +80,6 @@ _DRIVER_WINDOW = [
     "agg_vocab_sizes",  # r05
     "cohort_repeat_rate",  # r05
     "corpus_drift_js_divergence",  # r05
-    "dedup_exact",  # r05
     "dedup_ngram_jaccard",  # r05
     "dq_key_skew_report",  # r05
     "graph_link_prediction_cn",  # r05

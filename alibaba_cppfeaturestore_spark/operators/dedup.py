@@ -31,7 +31,8 @@ from ..functions.text import char_shingles, tokens, winnow_fingerprints
 
 
 def exact_dedup(
-    df: DataFrame, cols: list[str], id_col: str, keep: str = "min"
+    df: DataFrame, cols: list[str], id_col: str, keep: str = "min",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Exact dedup on ``cols`` content: keep one row per distinct content
     (smallest ``id_col`` by default — deterministic).
@@ -44,10 +45,17 @@ def exact_dedup(
     document — Spark's bare ``asc()`` is nulls-first, which would elect
     the one row nobody can reference as the survivor of its duplicate
     group, while SQL engines' bare ``ASC`` elects the smallest real id
-    (``driver_sim --perturb-nulls`` find on NULL-seeded ids)."""
+    (``driver_sim --perturb-nulls`` find on NULL-seeded ids).
+
+    ``tiebreak`` (r11, seed-349 stack find): under DUPLICATED ids two
+    rows can tie on (content, id) while differing in a carried-along
+    column — which one survives is then a shuffle accident. Callers
+    that project extra columns off the representative must close the
+    order over them (ASC NULLS FIRST, the house tie convention)."""
     content_hash = F.sha2(F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols]), 256)
     w = Window.partitionBy(content_hash).orderBy(
-        F.col(id_col).asc_nulls_last() if keep == "min" else F.col(id_col).desc_nulls_last()
+        F.col(id_col).asc_nulls_last() if keep == "min" else F.col(id_col).desc_nulls_last(),
+        *[F.asc_nulls_first(c) for c in (tiebreak or [])],
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))

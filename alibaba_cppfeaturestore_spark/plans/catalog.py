@@ -2201,7 +2201,13 @@ def contamination_ngram_overlap(spark, sf_dir):
       SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
     )
     SELECT doc_id, lang FROM corpus
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id NULLS LAST) = 1
+    -- lang closes the order over the OUTPUT (r11 eleven-mode stack
+    -- find, seed 349): duplicated doc_ids let two rows tie on
+    -- (text, doc_id) while differing in lang — which lang the
+    -- representative carries was a shuffle accident
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text
+                               ORDER BY doc_id NULLS LAST,
+                                        lang ASC NULLS FIRST) = 1
     """,
     headline=True,
 )
@@ -2209,9 +2215,12 @@ def dedup_exact(spark, sf_dir):
     """Exact dedup (keep smallest id) over a corpus with planted
     duplicates; shuffles on sha2(text), not the text itself. NULLS LAST
     spelled on both sides: a NULL-id row never wins representative
-    selection (see ``exact_dedup``)."""
+    selection (see ``exact_dedup``). lang tie-breaks rows tied on
+    (text, doc_id) — duplicate-id regimes (r11, seed 349)."""
     corpus = _docs_with_duplicates(spark, sf_dir)
-    return DD.exact_dedup(corpus, cols=["text"], id_col="doc_id").select("doc_id", "lang")
+    return DD.exact_dedup(
+        corpus, cols=["text"], id_col="doc_id", tiebreak=["lang"]
+    ).select("doc_id", "lang")
 
 
 @_q(

@@ -39,6 +39,24 @@ def test_exact_dedup_keeps_min_id(spark, docs):
     assert out.agg(F.max("doc_id")).first()[0] < 10_000  # originals win
 
 
+def test_exact_dedup_tiebreak_closes_the_order_under_duplicate_ids(spark):
+    # r11 eleven-mode-stack find (seed 349): duplicated ids let two rows
+    # tie on (content, id) while differing in a carried-along column —
+    # without a tiebreak, which value the representative carries is a
+    # shuffle accident. ASC NULLS FIRST on the tiebreak column.
+    rows = [
+        (1, "same text", "zz"),
+        (1, "same text", "aa"),
+        (1, "same text", None),
+        (2, "same text", "bb"),
+        (7, "other", "cc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = exact_dedup(df, cols=["text"], id_col="doc_id", tiebreak=["lang"]).collect()
+    got = {(r.doc_id, r.lang) for r in out}
+    assert got == {(1, None), (7, "cc")}  # NULL lang sorts first among the id-1 ties
+
+
 def test_minhash_finds_planted_near_dups(spark, docs):
     base = docs.limit(50)
     mutants = base.select(
