@@ -3988,7 +3988,10 @@ def melt_lineitem_charges(spark, sf_dir):
              SUM(CASE WHEN NOT isnan(o_totalprice) THEN
                    CASE WHEN TRY_CAST(o_totalprice AS DECIMAL(18,6)) IS NOT NULL
                         THEN o_totalprice END END) AS revenue
-      FROM orders GROUP BY 1
+      -- o_orderdate IS NOT NULL (r11 --perturb-date-nulls find, seed
+      -- 367): an undated order belongs to no week; Spark's window()
+      -- drops the row structurally, the oracle spells the policy
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
     SELECT week_start,
            ROUND(revenue, 2) AS revenue,

@@ -273,3 +273,41 @@ def test_ts_nulls_fuzzer_degrades_the_event_time_spine():
         assert pq.read_table(f"{out}/{t}.parquet").equals(
             pq.read_table(f"{SF}/{t}.parquet")
         ), f"{t} mutated by the ts-nulls fuzzer"
+
+
+def test_date_nulls_fuzzer_degrades_the_tpch_date_spine():
+    """r11: the relational date spine (o_orderdate, l_shipdate) gains
+    NULLs, epoch-0 floors, and far-future extremes at ~2% each; only
+    the two date columns move, every other table byte-identical."""
+    import datetime
+
+    import driver_sim as DS
+
+    out = DS.perturb_date_nulls_sf(SF, seed=9001)
+    for table, col in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        src = pq.read_table(f"{SF}/{table}.parquet")
+        tbl = pq.read_table(f"{out}/{table}.parquet")
+        before = src.column(col).to_pylist()
+        after = tbl.column(col).to_pylist()
+        assert len(after) == len(before)
+        n_null = sum(1 for v in after if v is None) - sum(1 for v in before if v is None)
+        n_epoch = sum(
+            1 for v in after
+            if v is not None and v.replace(tzinfo=None) == datetime.datetime(1970, 1, 1)
+        )
+        n_far = sum(
+            1 for v in after
+            if v is not None and v.replace(tzinfo=None) == datetime.datetime(2200, 1, 1)
+        )
+        assert n_null > 0 and n_epoch > 0 and n_far > 0, f"{table}.{col}: degradations missing"
+        if len(after) >= 400:
+            rate = (n_null + n_epoch + n_far) / len(after)
+            assert 0.02 < rate < 0.12, f"{table}.{col}: mutation rate off: {rate}"
+        for f in src.schema:
+            if f.name != col:
+                assert tbl.column(f.name).to_pylist() == src.column(f.name).to_pylist()
+    for t in ("customer", "supplier", "nation", "region", "part",
+              "documents", "embeddings", "events"):
+        assert pq.read_table(f"{out}/{t}.parquet").equals(
+            pq.read_table(f"{SF}/{t}.parquet")
+        ), f"{t} mutated by the date-nulls fuzzer"

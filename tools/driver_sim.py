@@ -570,6 +570,55 @@ def perturb_ts_nulls_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_date_nulls_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with the RELATIONAL date spine degraded —
+    the sibling of ``--perturb-ts-nulls`` for the TPC-H side (r11: the
+    events.ts campaign left ``orders.o_orderdate`` and
+    ``lineitem.l_shipdate`` as the last never-degraded time columns): a
+    seeded ~2% of each overwritten by NULL, ~2% by the epoch floor
+    (1970-01-01), ~2% by a far-future extreme (2200-01-01). Range
+    filters drop NULLs identically in both engines by comparison
+    semantics, but year()/window() bucketing, weekly rollups, date
+    sequences (gap fill), and ORDER BY tie-breaks all have NULL/extreme
+    behavior that must be pinned, not inherited. Hit selection keys on
+    the ROW INDEX (parquet row order is stable; the natural keys can be
+    duplicated/NULLed by the id fuzzers this mode stacks with)."""
+    import datetime
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    targets = {"orders": "o_orderdate", "lineitem": "l_shipdate"}
+    out = f"/tmp/driver_sim_datenulls_s{seed}_{_src_tag(sf)}"
+    os.makedirs(out, exist_ok=True)
+    epoch = datetime.datetime(1970, 1, 1)
+    far = datetime.datetime(2200, 1, 1)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t not in targets:
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        col = targets[t]
+        tbl = pq.read_table(src)
+        vals = tbl.column(col).combine_chunks().to_pylist()
+        mutated = []
+        for i, v in enumerate(vals):
+            pick = zlib.crc32(f"{seed}/date-nulls/{t}/{i}".encode()) % 50
+            if v is None or pick > 2:
+                mutated.append(v)
+            else:
+                mutated.append((None, epoch, far)[pick])
+        arrays = [
+            pa.array(mutated, type=f.type) if f.name == col else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
 def perturb_nulls_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with a seeded ~5% of nullable CUSTOM-table
     values overwritten by NULL: documents.text / documents.lang /
@@ -939,6 +988,9 @@ def main() -> int:
     ap.add_argument("--perturb-ts-nulls", type=int, default=None, metavar="SEED",
                     help="NULL ~2%% of events.ts + seed epoch-0 / far-future "
                          "(2200-01-01) extremes into ~2%% each")
+    ap.add_argument("--perturb-date-nulls", type=int, default=None, metavar="SEED",
+                    help="NULL/epoch/far-future ~2%% each into o_orderdate "
+                         "and l_shipdate (the TPC-H date spine)")
     ap.add_argument("--perturb-nulls", type=int, default=None, metavar="SEED",
                     help="NULL a seeded ~5%% of documents+events value columns + embeddings.label")
     ap.add_argument("--perturb-order", type=int, default=None, metavar="SEED",
@@ -984,6 +1036,9 @@ def main() -> int:
     if args.perturb_ts_nulls is not None:
         args.sf = perturb_ts_nulls_sf(args.sf, args.perturb_ts_nulls)
         print(f"# ts-nulls-perturbed testdata (seed {args.perturb_ts_nulls}) -> {args.sf}")
+    if args.perturb_date_nulls is not None:
+        args.sf = perturb_date_nulls_sf(args.sf, args.perturb_date_nulls)
+        print(f"# date-nulls-perturbed testdata (seed {args.perturb_date_nulls}) -> {args.sf}")
     if args.perturb_nulls is not None:
         args.sf = perturb_nulls_sf(args.sf, args.perturb_nulls)
         print(f"# null-perturbed testdata (seed {args.perturb_nulls}) -> {args.sf}")
