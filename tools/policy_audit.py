@@ -223,7 +223,7 @@ REVIEWED_SINKS = {
     ("timeseries_twap_user", "events.value"):
         "the r09 order-totality tie-break put value inside the LEAD "
         "window's ORDER BY, which nests inside the CAST .. AS "
-        "DECIMAL(14,0) span — but that cast targets the microsecond "
+        "DECIMAL(17,0) span — but that cast targets the microsecond "
         "DIFFERENCE; value itself enters decimal only via the guarded "
         "_dec_value CASE (stripped before detection)",
 }
