@@ -39,15 +39,16 @@ _WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
 
 _DRIVER_WINDOW = [
     # Round-11 rotation (tools/freshness.py --plan, self-checking):
-    # (a) 31 changed entries — the three r10 oracle fixes never
+    # (a) 33 changed entries — the three r10 oracle fixes never
     #     driver-verified post-fix, the q16 NULL-suppkey symmetry +
     #     q3/q10/q18 NULLS FIRST pins (r10 advice), the 14-entry
     #     guarded-decimal batch (r10 verdict item 2), the 13
     #     --perturb-ts-nulls finds (seed 337), dedup_exact's lang
-    #     tie-break (eleven-mode stack find, seed 349), and
-    #     wow_revenue_change's undated-order policy (--perturb-date-nulls
-    #     find, seed 367); all but the hand-listed three auto-promoted
-    #     by the planner's git diff.
+    #     tie-break (stack find, seed 349), wow_revenue_change's
+    #     undated-order policy (--perturb-date-nulls, seed 367), and
+    #     the two malformed-JSON policies (--perturb-props-json, seed
+    #     389); all but the hand-listed three auto-promoted by the
+    #     planner's git diff.
     # (b) the oldest unchanged driver rows (r05 cohort first).
     "q16_brand_supplier_counts",  # changed
     "session_window_stats",  # changed
@@ -62,6 +63,7 @@ _DRIVER_WINDOW = [
     "interval_overlap_sessions",  # changed
     "join_bloom_prefilter",  # changed
     "join_broadcast_dim_agg",  # changed
+    "json_codec_roundtrip",  # changed
     "q10_returned_items",  # changed
     "q11_important_part_values",  # changed
     "q17_small_quantity_revenue",  # changed
@@ -79,6 +81,7 @@ _DRIVER_WINDOW = [
     "stream_tumbling_window_counts",  # changed
     "timeseries_rollup_cascade",  # changed
     "timeseries_twap_user",  # changed
+    "variant_shred_props",  # changed
     "wow_revenue_change",  # changed
     "agg_vocab_sizes",  # r05
     "cohort_repeat_rate",  # r05
@@ -97,8 +100,6 @@ _DRIVER_WINDOW = [
     "set_intersect_keys",  # r05
     "set_union_keys",  # r05
     "text_quality_filter",  # r05
-    "text_stats",  # r05
-    "agg_approx_stats",  # r06
 ]
 
 

@@ -2864,21 +2864,32 @@ def embedding_stats_by_label(spark, sf_dir):
 
 @_q(
     "json_codec_roundtrip",
+    # invalid-input policy (r11 --perturb-props-json find, seed 389):
+    # Spark's get_json_object returns NULL on malformed JSON while
+    # DuckDB's json_extract HARD-ERRORS — json_valid() gates it; a
+    # non-numeric / overflowing / array-valued k is NULL via TRY_CAST
+    # (Spark twin: try_cast instead of the ANSI cast, which would throw
+    # on '{"k": "x"}')
     """
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           (CASE WHEN json_valid(props)
+                 THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER) END) AS k,
            to_json({'event_id': event_id,
-                    'k': CAST(json_extract(props, '$.k') AS INTEGER)})::VARCHAR AS encoded
+                    'k': (CASE WHEN json_valid(props)
+                          THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER) END)
+                   })::VARCHAR AS encoded
     FROM events WHERE event_id % 20 = 0
     """,
 )
 def json_codec_roundtrip(spark, sf_dir):
     """F6/F7: from_json parse + to_json(named_struct) serialize — the
-    stream codec pair, testable in batch."""
+    stream codec pair, testable in batch. Malformed props → NULL k
+    (get_json_object's native behavior); non-numeric k → NULL via
+    try_cast (r11 props-json find)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
     parsed = ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k"),
     )
     return parsed.select(
         "event_id",
@@ -8192,13 +8203,23 @@ def kmeans_lloyd_step_q(spark, sf_dir):
 
 @_q(
     "variant_shred_props",
+    # invalid-input policy (r11 --perturb-props-json find, seed 389):
+    # json_valid() gates DuckDB's hard error on malformed JSON;
+    # TRY_CAST NULLs non-numeric / overflowing / array-valued k —
+    # mirroring try_parse_json + try_variant_get on the Spark side
     """
+    WITH k AS (
+      SELECT event_type,
+             (CASE WHEN json_valid(props)
+                   THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER) END) AS k
+      FROM events
+    )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS min_k,
-           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
-    FROM events GROUP BY event_type
+           CAST(MIN(k) AS INT) AS min_k,
+           CAST(MAX(k) AS INT) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM k GROUP BY event_type
     """,
 )
 def variant_shred_props(spark, sf_dir):
@@ -8210,7 +8231,9 @@ def variant_shred_props(spark, sf_dir):
     100 TB the single parse + typed shred is the difference between
     one JSON decode and one per referenced field."""
     ev = _t(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    # try_parse_json: a malformed payload is NULL variant, not an ANSI
+    # crash; try_variant_get NULLs non-numeric k (r11 props-json find)
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("k").alias("min_k"),

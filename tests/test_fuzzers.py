@@ -311,3 +311,70 @@ def test_date_nulls_fuzzer_degrades_the_tpch_date_spine():
         assert pq.read_table(f"{out}/{t}.parquet").equals(
             pq.read_table(f"{SF}/{t}.parquet")
         ), f"{t} mutated by the date-nulls fuzzer"
+
+
+def test_props_json_fuzzer_malfomed_variants_present():
+    """r11: ~5% of events.props becomes malformed / type-shifted JSON —
+    truncated objects, bare text, empty, wrong-typed/overflowing k.
+    Only props moves; every other column and table byte-identical."""
+    import driver_sim as DS
+
+    out = DS.perturb_props_json_sf(SF, seed=9001)
+    src = pq.read_table(f"{SF}/events.parquet")
+    tbl = pq.read_table(f"{out}/events.parquet")
+    before = src.column("props").to_pylist()
+    after = tbl.column("props").to_pylist()
+    changed = [a for a, b in zip(after, before) if a != b]
+    assert changed, "fuzzer planted nothing"
+    assert any(a in ('not json', '{"k":', '', '[1, 2', '   ') for a in changed), (
+        "no malformed variant planted"
+    )
+    assert any(a == '{"k": "x"}' for a in changed), "no type-shifted k planted"
+    if len(after) >= 400:
+        rate = len(changed) / len(after)
+        assert 0.02 < rate < 0.10, f"mutation rate off: {rate}"
+    for f in src.schema:
+        if f.name != "props":
+            assert tbl.column(f.name).to_pylist() == src.column(f.name).to_pylist()
+    for t in ("orders", "lineitem", "part", "customer", "supplier",
+              "nation", "region", "documents", "embeddings"):
+        assert pq.read_table(f"{out}/{t}.parquet").equals(
+            pq.read_table(f"{SF}/{t}.parquet")
+        ), f"{t} mutated by the props-json fuzzer"
+
+
+def test_neg_ids_fuzzer_negates_every_target_key():
+    """r11: ~3% of each integer id column flips sign; everything else
+    byte-identical (signed-id regime — modulo sign, ordering
+    boundaries, synthetic-id collisions)."""
+    import driver_sim as DS
+
+    out = DS.perturb_neg_ids_sf(SF, seed=9001)
+    targets = {
+        "documents": ["doc_id"], "embeddings": ["vec_id"],
+        "events": ["event_id", "user_id"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey"], "customer": ["c_custkey"],
+    }
+    for t, cols in targets.items():
+        src = pq.read_table(f"{SF}/{t}.parquet")
+        tbl = pq.read_table(f"{out}/{t}.parquet")
+        for col in cols:
+            before = src.column(col).to_pylist()
+            after = tbl.column(col).to_pylist()
+            flipped = [
+                (a, b) for a, b in zip(after, before)
+                if a is not None and b is not None and a != b
+            ]
+            assert flipped, f"{t}.{col}: nothing negated"
+            assert all(a == -b for a, b in flipped), f"{t}.{col}: non-negation mutation"
+            if len(after) >= 400:
+                rate = len(flipped) / len(after)
+                assert 0.005 < rate < 0.08, f"{t}.{col}: rate off: {rate}"
+        for f in src.schema:
+            if f.name not in cols:
+                assert tbl.column(f.name).to_pylist() == src.column(f.name).to_pylist()
+    for t in ("supplier", "nation", "region", "part"):
+        assert pq.read_table(f"{out}/{t}.parquet").equals(
+            pq.read_table(f"{SF}/{t}.parquet")
+        ), f"{t} mutated by the neg-ids fuzzer"

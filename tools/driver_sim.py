@@ -570,6 +570,120 @@ def perturb_ts_nulls_sf(sf: str, seed: int) -> str:
     return out
 
 
+def perturb_neg_ids_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with a seeded ~3% of the integer ID columns
+    NEGATED — documents.doc_id, embeddings.vec_id, events.event_id /
+    user_id, orders.o_orderkey / o_custkey, lineitem.l_orderkey,
+    customer.c_custkey. Signed ids are real (migration artifacts,
+    sentinel encodings, pre-epoch snowflakes), and they probe a
+    semantics family no other mode reaches: the SIGN of ``%`` bucketing
+    (both engines keep the dividend's sign — but every oracle that
+    buckets by ``id % N = 0`` or maps ``key % 10`` must agree with the
+    engine expression on negatives), ordering boundaries (negative ids
+    sort before every natural id, so min-id representative selection
+    and LIMIT tie-breaks shift), and synthetic-id arithmetic
+    (``doc_id + 1000000`` can now collide with a natural id — the
+    duplicate-id regime by another door). Hit selection keys on the
+    ROW INDEX. Both engines see identical bytes."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    targets: dict[str, list[str]] = {
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "events": ["event_id", "user_id"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey"],
+        "customer": ["c_custkey"],
+    }
+    out = f"/tmp/driver_sim_negids_s{seed}_{_src_tag(sf)}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t not in targets:
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        tbl = pq.read_table(src)
+        mutated: dict[str, list] = {}
+        for col in targets[t]:
+            vals = tbl.column(col).combine_chunks().to_pylist()
+            mutated[col] = [
+                -v
+                if v is not None
+                and zlib.crc32(f"{seed}/neg-ids/{t}/{col}/{i}".encode()) % 33 == 0
+                else v
+                for i, v in enumerate(vals)
+            ]
+        arrays = [
+            pa.array(mutated[f.name], type=f.type) if f.name in mutated else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
+def perturb_props_json_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with a seeded ~5% of ``events.props``
+    overwritten by MALFORMED or type-shifted JSON — truncated objects,
+    bare text, empty string, wrong-typed / overflowing / null ``k``,
+    wrong-cased keys, an array. Real producers emit every one of these
+    (serializer bugs, truncation at the transport MTU, schema drift),
+    and the engines diverge hard on them: Spark's ``get_json_object``
+    returns NULL on malformed input while DuckDB's ``json_extract``
+    HARD-ERRORS, Spark's ANSI ``CAST('x' AS INT)`` throws while
+    TRY_CAST returns NULL, and ``parse_json`` vs ``try_parse_json`` is
+    the same split on the variant path. Green means every JSON-consuming
+    entry pins an explicit invalid-input policy (malformed → NULL,
+    non-numeric k → NULL) instead of inheriting either engine's
+    accident. Both engines see identical bytes."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    variants = [
+        "not json",
+        '{"k":',
+        "",
+        '{"k": "x"}',
+        "[1, 2",
+        '{"k": 99999999999999999999}',
+        '{"K": 7}',
+        '{"k": null}',
+        '{"k": [1, 2]}',
+        "   ",
+    ]
+    out = f"/tmp/driver_sim_propsjson_s{seed}_{_src_tag(sf)}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t != "events":
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        tbl = pq.read_table(src)
+        eid = tbl.column("event_id").combine_chunks().to_pylist()
+        vals = tbl.column("props").combine_chunks().to_pylist()
+        mutated = []
+        for v, e in zip(vals, eid):
+            h = zlib.crc32(f"{seed}/props-json/{e}".encode())
+            if v is None or h % 20 != 0:
+                mutated.append(v)
+            else:
+                mutated.append(variants[(h // 20) % len(variants)])
+        arrays = [
+            pa.array(mutated, type=f.type) if f.name == "props" else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
 def perturb_date_nulls_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with the RELATIONAL date spine degraded —
     the sibling of ``--perturb-ts-nulls`` for the TPC-H side (r11: the
@@ -991,6 +1105,12 @@ def main() -> int:
     ap.add_argument("--perturb-date-nulls", type=int, default=None, metavar="SEED",
                     help="NULL/epoch/far-future ~2%% each into o_orderdate "
                          "and l_shipdate (the TPC-H date spine)")
+    ap.add_argument("--perturb-props-json", type=int, default=None, metavar="SEED",
+                    help="overwrite ~5%% of events.props with malformed / "
+                         "type-shifted JSON (truncated, bare text, wrong-typed k)")
+    ap.add_argument("--perturb-neg-ids", type=int, default=None, metavar="SEED",
+                    help="negate ~3%% of the integer id columns (doc/vec/event/"
+                         "user/order/cust keys) — signed-id regime")
     ap.add_argument("--perturb-nulls", type=int, default=None, metavar="SEED",
                     help="NULL a seeded ~5%% of documents+events value columns + embeddings.label")
     ap.add_argument("--perturb-order", type=int, default=None, metavar="SEED",
@@ -1039,6 +1159,12 @@ def main() -> int:
     if args.perturb_date_nulls is not None:
         args.sf = perturb_date_nulls_sf(args.sf, args.perturb_date_nulls)
         print(f"# date-nulls-perturbed testdata (seed {args.perturb_date_nulls}) -> {args.sf}")
+    if args.perturb_props_json is not None:
+        args.sf = perturb_props_json_sf(args.sf, args.perturb_props_json)
+        print(f"# props-json-perturbed testdata (seed {args.perturb_props_json}) -> {args.sf}")
+    if args.perturb_neg_ids is not None:
+        args.sf = perturb_neg_ids_sf(args.sf, args.perturb_neg_ids)
+        print(f"# neg-ids-perturbed testdata (seed {args.perturb_neg_ids}) -> {args.sf}")
     if args.perturb_nulls is not None:
         args.sf = perturb_nulls_sf(args.sf, args.perturb_nulls)
         print(f"# null-perturbed testdata (seed {args.perturb_nulls}) -> {args.sf}")
