@@ -39,31 +39,37 @@ _WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
 
 _DRIVER_WINDOW = [
     # Round-11 rotation (tools/freshness.py --plan, self-checking):
-    # (a) 33 changed entries — the three r10 oracle fixes never
+    # (a) 42 changed entries — the three r10 oracle fixes never
     #     driver-verified post-fix, the q16 NULL-suppkey symmetry +
     #     q3/q10/q18 NULLS FIRST pins (r10 advice), the 14-entry
-    #     guarded-decimal batch (r10 verdict item 2), the 13
-    #     --perturb-ts-nulls finds (seed 337), dedup_exact's lang
-    #     tie-break (stack find, seed 349), wow_revenue_change's
-    #     undated-order policy (--perturb-date-nulls, seed 367), and
-    #     the two malformed-JSON policies (--perturb-props-json, seed
-    #     389); all but the hand-listed three auto-promoted by the
-    #     planner's git diff.
+    #     guarded-decimal batch (r10 verdict item 2), and this round's
+    #     four fuzz campaigns' finds: --perturb-ts-nulls (13, seed 337),
+    #     the stacked-mode dedup_exact tie-break (349),
+    #     --perturb-date-nulls (wow, 367), --perturb-props-json (2 JSON
+    #     policies, 389), --perturb-neg-ids (9 sign-proofing fixes,
+    #     419 — the two multimodal entries whose fix lives in
+    #     operators/multimodal.py are hand-listed; the planner's git
+    #     diff only sees catalog.py). Everything else auto-promoted.
     # (b) the oldest unchanged driver rows (r05 cohort first).
     "q16_brand_supplier_counts",  # changed
     "session_window_stats",  # changed
     "stream_session_window_stats",  # changed
+    "multimodal_embed_topk",  # changed
+    "multimodal_frame_sample",  # changed
     "agg_cube_event_matrix",  # changed
     "agg_grouping_sets_revenue",  # changed
     "agg_rollup_order_revenue",  # changed
     "cohort_weekly_retention",  # changed
+    "corpus_mixture_resample",  # changed
     "dedup_exact",  # changed
+    "dedup_minhash_incremental",  # changed
     "embedding_stats_by_label",  # changed
     "feature_target_encoding",  # changed
     "interval_overlap_sessions",  # changed
     "join_bloom_prefilter",  # changed
     "join_broadcast_dim_agg",  # changed
     "json_codec_roundtrip",  # changed
+    "multimodal_decode_metadata",  # changed
     "q10_returned_items",  # changed
     "q11_important_part_values",  # changed
     "q17_small_quantity_revenue",  # changed
@@ -73,6 +79,8 @@ _DRIVER_WINDOW = [
     "q3_shipping_priority",  # changed
     "q6_forecast_revenue",  # changed
     "running_distinct_users",  # changed
+    "sample_deterministic",  # changed
+    "sample_stratified",  # changed
     "sessionize_events",  # changed
     "stream_dedup_exact",  # changed
     "stream_interval_join_attribution",  # changed
@@ -81,6 +89,8 @@ _DRIVER_WINDOW = [
     "stream_tumbling_window_counts",  # changed
     "timeseries_rollup_cascade",  # changed
     "timeseries_twap_user",  # changed
+    "txlog_checkpointed_read",  # changed
+    "txlog_time_travel",  # changed
     "variant_shred_props",  # changed
     "wow_revenue_change",  # changed
     "agg_vocab_sizes",  # r05
@@ -91,15 +101,6 @@ _DRIVER_WINDOW = [
     "graph_link_prediction_cn",  # r05
     "join_anti_not_exists",  # r05
     "lang_id_confusion_matrix",  # r05
-    "lang_id_heuristic",  # r05
-    "ml_fold_assignment",  # r05
-    "quality_bigram_logprob",  # r05
-    "scalar_date_funcs",  # r05
-    "scalar_string_funcs",  # r05
-    "sequence_packing_plan",  # r05
-    "set_intersect_keys",  # r05
-    "set_union_keys",  # r05
-    "text_quality_filter",  # r05
 ]
 
 

@@ -52,7 +52,10 @@ def attach_binary_payload(df: DataFrame, source_col: str, id_col: str) -> DataFr
         F.encode(F.col(source_col), "utf-8").alias("payload"),
         F.element_at(
             F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
-            (F.col(id_col) % 3 + 1).cast("int"),
+            # pmod, not %: a NEGATIVE id's sign-following remainder made
+            # the element_at index 0 (crash) or -1 (silent last-element
+            # pick) — r11 --perturb-neg-ids find, seed 419
+            (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
         ).alias("media_type"),
     )
 

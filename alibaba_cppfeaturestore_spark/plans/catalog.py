@@ -2430,8 +2430,11 @@ def dedup_ngram_jaccard_indexed(spark, sf_dir):
 corpus AS (
   SELECT doc_id, text FROM documents_u
   UNION ALL
+  -- doc_id >= 0 (r11 neg-ids find, seed 419): a negative-origin batch
+  -- id (-5 + 1000000 = 999995) breaks the >= 1000000 batch-membership
+  -- tag below; the synthetic batch takes non-negative ids only
   SELECT doc_id + 1000000 AS doc_id, text || ' zz qq extra' AS text
-  FROM documents_u WHERE doc_id < 100
+  FROM documents_u WHERE doc_id >= 0 AND doc_id < 100
 ),"""
     + _MINHASH_ORACLE_TAIL.format(
         extra=" AND (id_a >= 1000000 OR id_b >= 1000000)"
@@ -2448,7 +2451,8 @@ def dedup_minhash_incremental(spark, sf_dir):
     tests/test_dedup_similarity.py::test_incremental_minhash_matches_full_corpus).
     Input id-canonicalized (``_docs_unique``)."""
     history = _docs_unique(spark, sf_dir).select("doc_id", "text")
-    batch = history.filter(F.col("doc_id") < 100).select(
+    # doc_id >= 0: see the oracle comment (r11 neg-ids find, seed 419)
+    batch = history.filter((F.col("doc_id") >= 0) & (F.col("doc_id") < 100)).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz qq extra")).alias("text"),
     )
@@ -3182,7 +3186,10 @@ def txlog_time_travel(spark, sf_dir):
     )
     t = TxTable(os.path.join(tempfile.mkdtemp(prefix="txlog_"), "table"))
     assert t.commit(by_type(ev.filter(F.col("event_id") % 2 == 0)), "append") == 0
-    assert t.commit(by_type(ev.filter(F.col("event_id") % 2 == 1)), "append") == 1
+    # != 0, not == 1: a NEGATIVE odd id's sign-following remainder is -1,
+    # so == 1 silently dropped those rows from the append and v1 stopped
+    # being the full table (r11 --perturb-neg-ids find, seed 419)
+    assert t.commit(by_type(ev.filter(F.col("event_id") % 2 != 0)), "append") == 1
     assert t.commit(by_type(ev.filter(F.col("value") >= 1.0)), "overwrite") == 2
     corrupted = by_type(ev).withColumn("n_events", F.col("n_events") * 10)
     assert t.commit(corrupted, "ignore") is None  # table exists → no-op
@@ -3262,7 +3269,9 @@ def txlog_merge_upsert(spark, sf_dir):
     "txlog_checkpointed_read",
     """
     WITH b AS (
-      SELECT event_id % 10 AS bucket, event_type FROM events
+      -- pmod spelling (r11 neg-ids find, seed 419): sign-following %
+      -- left negative ids outside every 0..9 append bucket engine-side
+      SELECT ((event_id % 10) + 10) % 10 AS bucket, event_type FROM events
     ),
     v3 AS (
       SELECT 3 AS version, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
@@ -3302,9 +3311,11 @@ def txlog_checkpointed_read(spark, sf_dir):
         checkpoint_interval=4,
     )
     for i in range(10):
-        part = ev.filter(F.col("event_id") % 10 == i).groupBy("event_type").agg(
-            F.count("*").alias("n_events")
-        )
+        # pmod, not %: negative ids otherwise land in NO append bucket
+        # and silently vanish from every snapshot (r11 neg-ids, 419)
+        part = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == i).groupBy(
+            "event_type"
+        ).agg(F.count("*").alias("n_events"))
         assert t.commit(part, "append") == i
     assert t._checkpoint_versions() == [4, 8]
 
@@ -4618,8 +4629,11 @@ def aliccp_bronze_to_silver_e2e(spark, sf_dir):
     -- doc_id IS NOT NULL: attach_binary_payload drops unidentified rows
     -- at the gate (every media kernel declares media_id non-null)
     SELECT doc_id AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
-                           ELSE 'video/mp4' END AS media_type,
+           -- pmod spelling (r11 neg-ids find, seed 419): sign-following
+           -- % diverges from the engine's pmod on negative ids
+           CASE ((doc_id % 3) + 3) % 3
+                WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
            CAST(strlen(text) AS INTEGER) AS n_bytes,
            sha256(text) AS sha256
     FROM documents WHERE doc_id IS NOT NULL
@@ -4790,7 +4804,12 @@ def sort_global_topn(spark, sf_dir):
     """
     SELECT o_orderkey, o_custkey
     FROM orders
-    WHERE ((((o_orderkey % 2147483648) * 2654435761) % 4294967296) // 65536) % 100 < 10
+    -- pmod spelling (r11 neg-ids find, seed 419): sign-following %
+    -- diverges from the engine's pmod on negative keys (and a negative
+    -- dividend makes DuckDB's floor-// disagree with Spark's
+    -- truncate-div); the +m%m wrap keeps every step non-negative
+    WHERE ((((((o_orderkey % 2147483648) + 2147483648) % 2147483648)
+             * 2654435761) % 4294967296) // 65536) % 100 < 10
     """,
 )
 def sample_deterministic(spark, sf_dir):
@@ -4814,8 +4833,10 @@ def sample_deterministic(spark, sf_dir):
     t AS (SELECT MIN(c / 0.2) AS t FROM c),
     a AS (SELECT lang, 0.2 * t.t / c.c AS accept FROM c, t),
     h AS (
+      -- pmod spelling: see sample_deterministic (r11 neg-ids, 419)
       SELECT doc_id, lang,
-             ((((doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % 10000 AS bucket
+             ((((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                * 2654435761) % 4294967296) // 65536) % 10000 AS bucket
       FROM documents
     )
     SELECT h.doc_id, h.lang FROM h JOIN a USING (lang)
@@ -4950,7 +4971,8 @@ def sequence_packing_plan(spark, sf_dir):
     """
     SELECT event_id, event_type
     FROM events
-    WHERE event_id % 1000 < CASE event_type
+    -- pmod spelling: see sample_deterministic (r11 neg-ids, 419)
+    WHERE ((event_id % 1000) + 1000) % 1000 < CASE event_type
         WHEN 'view' THEN 50
         WHEN 'click' THEN 300
         WHEN 'purchase' THEN 1000

@@ -185,6 +185,28 @@ def main() -> None:
                 file=sys.stderr,
             )
             changed += forgotten
+        # The diff only sees catalog.py spans — an entry whose fix lives
+        # in an operators/* module changes behavior invisibly (the r11
+        # multimodal case: attach_binary_payload's pmod fix touched
+        # three entries, only one of which had an oracle edit). Surface
+        # the blind spot so the hand list covers it.
+        try:
+            other = subprocess.run(
+                ["git", "diff", "--name-only", base, "--",
+                 "alibaba_cppfeaturestore_spark"],
+                cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout.split()
+            other = [p for p in other if p != CATALOG_REL]
+            if other:
+                print(
+                    "# WARNING: non-catalog package files changed since the last "
+                    f"round-close commit: {other} — entries whose BEHAVIOR those "
+                    "files carry must be hand-listed in --changed (the span diff "
+                    "cannot see them)",
+                    file=sys.stderr,
+                )
+        except (OSError, subprocess.CalledProcessError):
+            pass
 
     eligible = [n for n in names if n in oracles]
     pool = [n for n in eligible if n not in changed]
