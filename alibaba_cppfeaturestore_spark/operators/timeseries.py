@@ -328,11 +328,14 @@ def time_weighted_avg(
         F.asc_nulls_first(ts_col), *[F.asc_nulls_first(c) for c in (tiebreak or [])]
     )
     nxt = F.lead(ts).over(w)
-    # DECIMAL(17,0) durations: ~3170 years of microseconds — a feed
-    # carrying epoch-0 or far-future event times (clock loss, unit
-    # bugs; driver_sim --perturb-ts-nulls) produces multi-century gaps
-    # that overflow the old (14,0) under ANSI (r11 find, seed 337)
-    dt = (F.unix_micros(nxt) - F.unix_micros(ts)).cast("decimal(17,0)")
+    # DECIMAL(19,0) durations cover the FULL Spark timestamp range
+    # (±~2.9e17 us around epoch): epoch-0 / far-future event times
+    # (clock loss, unit bugs; driver_sim --perturb-ts-nulls) produce
+    # multi-century gaps that overflowed (14,0) (r11 find, seed 337),
+    # and a 9999-12-31 sentinel against an epoch floor (~2.5e17 us)
+    # overflows even (17,0) (r11 advice) — (19,0) has no reachable
+    # overflow, and (18,6)×(19,0) is exactly (38,6), inside the cap.
+    dt = (F.unix_micros(nxt) - F.unix_micros(ts)).cast("decimal(19,0)")
     # finite-domain decimal ingestion: NaN/±Inf/out-of-domain magnitudes
     # become NULL (missing observation) instead of crashing the ANSI cast
     # (driver_sim --perturb-extremes); identical to CAST for finite
@@ -342,12 +345,15 @@ def time_weighted_avg(
     stepped = df.select(
         *group_cols,
         v.alias("_v"),
-        F.coalesce(dt, F.lit(0).cast("decimal(17,0)")).alias("_dt"),
+        F.coalesce(dt, F.lit(0).cast("decimal(19,0)")).alias("_dt"),
     )
-    # (18,6)×(17,0) -> (36,6) exact (inside the 38 cap — no silent
-    # precision loss); the sum re-narrows to (38,6)
-    num = F.sum((F.col("_v") * F.col("_dt")).cast("decimal(36,6)")).cast("decimal(38,6)")
-    den = F.sum("_dt").cast("decimal(20,0)")
+    # (18,6)×(19,0) -> exactly (38,6) (at the cap, zero precision loss);
+    # the sum stays (38,6)
+    num = F.sum((F.col("_v") * F.col("_dt")).cast("decimal(38,6)")).cast("decimal(38,6)")
+    # (29,0) = sum headroom of 10 digits over the (19,0) operand — the
+    # old (20,0) narrowing could overflow on many far-future gaps in
+    # one group; 1e29 us ≈ 3e15 years, unreachable
+    den = F.sum("_dt").cast("decimal(29,0)")
     # all-zero-duration fallback (single obs / all-duplicate timestamps):
     # plain mean, but decimal-sum÷count — a double AVG would be
     # aggregation-order-dependent

@@ -7268,9 +7268,10 @@ def ann_ivf_portable_topk(spark, sf_dir):
                             ORDER BY ts ASC NULLS FIRST,
                                      event_id ASC NULLS FIRST,
                                      value ASC NULLS FIRST)),
-               -- (17,0): multi-century gaps from epoch-0/far-future
-               -- event times overflow (14,0) (r11 ts-nulls find, 337)
-               0) AS DECIMAL(17,0)) AS dt
+               -- (19,0): covers the full Spark timestamp range — the
+               -- (17,0) pick (r11 ts-nulls find, 337) still overflowed
+               -- on a 9999-12-31-vs-epoch gap (~2.5e17 us, r11 advice)
+               0) AS DECIMAL(19,0)) AS dt
       FROM events
     ),
     agg AS (
@@ -7279,8 +7280,8 @@ def ann_ivf_portable_topk(spark, sf_dir):
              -- operands widened to DuckDB's INT128 decimal path (the
              -- INT64 fast path overflows on v*dt at these magnitudes)
              CAST(SUM(CAST(CAST(v AS DECIMAL(19,6)) * CAST(dt AS DECIMAL(19,0))
-                           AS DECIMAL(36,6))) AS DECIMAL(38,6)) AS num,
-             CAST(SUM(dt) AS DECIMAL(20,0)) AS den,
+                           AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS num,
+             CAST(SUM(dt) AS DECIMAL(29,0)) AS den,
              CAST(SUM(v) AS DECIMAL(24,6)) AS sv
       FROM stepped GROUP BY user_id
     )

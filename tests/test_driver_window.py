@@ -71,6 +71,43 @@ def test_entry_spans_hermetic():
     assert spans == [(2, 7, "alpha"), (8, 12, "beta")]
 
 
+def test_entry_spans_name_after_comment():
+    # r11 advice: a comment (or blank line) between `@_q(` and the name
+    # string must not silently merge the entry into the previous span.
+    src = (
+        "@_q(\n"
+        '    "alpha",\n'
+        ")\n"
+        "def a(spark, sf):\n"
+        "    pass\n"
+        "@_q(\n"
+        "    # policy note ahead of the name\n"
+        "\n"
+        '    "beta",\n'
+        ")\n"
+        "def b(spark, sf):\n"
+        "    pass\n"
+    )
+    spans = freshness.entry_spans(src)
+    assert [n for _, _, n in spans] == ["alpha", "beta"]
+
+
+def test_entry_spans_raise_on_unparsed_decorator():
+    # Every @_q( occurrence must yield exactly one name — a decorator
+    # whose name can't be found is a window-integrity hole, not a skip.
+    import pytest as _pytest
+
+    src = (
+        "@_q(\n"
+        "    NAME_CONSTANT,\n"  # not a string literal
+        ")\n"
+        "def a(spark, sf):\n"
+        "    pass\n"
+    )
+    with _pytest.raises(ValueError, match="entry names parsed"):
+        freshness.entry_spans(src)
+
+
 def test_touched_entries_in_window_or_exempt():
     base = freshness.last_round_commit()
     if base is None:

@@ -122,6 +122,26 @@ def test_time_weighted_avg_locf_semantics(spark):
     assert got["c"] == (2, 2.0)
 
 
+def test_time_weighted_avg_full_timestamp_range_gap(spark):
+    """r11 advice pin: a 9999-12-31 far-future sentinel against an
+    epoch-0 floor is a ~2.5e17-us gap — it overflowed the old
+    DECIMAL(17,0) duration under ANSI; DECIMAL(19,0) covers the full
+    Spark timestamp range. The held value dominates the weighting, so
+    twap ≈ the first value."""
+    from alibaba_cppfeaturestore_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        ("a", "1970-01-01 00:00:00", 1, 4.0),
+        ("a", "9999-12-31 00:00:00", 2, 1000.0),  # terminal: zero weight
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, event_id long, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), "event_id", "v"
+    )
+    got = {r.g: (r.n_obs, r.twap) for r in
+           time_weighted_avg(df, "ts", "v", ["g"], tiebreak=["event_id"]).collect()}
+    assert got["a"] == (2, 4.0)
+
+
 def test_seasonal_decompose_components_sum_to_detrended_mean(spark):
     """Weighted by day counts, the seasonal components must average to
     ~0 across weekdays (the trend absorbs the level), and each equals

@@ -64,13 +64,30 @@ def entry_spans(catalog_src: str) -> list[tuple[int, int, str]]:
     windowing all 200+ entries."""
     lines = catalog_src.splitlines()
     starts: list[tuple[int, str]] = []
+    n_decorators = 0
     for i, line in enumerate(lines):
         if line.startswith("@_q("):
-            m = re.search(r'"([^"]+)"', line) or (
-                re.search(r'^\s*"([^"]+)"', lines[i + 1]) if i + 1 < len(lines) else None
-            )
+            n_decorators += 1
+            # Scan forward past comment/blank lines to the first string
+            # literal — a comment between `@_q(` and the name (r11
+            # advice) must not silently merge the entry into the
+            # previous span.
+            m = re.search(r'"([^"]+)"', line)
+            j = i + 1
+            while m is None and j < len(lines):
+                stripped = lines[j].strip()
+                if stripped and not stripped.startswith("#"):
+                    m = re.search(r'"([^"]+)"', lines[j])
+                    break
+                j += 1
             if m:
                 starts.append((i + 1, m.group(1)))
+    if len(starts) != n_decorators:
+        raise ValueError(
+            f"entry_spans: {n_decorators} @_q( decorators but only "
+            f"{len(starts)} entry names parsed — a decorator's name "
+            "string was not found (window-integrity gate would miss it)"
+        )
     spans = []
     for k, (start, name) in enumerate(starts):
         end = starts[k + 1][0] - 1 if k + 1 < len(starts) else len(lines)

@@ -230,10 +230,15 @@ def overlap_probe(spark):
         ).collect()
         n = df.count()
         for s in (1, 8, 32):
-            per_task = row["max_m"] * math.ceil(row["max_m"] / s) / 1
+            # C(m,2)-style per-task bound so the salt=1 row EQUALS the
+            # hottest bin's pair count and divides ~linearly with s —
+            # the old max_m * ceil(max_m/s) print was on a different
+            # scale than the Σ C(m,2) column and overstated what salt
+            # buys by ~2x (r11 advice)
+            per_task = math.ceil(row["max_m"] / s) * (row["max_m"] - 1) / 2
             print(
                 f"| {label} | {n} | {row['n_bins']} | {row['max_m']} "
-                f"| {int(row['pairs'])} | salt={s}: ≤{int(per_task)} per task |"
+                f"| {int(row['pairs'])} | salt={s}: ≤{int(per_task)} pairs per task |"
             )
         return row
 
