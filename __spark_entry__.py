@@ -38,69 +38,63 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
 
 _DRIVER_WINDOW = [
-    # Round-11 rotation (tools/freshness.py --plan, self-checking):
-    # (a) 42 changed entries — the three r10 oracle fixes never
-    #     driver-verified post-fix, the q16 NULL-suppkey symmetry +
-    #     q3/q10/q18 NULLS FIRST pins (r10 advice), the 14-entry
-    #     guarded-decimal batch (r10 verdict item 2), and this round's
-    #     four fuzz campaigns' finds: --perturb-ts-nulls (13, seed 337),
-    #     the stacked-mode dedup_exact tie-break (349),
-    #     --perturb-date-nulls (wow, 367), --perturb-props-json (2 JSON
-    #     policies, 389), --perturb-neg-ids (9 sign-proofing fixes,
-    #     419 — the two multimodal entries whose fix lives in
-    #     operators/multimodal.py are hand-listed; the planner's git
-    #     diff only sees catalog.py). Everything else auto-promoted.
-    # (b) the oldest unchanged driver rows (r05 cohort first).
-    "q16_brand_supplier_counts",  # changed
-    "session_window_stats",  # changed
-    "stream_session_window_stats",  # changed
-    "multimodal_embed_topk",  # changed
-    "multimodal_frame_sample",  # changed
-    "agg_cube_event_matrix",  # changed
-    "agg_grouping_sets_revenue",  # changed
-    "agg_rollup_order_revenue",  # changed
-    "cohort_weekly_retention",  # changed
-    "corpus_mixture_resample",  # changed
-    "dedup_exact",  # changed
-    "dedup_minhash_incremental",  # changed
-    "embedding_stats_by_label",  # changed
-    "feature_target_encoding",  # changed
-    "interval_overlap_sessions",  # changed
-    "join_bloom_prefilter",  # changed
-    "join_broadcast_dim_agg",  # changed
-    "json_codec_roundtrip",  # changed
-    "multimodal_decode_metadata",  # changed
-    "q10_returned_items",  # changed
-    "q11_important_part_values",  # changed
-    "q17_small_quantity_revenue",  # changed
-    "q18_large_orders",  # changed
-    "q19_bracketed_revenue",  # changed
-    "q22_dormant_high_balance",  # changed
-    "q3_shipping_priority",  # changed
-    "q6_forecast_revenue",  # changed
-    "running_distinct_users",  # changed
-    "sample_deterministic",  # changed
-    "sample_stratified",  # changed
-    "sessionize_events",  # changed
-    "stream_dedup_exact",  # changed
-    "stream_interval_join_attribution",  # changed
-    "stream_sliding_window_counts",  # changed
-    "stream_topk_trending",  # changed
-    "stream_tumbling_window_counts",  # changed
-    "timeseries_rollup_cascade",  # changed
+    # Round-12 rotation (tools/freshness.py --plan, self-checking):
+    # (a) changed entries — the twap DECIMAL(19,0) widening (r11 advice)
+    #     plus its operators/timeseries.py module dependents, auto-promoted
+    #     by the NEW import-graph mapping (r11 verdict item 4: module edits
+    #     now attribute to entries mechanically; the r11 hand-listing is
+    #     gone). Later r12 changes re-run the planner and extend this head.
+    # (b) the oldest unchanged driver rows (r05 cohort, then r06/r07).
     "timeseries_twap_user",  # changed
-    "txlog_checkpointed_read",  # changed
-    "txlog_time_travel",  # changed
-    "variant_shred_props",  # changed
-    "wow_revenue_change",  # changed
-    "agg_vocab_sizes",  # r05
-    "cohort_repeat_rate",  # r05
-    "corpus_drift_js_divergence",  # r05
-    "dedup_ngram_jaccard",  # r05
-    "dq_key_skew_report",  # r05
-    "graph_link_prediction_cn",  # r05
-    "join_anti_not_exists",  # r05
-    "lang_id_confusion_matrix",  # r05
+    "ewma_user_value",  # changed
+    "timeseries_gap_fill",  # changed
+    "timeseries_rollup_cascade",  # changed
+    "window_range_moving_avg",  # changed
+    "lang_id_heuristic",  # r05
+    "ml_fold_assignment",  # r05
+    "quality_bigram_logprob",  # r05
+    "scalar_date_funcs",  # r05
+    "scalar_string_funcs",  # r05
+    "sequence_packing_plan",  # r05
+    "set_intersect_keys",  # r05
+    "set_union_keys",  # r05
+    "text_quality_filter",  # r05
+    "text_stats",  # r05
+    "agg_approx_stats",  # r06
+    "case_when_bucketing",  # r06
+    "dedup_exact_substring_scrub",  # r06
+    "dedup_exact_substring_spans",  # r06
+    "dedup_paragraph_exact",  # r06
+    "dq_key_violations",  # r06
+    "dq_referential_violations",  # r06
+    "feature_one_hot_events",  # r06
+    "filter_theta_or",  # r06
+    "funnel_view_click_purchase",  # r06
+    "join_left_enrich",  # r06
+    "join_semi_in_subquery",  # r06
+    "kv_merge_lastwin",  # r06
+    "llm_corpus_curation_lsh_counts",  # r06
+    "q1_pricing_summary",  # r06
+    "range_join_pre_purchase_views",  # r06
+    "record_linkage_customers",  # r06
+    "snapshot_diff_cdc",  # r06
+    "text_clean_normalize",  # r06
+    "text_pii_redact",  # r06
+    "text_repetition_rules",  # r06
+    "ab_test_cuped_adjusted",  # r07
+    "ab_test_group_summary",  # r07
+    "anomaly_mad_outliers",  # r07
+    "anomaly_seasonal_residuals",  # r07
+    "bm25_topk_retrieval",  # r07
+    "contamination_ngram_overlap",  # r07
+    "corpus_data_card",  # r07
+    "dedup_lsh_recall_audit",  # r07
+    "dedup_minhash_lsh",  # r07
+    "dict_apply_lang",  # r07
+    "feature_hashing_trick",  # r07
+    "feature_impute_missing",  # r07
+    "feature_quantile_bins",  # r07
+    "funnel_time_to_convert",  # r07
 ]
 
 

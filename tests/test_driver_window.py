@@ -127,3 +127,54 @@ def test_touched_entries_in_window_or_exempt():
         f"(python tools/freshness.py --plan --changed ...) or add a "
         f"reasoned _WINDOW_EXEMPT_CHANGED entry"
     )
+
+
+def test_module_touched_entries_in_window_or_exempt():
+    """r11 verdict item 4: an entry whose fix lands in operators/*.py
+    changes behavior with no catalog span edit — the import-graph map
+    (freshness.entry_module_deps) makes those entries windowable
+    mechanically, replacing the r11 hand-listing. A module rel path in
+    _WINDOW_EXEMPT_CHANGED exempts all its dependents (the escape hatch
+    for wide-blast-radius files, certified by a full strict run)."""
+    base = freshness.last_round_commit()
+    if base is None:
+        pytest.skip("no round-close commit to diff against")
+    touched_mods = freshness.git_touched_modules(base)
+    if not touched_mods:
+        return
+    deps = freshness.entry_module_deps()
+    oracles = entry.oracle_sql()
+    window = set(entry._DRIVER_WINDOW)
+    exempt = entry._WINDOW_EXEMPT_CHANGED
+    missing = sorted(
+        n
+        for n in oracles
+        if n not in window
+        and n not in exempt
+        and (deps.get(n, set()) & touched_mods)
+        and not (deps[n] & touched_mods) <= set(exempt)
+    )
+    assert not missing, (
+        f"entries dependent on modules git-touched since {base[:8]} "
+        f"({sorted(touched_mods)}) but neither windowed nor exempted: "
+        f"{missing} — regenerate the window or add a reasoned "
+        f"_WINDOW_EXEMPT_CHANGED entry (entry name or module rel path)"
+    )
+
+
+def test_entry_module_deps_sanity():
+    """The dependency map must attribute the known hard cases: the kv
+    entries depend on functions/kv.py, every _t-loading entry on
+    plans/views.py (via the preamble helper), the curation funnel on
+    the shared mid-file _curation_stages helper's modules, and the
+    timeseries entries on operators/timeseries.py."""
+    deps = freshness.entry_module_deps()
+    pkg = "alibaba_cppfeaturestore_spark"
+    assert f"{pkg}/functions/kv.py" in deps["kv_parse_roundtrip"]
+    assert f"{pkg}/plans/views.py" in deps["q1_pricing_summary"]
+    assert f"{pkg}/operators/dedup.py" in deps["llm_corpus_curation_funnel"]
+    assert f"{pkg}/operators/timeseries.py" in deps["timeseries_twap_user"]
+    assert f"{pkg}/streaming/pipeline.py" in deps["stream_tumbling_window_counts"]
+    # transitive: the aliccp e2e goes through plans/aliccp.py -> functions/kv.py
+    assert f"{pkg}/plans/aliccp.py" in deps["aliccp_bronze_to_silver_e2e"]
+    assert f"{pkg}/functions/kv.py" in deps["aliccp_bronze_to_silver_e2e"]

@@ -123,6 +123,213 @@ def git_touched_entries(ref: str) -> set[str]:
     }
 
 
+PKG = "alibaba_cppfeaturestore_spark"
+
+
+def _imports_of(rel_path: str, src: str) -> dict[str, str]:
+    """bound-name -> package-internal module rel path, for every
+    ``import``/``from-import`` in ``src`` (a file at ``rel_path``).
+    Resolves relative levels against the file's package and absolute
+    ``alibaba_cppfeaturestore_spark.*`` imports; stdlib/pyspark imports
+    are dropped. When an imported name is itself a submodule file, the
+    binding points at that file; otherwise at the parent module."""
+    import ast
+
+    pkg_parts = rel_path.split("/")[:-1]  # file's package directories
+    out: dict[str, str] = {}
+
+    def _target(parts: list[str], name: str) -> str | None:
+        sub = os.path.join(REPO, *parts, f"{name}.py")
+        if os.path.isfile(sub):
+            return "/".join(parts + [f"{name}.py"])
+        mod = os.path.join(REPO, *parts) + ".py"
+        if os.path.isfile(mod):
+            return "/".join(parts) + ".py"
+        init = os.path.join(REPO, *parts, "__init__.py")
+        if os.path.isfile(init):
+            return "/".join(parts + ["__init__.py"])
+        return None
+
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.ImportFrom):
+            if node.level:
+                base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+            elif node.module and node.module.split(".")[0] == PKG:
+                base = []
+            else:
+                continue
+            parts = base + (node.module.split(".") if node.module else [])
+            for alias in node.names:
+                tgt = _target(parts, alias.name)
+                if tgt and tgt.startswith(PKG + "/"):
+                    out[alias.asname or alias.name] = tgt
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.split(".")[0] != PKG:
+                    continue
+                tgt = _target(alias.name.split(".")[:-1], alias.name.split(".")[-1])
+                if tgt and tgt.startswith(PKG + "/"):
+                    out[alias.asname or alias.name.split(".")[0]] = tgt
+    return out
+
+
+def package_import_graph() -> dict[str, set[str]]:
+    """rel path -> set of package-internal rel paths it imports (direct)."""
+    graph: dict[str, set[str]] = {}
+    for path in glob.glob(os.path.join(REPO, PKG, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, REPO)
+        with open(path) as f:
+            graph[rel] = set(_imports_of(rel, f.read()).values())
+    return graph
+
+
+def entry_module_deps() -> dict[str, set[str]]:
+    """entry name -> TRANSITIVE set of package module rel paths whose
+    behavior the entry's Spark side depends on (r11 verdict item 4 —
+    the planner's catalog-span diff cannot see a fix that lands in
+    operators/*.py; this map makes module edits attributable).
+
+    Attribution inside catalog.py: an import statement physically
+    inside an entry's span binds to that entry; module-level imports
+    (col 0) bind names globally, and any span whose source mentions a
+    globally-bound name (word boundary) picks up that module. String/
+    comment mentions over-attribute — safe direction: more windowing,
+    never less. The per-entry set is then closed over the package
+    import graph (an aliccp.py caller depends on functions/kv.py too)."""
+    import ast
+
+    with open(os.path.join(REPO, CATALOG_REL)) as f:
+        src = f.read()
+    spans = entry_spans(src)
+    lines = src.splitlines()
+    tree = ast.parse(src)
+
+    global_binds: dict[str, str] = {}
+    direct: dict[str, set[str]] = {name: set() for _, _, name in spans}
+
+    def span_of(lineno: int) -> str | None:
+        for start, end, name in spans:
+            if start <= lineno <= end:
+                return name
+        return None
+
+    for node in ast.walk(tree):
+        if not isinstance(node, (ast.Import, ast.ImportFrom)):
+            continue
+        binds = _imports_of(CATALOG_REL, ast.get_source_segment(src, node) or "")
+        if not binds:
+            continue
+        if node.col_offset == 0:
+            global_binds.update(binds)
+        owner = span_of(node.lineno)
+        if owner and node.col_offset > 0:
+            direct[owner].update(binds.values())
+
+    pats = {
+        name: re.compile(rf"\b{re.escape(name)}\b") for name in global_binds
+    }
+    for start, end, name in spans:
+        body = "\n".join(lines[start - 1 : end])
+        for bound, pat in pats.items():
+            if pat.search(body):
+                direct[name].add(global_binds[bound])
+
+    # Preamble helpers (_t, _emb_finite, ...) carry module deps of their
+    # own (views.load_table inside _t, vectors.is_finite_vector inside
+    # _emb_finite) — the preamble is span-unattributed, so those deps
+    # must flow to exactly the entries that USE each helper, or a
+    # views.py edit would attribute to nothing while a vectors.py edit
+    # universal-attributed would window every TPC-H entry for no reason.
+    helper_deps: dict[str, set[str]] = {}
+    helper_refs: dict[str, set[str]] = {}
+
+    def _is_entry_def(node) -> bool:
+        return any(
+            isinstance(d, ast.Call) and getattr(d.func, "id", "") == "_q"
+            for d in node.decorator_list
+        )
+
+    # Helpers = every module-level def that is not an @_q entry — both
+    # the preamble (_t, _emb_finite) and mid-file shared stages
+    # (_curation_stages): a mid-file helper physically sits inside the
+    # PREVIOUS entry's span, so name-scan attribution must route its
+    # deps to the entries that CALL it, not its accidental host span.
+    preamble_defs = [
+        node
+        for node in tree.body
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+        and not _is_entry_def(node)
+    ]
+    helper_names = {d.name for d in preamble_defs}
+    for d in preamble_defs:
+        used = {
+            n.id for n in ast.walk(d) if isinstance(n, ast.Name)
+        }
+        helper_deps[d.name] = {global_binds[u] for u in used if u in global_binds}
+        helper_refs[d.name] = (used & helper_names) - {d.name}
+    changed_fp = True  # helper-calls-helper fixpoint
+    while changed_fp:
+        changed_fp = False
+        for h, refs in helper_refs.items():
+            for r in refs:
+                if not helper_deps[r] <= helper_deps[h]:
+                    helper_deps[h] |= helper_deps[r]
+                    changed_fp = True
+    helper_pats = {
+        h: re.compile(rf"\b{re.escape(h)}\b")
+        for h, mods in helper_deps.items()
+        if mods
+    }
+    for start, end, name in spans:
+        body = "\n".join(lines[start - 1 : end])
+        for h, pat in helper_pats.items():
+            if pat.search(body):
+                direct[name] |= helper_deps[h]
+
+    graph = package_import_graph()
+
+    closure_cache: dict[str, set[str]] = {}
+
+    def closure(mod: str) -> set[str]:
+        if mod in closure_cache:
+            return closure_cache[mod]
+        closure_cache[mod] = {mod}  # cycle guard
+        acc = {mod}
+        for dep in graph.get(mod, ()):
+            acc |= closure(dep)
+        closure_cache[mod] = acc
+        return acc
+
+    return {
+        name: set().union(*(closure(m) for m in mods)) if mods else set()
+        for name, mods in direct.items()
+    }
+
+
+def git_touched_modules(ref: str) -> set[str]:
+    """Package files (rel paths) changed since ``ref``, catalog excluded."""
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", ref, "--", PKG],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.split()
+    except (OSError, subprocess.CalledProcessError):
+        return set()
+    return {p for p in out if p != CATALOG_REL and p.endswith(".py")}
+
+
+def module_touched_entries(ref: str) -> set[str]:
+    """Entries whose transitive module deps intersect the files changed
+    since ``ref`` — the module-level half of the changed set (the span
+    diff is the catalog-level half)."""
+    mods = git_touched_modules(ref)
+    if not mods:
+        return set()
+    return {
+        name for name, deps in entry_module_deps().items() if deps & mods
+    }
+
+
 def load_ledger() -> dict[str, int]:
     """entry -> latest round with a driver row (any color — the driver
     re-runs reds too, and a red's existence still dates the check)."""
@@ -202,28 +409,33 @@ def main() -> None:
                 file=sys.stderr,
             )
             changed += forgotten
-        # The diff only sees catalog.py spans — an entry whose fix lives
-        # in an operators/* module changes behavior invisibly (the r11
-        # multimodal case: attach_binary_payload's pmod fix touched
-        # three entries, only one of which had an oracle edit). Surface
-        # the blind spot so the hand list covers it.
-        try:
-            other = subprocess.run(
-                ["git", "diff", "--name-only", base, "--",
-                 "alibaba_cppfeaturestore_spark"],
-                cwd=REPO, capture_output=True, text=True, check=True,
-            ).stdout.split()
-            other = [p for p in other if p != CATALOG_REL]
-            if other:
+        # Module-level half of the changed set (r11 verdict item 4): an
+        # entry whose fix lands in operators/*.py changes behavior with
+        # no catalog span edit (the r11 multimodal case — the pmod fix
+        # touched three entries, only one had an oracle edit, and the
+        # other two had to be HAND-listed). The import-graph map makes
+        # those entries auto-promote like span-touched ones. A module
+        # rel path in _WINDOW_EXEMPT_CHANGED exempts all its dependents
+        # (the escape hatch for wide-blast-radius files like
+        # plans/views.py, certified by the full-catalog strict run).
+        touched_mods = git_touched_modules(base)
+        if touched_mods:
+            deps = entry_module_deps()
+            forgotten_mod = sorted(
+                n
+                for n in names
+                if n not in changed
+                and n not in exempt
+                and (deps.get(n, set()) & touched_mods)
+                and not (deps[n] & touched_mods) <= set(exempt)
+            )
+            if forgotten_mod:
                 print(
-                    "# WARNING: non-catalog package files changed since the last "
-                    f"round-close commit: {other} — entries whose BEHAVIOR those "
-                    "files carry must be hand-listed in --changed (the span diff "
-                    "cannot see them)",
+                    f"# auto-promoting entries dependent on git-touched modules "
+                    f"{sorted(touched_mods)}: {forgotten_mod}",
                     file=sys.stderr,
                 )
-        except (OSError, subprocess.CalledProcessError):
-            pass
+                changed += forgotten_mod
 
     eligible = [n for n in names if n in oracles]
     pool = [n for n in eligible if n not in changed]
