@@ -39,14 +39,24 @@ _WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
 
 _DRIVER_WINDOW = [
     # Round-12 rotation (tools/freshness.py --plan, self-checking):
-    # (a) changed entries — the twap DECIMAL(19,0) widening (r11 advice)
-    #     plus its operators/timeseries.py module dependents, auto-promoted
-    #     by the NEW import-graph mapping (r11 verdict item 4: module edits
-    #     now attribute to entries mechanically; the r11 hand-listing is
-    #     gone). Later r12 changes re-run the planner and extend this head.
-    # (b) the oldest unchanged driver rows (r05 cohort, then r06/r07).
+    # (a) changed entries — the NEW stream_asof_enrich (r11 verdict item 7),
+    #     the twap DECIMAL(19,0) widening (r11 advice), and their module
+    #     dependents, auto-promoted by the import-graph mapping (r11 verdict
+    #     item 4: a streaming/pipeline.py or operators/timeseries.py edit
+    #     now attributes to dependent entries mechanically — the promotion
+    #     is conservative on purpose; an additive-only module change still
+    #     re-verifies its dependents rather than trusting a hand judgment).
+    # (b) the oldest unchanged driver rows (all 10 r05 + all 22 r06 + r07).
+    "stream_asof_enrich",  # changed
     "timeseries_twap_user",  # changed
     "ewma_user_value",  # changed
+    "stream_dedup_exact",  # changed
+    "stream_interval_join_attribution",  # changed
+    "stream_online_upsert",  # changed
+    "stream_session_window_stats",  # changed
+    "stream_sliding_window_counts",  # changed
+    "stream_topk_trending",  # changed
+    "stream_tumbling_window_counts",  # changed
     "timeseries_gap_fill",  # changed
     "timeseries_rollup_cascade",  # changed
     "window_range_moving_avg",  # changed
@@ -87,14 +97,6 @@ _DRIVER_WINDOW = [
     "anomaly_seasonal_residuals",  # r07
     "bm25_topk_retrieval",  # r07
     "contamination_ngram_overlap",  # r07
-    "corpus_data_card",  # r07
-    "dedup_lsh_recall_audit",  # r07
-    "dedup_minhash_lsh",  # r07
-    "dict_apply_lang",  # r07
-    "feature_hashing_trick",  # r07
-    "feature_impute_missing",  # r07
-    "feature_quantile_bins",  # r07
-    "funnel_time_to_convert",  # r07
 ]
 
 

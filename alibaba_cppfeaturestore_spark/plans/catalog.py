@@ -3033,6 +3033,114 @@ def stream_online_upsert(spark, sf_dir):
 
 
 @_q(
+    "stream_asof_enrich",
+    # Batch-finalized oracle for the full stream→online→serve loop: the
+    # online table is the latest view per user (phase 1 converges to
+    # this regardless of micro-batch slicing — stream_online_upsert's
+    # proven property), and each click is served that row iff it is
+    # VISIBLE as-of the click (feature_ts <= click_ts: never serve the
+    # future) and fresh (7-day TTL, the asof_join_with_ttl contract).
+    # NULL click/feature ts fail both comparisons in both engines ->
+    # feature NULL; NULL user_id never equi-joins. Tie order mirrors
+    # latest_per_key's max_by struct (ts, event_id, value — DESC, NaN
+    # sorts above +Inf in BOTH engines).
+    """
+    WITH latest_view AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC,
+                                          value DESC) = 1
+    )
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(v.ts AS TIMESTAMP) AS feature_ts,
+           v.value AS feature_value
+    FROM events c LEFT JOIN latest_view v
+      ON c.user_id = v.user_id
+     AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+     AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 7 DAY
+    WHERE c.event_type = 'click'
+    """,
+)
+def stream_asof_enrich(spark, sf_dir):
+    """The Feast stream→online→serve loop as ONE driver-checked DAG (the
+    compositional gap between J3 and ST6): phase 1 ingests the view
+    stream into the online store (foreachBatch latest-per-key upsert,
+    reference ``ingest_stream_to_online_store.py:38-57``), phase 2
+    streams the click log as serving requests — each micro-batch is
+    enriched against the online table (reference ``get_fv.py:25-29``)
+    under an as-of guard (a feature row newer than the request must not
+    be served) with a 7-day TTL (stale features are worse than none —
+    ``asof_join_with_ttl``'s contract at the serving edge) and appended
+    to the offline sink.
+
+    Scale shape: the online table is |users| rows (latest-per-key), so
+    the per-batch enrich is a broadcast hash join — no shuffle of the
+    request stream; a store beyond broadcast size flips to a shuffled
+    hash join by removing one hint."""
+    import os
+    import tempfile
+
+    from ..streaming.pipeline import OnlineStore, run_stream_enrich, run_stream_upsert
+
+    workdir = tempfile.mkdtemp(prefix="asof_enrich_")
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    store = OnlineStore(
+        os.path.join(workdir, "store"),
+        keys=["user_id"],
+        ts="ts",
+        tiebreak=["event_id", "value"],
+    )
+    run_stream_upsert(views, store, os.path.join(workdir, "chk_ingest"))
+
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+
+    def enrich(batch, online):
+        if online is None:  # no views ingested at all: serve NULL features
+            return batch.select(
+                "click_id", "user_id", "click_ts",
+                F.lit(None).cast("timestamp").alias("feature_ts"),
+                F.lit(None).cast("double").alias("feature_value"),
+            )
+        feats = online.select(
+            F.col("user_id").alias("_f_user"),
+            F.col("ts").alias("feature_ts"),
+            F.col("value").alias("feature_value"),
+        )
+        cond = (
+            (batch["user_id"] == feats["_f_user"])
+            & (feats["feature_ts"] <= batch["click_ts"])
+            & (feats["feature_ts"] >= batch["click_ts"] - F.expr("INTERVAL 7 DAYS"))
+        )
+        return batch.join(F.broadcast(feats), cond, "left").select(
+            "click_id", "user_id", "click_ts", "feature_ts", "feature_value"
+        )
+
+    sink = os.path.join(workdir, "served")
+    run_stream_enrich(clicks, store, os.path.join(workdir, "chk_serve"), sink, enrich)
+    try:
+        return spark.read.parquet(sink)
+    except Exception:  # zero clicks: the append sink was never created
+        return spark.createDataFrame(
+            [],
+            "click_id bigint, user_id bigint, click_ts timestamp, "
+            "feature_ts timestamp, feature_value double",
+        )
+
+
+@_q(
     "write_ignore_roundtrip",
     """
     WITH g AS (

@@ -368,6 +368,41 @@ def run_stream_upsert(
     q.stop()
 
 
+def run_stream_enrich(
+    stream_df: DataFrame,
+    store: OnlineStore,
+    checkpoint_dir: str,
+    sink_path: str,
+    enrich: Callable[[DataFrame, DataFrame | None], DataFrame],
+) -> None:
+    """Serve half of the Feast stream→online→serve loop: each micro-batch
+    of requests is enriched against the CURRENT online table and appended
+    to the offline sink (reference surface: the stream processor keeps
+    the online table fresh, ``ingest_stream_to_online_store.py:38-57``,
+    and serving reads entity rows back out of it, ``get_fv.py:25-29``;
+    this helper is the two wired into one foreachBatch loop).
+
+    ``enrich(batch_df, online_df)`` receives the online table as read at
+    that micro-batch (None while the store is empty) and returns the
+    frame to append — the join strategy lives with the caller, because
+    only the caller knows whether the online table is broadcast-sized
+    (|entities| small) or needs a shuffle join. Bounded (availableNow) +
+    checkpointed, same exactly-once contract as ``run_stream_upsert``."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        online = store.read(batch_df.sparkSession)
+        enrich(batch_df, online).write.mode("append").parquet(sink_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def stateful_running_count_tws(stream_df: DataFrame, key_col: str) -> DataFrame:
     """Cumulative per-key event counts via Spark 4's
     ``transformWithStateInPandas`` — the modern arbitrary-state API

@@ -503,3 +503,65 @@ def test_kafka_sink_option_contract(spark):
     assert [r["key"] for r in keyed.orderBy("user_id").collect()] == ["g7", "g9"]
     # partition_by=None must not invent a key column
     assert "key" not in kafka_message_key(df, None).columns
+
+
+def test_stream_enrich_asof_guard_and_ttl(spark, tmp_path):
+    """Pins what makes stream_asof_enrich NOT a plain asof join: the
+    online table holds only the LATEST view per user, so a click older
+    than that view is served NOTHING (never serve the future — there is
+    no older version to fall back to), a click after it is served iff
+    within the 7-day TTL, and a user with no views gets NULL features."""
+    from alibaba_cppfeaturestore_spark.streaming.pipeline import (
+        OnlineStore,
+        run_stream_enrich,
+        run_stream_upsert,
+    )
+
+    def stage(rows, name):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts string, value double"
+        ).select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+        path = str(tmp_path / name)
+        df.write.parquet(path)
+        return spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+
+    views = stage(
+        [
+            (1, 10, "2024-01-05 00:00:00", 5.0),  # u1's latest view
+            (1, 11, "2024-01-01 00:00:00", 1.0),  # older, evicted by upsert
+            (2, 12, "2024-01-01 00:00:00", 2.0),
+        ],
+        "views",
+    )
+    store = OnlineStore(str(tmp_path / "store"), keys=["user_id"], ts="ts",
+                        tiebreak=["event_id", "value"])
+    run_stream_upsert(views, store, str(tmp_path / "chk1"))
+
+    clicks = stage(
+        [
+            (1, 20, "2024-01-03 00:00:00", 0.0),  # BEFORE u1's latest view -> NULL
+            (1, 21, "2024-01-06 00:00:00", 0.0),  # after, fresh -> 5.0
+            (2, 22, "2024-01-20 00:00:00", 0.0),  # 19 days stale (TTL 7d) -> NULL
+            (3, 23, "2024-01-06 00:00:00", 0.0),  # no views -> NULL
+        ],
+        "clicks",
+    ).select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+
+    def enrich(batch, online):
+        feats = online.select(
+            F.col("user_id").alias("_f_user"),
+            F.col("ts").alias("feature_ts"),
+            F.col("value").alias("feature_value"),
+        )
+        cond = (
+            (batch["user_id"] == feats["_f_user"])
+            & (feats["feature_ts"] <= batch["click_ts"])
+            & (feats["feature_ts"] >= batch["click_ts"] - F.expr("INTERVAL 7 DAYS"))
+        )
+        return batch.join(F.broadcast(feats), cond, "left").select(
+            "click_id", "user_id", "click_ts", "feature_ts", "feature_value"
+        )
+
+    run_stream_enrich(clicks, store, str(tmp_path / "chk2"), str(tmp_path / "sink"), enrich)
+    got = {r.click_id: r.feature_value for r in spark.read.parquet(str(tmp_path / "sink")).collect()}
+    assert got == {20: None, 21: 5.0, 22: None, 23: None}
