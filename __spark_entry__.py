@@ -40,16 +40,26 @@ _WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
 _DRIVER_WINDOW = [
     # Round-12 rotation (tools/freshness.py --plan, self-checking):
     # (a) changed entries — the NEW stream_asof_enrich (r11 verdict item 7),
-    #     the twap DECIMAL(19,0) widening (r11 advice), and their module
-    #     dependents, auto-promoted by the import-graph mapping (r11 verdict
-    #     item 4: a streaming/pipeline.py or operators/timeseries.py edit
-    #     now attributes to dependent entries mechanically — the promotion
-    #     is conservative on purpose; an additive-only module change still
-    #     re-verifies its dependents rather than trusting a hand judgment).
-    # (b) the oldest unchanged driver rows (all 10 r05 + all 22 r06 + r07).
+    #     ann_ivf_topk's greedy-quantizer full oracle (item 6: zero
+    #     oracle-less entries remain), the twap DECIMAL(19,0) widening (r11
+    #     advice), and their module dependents, auto-promoted by the
+    #     import-graph mapping (item 4) — conservative on purpose: an
+    #     additive-only module edit still re-verifies dependents.
+    # (b) the oldest unchanged driver rows (all 10 r05 + oldest r06).
+    "ann_ivf_topk",  # changed
+    "ann_quantized_topk",  # changed
     "stream_asof_enrich",  # changed
     "timeseries_twap_user",  # changed
+    "ann_brute_force_topk",  # changed
+    "ann_index_occupancy_audit",  # changed
+    "ann_ivf_portable_topk",  # changed
+    "ann_lsh_bucketed_topk",  # changed
+    "ann_recall_audit",  # changed
+    "dedup_semantic_embedding",  # changed
+    "embedding_threshold_pairs",  # changed
     "ewma_user_value",  # changed
+    "kmeans_lloyd_step",  # changed
+    "multimodal_embed_topk",  # changed
     "stream_dedup_exact",  # changed
     "stream_interval_join_attribution",  # changed
     "stream_online_upsert",  # changed
@@ -86,17 +96,6 @@ _DRIVER_WINDOW = [
     "llm_corpus_curation_lsh_counts",  # r06
     "q1_pricing_summary",  # r06
     "range_join_pre_purchase_views",  # r06
-    "record_linkage_customers",  # r06
-    "snapshot_diff_cdc",  # r06
-    "text_clean_normalize",  # r06
-    "text_pii_redact",  # r06
-    "text_repetition_rules",  # r06
-    "ab_test_cuped_adjusted",  # r07
-    "ab_test_group_summary",  # r07
-    "anomaly_mad_outliers",  # r07
-    "anomaly_seasonal_residuals",  # r07
-    "bm25_topk_retrieval",  # r07
-    "contamination_ngram_overlap",  # r07
 ]
 
 

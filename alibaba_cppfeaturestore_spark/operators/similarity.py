@@ -487,6 +487,133 @@ def ivf_portable_topk(
     return top_k_per_group(cands, ["query_id"], "cosine_sim", k=k, tiebreak=["neighbor_id"])
 
 
+def ivf_greedy_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_fit_rows: int = 16384,
+) -> DataFrame:
+    """IVF top-k with a DATA-ADAPTIVE deterministic coarse quantizer:
+    farthest-point (k-center greedy) centroid selection over int8-
+    quantized vectors, replacing ``ivf_topk``'s MLlib-KMeans fit (r11
+    verdict item 6 — the RNG init and Lloyd float accumulation were the
+    only oracle-less stages left in the catalog).
+
+    Why this is exactly replayable where KMeans is not:
+
+    - the fit set is the ``max_fit_rows`` vectors with smallest
+      ``portable_hash60(vec_id)`` — a deterministic "random" thinning
+      any engine reproduces (hashes carry no geometry, so this is an
+      unbiased sample in the only sense that matters to a quantizer);
+    - centroid selection is k-center greedy on integer squared-L2
+      (``|a|² + |b|² − 2a·b`` over int8 components — every value
+      < 2³³, exact in int64 and in the integer-valued doubles a SQL
+      engine folds), seeded at the smallest (hash, id) and iterating
+      argmax-min-distance with ties to the smallest id — a total,
+      engine-free order;
+    - Lloyd refinement is deliberately OMITTED: the mean-update divides
+      integer sums into non-integer doubles whose downstream distance
+      accumulation is summation-order-dependent — the one stage that
+      cannot be made engine-equal without scaled-integer cross
+      multiplication past 2⁵³. k-center seeding alone is the classic
+      approximation (Gonzalez 1985: 2-approx for the k-center
+      objective) and is exactly the init production KMeans would
+      refine.
+
+    Scale shape: the fit collects ≤ ``max_fit_rows`` quantized vectors
+    (≈1 MB at the defaults — a bounded driver-side computation, same
+    class as MLlib's ``clusterCenters()``); assignment/probe/score are
+    the ``ivf_portable_topk`` tail — broadcast 16-row centroid table,
+    cell equi-join, per-cell top-k, no stage touching |corpus|² rows.
+    """
+    from ..functions.vectors import cosine_int8, quantize_int8
+    from ..operators.aggregates import top_k_per_group
+    from ..operators.dedup import portable_hash60
+
+    # NULL-id gate, same reason as ivf_portable_topk: the fit order is
+    # (hash(id), id)-keyed and engine NULL sort defaults differ.
+    emb = emb.where(F.col(id_col).isNotNull())
+    q = _spread(emb).select(
+        F.col(id_col).alias("vid"), quantize_int8(F.col(vec_col)).alias("qv")
+    )
+    fit = (
+        q.select(
+            "vid", "qv", portable_hash60(F.col("vid").cast("string")).alias("h60")
+        )
+        .orderBy("h60", "vid")
+        .limit(max_fit_rows)
+        .collect()
+    )
+    if not fit:
+        return emb.limit(0).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cosine_sim"),
+        )
+
+    import numpy as np
+
+    vids = np.array([r.vid for r in fit], dtype=np.int64)
+    x = np.array([[int(c) for c in r.qv.q] for r in fit], dtype=np.int64)
+    nrm = (x * x).sum(axis=1)
+    sel = [0]  # fit rows arrive (h60, vid)-ordered: row 0 IS the seed
+    dmin = nrm + nrm[0] - 2 * (x @ x[0])
+    while len(sel) < nlist:
+        mx = dmin.max()
+        if mx <= 0:  # every remaining point duplicates a centroid
+            break
+        tied = np.flatnonzero(dmin == mx)
+        j = int(tied[np.argmin(vids[tied])])
+        sel.append(j)
+        dmin = np.minimum(dmin, nrm + nrm[j] - 2 * (x @ x[j]))
+
+    spark = emb.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [
+                (i, (float(fit[j].qv.scale), [int(c) for c in fit[j].qv.q]))
+                for i, j in enumerate(sel)
+            ],
+            "cent_id int, cent_qv struct<scale:float,q:array<tinyint>>",
+        )
+    )
+    scored_cells = q.crossJoin(cents).select(
+        "vid", "qv", "cent_id", cosine_int8(F.col("qv"), F.col("cent_qv")).alias("cs")
+    )
+    assigned = top_k_per_group(
+        scored_cells, ["vid"], "cs", k=1, tiebreak=["cent_id"]
+    ).select("vid", "qv", F.col("cent_id").alias("cell"))
+    queries = assigned.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    probes = top_k_per_group(
+        queries.crossJoin(cents).select(
+            "query_id",
+            "q_qv",
+            "cent_id",
+            cosine_int8(F.col("q_qv"), F.col("cent_qv")).alias("cs"),
+        ),
+        ["query_id"],
+        "cs",
+        k=nprobe,
+        tiebreak=["cent_id"],
+    ).select("query_id", "q_qv", F.col("cent_id").alias("cell"))
+    cands = (
+        probes.join(assigned, "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine_int8(F.col("q_qv"), F.col("qv")).alias("cosine_sim"),
+        )
+    )
+    return top_k_per_group(cands, ["query_id"], "cosine_sim", k=k, tiebreak=["neighbor_id"])
+
+
 def lloyd_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid assignment for one Lloyd iteration over LITERAL
     centroids: squared distance to each centroid as a left-associated

@@ -346,6 +346,41 @@ def test_ivf_topk_recall_and_reused_centroids(spark):
     assert set(degraded.columns) == {"query_id", "neighbor_id", "cosine_sim"}
 
 
+def test_ivf_greedy_topk_recall_determinism_and_edges(spark):
+    """The r12 oracle-able learned quantizer (farthest-point greedy):
+    recall vs brute force at least matches the arbitrary-id portable
+    pick's bar, reruns are bit-identical (no RNG anywhere), a corpus
+    smaller than nlist yields fewer cells without error, and an empty
+    corpus yields an empty typed result."""
+    from alibaba_cppfeaturestore_spark.operators.similarity import ivf_greedy_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_greedy_topk(emb, n_queries=10, nlist=8, nprobe=3, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"greedy IVF recall vs brute force too low: {recall}"
+    # no RNG: a second run reproduces every (query, neighbor, sim) triple
+    a2 = {(r["query_id"], r["neighbor_id"], r["cosine_sim"])
+          for r in ivf_greedy_topk(emb, n_queries=10, nlist=8, nprobe=3, k=5).collect()}
+    a1 = {(r["query_id"], r["neighbor_id"], r["cosine_sim"])
+          for r in ivf_greedy_topk(emb, n_queries=10, nlist=8, nprobe=3, k=5).collect()}
+    assert a1 == a2
+    # corpus smaller than nlist: greedy exhausts (or hits all-duplicate
+    # dmin=0) and serves with the cells it found
+    tiny = emb.filter(F.col("vec_id") < 4)
+    got = ivf_greedy_topk(tiny, n_queries=4, nlist=16, nprobe=4, k=3)
+    assert got.count() > 0
+    # empty corpus: empty typed result, no crash
+    degraded = ivf_greedy_topk(emb.filter(F.lit(False)), nlist=8)
+    assert degraded.count() == 0
+    assert set(degraded.columns) == {"query_id", "neighbor_id", "cosine_sim"}
+
+
 def test_incremental_minhash_matches_full_corpus(spark, docs):
     """Incremental dedup of a batch against a materialized band index ==
     the full-corpus pairs restricted to pairs touching the batch."""

@@ -36,7 +36,9 @@ EAGER = {name for name in QUERIES if name.startswith("stream_")} | {
 }
 
 # Arrow-batched Python stages are the intended design for these
-PYTHON_OK = {"multimodal_decode_metadata", "multimodal_frame_sample", "ann_ivf_topk"}
+# (ann_ivf_topk left this set in r12: the greedy-quantizer rewrite has
+# no ML stage — its plan is the ivf_portable_topk pure-expression tail)
+PYTHON_OK = {"multimodal_decode_metadata", "multimodal_frame_sample"}
 
 # the deliberate exhaustive baseline (queries are broadcast, corpus streams)
 NESTED_LOOP_OK = {
@@ -45,6 +47,7 @@ NESTED_LOOP_OK = {
     "multimodal_embed_topk",  # composes the brute-force baseline
     "ann_quantized_topk",  # brute-force on the quantized form, by design
     "ann_ivf_portable_topk",  # 16-row centroid broadcast × corpus — the IVF assignment shape
+    "ann_ivf_topk",  # same tail as portable: greedy centroids broadcast × corpus
     "ann_recall_audit",  # composes the sanctioned brute-force baseline as its exact leg
 }
 
