@@ -39,17 +39,25 @@ _WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
 
 _DRIVER_WINDOW = [
     # Round-12 rotation (tools/freshness.py --plan, self-checking):
-    # (a) changed entries — the NEW stream_asof_enrich (r11 verdict item 7),
+    # (a) changed entries — stream_asof_enrich (new, r11 item 7),
     #     ann_ivf_topk's greedy-quantizer full oracle (item 6: zero
-    #     oracle-less entries remain), the twap DECIMAL(19,0) widening (r11
-    #     advice), and their module dependents, auto-promoted by the
-    #     import-graph mapping (item 4) — conservative on purpose: an
-    #     additive-only module edit still re-verifies dependents.
+    #     oracle-less entries), the twap DECIMAL(19,0)+VARCHAR-cast fixes,
+    #     the --perturb-kv campaign (kv last-win dedup, kv_int gate,
+    #     record_linkage mutant-construction find, seed 479), the
+    #     --perturb-decimal-edge campaign (write_ignore BIGINT-rail
+    #     sum-headroom find, twap double-rounding find, seed 491), plus
+    #     module dependents auto-promoted by the import-graph map (item 4).
     # (b) the oldest unchanged driver rows (all 10 r05 + oldest r06).
+    "aliccp_bronze_to_silver_e2e",  # changed
     "ann_ivf_topk",  # changed
     "ann_quantized_topk",  # changed
+    "kv_parse_roundtrip",  # changed
+    "record_linkage_customers",  # changed
+    "set_except_keys",  # changed
     "stream_asof_enrich",  # changed
     "timeseries_twap_user",  # changed
+    "write_ignore_roundtrip",  # changed
+    "aliccp_silver_to_gold_e2e",  # changed
     "ann_brute_force_topk",  # changed
     "ann_index_occupancy_audit",  # changed
     "ann_ivf_portable_topk",  # changed
@@ -59,6 +67,7 @@ _DRIVER_WINDOW = [
     "embedding_threshold_pairs",  # changed
     "ewma_user_value",  # changed
     "kmeans_lloyd_step",  # changed
+    "kv_merge_lastwin",  # changed
     "multimodal_embed_topk",  # changed
     "stream_dedup_exact",  # changed
     "stream_interval_join_attribution",  # changed
@@ -89,13 +98,6 @@ _DRIVER_WINDOW = [
     "dq_referential_violations",  # r06
     "feature_one_hot_events",  # r06
     "filter_theta_or",  # r06
-    "funnel_view_click_purchase",  # r06
-    "join_left_enrich",  # r06
-    "join_semi_in_subquery",  # r06
-    "kv_merge_lastwin",  # r06
-    "llm_corpus_curation_lsh_counts",  # r06
-    "q1_pricing_summary",  # r06
-    "range_join_pre_purchase_views",  # r06
 ]
 
 

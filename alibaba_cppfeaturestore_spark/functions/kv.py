@@ -36,6 +36,8 @@ def parse_kv_triplets(feat_list: Column | str) -> Column:
 
     Pure column expression — JVM-side, codegen-friendly, no Python UDF.
     """
+    from .text import _let
+
     col = F.col(feat_list) if isinstance(feat_list, str) else feat_list
     toks = F.split(col, KV_SPLIT_REGEX)
     keys = F.filter(toks, lambda _, i: i % 3 == 0)
@@ -44,7 +46,57 @@ def parse_kv_triplets(feat_list: Column | str) -> Column:
     # [""], so keys=[""] but vals=[]); keep only complete triplets so
     # map_from_arrays never sees mismatched lengths.
     n = F.least(F.size(keys), F.size(vals))
-    return F.map_from_arrays(F.slice(keys, 1, n), F.slice(vals, 1, n))
+
+    # Duplicate field_ids: keep the LAST occurrence — the reference
+    # builds a dict from the token stride, so a later assignment to the
+    # same field wins (``batch_process_Bronze_to_Silver.py:69-73``).
+    # Dedup BEFORE map_from_arrays makes this conf-independent: under
+    # the default ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` a duplicate
+    # key is DUPLICATED_MAP_KEY, under LAST_WIN it happens to match —
+    # the parser must not inherit a session accident (r12 --perturb-kv
+    # campaign: a data-driven fragment can repeat a planted field_id).
+    # _let-bound: the filter predicates index into the full key array
+    # per element; unbound, the split would re-run per comparison.
+    def _build(ks: Column, vs: Column) -> Column:
+        keep = lambda i: ~F.array_contains(  # noqa: E731 — last occurrence
+            F.slice(ks, i + 2, F.greatest(F.size(ks) - i - 1, F.lit(0))),
+            F.element_at(ks, i + 1),
+        )
+        return F.map_from_arrays(
+            F.filter(ks, lambda _, i: keep(i)),
+            F.filter(vs, lambda _, i: keep(i)),
+        )
+
+    return _let(
+        F.slice(keys, 1, n), lambda ks: _let(F.slice(vals, 1, n), lambda vs: _build(ks, vs))
+    )
+
+
+# Strict integral-format gate: optional sign, digits, nothing else.
+# Shared Java∩RE2 subset (no lookaround, no unicode classes) so both
+# engines' regex semantics coincide — the text_pii_redact discipline.
+KV_INT_REGEX = "^[+-]?[0-9]+$"
+
+
+def kv_int(value: Column) -> Column:
+    """The kv-domain integer-ingestion policy: a parsed feature value is
+    an int iff it is a strict integral-format string (``^[+-]?[0-9]+$``
+    — no whitespace, no decimal point, no scientific notation, no hex);
+    anything else, including overflow past int32, is NULL.
+
+    Why a regexp gate and not a bare cast (r12 ``--perturb-kv`` find):
+    a data-driven feat value reaches this cast unvalidated, and the
+    engines' native string→int casts disagree on exactly the malformed
+    forms a broken producer emits — Spark's ANSI cast THROWS on
+    ``'12.5'`` (``try_cast`` → NULL) while DuckDB rounds it to 13, and
+    DuckDB also accepts ``'1e3'`` and ``'0x1A'``. The gate pins one
+    engine-free answer: malformed → NULL (the reference's wide
+    projection ran under Spark-2 non-ANSI cast semantics — NULL on bad
+    input — so this also matches reference behavior,
+    ``batch_process_Bronze_to_Silver.py:206-300``). Oracle spelling:
+    ``CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$') THEN
+    TRY_CAST(v AS INTEGER) END``."""
+    return F.when(F.regexp_like(value, F.lit(KV_INT_REGEX)), value.try_cast("int"))
 
 
 def merge_feature_maps(*maps: Column) -> Column:

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.kv import labels_map, merge_feature_maps, parse_kv_triplets
+from ..functions.kv import kv_int, labels_map, merge_feature_maps, parse_kv_triplets
 
 # field_id → silver column name (reference :206-300; FIXTURES.md §3).
 # Quirk preserved: "127" = user_consumption_2 while "127_14" = user_brands
@@ -143,14 +143,18 @@ def bronze_to_silver(
 
     # 25-column wide projection (reference :206-300). cast(null)=null, so the
     # when/isNotNull/otherwise dance collapses to a plain getItem+cast.
+    # kv_int, not a bare cast (r12 --perturb-kv): parsed values arrive
+    # unvalidated from the kv string, and under ANSI a non-integral
+    # value would crash the job while the reference's non-ANSI cast
+    # NULLed it — kv_int pins malformed → NULL, engine-free.
     wide = merged.select(
         F.col("sample_id"),
         *[
-            F.col("result")[fid].cast("int").alias(name)
+            kv_int(F.col("result")[fid]).alias(name)
             for fid, name in FIELD_TO_NAME.items()
         ],
-        F.col("result")["click"].cast("int").alias("click"),
-        F.col("result")["conversion"].cast("int").alias("conversion"),
+        kv_int(F.col("result")["click"]).alias("click"),
+        kv_int(F.col("result")["conversion"]).alias("conversion"),
     )
     return wide
 

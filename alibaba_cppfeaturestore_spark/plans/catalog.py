@@ -1698,26 +1698,84 @@ def set_except_keys(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# --- DuckDB replay of the kv parser (r12 --perturb-kv campaign) --------
+# The kv entries now thread a RAW DATA-DRIVEN FRAGMENT (the TPC-H comment
+# columns) into the constructed feat_list, so the oracle can no longer
+# shortcut to the relational inputs — it must replay the parse itself:
+# split on the three control bytes, frame tokens as (key, value, weight)
+# strides, truncate to complete pairs, last occurrence of a field_id
+# wins (parse_kv_triplets' dict-build semantics). On vanilla data a
+# comment is one separator-free token at a key slot — dropped by the
+# truncation — so these oracles degenerate to the old relational ones.
+_KV_SEP_SQL = "'[' || chr(1) || chr(2) || chr(3) || ']'"
+# the parse CTE columns: toks -> ks/vs (stride filter) -> n (truncation)
+_KV_TOK_SQL = f"""
+         string_split_regex(s, {_KV_SEP_SQL}) AS toks,
+         list_filter(toks, (x, i) -> (i-1) % 3 = 0) AS ks,
+         list_filter(toks, (x, i) -> (i-1) % 3 = 1) AS vs,
+         least(len(ks), len(vs)) AS n"""
+
+
+def _kv_get_sql(key: str) -> str:
+    """Last-win lookup of ``key`` over the parse CTE's (ks, vs, n)."""
+    idx = (
+        "list_max(list_transform(generate_series(1, n), "
+        f"j -> CASE WHEN ks[j] = '{key}' THEN j END))"
+    )
+    return f"vs[{idx}]"
+
+
+def _kv_int_sql(v: str) -> str:
+    """functions/kv.kv_int's oracle spelling: strict integral-format
+    strings only, else NULL (the engines' native string→int casts
+    disagree on '12.5' / '1e3' / '0x1A')."""
+    return (
+        f"(CASE WHEN regexp_matches({v}, '^[+-]?[0-9]+$') "
+        f"THEN TRY_CAST({v} AS INTEGER) END)"
+    )
+
+
 @_q(
     "kv_parse_roundtrip",
-    """
-    SELECT o_orderkey AS sample_id,
-           CAST(o_custkey AS INTEGER) AS user_id,
-           -- finite-int-domain feature: a NaN/±Inf/overflow price has no
-           -- int encoding — the triplet is simply absent from the kv
-           -- string, so the parsed feature is NULL (the isnan guard
-           -- dodges DuckDB's TRY_CAST-NaN hole, see _dec_value)
-           CASE WHEN NOT isnan(o_totalprice)
-                THEN TRY_CAST(TRUNC(o_totalprice) AS INTEGER) END AS price_feature
-    FROM orders WHERE o_orderkey % 10 = 0
+    f"""
+    WITH enc AS (
+      SELECT o_orderkey AS sample_id,
+             concat_ws(chr(1),
+               '101' || chr(2) || CAST(o_custkey AS VARCHAR) || chr(3) || '1.0',
+               -- finite-int-domain feature: a NaN/±Inf/overflow price
+               -- has no int encoding — the NULL propagates through ||
+               -- and concat_ws drops the whole triplet (the isnan
+               -- guard dodges DuckDB's TRY_CAST-NaN hole)
+               '205' || chr(2) || (CASE WHEN NOT isnan(o_totalprice)
+                    THEN CAST(TRY_CAST(TRUNC(o_totalprice) AS INTEGER) AS VARCHAR) END)
+                    || chr(3) || '1.0',
+               o_orderpriority) AS s
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    tok AS (
+      SELECT sample_id,{_KV_TOK_SQL}
+      FROM enc
+    )
+    SELECT sample_id,
+           {_kv_int_sql(_kv_get_sql('101'))} AS user_id,
+           {_kv_int_sql(_kv_get_sql('205'))} AS price_feature
+    FROM tok
     """,
 )
 def kv_parse_roundtrip(spark, sf_dir):
-    """F1: build an Ali-CCP kv-triplet string from real columns, parse it
-    with the native parser, extract typed fields back. An out-of-int-
-    domain price (NaN/±Inf/overflow) cannot be encoded — ``try_cast``
-    yields NULL, ``concat`` propagates it, ``concat_ws`` drops the NULL
-    part, so the triplet is absent and the parsed feature is NULL."""
+    """F1: build an Ali-CCP kv-triplet string from real columns PLUS a
+    raw data-driven fragment (``o_orderpriority`` — separator-free on clean
+    data, adversarial under ``--perturb-kv``), parse it with the native
+    parser, extract typed fields back through the ``kv_int`` ingestion
+    policy. An out-of-int-domain price (NaN/±Inf/overflow) cannot be
+    encoded — ``try_cast`` yields NULL, ``concat`` propagates it,
+    ``concat_ws`` drops the NULL part, so the triplet is absent and the
+    parsed feature is NULL. A fragment-planted duplicate field_id wins
+    (last-win dict-build, reference
+    ``batch_process_Bronze_to_Silver.py:69-73``); a fragment-planted
+    malformed value is NULL (``kv_int``)."""
+    from ..functions.kv import kv_int
+
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     encoded = o.select(
         F.col("o_orderkey").alias("sample_id"),
@@ -1725,6 +1783,7 @@ def kv_parse_roundtrip(spark, sf_dir):
             "\x01",
             F.concat(F.lit("101"), F.lit("\x02"), F.col("o_custkey").cast("string"), F.lit("\x03"), F.lit("1.0")),
             F.concat(F.lit("205"), F.lit("\x02"), F.col("o_totalprice").try_cast("int").cast("string"), F.lit("\x03"), F.lit("1.0")),
+            F.col("o_orderpriority"),
         ).alias("feat_list"),
     )
     parsed = encoded.select(
@@ -1732,8 +1791,8 @@ def kv_parse_roundtrip(spark, sf_dir):
     )
     return parsed.select(
         "sample_id",
-        F.col("m")["101"].cast("int").alias("user_id"),
-        F.col("m")["205"].cast("int").alias("price_feature"),
+        kv_int(F.col("m")["101"]).alias("user_id"),
+        kv_int(F.col("m")["205"]).alias("price_feature"),
     )
 
 
@@ -3143,15 +3202,17 @@ def stream_asof_enrich(spark, sf_dir):
 @_q(
     "write_ignore_roundtrip",
     """
-    WITH g AS (
-      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) * 1000000 AS BIGINT) AS m
-      FROM events GROUP BY event_type
-    )
-    SELECT event_type, n_events,
-           (CASE WHEN m >= 0 THEN (m + 5000) // 10000
-                 ELSE -((-m + 5000) // 10000) END) / 100.0 AS total_value
-    FROM g
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           -- guarded-decimal sum + ROUND(dec,2) (the cube/session idiom),
+           -- replacing the r06 BIGINT micro-rail: SUM(v)*1e6 overflowed
+           -- int64 at in-domain magnitudes (r12 --perturb-decimal-edge
+           -- find, seed 491 — ~1e3 rows at 9e9 is 9e18 micro-units,
+           -- past the 9.2e18 int64 ceiling; sum headroom is exactly
+           -- what the mode exists to probe)
+           CAST(ROUND(SUM(CASE WHEN NOT isnan(value)
+                   THEN TRY_CAST(value AS DECIMAL(18,6)) END), 2)
+                AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
     """,
 )
 def write_ignore_roundtrip(spark, sf_dir):
@@ -3170,25 +3231,12 @@ def write_ignore_roundtrip(spark, sf_dir):
     from ..sources.writers import write_table
 
     ev = _t(spark, sf_dir, "events")
-    summary = (
-        ev.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.expr(
-                "CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) * 1000000 AS BIGINT)"
-            ).alias("m"),
-        )
-        .select(
-            "event_type",
-            "n_events",
-            # half-up at scale 2 in exact integer arithmetic (see
-            # timeseries_rollup_cascade for why ROUND(double) is unsafe
-            # on decimal sums)
-            F.expr(
-                "(CASE WHEN m >= 0 THEN (m + 5000) div 10000"
-                " ELSE -((-m + 5000) div 10000) END) / CAST(100 AS DOUBLE)"
-            ).alias("total_value"),
-        )
+    summary = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        # ROUND(decimal_sum, 2) -> double, the cube/session idiom: the
+        # old BIGINT micro-rail (SUM*1e6 AS BIGINT) overflowed int64 at
+        # in-domain magnitudes (r12 decimal-edge find, seed 491)
+        F.round(F.sum(_dec_value()), 2).cast("double").alias("total_value"),
     )
     path = os.path.join(tempfile.mkdtemp(prefix="ignore_write_"), "summary")
     write_table(summary, path, mode="ignore")
@@ -3933,7 +3981,11 @@ def dq_referential_violations(spark, sf_dir):
       SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
       UNION ALL
       SELECT c_custkey + 1000000,
-             SUBSTR(c_name, 1, LENGTH(c_name) - 2) || 'X',
+             -- GREATEST(...,0): DuckDB SUBSTR errors on negative length
+             -- where Spark returns '' — a sub-2-char name (possible
+             -- under --perturb-kv's fragment pollution of c_name, r12
+             -- find seed 479) must mangle to 'X' on both engines
+             SUBSTR(c_name, 1, GREATEST(LENGTH(c_name) - 2, 0)) || 'X',
              c_nationkey, c_mktsegment
       FROM customer WHERE c_custkey % 10 = 0
     )
@@ -3960,8 +4012,13 @@ def record_linkage_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     mutants = c.filter(F.col("c_custkey") % 10 == 0).select(
         (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        # drop-last-2-chars, not a fixed substring(1,16): identical on
+        # the 18-char clean names, but a fragment-polluted c_name
+        # (--perturb-kv, r12 find seed 479) has arbitrary length and
+        # the two spellings silently built DIFFERENT mutants
         F.concat(
-            F.substring(F.col("c_name"), 1, 16), F.lit("X")
+            F.expr("substring(c_name, 1, greatest(length(c_name) - 2, 0))"),
+            F.lit("X"),
         ).alias("c_name"),
         "c_nationkey",
         "c_mktsegment",
@@ -4658,33 +4715,78 @@ def stream_interval_join_attribution(spark, sf_dir):
     # :182-184) KEEP skeleton rows whose common-feature block is absent —
     # referential integrity is an upstream promise, not a join contract.
     # An orphan keeps the skeleton's planted 101 sentinel (999999) as
-    # user_id — hence the COALESCE — and has no 122 block, so user_group
-    # is NULL.
-    """
-    SELECT CAST(o_orderkey AS VARCHAR) AS sample_id,
-           CAST(COALESCE(c_custkey, 999999) AS INTEGER) AS user_id,
-           CAST(c_nationkey AS INTEGER) AS user_group,
-           -- finite-int-domain item feature: an unencodable price means
-           -- the 205 triplet is absent from the kv string -> NULL
-           -- (same policy as kv_parse_roundtrip)
-           CASE WHEN NOT isnan(o_totalprice)
-                THEN TRY_CAST(TRUNC(o_totalprice) AS INTEGER) END AS item_id,
-           CAST(o_orderkey % 7 AS INTEGER) AS position,
-           CAST(o_orderkey % 2 AS INTEGER) AS click,
-           CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS conversion
-    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-    WHERE o_orderkey % 5 = 0
-      AND NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 = 0)
+    # user_id, and has no 122 block, so user_group is NULL.
+    # FULL PARSE REPLAY (r12 --perturb-kv): both feat_lists carry a raw
+    # data-driven fragment (o_orderpriority / c_name), so the oracle
+    # replays parse (frame + truncation + last-win), the left join, the
+    # dict.update merge (string-level COALESCE: common[k] wins whenever
+    # the key is present — even with an empty value — else skeleton[k]),
+    # and the kv_int ingestion gate. Labels are injected after the merge
+    # and win unconditionally, so click/conversion come from the
+    # relational label columns.
+    f"""
+    WITH skel AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS sample_id,
+             CAST(o_orderkey % 2 AS VARCHAR) AS click,
+             CASE WHEN o_orderkey % 3 = 0 THEN '1' ELSE '0' END AS conversion,
+             'c' || CAST(o_custkey AS VARCHAR) AS cfi,
+             concat_ws(chr(1),
+               '101' || chr(2) || '999999' || chr(3) || '1.0',
+               -- unencodable price (NaN/±Inf/overflow): NULL propagates
+               -- through || and concat_ws drops the whole 205 triplet
+               '205' || chr(2) || (CASE WHEN NOT isnan(o_totalprice)
+                    THEN CAST(TRY_CAST(TRUNC(o_totalprice) AS INTEGER) AS VARCHAR) END)
+                    || chr(3) || '1.0',
+               '301' || chr(2) || CAST(o_orderkey % 7 AS VARCHAR) || chr(3) || '1.0',
+               o_orderpriority) AS s
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    skelf AS (SELECT * FROM skel WHERE NOT (click = '0' AND conversion = '1')),
+    stok AS (SELECT sample_id, click, conversion, cfi,{_KV_TOK_SQL} FROM skelf),
+    smap AS (
+      SELECT sample_id, click, conversion, cfi,
+             {_kv_get_sql('101')} AS s101, {_kv_get_sql('122')} AS s122,
+             {_kv_get_sql('205')} AS s205, {_kv_get_sql('301')} AS s301
+      FROM stok
+    ),
+    comm AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS str_key,
+             concat_ws(chr(1),
+               '101' || chr(2) || CAST(c_custkey AS VARCHAR) || chr(3) || '1.0',
+               '122' || chr(2) || CAST(c_nationkey AS VARCHAR) || chr(3) || '1.0',
+               c_name) AS s
+      FROM customer
+    ),
+    ctok AS (SELECT str_key,{_KV_TOK_SQL} FROM comm),
+    cmap AS (
+      SELECT str_key,
+             {_kv_get_sql('101')} AS c101, {_kv_get_sql('122')} AS c122,
+             {_kv_get_sql('205')} AS c205, {_kv_get_sql('301')} AS c301
+      FROM ctok
+    )
+    SELECT s.sample_id,
+           {_kv_int_sql("COALESCE(c.c101, s.s101)")} AS user_id,
+           {_kv_int_sql("COALESCE(c.c122, s.s122)")} AS user_group,
+           {_kv_int_sql("COALESCE(c.c205, s.s205)")} AS item_id,
+           {_kv_int_sql("COALESCE(c.c301, s.s301)")} AS position,
+           {_kv_int_sql("s.click")} AS click,
+           {_kv_int_sql("s.conversion")} AS conversion
+    FROM smap s LEFT JOIN cmap c ON s.cfi = c.str_key
     """,
 )
 def aliccp_bronze_to_silver_e2e(spark, sf_dir):
     """The reference's flagship pipeline (E1) end-to-end on synthesized
-    bronze: kv-encode orders→skeleton and customer→common features, run
-    the REAL bronze_to_silver plan (parse → left join → invalid filter →
-    last-win merge → wide projection), project the populated columns.
+    bronze: kv-encode orders→skeleton and customer→common features —
+    each feat_list carrying a raw data-driven fragment
+    (``o_orderpriority`` / ``c_name``: separator-free on clean data,
+    adversarial under ``--perturb-kv``) — run the REAL bronze_to_silver
+    plan (parse → left join → invalid filter → last-win merge → kv_int
+    wide projection), project the populated columns.
 
-    The skeleton plants field 101 with a sentinel that the common map must
-    override (dict.update semantics)."""
+    The skeleton plants field 101 with a sentinel that the common map
+    must override (dict.update semantics); a fragment-planted duplicate
+    field_id exercises last-win INSIDE each map, the merge order decides
+    ACROSS maps, and labels injected after the merge always win."""
     from .aliccp import bronze_to_silver
 
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
@@ -4709,6 +4811,7 @@ def aliccp_bronze_to_silver_e2e(spark, sf_dir):
             # drops the whole 205 triplet (kv_parse_roundtrip policy)
             triplet("205", F.col("o_totalprice").try_cast("int")),
             triplet("301", F.col("o_orderkey") % 7),
+            F.col("o_orderpriority"),  # raw fragment (--perturb-kv)
         ).alias("_c5"),
     )
     common = customer.select(
@@ -4718,6 +4821,7 @@ def aliccp_bronze_to_silver_e2e(spark, sf_dir):
             "\x01",
             triplet("101", F.col("c_custkey")),
             triplet("122", F.col("c_nationkey")),
+            F.col("c_name"),  # raw fragment (--perturb-kv)
         ).alias("_c2"),
     )
     wide = bronze_to_silver(skeleton, common, broadcast_common=True)
@@ -7479,8 +7583,19 @@ def ann_ivf_portable_topk(spark, sf_dir):
       FROM stepped GROUP BY user_id
     )
     SELECT user_id, n_obs,
-           CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
-                ELSE CAST(sv AS DOUBLE) / CAST(n_obs AS DOUBLE) END AS twap
+           -- decimal->double THROUGH VARCHAR (r12 decimal-edge find,
+           -- seed 491): DuckDB's direct DECIMAL->DOUBLE converts
+           -- int128->double then divides by 10^scale — TWO roundings,
+           -- off by 1 ulp from Spark's correctly-rounded
+           -- BigDecimal.doubleValue once the scaled operand passes
+           -- 2^53. strtod IS correctly rounded, so the string route
+           -- makes both engines emit identical bits for identical
+           -- decimals.
+           CASE WHEN den > 0
+                THEN CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(den AS VARCHAR) AS DOUBLE)
+                ELSE CAST(CAST(sv AS VARCHAR) AS DOUBLE)
+                     / CAST(n_obs AS DOUBLE) END AS twap
     FROM agg
     """,
 )

@@ -378,3 +378,82 @@ def test_neg_ids_fuzzer_negates_every_target_key():
         assert pq.read_table(f"{out}/{t}.parquet").equals(
             pq.read_table(f"{SF}/{t}.parquet")
         ), f"{t} mutated by the neg-ids fuzzer"
+
+
+def test_kv_fuzzer_plants_adversarial_fragments():
+    """r12: ~10% of orders.o_orderpriority and customer.c_name becomes an
+    adversarial Ali-CCP kv fragment — duplicate field_ids, ragged
+    triplets, frame-shifting lone separators, malformed int values.
+    Only the two carrier columns move; everything else byte-identical."""
+    import driver_sim as DS
+
+    out = DS.perturb_kv_sf(SF, seed=9001)
+    for table, col in (("orders", "o_orderpriority"), ("customer", "c_name")):
+        src = pq.read_table(f"{SF}/{table}.parquet")
+        tbl = pq.read_table(f"{out}/{table}.parquet")
+        before = src.column(col).to_pylist()
+        after = tbl.column(col).to_pylist()
+        changed = [a for a, b in zip(after, before) if a != b]
+        assert changed, f"fuzzer planted nothing in {table}.{col}"
+        # every planted value is from the documented fragment list
+        assert set(changed) <= set(DS.KV_FRAGMENTS), f"alien fragment in {table}"
+        # the campaign's three find classes are all represented
+        assert any("\x01" in a for a in changed), "no frame-shift fragment"
+        assert any(a.startswith("101\x02") for a in changed), "no duplicate-field plant"
+        assert any(a in ("205\x02notanint\x031.0", "205\x0212.5\x031.0",
+                         "101\x021e3\x031.0") for a in changed), "no malformed int"
+        if len(after) >= 400:
+            rate = len(changed) / len(after)
+            assert 0.05 < rate < 0.18, f"mutation rate off for {table}: {rate}"
+        for f in src.schema:
+            if f.name != col:
+                assert tbl.column(f.name).to_pylist() == src.column(f.name).to_pylist()
+    for t in ("lineitem", "part", "supplier", "nation", "region",
+              "events", "documents", "embeddings"):
+        assert pq.read_table(f"{out}/{t}.parquet").equals(
+            pq.read_table(f"{SF}/{t}.parquet")
+        ), f"{t} mutated by the kv fuzzer"
+
+
+def test_decimal_edge_fuzzer_seeds_boundary_values():
+    """r12: ~5% of every scalar double column becomes a declared-width
+    boundary value — all exactly-representable doubles (the mode must
+    stress the catalog's decimal domains, not the engines' legitimate
+    shortest-repr-vs-binary conversion gap above 2^33)."""
+    import driver_sim as DS
+
+    # domain sanity: every edge survives a float round-trip bit-exactly
+    # and its decimal repr has <= 6 fractional digits
+    for v in DS.DECIMAL_EDGES:
+        assert v == float(repr(v))
+        frac = repr(float(v)).split(".")[-1] if "." in repr(float(v)) else ""
+        assert "e" in repr(v) or len(frac) <= 6, repr(v)
+
+    # oracle-exact conversion domain: every in-domain magnitude keeps
+    # v*1e6 inside 2^53 (DuckDB converts double->decimal by multiplying
+    # in double); the exact powers of 10 probe the overflow boundary
+    for v in DS.DECIMAL_EDGES:
+        assert abs(v) * 1e6 < 2**53 or v in (1e12, -1e12, 1e14), repr(v)
+
+    out = DS.perturb_decimal_edge_sf(SF, seed=9001)
+    src = pq.read_table(f"{SF}/events.parquet")
+    tbl = pq.read_table(f"{out}/events.parquet")
+    before = src.column("value").to_pylist()
+    after = tbl.column("value").to_pylist()
+    changed = [a for a, b in zip(after, before) if a != b]
+    assert changed, "fuzzer planted nothing"
+    assert set(changed) <= set(DS.DECIMAL_EDGES), "alien value planted"
+    if len(after) >= 400:
+        rate = len(changed) / len(after)
+        assert 0.02 < rate < 0.10, f"mutation rate off: {rate}"
+    for f in src.schema:
+        if f.name != "value":
+            assert tbl.column(f.name).to_pylist() == src.column(f.name).to_pylist()
+    # only events.value moves: the TPC-H price columns feed DECLARED-RAW
+    # double sums where finite cancelling magnitudes cannot be made
+    # engine-equal (see perturb_decimal_edge_sf's domain pins)
+    for t in ("orders", "lineitem", "customer", "supplier", "part",
+              "documents", "embeddings", "nation", "region"):
+        assert pq.read_table(f"{out}/{t}.parquet").equals(
+            pq.read_table(f"{SF}/{t}.parquet")
+        ), f"{t} mutated by the decimal-edge fuzzer"

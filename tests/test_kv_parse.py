@@ -174,3 +174,58 @@ def test_variant_shred_typed_extraction_and_missing_fields(spark):
         F.try_variant_get(v, "$.s", "string").alias("s"),
     ).collect()
     assert [(r.k, r.s) for r in out] == [(7, "x"), (None, "y"), (None, None)]
+
+
+def test_parse_kv_duplicate_field_last_wins_conf_independent(spark):
+    """r12 --perturb-kv: a repeated field_id inside ONE feat_list keeps
+    the LAST occurrence (the reference builds a dict from the token
+    stride, so a later assignment wins) — and it must do so under the
+    default mapKeyDedupPolicy=EXCEPTION, not by inheriting LAST_WIN
+    from the session."""
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        df = spark.createDataFrame(
+            [(kv(("101", "a", "1.0"), ("101", "b", "1.0"), ("101", "c", "1.0")),),
+             (kv(("101", "a", "1.0"), ("205", "z", "1.0"), ("101", "b", "1.0")),)],
+            ["feat_list"],
+        )
+        rows = df.select(parse_kv_triplets("feat_list").alias("m")).collect()
+        assert rows[0]["m"] == {"101": "c"}
+        assert rows[1]["m"] == {"101": "b", "205": "z"}
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+
+
+def test_kv_int_strict_integral_gate(spark):
+    """The kv-domain int-ingestion policy: strict integral-format only.
+    '12.5' / '1e3' / '0x1A' are the raw-cast divergence carriers (DuckDB
+    accepts all three, Spark none) — the gate pins NULL on both."""
+    from alibaba_cppfeaturestore_spark.functions.kv import kv_int
+
+    vals = ["12", "+3", "-42", "007", "12.5", "1e3", "0x1A", " 7 ",
+            "", "abc", "9999999999999999999999", None]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r.i for r in df.select(kv_int(F.col("s")).alias("i")).collect()]
+    assert got == [12, 3, -42, 7, None, None, None, None, None, None, None, None]
+
+
+def test_bronze_to_silver_malformed_values_null_not_crash(spark):
+    """A fragment-planted non-integral value flows through the wide
+    projection as NULL (reference non-ANSI cast semantics), never an
+    ANSI cast error; a planted 'click' field never beats the label."""
+    common = spark.createDataFrame(
+        [("b1", "2", kv(("101", "7", "1.0"), ("122", "bogus12.5", "1.0")))],
+        ["_c0", "_c1", "_c2"],
+    )
+    skeleton = spark.createDataFrame(
+        [("1", "1", "0", "b1", "3",
+          kv(("205", "900", "1.0"), ("click", "777", "1.0")))],
+        ["_c0", "_c1", "_c2", "_c3", "_c4", "_c5"],
+    )
+    wide = bronze_to_silver(skeleton, common)
+    r = wide.collect()[0].asDict()
+    assert r["user_id"] == 7
+    assert r["user_group"] is None       # malformed int -> NULL
+    assert r["item_id"] == 900
+    assert r["click"] == 1               # label injected after merge wins

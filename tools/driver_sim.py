@@ -1038,6 +1038,169 @@ def perturb_extremes_sf(sf: str, seed: int) -> str:
     return out
 
 
+# Decimal-precision boundary values (--perturb-decimal-edge). The r11
+# twap find proved the class: a declared decimal width met a value the
+# generator never emits and overflowed. These sit exactly ON the
+# catalog's declared-type edges. Every value is an EXACTLY-REPRESENTABLE
+# double whose shortest decimal repr has <= 6 fractional digits — above
+# ~2^33 the two engines' double->decimal conversions legitimately
+# disagree in the 6th decimal (Spark converts the shortest repr, DuckDB
+# the binary value), so a tie-adjacent magnitude would fuzz the
+# CONVERSION GAP, not the catalog; the pinned domain stresses the
+# declared widths without leaving engine-equal ground.
+DECIMAL_EDGES = [
+    8999999999.0, -8999999999.0,    # max integral in the oracle-exact domain
+    8999999999.5, -8999999999.5,    # dyadic fraction at that edge (v*1e6 < 2^53)
+    1e12, -1e12,                    # past DECIMAL(18,6): try_cast -> NULL
+    1e14,                           # past (18,6), inside (24,6); power of 10 = exact
+    123456789.654321, -123456789.654321,  # full scale-6 fraction, 15 sig digits
+    1e-6, -1e-6,                    # smallest nonzero at scale 6
+    2147483647.0, 2147483648.0,     # int32 try_cast edges
+    -2147483648.0, -2147483649.0,
+    1000000000.0,                   # 1e9: sum-headroom stressor
+]
+
+
+def perturb_decimal_edge_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with a seeded ~5% of ``events.value``
+    overwritten by decimal-precision BOUNDARY values (``DECIMAL_EDGES``):
+    the guarded-decimal catalog declares DECIMAL(18,6)/(24,6) ingestion
+    domains, int32 encodings, and micro-scaled integer rails, and the
+    r11 twap overflow proved a declared width can be wrong at values
+    the generator never emits (r12 finder, seed 491: write_ignore's
+    BIGINT micro-rail overflowed at in-domain magnitudes — real
+    sum-headroom bug).
+
+    TWO DELIBERATE DOMAIN PINS (the physics found by seed 491):
+    - magnitudes stay inside |v|*10^6 < 2^53 (~9.0e9): DuckDB converts
+      double→decimal by multiplying in DOUBLE, so past that bound the
+      ORACLE ingests -999999999999.0 as -999999999999.000064 — a red
+      there grades the oracle's conversion, not the catalog. Exact
+      powers of 10 (1e12, 1e14) are exempt (exactly representable
+      scaled) and probe the overflow→NULL boundary.
+    - only ``events.value`` is planted: its consumers are guarded or
+      single-value passthrough. The TPC-H price columns feed
+      DECLARED-RAW double sums (q1's canary contract), where finite
+      cancelling magnitudes make cross-engine equality physically
+      unattainable (order-dependent absorption) — their fuzz regime is
+      ``--perturb-extremes``, whose NaN/±Inf plants saturate sums
+      order-INDEPENDENTLY.
+    Green means every declared width/overflow edge behaves identically
+    on both engines. Both engines see identical bytes."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    targets: dict[str, list[str]] = {
+        "events": ["value"],
+    }
+    out = f"/tmp/driver_sim_decedge_s{seed}_{_src_tag(sf)}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t not in targets:
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        tbl = pq.read_table(src)
+        mutated: dict[str, list] = {}
+        for col in targets[t]:
+            vals = tbl.column(col).combine_chunks().to_pylist()
+            mutated[col] = [
+                DECIMAL_EDGES[
+                    zlib.crc32(f"{seed}/decpick/{t}/{col}/{k}".encode())
+                    % len(DECIMAL_EDGES)
+                ]
+                if zlib.crc32(f"{seed}/dechit/{t}/{col}/{k}".encode()) % 20 == 0
+                else v
+                for k, v in enumerate(vals)
+            ]
+        arrays = [
+            pa.array(mutated[f.name], type=f.type)
+            if f.name in mutated
+            else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
+# Adversarial Ali-CCP kv fragments (--perturb-kv). Each replaces a value
+# of the raw-fragment carrier columns the kv entries thread into their
+# constructed feat_lists (orders.o_orderpriority -> skeleton _c5,
+# customer.c_name -> common _c2). Covers the malformation families the
+# r11 verdict named: duplicate field_ids (LAST_WIN's real test), ragged
+# triplets, frame-shifting lone separators, empty fragments/values,
+# non-numeric / decimal / scientific / hex / overflowing feat values
+# (the string->int cast divergence carriers), a label-key plant (labels
+# are injected after the merge and must still win), and whitespace
+# padding (the strict integral gate rejects it on both engines).
+KV_FRAGMENTS = [
+    "101\x02666666\x031.0",                  # duplicate field id: last wins
+    "205\x02notanint\x031.0",                # non-numeric value -> NULL
+    "205\x0212.5\x031.0",                    # decimal: raw casts disagree (12.5 -> 13 in DuckDB)
+    "101\x021e3\x031.0",                     # scientific: DuckDB accepts, Spark doesn't
+    "101\x020x1A\x031.0",                    # hex: same class
+    "101\x029999999999999999999999\x031.0",  # int32 overflow -> NULL
+    "122\x02\x031.0",                        # empty value (present key, '' value)
+    "888\x02",                               # ragged: key+sep, missing weight
+    "x\x01y",                                # frame shift: lone triplet separator
+    "\x01\x02\x03",                          # separator soup
+    "",                                      # empty fragment
+    "101\x02-42\x031.0",                     # negative override
+    "click\x02777\x031.0",                   # label-key plant
+    "301\x02 7 \x031.0",                     # whitespace-padded value -> NULL
+]
+
+
+def perturb_kv_sf(sf: str, seed: int) -> str:
+    """Copy of the testdata with adversarial kv fragments overwriting a
+    seeded ~10% of ``orders.o_orderpriority`` and ``customer.c_name`` —
+    the data-driven tails of the Ali-CCP kv golden path
+    (``kv_parse_roundtrip``, ``aliccp_bronze_to_silver_e2e``; the
+    fourteen prior modes never touched the kv-string domain). On clean
+    data those columns are separator-free, so they parse away as one
+    truncated key token; these fragments turn them into real triplets
+    that exercise duplicate-field last-win, frame shifts, and the
+    ``kv_int`` ingestion gate. Hit selection keys on the ROW INDEX
+    (natural keys may be NULLed/duplicated by stacked id fuzzers).
+    Both engines see identical bytes: a red row is a genuine parse /
+    merge / cast policy divergence, not noise."""
+    import os
+    import shutil
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    targets = {"orders": "o_orderpriority", "customer": "c_name"}
+    out = f"/tmp/driver_sim_kvperturbed_s{seed}_{_src_tag(sf)}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src, dst = f"{sf}/{t}.parquet", f"{out}/{t}.parquet"
+        if t not in targets:
+            shutil.copyfile(src, dst)  # always overwrite (see perturb_text_sf)
+            continue
+        col = targets[t]
+        tbl = pq.read_table(src)
+        vals = tbl.column(col).combine_chunks().to_pylist()
+        mutated = []
+        for i, v in enumerate(vals):
+            h = zlib.crc32(f"{seed}/kv/{t}/{i}".encode())
+            if h % 10 != 0:
+                mutated.append(v)
+            else:
+                mutated.append(KV_FRAGMENTS[(h // 10) % len(KV_FRAGMENTS)])
+        arrays = [
+            pa.array(mutated, type=f.type) if f.name == col else tbl.column(i)
+            for i, f in enumerate(tbl.schema)
+        ]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=tbl.schema), dst)
+    return out
+
+
 def perturb_empty_sf(sf: str, seed: int) -> str:
     """Copy of the testdata with the three PIPELINE-FED tables
     (``events``, ``documents``, ``embeddings``) truncated to ZERO rows,
@@ -1111,6 +1274,14 @@ def main() -> int:
     ap.add_argument("--perturb-neg-ids", type=int, default=None, metavar="SEED",
                     help="negate ~3%% of the integer id columns (doc/vec/event/"
                          "user/order/cust keys) — signed-id regime")
+    ap.add_argument("--perturb-decimal-edge", type=int, default=None, metavar="SEED",
+                    help="seed decimal-precision boundary values (DECIMAL(18,6) "
+                         "max, one-past overflow, int32 edges, sum stressors) "
+                         "into ~5%% of every scalar double column")
+    ap.add_argument("--perturb-kv", type=int, default=None, metavar="SEED",
+                    help="seed adversarial Ali-CCP kv fragments (dup field_ids, "
+                         "ragged triplets, frame shifts, malformed ints) into "
+                         "~10%% of o_orderpriority / c_name")
     ap.add_argument("--perturb-nulls", type=int, default=None, metavar="SEED",
                     help="NULL a seeded ~5%% of documents+events value columns + embeddings.label")
     ap.add_argument("--perturb-order", type=int, default=None, metavar="SEED",
@@ -1165,6 +1336,12 @@ def main() -> int:
     if args.perturb_neg_ids is not None:
         args.sf = perturb_neg_ids_sf(args.sf, args.perturb_neg_ids)
         print(f"# neg-ids-perturbed testdata (seed {args.perturb_neg_ids}) -> {args.sf}")
+    if args.perturb_decimal_edge is not None:
+        args.sf = perturb_decimal_edge_sf(args.sf, args.perturb_decimal_edge)
+        print(f"# decimal-edge-perturbed testdata (seed {args.perturb_decimal_edge}) -> {args.sf}")
+    if args.perturb_kv is not None:
+        args.sf = perturb_kv_sf(args.sf, args.perturb_kv)
+        print(f"# kv-perturbed testdata (seed {args.perturb_kv}) -> {args.sf}")
     if args.perturb_nulls is not None:
         args.sf = perturb_nulls_sf(args.sf, args.perturb_nulls)
         print(f"# null-perturbed testdata (seed {args.perturb_nulls}) -> {args.sf}")
