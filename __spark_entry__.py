@@ -39,20 +39,29 @@ _WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
 
 _DRIVER_WINDOW = [
     # Round-12 rotation (tools/freshness.py --plan, self-checking):
-    # (a) changed entries — stream_asof_enrich (new, r11 item 7),
+    # (a) 38 changed entries — stream_asof_enrich (new, r11 item 7),
     #     ann_ivf_topk's greedy-quantizer full oracle (item 6: zero
-    #     oracle-less entries), the twap DECIMAL(19,0)+VARCHAR-cast fixes,
-    #     the --perturb-kv campaign (kv last-win dedup, kv_int gate,
-    #     record_linkage mutant-construction find, seed 479), the
-    #     --perturb-decimal-edge campaign (write_ignore BIGINT-rail
-    #     sum-headroom find, twap double-rounding find, seed 491), plus
-    #     module dependents auto-promoted by the import-graph map (item 4).
-    # (b) the oldest unchanged driver rows (all 10 r05 + oldest r06).
+    #     oracle-less entries), the twap DECIMAL(19,0) widening (r11
+    #     advice), the --perturb-kv campaign finds (kv last-win dedup,
+    #     kv_int gate, record_linkage construction, seed 479), the
+    #     --perturb-decimal-edge campaign finds (write_ignore BIGINT-rail
+    #     headroom, DuckDB INT64-multiply crashes, decimal->double
+    #     double-rounding VARCHAR routes, sliding-frame AVG association,
+    #     seed 491), plus module dependents auto-promoted by the
+    #     import-graph map (item 4 — the span diff alone cannot see them).
+    # (b) the oldest unchanged driver rows (all 10 r05 + the 2 oldest r06).
+    "ab_test_cuped_adjusted",  # changed
     "aliccp_bronze_to_silver_e2e",  # changed
     "ann_ivf_topk",  # changed
     "ann_quantized_topk",  # changed
+    "anomaly_seasonal_residuals",  # changed
+    "feature_lag_rolling",  # changed
     "kv_parse_roundtrip",  # changed
+    "q19_bracketed_revenue",  # changed
+    "q6_forecast_revenue",  # changed
     "record_linkage_customers",  # changed
+    "regression_daily_trend",  # changed
+    "seasonal_decompose_daily",  # changed
     "set_except_keys",  # changed
     "stream_asof_enrich",  # changed
     "timeseries_twap_user",  # changed
@@ -91,13 +100,6 @@ _DRIVER_WINDOW = [
     "text_stats",  # r05
     "agg_approx_stats",  # r06
     "case_when_bucketing",  # r06
-    "dedup_exact_substring_scrub",  # r06
-    "dedup_exact_substring_spans",  # r06
-    "dedup_paragraph_exact",  # r06
-    "dq_key_violations",  # r06
-    "dq_referential_violations",  # r06
-    "feature_one_hot_events",  # r06
-    "filter_theta_or",  # r06
 ]
 
 

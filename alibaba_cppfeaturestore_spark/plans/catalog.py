@@ -766,8 +766,12 @@ def agg_vocab_sizes(spark, sf_dir):
     # the SAME engine — so every aggregation sink converts instead of
     # waiting for a seed to flip it
     """
-    SELECT CAST(ROUND(SUM((CASE WHEN NOT isnan(l_extendedprice)
-                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+    -- the (15,4) gate IS the ingestion domain; the lossless (19,4)
+    -- re-cast after it only forces DuckDB's INT128 multiply path (the
+    -- INT64 fast path hard-crashes on large in-domain products — r12
+    -- decimal-edge finder, seed 491)
+    SELECT CAST(ROUND(SUM(CAST((CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END) AS DECIMAL(19,4))
                * (CASE WHEN NOT isnan(l_discount)
                        THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END)), 2)
                 AS DOUBLE) AS revenue,
@@ -997,8 +1001,11 @@ def q18_large_orders(spark, sf_dir):
     # guarded-decimal revenue (r11 batch, r10 verdict item 2): raw
     # double SUM over extremes is order-dependent / run-flaky
     """
-    SELECT CAST(ROUND(SUM((CASE WHEN NOT isnan(l_extendedprice)
-                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END)
+    -- lossless (19,4) re-cast after the (15,4) gate: forces DuckDB's
+    -- INT128 multiply (INT64 fast path crashes on large in-domain
+    -- products — r12 decimal-edge finder, seed 491)
+    SELECT CAST(ROUND(SUM(CAST((CASE WHEN NOT isnan(l_extendedprice)
+                   THEN TRY_CAST(l_extendedprice AS DECIMAL(15,4)) END) AS DECIMAL(19,4))
                * (1 - (CASE WHEN NOT isnan(l_discount)
                             THEN TRY_CAST(l_discount AS DECIMAL(8,6)) END))), 2)
                 AS DOUBLE) AS revenue,
@@ -6904,7 +6911,11 @@ from ..operators.statistics import grouped_ols, mad_outliers  # noqa: E402
              CAST(SUM(x) AS DECIMAL(16,0)) AS sx,
              CAST(SUM(y) AS DECIMAL(18,6)) AS sy,
              CAST(SUM(x * x) AS DECIMAL(24,0)) AS sxx,
-             CAST(SUM(CAST(CAST(x AS DECIMAL(12,0)) * y AS DECIMAL(30,6))) AS DECIMAL(24,6)) AS sxy
+             -- y widened to (19,6): the (12,0)x(18,6) product ran on
+             -- DuckDB's INT64 fast path, which overflows at in-domain
+             -- boundary magnitudes (r12 decimal-edge finder, seed 491:
+             -- 8766 * 9e15 scaled units); (12,0)x(19,6) forces INT128
+             CAST(SUM(CAST(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(31,6))) AS DECIMAL(24,6)) AS sxy
       FROM obs GROUP BY event_type
     ),
     calc AS (
@@ -6912,11 +6923,15 @@ from ..operators.statistics import grouped_ols, mad_outliers  # noqa: E402
       -- INT64 fast path overflows on these magnitudes); every product
       -- width lands exactly at 38, so nothing is capped or rounded
       SELECT event_type, n,
-             CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxy AS DECIMAL(25,6))
-                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,6)) AS DOUBLE) AS num,
-             CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxx AS DECIMAL(25,0))
-                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE) AS den,
-             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+             -- decimal->double THROUGH VARCHAR (r12 decimal-edge find,
+             -- seed 491, the twap class): direct casts double-round
+             -- past 2^53 scaled; strtod is correctly rounded
+             CAST(CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxy AS DECIMAL(25,6))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,6)) AS VARCHAR) AS DOUBLE) AS num,
+             CAST(CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxx AS DECIMAL(25,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE) AS den,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd
       FROM sums
     )
     SELECT event_type,
@@ -8230,16 +8245,24 @@ def inverted_index_postings(spark, sf_dir):
              SUM(x) AS sx_a, SUM(y) AS sy_a
       FROM per_user GROUP BY grp
     )
+    -- decimal->double THROUGH VARCHAR (r12 decimal-edge find, seed
+    -- 491, the twap class): DuckDB's direct cast double-rounds
+    -- (int128->double then /10^scale) once the scaled operand passes
+    -- 2^53; strtod is correctly rounded like Spark's
+    -- BigDecimal.doubleValue, so the string route emits identical bits
     SELECT grp,
            CAST(n_a AS BIGINT) AS n_users,
-           CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_y,
-           ROUND(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-             - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
-               * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           CAST(CAST(sy_a AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_y,
+           -- unrounded (seed 491): ROUND(double,6) itself diverges at
+           -- ~1e9 magnitudes; the VARCHAR routes make the doubles
+           -- identical, so no rounding is needed or safe
+           CAST(CAST(sy_a AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - ((CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
+               * (CAST(CAST(sx_a AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
              AS mean_y_adjusted,
-           ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           (CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
              AS theta
     FROM arms, pool
     """,
@@ -8262,16 +8285,20 @@ def ab_test_cuped_adjusted(spark, sf_dir):
         F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)).alias("yv"),
     )
     out = cuped_adjusted_means(base, "user_id", "grp", "xv", "yv")
-    # mean_y is provably exact in double (Σy fits 53 bits); θ passes
-    # through a DECIMAL(38,12)→DOUBLE conversion whose >53-bit rounding
-    # the engines disagree on by 1 ulp — published ROUND(·,6) on both
-    # sides (the BM25 discipline).
+    # Published UNROUNDED (r12 decimal-edge find, seed 491): the r07
+    # ROUND(·,6) existed to paper over DuckDB's 1-ulp DECIMAL→DOUBLE
+    # conversion gap, but ROUND(double,6) is itself engine-divergent
+    # once |x| reaches ~1e9 (double ulp ≈ the rounding granularity, so
+    # Spark's shortest-repr HALF_UP and DuckDB's binary rounding split).
+    # The oracle now routes every decimal→double through VARCHAR
+    # (correctly rounded, identical to Spark's BigDecimal.doubleValue),
+    # so both engines produce IDENTICAL doubles and need no rounding.
     return out.select(
         "grp",
         "n_users",
         "mean_y",
-        F.round("mean_y_adjusted", 6).alias("mean_y_adjusted"),
-        F.round("theta", 6).alias("theta"),
+        "mean_y_adjusted",
+        "theta",
     )
 
 
@@ -8576,18 +8603,34 @@ def variant_shred_props(spark, sf_dir):
 @_q(
     "feature_lag_rolling",
     """
+    WITH p AS (
+      SELECT user_id, event_id, ts, value,
+             -- finite-domain observation for the rolling MEAN: a raw
+             -- double AVG over a sliding frame is ASSOCIATION-ORDER
+             -- dependent (Spark replays the frame, DuckDB combines
+             -- segment-tree nodes) the moment mixed magnitudes share a
+             -- frame (r12 decimal-edge find, seed 491); the decimal
+             -- sum is order-free and NaN/±Inf are missing observations
+             (CASE WHEN NOT isnan(value)
+                   THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS dv
+      FROM events WHERE event_type = 'purchase'
+    )
     SELECT user_id, event_id,
            ROUND(value, 6) AS value,
            ROUND(LAG(value, 1) OVER w, 6) AS lag1,
            ROUND(LAG(value, 2) OVER w, 6) AS lag2,
-           ROUND(AVG(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
-             AS roll_mean3,
+           -- exact decimal frame sum -> one correctly-rounded double
+           -- (VARCHAR route, the twap class) -> one division: identical
+           -- operands, identical bits, no ROUND needed
+           CASE WHEN COUNT(dv) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) > 0
+                THEN CAST(CAST(SUM(dv) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+                     / CAST(COUNT(dv) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           END AS roll_mean3,
            ROUND(MAX(value) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
              AS roll_max7,
            CAST(COUNT(*) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS INT)
              AS roll_n7
-    FROM events
-    WHERE event_type = 'purchase'
+    FROM p
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST,
                  event_id ASC NULLS FIRST, value ASC NULLS FIRST)
     """,
@@ -8598,21 +8641,29 @@ def feature_lag_rolling(spark, sf_dir):
     features in a single per-user sort with bounded row frames (state =
     7 rows per key, never the history). The standard leakage-safe
     feature shape for sequence models: every feature uses only rows at
-    or before the current event. Frame sums are short fixed-order runs
-    ⇒ ROUND(·,6) is stable cross-engine."""
+    or before the current event. The rolling MEAN is an exact decimal
+    frame sum over finite-domain observations (a raw double AVG over a
+    sliding frame is association-order dependent — Spark replays the
+    frame, DuckDB combines segment-tree nodes — the moment mixed
+    magnitudes share a frame; r12 decimal-edge find, seed 491), then
+    one double division of identical operands; MAX and the lags are
+    order-free raw passthrough."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ev = ev.withColumn("dv", _dec_value())
     w = Window.partitionBy("user_id").orderBy(
         F.asc_nulls_first("ts"), F.asc_nulls_first("event_id"),
         F.asc_nulls_first("value"))
     w3 = w.rowsBetween(-2, 0)
     w7 = w.rowsBetween(-6, 0)
+    n3 = F.count("dv").over(w3)
     return ev.select(
         "user_id",
         "event_id",
         F.round("value", 6).alias("value"),
         F.round(F.lag("value", 1).over(w), 6).alias("lag1"),
         F.round(F.lag("value", 2).over(w), 6).alias("lag2"),
-        F.round(F.avg("value").over(w3), 6).alias("roll_mean3"),
+        F.when(n3 > 0, F.sum("dv").over(w3).cast("double") / n3.cast("double"))
+        .alias("roll_mean3"),
         F.round(F.max("value").over(w7), 6).alias("roll_max7"),
         F.count(F.lit(1)).over(w7).cast("int").alias("roll_n7"),
     )
@@ -8826,15 +8877,20 @@ def funnel_time_to_convert(spark, sf_dir):
              CAST(SUM(x) AS DECIMAL(16,0)) AS sx,
              CAST(SUM(y) AS DECIMAL(18,6)) AS sy,
              CAST(SUM(x * x) AS DECIMAL(24,0)) AS sxx,
-             CAST(SUM(CAST(CAST(x AS DECIMAL(12,0)) * y AS DECIMAL(30,6))) AS DECIMAL(24,6)) AS sxy
+             -- (19,6) y forces DuckDB's INT128 multiply (INT64 fast path
+             -- overflowed at boundary magnitudes - r12 decimal-edge, seed 491)
+             CAST(SUM(CAST(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(31,6))) AS DECIMAL(24,6)) AS sxy
       FROM daily
     ),
     calc AS (
-      SELECT CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxy AS DECIMAL(25,6))
-                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,6)) AS DOUBLE) AS num,
-             CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxx AS DECIMAL(25,0))
-                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE) AS den,
-             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      -- decimal->double THROUGH VARCHAR (seed 491, the twap class):
+      -- direct casts double-round past 2^53 scaled units
+      SELECT CAST(CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxy AS DECIMAL(25,6))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,6)) AS VARCHAR) AS DOUBLE) AS num,
+             CAST(CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxx AS DECIMAL(25,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE) AS den,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
              CAST(n AS DOUBLE) AS nd
       FROM sums
     ),
@@ -8851,9 +8907,9 @@ def funnel_time_to_convert(spark, sf_dir):
       FROM daily GROUP BY 1
     )
     SELECT CAST(dow AS INT) AS dow, n_days,
-           CAST(syw AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily_revenue,
-           CAST(syw AS DOUBLE) / CAST(n_days AS DOUBLE)
-             - fit.slope * (CAST(sxw AS DOUBLE) / CAST(n_days AS DOUBLE))
+           CAST(CAST(syw AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily_revenue,
+           CAST(CAST(syw AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - fit.slope * (CAST(CAST(sxw AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE))
              - fit.intercept AS seasonal_component
     FROM dow, fit
     """,
@@ -9721,15 +9777,20 @@ def dedup_lsh_recall_audit(spark, sf_dir):
              CAST(SUM(x) AS DECIMAL(16,0)) AS sx,
              CAST(SUM(y) AS DECIMAL(18,6)) AS sy,
              CAST(SUM(x * x) AS DECIMAL(24,0)) AS sxx,
-             CAST(SUM(CAST(CAST(x AS DECIMAL(12,0)) * y AS DECIMAL(30,6))) AS DECIMAL(24,6)) AS sxy
+             -- (19,6) y forces DuckDB's INT128 multiply (INT64 fast path
+             -- overflowed at boundary magnitudes - r12 decimal-edge, seed 491)
+             CAST(SUM(CAST(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(31,6))) AS DECIMAL(24,6)) AS sxy
       FROM daily
     ),
     fit AS (
-      SELECT CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxy AS DECIMAL(25,6))
-                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,6)) AS DOUBLE)
-             / CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxx AS DECIMAL(25,0))
-                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE) AS slope,
-             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, CAST(n AS DOUBLE) AS nd
+      -- decimal->double THROUGH VARCHAR (seed 491, the twap class):
+      -- direct casts double-round past 2^53 scaled units
+      SELECT CAST(CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxy AS DECIMAL(25,6))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,6)) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxx AS DECIMAL(25,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE) AS slope,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd, CAST(n AS DOUBLE) AS nd
       FROM sums
     ),
     fit2 AS (
@@ -9744,14 +9805,14 @@ def dedup_lsh_recall_audit(spark, sf_dir):
     ),
     seas AS (
       SELECT dw,
-             CAST(syw AS DOUBLE) / CAST(n_days AS DOUBLE)
-               - fit2.slope * (CAST(sxw AS DOUBLE) / CAST(n_days AS DOUBLE))
+             CAST(CAST(syw AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE)
+               - fit2.slope * (CAST(CAST(sxw AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE))
                - fit2.intercept AS s
       FROM dow, fit2
     ),
     resid AS (
       SELECT d.day, d.x,
-             CAST(d.y AS DOUBLE)
+             CAST(CAST(d.y AS VARCHAR) AS DOUBLE)
                - (fit2.slope * CAST(d.x AS DOUBLE) + fit2.intercept)
                - seas.s AS r
       FROM daily d

@@ -10,9 +10,14 @@ locally: vanilla session, column-name-sorted value comparison, JSON report.
 Usage:  python tools/driver_sim.py [--sf /root/testdata/sf0.01] [--only name,...]
                                    [--strict] [--perturb SEED] [--perturb-text S]
                                    [--perturb-ids S] [--perturb-tpch-ids S]
-                                   [--perturb-ts S]
+                                   [--perturb-fk-ids S] [--perturb-dim-ids S]
+                                   [--perturb-unicode S] [--perturb-ts S]
+                                   [--perturb-ts-nulls S] [--perturb-date-nulls S]
+                                   [--perturb-props-json S] [--perturb-neg-ids S]
+                                   [--perturb-decimal-edge S] [--perturb-kv S]
                                    [--perturb-nulls S] [--perturb-order S]
                                    [--perturb-schema S] [--perturb-skew S]
+                                   [--perturb-extremes S]
                                    [--perturb-empty S]   (modes stack)
 
 ``--strict`` compares values EXACTLY (the driver hashes values, so a
