@@ -39,23 +39,23 @@ _WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
 
 _DRIVER_WINDOW = [
     # Round-12 rotation (tools/freshness.py --plan, self-checking):
-    # (a) 38 changed entries — stream_asof_enrich (new, r11 item 7),
+    # (a) 40 changed entries — stream_asof_enrich (new, r11 item 7),
     #     ann_ivf_topk's greedy-quantizer full oracle (item 6: zero
     #     oracle-less entries), the twap DECIMAL(19,0) widening (r11
-    #     advice), the --perturb-kv campaign finds (kv last-win dedup,
-    #     kv_int gate, record_linkage construction, seed 479), the
-    #     --perturb-decimal-edge campaign finds (write_ignore BIGINT-rail
-    #     headroom, DuckDB INT64-multiply crashes, decimal->double
-    #     double-rounding VARCHAR routes, sliding-frame AVG association,
-    #     seed 491), plus module dependents auto-promoted by the
-    #     import-graph map (item 4 — the span diff alone cannot see them).
-    # (b) the oldest unchanged driver rows (all 10 r05 + the 2 oldest r06).
+    #     advice), the --perturb-kv campaign finds (seed 479), the
+    #     --perturb-decimal-edge campaign finds (seed 491), the 18-mode
+    #     stack finds (salted-join conversion route seed 503, ab_test
+    #     exact-decimal moments seed 509), plus module dependents
+    #     auto-promoted by the import-graph map (item 4).
+    # (b) the oldest unchanged driver rows (the 10-row r05 cohort).
     "ab_test_cuped_adjusted",  # changed
+    "ab_test_group_summary",  # changed
     "aliccp_bronze_to_silver_e2e",  # changed
     "ann_ivf_topk",  # changed
     "ann_quantized_topk",  # changed
     "anomaly_seasonal_residuals",  # changed
     "feature_lag_rolling",  # changed
+    "join_salted_skew_enrich",  # changed
     "kv_parse_roundtrip",  # changed
     "q19_bracketed_revenue",  # changed
     "q6_forecast_revenue",  # changed
@@ -98,8 +98,6 @@ _DRIVER_WINDOW = [
     "set_union_keys",  # r05
     "text_quality_filter",  # r05
     "text_stats",  # r05
-    "agg_approx_stats",  # r06
-    "case_when_bucketing",  # r06
 ]
 
 

@@ -4265,46 +4265,93 @@ def feature_correlations(spark, sf_dir):
     """
     WITH g AS (
       -- observed FINITE in-domain measurements only: NaN/±Inf/1e300 are
-      -- not valid readouts (DuckDB's STDDEV even hard-errors on them),
-      -- and n must count what the mean/stddev actually used
-      SELECT grp, value FROM (
+      -- not valid readouts, and n must count what the moments actually
+      -- used; the observation IS the scale-6 decimal (finite-domain
+      -- ingestion, r12)
+      SELECT grp, dv FROM (
         SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
                -- nested CASE, not AND: DuckDB evaluates AND operands
                -- eagerly (vectorized), so TRY_CAST would still see the
                -- NaN its 1.0 build cannot cast; CASE branches are lazy
-               CASE WHEN NOT isnan(value) THEN
-                 CASE WHEN TRY_CAST(value AS DECIMAL(18,6)) IS NOT NULL
-                      THEN value END
-               END AS value
+               CASE WHEN NOT isnan(value)
+                    THEN TRY_CAST(value AS DECIMAL(18,6))
+               END AS dv
         FROM events WHERE event_type = 'purchase'
-      ) WHERE value IS NOT NULL
+      ) WHERE dv IS NOT NULL
     )
-    SELECT grp,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(value), 6) AS mean_value,
-           ROUND(STDDEV_SAMP(value), 6) AS std_value,
-           ROUND(STDDEV_SAMP(value) / SQRT(COUNT(*)), 6) AS sem
-    FROM g GROUP BY grp
+    , s AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             -- exact decimal moments, not native AVG/STDDEV (r12
+             -- 18-mode stack find, seed 509): a raw double stddev is
+             -- merge-algorithm/order dependent (partitioned Welford vs
+             -- single pass) once boundary magnitudes enter an arm, and
+             -- ROUND(·,6) at 1e9 magnitudes cannot mask a low-bit
+             -- split (double ulp there ≈ the rounding granularity).
+             -- Σx and Σx² are order-free decimals; dv widened to
+             -- (19,6) so DuckDB's square multiply takes INT128.
+             SUM(CAST(dv AS DECIMAL(19,6))) AS sx,
+             SUM(CAST(CAST(dv AS DECIMAL(19,6)) * dv AS DECIMAL(38,6))) AS sxx
+      FROM g GROUP BY grp
+    )
+    -- fixed IEEE DAG over VARCHAR-routed (correctly rounded) operands:
+    -- both engines see identical doubles, so every op is bit-identical
+    SELECT grp, n,
+           CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+           CASE WHEN n > 1 THEN
+             SQRT(GREATEST(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE), 0)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+           END AS std_value,
+           CASE WHEN n > 1 THEN
+             SQRT(GREATEST(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE), 0)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+             / SQRT(CAST(n AS DOUBLE))
+           END AS sem
+    FROM s
     """,
 )
 def ab_test_group_summary(spark, sf_dir):
     """Experiment readout: per-arm n / mean / sample stddev / standard
     error in one aggregation (deterministic hash-split arms). The z-score
     between arms is a driver-side subtraction of two rows — no second
-    scan. Measurements outside the finite decimal domain are excluded
-    (see oracle comment), so n counts exactly the observations the
-    moments used."""
-    ev = _t(spark, sf_dir, "events").filter(
-        (F.col("event_type") == "purchase") & _dec_value().isNotNull()
-    )
+    scan. Measurements outside the finite decimal domain are excluded,
+    so n counts exactly the observations the moments used.
+
+    Moments are EXACT DECIMAL sums (Σx, Σx²) combined in one fixed IEEE
+    DAG (r12 18-mode stack find, seed 509): a raw double stddev is
+    merge-algorithm/order dependent — Spark's partitioned Welford merge
+    and DuckDB's single pass split in the low bits once boundary
+    magnitudes enter an arm, and ROUND(·,6) cannot mask that at 1e9
+    magnitudes where the double ulp ≈ the rounding granularity. The
+    decimal sums are order-free, their double conversions correctly
+    rounded on both engines, so every downstream op is bit-identical.
+    Still one partial-aggregable GROUP BY — the scale shape is
+    unchanged."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     g = ev.select(
-        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"), "value"
-    )
-    return g.groupBy("grp").agg(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        _dec_value().alias("dv"),
+    ).where(F.col("dv").isNotNull())
+    s = g.groupBy("grp").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
-        F.round(F.stddev_samp("value"), 6).alias("std_value"),
-        F.round(F.stddev_samp("value") / F.sqrt(F.count("*")), 6).alias("sem"),
+        F.sum(F.col("dv").cast("decimal(19,6)")).alias("sx"),
+        F.sum(
+            (F.col("dv").cast("decimal(19,6)") * F.col("dv")).cast("decimal(38,6)")
+        ).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    var_num = F.greatest(n_d * sxx_d - sx_d * sx_d, F.lit(0.0))
+    std = F.when(F.col("n") > 1, F.sqrt(var_num / (n_d * (n_d - 1))))
+    return s.select(
+        "grp",
+        "n",
+        (sx_d / n_d).alias("mean_value"),
+        std.alias("std_value"),
+        (std / F.sqrt(n_d)).alias("sem"),
     )
 
 
@@ -7139,7 +7186,10 @@ def heavy_hitter_tokens(spark, sf_dir):
     FROM events e
     JOIN (
       SELECT event_type, COUNT(*) AS type_n,
-             CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) AS DOUBLE) AS type_total
+             -- decimal->double THROUGH VARCHAR (r12 18-mode stack find,
+             -- seed 503, the twap class): the direct cast double-rounds
+             -- past 2^53 scaled units
+             CAST(CAST(SUM((CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(18,6)) END)) AS VARCHAR) AS DOUBLE) AS type_total
       FROM events GROUP BY event_type
     ) t USING (event_type)
     """,
