@@ -51,3 +51,24 @@ def test_sink_detector_sees_through_nesting():
     # ROUND is not a render sink (returns double, IEEE-identical)
     assert policy_audit.exact_domain_sinks(
         "SELECT ROUND(SUM(s_acctbal), 2) FROM supplier", r"s_acctbal") == []
+
+
+def test_dec2dbl_routes_reviewed_and_fresh():
+    """r12 decimal-edge class as a standing tripwire: every oracle
+    CAST(decimal-bearing expr AS DOUBLE) is varchar-routed, round-rail,
+    or a REVIEWED direct site — a new direct site (or a stale review
+    row) must fail here before a fuzz seed has to find it."""
+    import policy_audit as PA
+
+    rows = PA.dec2dbl_rows()
+    direct = {name for name, cls, _ in rows if cls == "DIRECT"}
+    assert direct <= set(PA.REVIEWED_DEC2DBL), (
+        f"unreviewed direct decimal->double sites: "
+        f"{sorted(direct - set(PA.REVIEWED_DEC2DBL))}"
+    )
+    stale = set(PA.REVIEWED_DEC2DBL) - direct
+    assert not stale, f"stale dec2dbl review rows: {sorted(stale)}"
+    # the VARCHAR route exists and is in use (twap/cuped/OLS family)
+    routed = {name for name, cls, _ in rows if cls == "varchar-routed"}
+    assert "timeseries_twap_user" in routed
+    assert "ab_test_cuped_adjusted" in routed

@@ -223,10 +223,80 @@ REVIEWED_SINKS = {
     ("timeseries_twap_user", "events.value"):
         "the r09 order-totality tie-break put value inside the LEAD "
         "window's ORDER BY, which nests inside the CAST .. AS "
-        "DECIMAL(17,0) span — but that cast targets the microsecond "
-        "DIFFERENCE; value itself enters decimal only via the guarded "
-        "_dec_value CASE (stripped before detection)",
+        "DECIMAL(19,0) span (duration width r12) — but that cast "
+        "targets the microsecond DIFFERENCE; value itself enters "
+        "decimal only via the guarded _dec_value CASE (stripped before "
+        "detection)",
 }
+
+
+# --- DECIMAL→DOUBLE conversion-route audit (r12 decimal-edge class) --
+# DuckDB's direct DECIMAL→DOUBLE cast is double-rounded (int128→double
+# then ÷10^scale) — 1 ulp off Spark's correctly-rounded
+# BigDecimal.doubleValue once the scaled operand passes 2^53. The
+# sanctioned spellings are the VARCHAR route (strtod is correctly
+# rounded) or a ROUND(·,2) rail (the published scale bounds the scaled
+# magnitude at driver sf). Every remaining DIRECT site must be reviewed
+# here — a new unreviewed site (or a stale review row) exits nonzero.
+# Detection is inline-textual (the cast's own span must contain the
+# DECIMAL ingestion or a SUM); alias-carried decimals are covered by
+# the fuzz campaigns, not this scan.
+REVIEWED_DEC2DBL = {
+    # TPC-H revenue/ratio sums: natural price-domain magnitudes (~1e9
+    # total at scale 4-6 at driver sf — scaled units well inside 2^53).
+    # The decimal-edge fuzz domain deliberately never plants boundary
+    # magnitudes into the price columns (declared-RAW physics pin), so
+    # these conversions stay exact everywhere a campaign reaches.
+    # VARCHAR-route on first contact with a fuzz domain that feeds them.
+    "q14_promo_revenue_share": "natural price-domain sums, 2 sites",
+    "q8_market_share": "natural price-domain sums, 2 sites",
+    "q11_important_part_values": "natural price-domain sum",
+    "q17_small_quantity_revenue": "natural qty/price sums, 2 sites",
+    "q22_dormant_high_balance": "natural acctbal-domain sum",
+    "agg_ratio_to_report": "natural price-domain windowed sum",
+    # events.value consumers whose sums the decimal-edge mode DOES
+    # reach, but whose magnitudes stay convertible: d0/d1/nrm are
+    # per-component embedding stats (float32 domain, sums ≪ 2^47);
+    # target encoding and the occupancy audit sum counts/(18,6) over
+    # groups small enough that every campaign seed stayed green.
+    "embedding_stats_by_label": "float32-component sums, 3 sites",
+    "feature_target_encoding": "per-category sums, campaign-green",
+    "ann_index_occupancy_audit": "cell-count sums (integers)",
+}
+
+
+def dec2dbl_rows():
+    """(entry, class, n_sites) for every oracle CAST(… AS DOUBLE) whose
+    span contains a DECIMAL ingestion or SUM: class ∈ varchar-routed /
+    round-rail / DIRECT."""
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    out = []
+    for name, qd in QUERIES.items():
+        sql = qd.oracle
+        if not sql:
+            continue
+        counts = {"varchar-routed": 0, "round-rail": 0, "DIRECT": 0}
+        for m in re.finditer(r"\bCAST\s*\(", sql):
+            span = _paren_span(sql, m.end() - 1)
+            if not re.search(r"AS\s+DOUBLE\s*\)\s*$", span):
+                continue
+            # the VARCHAR-route signature is itself the evidence — the
+            # routed operand is usually an alias, carrying no inline
+            # DECIMAL/SUM text
+            if "AS VARCHAR" in span:
+                counts["varchar-routed"] += 1
+                continue
+            if "DECIMAL" not in span and not re.search(r"\bSUM\s*\(", span):
+                continue
+            if re.search(r"\bROUND\s*\(", span):
+                counts["round-rail"] += 1
+            else:
+                counts["DIRECT"] += 1
+        for cls, n in counts.items():
+            if n:
+                out.append((name, cls, n))
+    return out
 
 
 def audit_rows():
@@ -288,7 +358,24 @@ def main() -> None:
         print(f"#   BURN DOWN (unreviewed): {name} / {col} -> {','.join(sinks)}")
     for key in stale:
         print(f"#   STALE review row (no longer trips — delete it): {key}")
-    if unreviewed or stale:
+
+    d2d = dec2dbl_rows()
+    n_routed = sum(n for _, c, n in d2d if c == "varchar-routed")
+    n_rail = sum(n for _, c, n in d2d if c == "round-rail")
+    direct = [(name, n) for name, c, n in d2d if c == "DIRECT"]
+    print(
+        f"# decimal->double conversion routes: {n_routed} varchar-routed, "
+        f"{n_rail} round-rail, {sum(n for _, n in direct)} direct "
+        f"across {len(direct)} entries"
+    )
+    d2d_unreviewed = [name for name, _ in direct if name not in REVIEWED_DEC2DBL]
+    d2d_stale = [k for k in REVIEWED_DEC2DBL if k not in {n for n, _ in direct}]
+    for name in d2d_unreviewed:
+        print(f"#   BURN DOWN (unreviewed direct decimal->double): {name}")
+    for name in d2d_stale:
+        print(f"#   STALE dec2dbl review row (no longer trips — delete it): {name}")
+
+    if unreviewed or stale or d2d_unreviewed or d2d_stale:
         sys.exit(1)
 
 
