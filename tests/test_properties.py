@@ -293,3 +293,48 @@ def test_asof_join_always_matches_reference_under_ties(spark, feats, events):
 
     want = {i: ref(k, t) for i, (k, t) in enumerate(events)}
     assert got == want
+
+
+@_prop
+@given(
+    tokens=st.lists(
+        st.one_of(
+            st.sampled_from(["\x01", "\x02", "\x03"]),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters="\x01\x02\x03",
+                    blacklist_categories=("Cs",),
+                ),
+                max_size=6,
+            ),
+        ),
+        min_size=0,
+        max_size=24,
+    )
+)
+def test_parse_kv_triplets_always_equals_python_reference(spark, tokens):
+    """The parser's FULL contract vs an independent Python replay of the
+    reference's stride framing (batch_process_Bronze_to_Silver.py:69-73):
+    split on the three control bytes, keys at stride 0, values at
+    stride 1, truncate to complete pairs, LAST assignment to a repeated
+    field_id wins (dict-build). Randomized byte soup drives ragged
+    frames, duplicate keys, empty tokens, and separator runs — the
+    whole --perturb-kv malformation space — through both paths."""
+    import re as _re
+
+    from alibaba_cppfeaturestore_spark.functions.kv import parse_kv_triplets
+
+    s = "".join(tokens)
+
+    def reference(feat_list):
+        toks = _re.split("[\x01\x02\x03]", feat_list)
+        keys, vals = toks[0::3], toks[1::3]
+        n = min(len(keys), len(vals))
+        out = {}
+        for k, v in zip(keys[:n], vals[:n]):
+            out[k] = v  # later assignment wins
+        return out
+
+    df = spark.createDataFrame([(s,)], "feat_list string")
+    got = df.select(parse_kv_triplets("feat_list").alias("m")).first()["m"]
+    assert dict(got) == reference(s)
