@@ -35,19 +35,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # commit, auto-promotes forgotten entries, and
 # tests/test_driver_window.py fails the round if a git-touched oracled
 # entry is neither windowed nor spelled here WITH a reason).
-_WINDOW_EXEMPT_CHANGED: dict[str, str] = {}
+_WINDOW_EXEMPT_CHANGED: dict[str, str] = {
+    # Module-path exemptions (r12): both diffs vs the r11 round-close
+    # commit are PURELY ADDITIVE — `git diff ae9697b -- <module>` shows
+    # zero removed/modified lines, only new functions (run_stream_enrich;
+    # ivf_greedy_topk) — so no existing dependent entry's code path
+    # changed. Exempting them frees 16 window slots for the r06
+    # freshness tail (r11 verdict item 1's done-criterion); the
+    # dependents are additionally certified green by every r12
+    # full-catalog strict run (vanilla, kv 479/487, decimal-edge
+    # 491/499, 18-mode stacks 523/541 — COVERAGE.md closing cert).
+    # The non-additive modules this round (functions/kv.py,
+    # plans/aliccp.py, operators/timeseries.py) are NOT exempted: their
+    # dependents stay windowed.
+    "alibaba_cppfeaturestore_spark/streaming/pipeline.py":
+        "additive-only diff (run_stream_enrich added; zero existing "
+        "lines touched); dependents certified by the r12 full-run suite",
+    "alibaba_cppfeaturestore_spark/operators/similarity.py":
+        "additive-only diff (ivf_greedy_topk added; zero existing "
+        "lines touched); dependents certified by the r12 full-run suite",
+}
 
 _DRIVER_WINDOW = [
     # Round-12 rotation (tools/freshness.py --plan, self-checking):
-    # (a) 40 changed entries — stream_asof_enrich (new, r11 item 7),
+    # (a) 23 changed entries — stream_asof_enrich (new, r11 item 7),
     #     ann_ivf_topk's greedy-quantizer full oracle (item 6: zero
-    #     oracle-less entries), the twap DECIMAL(19,0) widening (r11
-    #     advice), the --perturb-kv campaign finds (seed 479), the
-    #     --perturb-decimal-edge campaign finds (seed 491), the 18-mode
-    #     stack finds (salted-join conversion route seed 503, ab_test
-    #     exact-decimal moments seed 509), plus module dependents
-    #     auto-promoted by the import-graph map (item 4).
-    # (b) the oldest unchanged driver rows (the 10-row r05 cohort).
+    #     oracle-less entries), the twap DECIMAL(19,0) widening + its
+    #     timeseries module dependents (non-additive module: windowed),
+    #     the --perturb-kv campaign finds (seed 479) + functions/kv.py /
+    #     plans/aliccp.py dependents, the --perturb-decimal-edge campaign
+    #     finds (seed 491), and the 18-mode stack finds (seeds 503/509).
+    #     The two purely-additive modules (streaming/pipeline.py,
+    #     operators/similarity.py) are exempted with written reasons in
+    #     _WINDOW_EXEMPT_CHANGED, freeing 16 slots for the freshness tail.
+    # (b) the oldest unchanged driver rows: the full 10-row r05 cohort and
+    #     17 of the 20 remaining r06 rows (item 1's rotation target).
     "ab_test_cuped_adjusted",  # changed
     "ab_test_group_summary",  # changed
     "aliccp_bronze_to_silver_e2e",  # changed
@@ -67,24 +89,8 @@ _DRIVER_WINDOW = [
     "timeseries_twap_user",  # changed
     "write_ignore_roundtrip",  # changed
     "aliccp_silver_to_gold_e2e",  # changed
-    "ann_brute_force_topk",  # changed
-    "ann_index_occupancy_audit",  # changed
-    "ann_ivf_portable_topk",  # changed
-    "ann_lsh_bucketed_topk",  # changed
-    "ann_recall_audit",  # changed
-    "dedup_semantic_embedding",  # changed
-    "embedding_threshold_pairs",  # changed
     "ewma_user_value",  # changed
-    "kmeans_lloyd_step",  # changed
     "kv_merge_lastwin",  # changed
-    "multimodal_embed_topk",  # changed
-    "stream_dedup_exact",  # changed
-    "stream_interval_join_attribution",  # changed
-    "stream_online_upsert",  # changed
-    "stream_session_window_stats",  # changed
-    "stream_sliding_window_counts",  # changed
-    "stream_topk_trending",  # changed
-    "stream_tumbling_window_counts",  # changed
     "timeseries_gap_fill",  # changed
     "timeseries_rollup_cascade",  # changed
     "window_range_moving_avg",  # changed
@@ -98,6 +104,22 @@ _DRIVER_WINDOW = [
     "set_union_keys",  # r05
     "text_quality_filter",  # r05
     "text_stats",  # r05
+    "agg_approx_stats",  # r06
+    "case_when_bucketing",  # r06
+    "dedup_exact_substring_scrub",  # r06
+    "dedup_exact_substring_spans",  # r06
+    "dedup_paragraph_exact",  # r06
+    "dq_key_violations",  # r06
+    "dq_referential_violations",  # r06
+    "feature_one_hot_events",  # r06
+    "filter_theta_or",  # r06
+    "funnel_view_click_purchase",  # r06
+    "join_left_enrich",  # r06
+    "join_semi_in_subquery",  # r06
+    "llm_corpus_curation_lsh_counts",  # r06
+    "q1_pricing_summary",  # r06
+    "range_join_pre_purchase_views",  # r06
+    "snapshot_diff_cdc",  # r06
 ]
 
 
