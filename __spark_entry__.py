@@ -36,40 +36,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_driver_window.py fails the round if a git-touched oracled
 # entry is neither windowed nor spelled here WITH a reason).
 _WINDOW_EXEMPT_CHANGED: dict[str, str] = {
-    # Module-path exemptions (r12): both diffs vs the r11 round-close
-    # commit are PURELY ADDITIVE — `git diff ae9697b -- <module>` shows
-    # zero removed/modified lines, only new functions (run_stream_enrich;
-    # ivf_greedy_topk) — so no existing dependent entry's code path
-    # changed. Exempting them frees 16 window slots for the r06
-    # freshness tail (r11 verdict item 1's done-criterion); the
-    # dependents are additionally certified green by every r12
-    # full-catalog strict run (vanilla, kv 479/487, decimal-edge
-    # 491/499, 18-mode stacks 523/541 — COVERAGE.md closing cert).
-    # The non-additive modules this round (functions/kv.py,
-    # plans/aliccp.py, operators/timeseries.py) are NOT exempted: their
-    # dependents stay windowed.
-    "alibaba_cppfeaturestore_spark/streaming/pipeline.py":
-        "additive-only diff (run_stream_enrich added; zero existing "
-        "lines touched); dependents certified by the r12 full-run suite",
-    "alibaba_cppfeaturestore_spark/operators/similarity.py":
-        "additive-only diff (ivf_greedy_topk added; zero existing "
-        "lines touched); dependents certified by the r12 full-run suite",
+    # (r12 close: the two additive-module exemptions that briefly lived
+    # here are retired — tools/freshness.py now attributes diffs at
+    # FUNCTION granularity, so an additive-only module change promotes
+    # no dependents mechanically, with the coarse module-level answer
+    # printed by --plan as the audit trail.)
 }
 
 _DRIVER_WINDOW = [
     # Round-12 rotation (tools/freshness.py --plan, self-checking):
-    # (a) 23 changed entries — stream_asof_enrich (new, r11 item 7),
-    #     ann_ivf_topk's greedy-quantizer full oracle (item 6: zero
-    #     oracle-less entries), the twap DECIMAL(19,0) widening + its
-    #     timeseries module dependents (non-additive module: windowed),
-    #     the --perturb-kv campaign finds (seed 479) + functions/kv.py /
-    #     plans/aliccp.py dependents, the --perturb-decimal-edge campaign
-    #     finds (seed 491), and the 18-mode stack finds (seeds 503/509).
-    #     The two purely-additive modules (streaming/pipeline.py,
-    #     operators/similarity.py) are exempted with written reasons in
-    #     _WINDOW_EXEMPT_CHANGED, freeing 16 slots for the freshness tail.
+    # (a) 20 changed entries — the function-level attribution (r12: per-def
+    #     diff spans + cross-module call-graph reverse closure) promotes
+    #     exactly the entries whose USED DEFS changed: the new
+    #     stream_asof_enrich + ann_ivf_topk oracle rewrites, the twap
+    #     widening, the kv / decimal-edge / stack campaign fixes, and the
+    #     kv.py+aliccp.py preamble dependents — while the 20 entries the
+    #     coarse module rule over-promoted (additive-only streaming/
+    #     similarity functions, non-twap timeseries defs) stay out, with
+    #     the subtraction printed by --plan as the audit trail.
     # (b) the oldest unchanged driver rows: the full 10-row r05 cohort and
-    #     17 of the 20 remaining r06 rows (item 1's rotation target).
+    #     the full 20-row r06 residual cohort (item 1's rotation target —
+    #     after r12 no union row is older than r07).
     "ab_test_cuped_adjusted",  # changed
     "ab_test_group_summary",  # changed
     "aliccp_bronze_to_silver_e2e",  # changed
@@ -89,11 +76,7 @@ _DRIVER_WINDOW = [
     "timeseries_twap_user",  # changed
     "write_ignore_roundtrip",  # changed
     "aliccp_silver_to_gold_e2e",  # changed
-    "ewma_user_value",  # changed
     "kv_merge_lastwin",  # changed
-    "timeseries_gap_fill",  # changed
-    "timeseries_rollup_cascade",  # changed
-    "window_range_moving_avg",  # changed
     "lang_id_heuristic",  # r05
     "ml_fold_assignment",  # r05
     "quality_bigram_logprob",  # r05
@@ -120,6 +103,10 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary",  # r06
     "range_join_pre_purchase_views",  # r06
     "snapshot_diff_cdc",  # r06
+    "text_clean_normalize",  # r06
+    "text_pii_redact",  # r06
+    "text_repetition_rules",  # r06
+    "timeseries_gap_fill",  # r06
 ]
 
 

@@ -130,34 +130,33 @@ def test_touched_entries_in_window_or_exempt():
 
 
 def test_module_touched_entries_in_window_or_exempt():
-    """r11 verdict item 4: an entry whose fix lands in operators/*.py
-    changes behavior with no catalog span edit — the import-graph map
-    (freshness.entry_module_deps) makes those entries windowable
-    mechanically, replacing the r11 hand-listing. A module rel path in
-    _WINDOW_EXEMPT_CHANGED exempts all its dependents (the escape hatch
+    """r11 verdict item 4, refined at r12: an entry whose fix lands in
+    operators/*.py changes behavior with no catalog span edit — the
+    FUNCTION-level attribution (freshness.module_touch_causes: per-def
+    diff spans + cross-module call-graph reverse closure, conservative
+    '*'/preamble fallbacks) makes exactly those entries windowable
+    mechanically. A module rel path in _WINDOW_EXEMPT_CHANGED exempts
+    dependents whose promotion causes are all exempted (escape hatch
     for wide-blast-radius files, certified by a full strict run)."""
     base = freshness.last_round_commit()
     if base is None:
         pytest.skip("no round-close commit to diff against")
-    touched_mods = freshness.git_touched_modules(base)
-    if not touched_mods:
-        return
-    deps = freshness.entry_module_deps()
+    causes = freshness.module_touch_causes(base)
     oracles = entry.oracle_sql()
     window = set(entry._DRIVER_WINDOW)
     exempt = entry._WINDOW_EXEMPT_CHANGED
     missing = sorted(
         n
-        for n in oracles
-        if n not in window
+        for n, cm in causes.items()
+        if n in oracles
+        and n not in window
         and n not in exempt
-        and (deps.get(n, set()) & touched_mods)
-        and not (deps[n] & touched_mods) <= set(exempt)
+        and not cm <= set(exempt)
     )
     assert not missing, (
-        f"entries dependent on modules git-touched since {base[:8]} "
-        f"({sorted(touched_mods)}) but neither windowed nor exempted: "
-        f"{missing} — regenerate the window or add a reasoned "
+        f"entries whose used defs changed since {base[:8]} but neither "
+        f"windowed nor exempted: {missing} — regenerate the window "
+        f"(python tools/freshness.py --plan) or add a reasoned "
         f"_WINDOW_EXEMPT_CHANGED entry (entry name or module rel path)"
     )
 
@@ -178,3 +177,75 @@ def test_entry_module_deps_sanity():
     # transitive: the aliccp e2e goes through plans/aliccp.py -> functions/kv.py
     assert f"{pkg}/plans/aliccp.py" in deps["aliccp_bronze_to_silver_e2e"]
     assert f"{pkg}/functions/kv.py" in deps["aliccp_bronze_to_silver_e2e"]
+
+
+def test_function_level_attribution_on_the_live_diff():
+    """Acceptance pins for the r12 function-level refinement, run
+    against the real diff vs the last round-close commit (they hold for
+    any diff shape by construction; the assertions target invariants,
+    not this round's specifics):
+    - promotion ⊆ the coarse module-level answer (refinement only ever
+      SUBTRACTS — the conservative direction is preserved);
+    - every promoted entry's causes are git-touched or call-graph
+      affected modules;
+    - a module whose diff touches only ONE def never promotes entries
+      that neither use that def nor reach it through the call graph."""
+    base = freshness.last_round_commit()
+    if base is None:
+        pytest.skip("no round-close commit to diff against")
+    touched = freshness.git_touched_modules(base)
+    if not touched:
+        pytest.skip("no module diff to attribute")
+    causes = freshness.module_touch_causes(base)
+    coarse = {
+        n for n, deps in freshness.entry_module_deps().items() if deps & touched
+    }
+    assert set(causes) <= coarse, "refinement promoted OUTSIDE the coarse set"
+    affected, preamble = freshness.effectively_changed(base)
+    affected_mods = {m for m, _ in affected} | set(preamble) | touched
+    for n, cm in causes.items():
+        assert cm <= affected_mods, f"{n} promoted by an unaffected module {cm}"
+
+
+def test_changed_functions_ignore_blank_line_insertions(tmp_path, monkeypatch):
+    """A purely-additive function insertion drags blank separator lines
+    into the diff; those must not flag the module preamble (which would
+    conservatively promote every dependent)."""
+    import subprocess
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    pkg = repo / "alibaba_cppfeaturestore_spark"
+    pkg.mkdir()
+    mod = pkg / "m.py"
+    mod.write_text("X = 1\n\n\ndef f():\n    return X\n")
+    subprocess.run(["git", "add", "-A"], cwd=repo, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-qm", "round 0: base"], cwd=repo, check=True)
+    ref = subprocess.run(["git", "rev-parse", "HEAD"], cwd=repo,
+                         capture_output=True, text=True, check=True).stdout.strip()
+    # additive: new def g, separated by blank lines; f untouched
+    mod.write_text("X = 1\n\n\ndef f():\n    return X\n\n\ndef g():\n    return 2\n")
+    monkeypatch.setattr(freshness, "REPO", str(repo))
+    direct, preamble = freshness.changed_functions(ref)
+    rel = "alibaba_cppfeaturestore_spark/m.py"
+    assert (rel, "g") in direct
+    assert (rel, "f") not in direct
+    assert rel not in preamble, "blank separator lines flagged the preamble"
+    # and a REAL preamble change (the constant) flags it
+    mod.write_text("X = 2\n\n\ndef f():\n    return X\n\n\ndef g():\n    return 2\n")
+    direct2, preamble2 = freshness.changed_functions(ref)
+    assert rel in preamble2
+
+
+def test_call_graph_reverse_closure_is_cross_module():
+    """bronze_to_silver (plans/aliccp.py) calls parse_kv_triplets
+    (functions/kv.py): if kv.py's parser def is changed, aliccp's
+    caller must be effectively changed through the closure."""
+    graph = freshness.module_function_graph()
+    pkg = "alibaba_cppfeaturestore_spark"
+    refs = graph[(f"{pkg}/plans/aliccp.py", "bronze_to_silver")]
+    assert (f"{pkg}/functions/kv.py", "parse_kv_triplets") in refs or (
+        f"{pkg}/functions/kv.py", "*") in refs

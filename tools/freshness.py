@@ -183,6 +183,172 @@ def package_import_graph() -> dict[str, set[str]]:
     return graph
 
 
+# ---------------------------------------------------------------------------
+# Function-level refinement (r12): module-level promotion re-windowed 16
+# fresh entries for two purely-ADDITIVE module diffs, and could not see
+# that only time_weighted_avg's body changed inside timeseries.py. The
+# function layer attributes each entry to the specific module DEFS it
+# uses, builds a cross-module function call graph, and promotes an entry
+# only when a def it (transitively) depends on actually intersects the
+# diff. Everything unresolvable stays CONSERVATIVE: a bare module dep is
+# (mod, "*") and any touch of that module promotes; a changed preamble
+# (code outside every top-level def: imports, constants) effectively
+# changes every def in the module.
+# ---------------------------------------------------------------------------
+
+
+def module_def_spans(src: str) -> dict[str, tuple[int, int]]:
+    """Top-level def/class name -> (start_line, end_line), decorators
+    included. Lines outside every span are the module preamble."""
+    import ast
+
+    tree = ast.parse(src)
+    spans: dict[str, tuple[int, int]] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            start = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            )
+            spans[node.name] = (start, node.end_lineno)
+    return spans
+
+
+def _module_sources() -> dict[str, str]:
+    out = {}
+    for path in glob.glob(os.path.join(REPO, PKG, "**", "*.py"), recursive=True):
+        with open(path) as f:
+            out[os.path.relpath(path, REPO)] = f.read()
+    return out
+
+
+def _refs_in(node, binds: dict[str, str], mod_defs: dict[str, dict[str, tuple]],
+             self_mod: str, self_defs: dict[str, tuple]) -> set[tuple[str, str]]:
+    """(mod, def) references inside one ast node: sibling defs by Name,
+    from-imported defs by Name, internal-module aliases by attribute
+    access; an alias used WITHOUT attribute resolution degrades to
+    (mod, '*')."""
+    import ast
+
+    refs: set[tuple[str, str]] = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
+            mod = binds.get(n.value.id)
+            if mod is not None:
+                if n.attr in mod_defs.get(mod, {}):
+                    refs.add((mod, n.attr))
+                else:
+                    refs.add((mod, "*"))  # constant / unresolvable attr
+        elif isinstance(n, ast.Name):
+            if n.id in self_defs:
+                refs.add((self_mod, n.id))
+            else:
+                mod = binds.get(n.id)
+                if mod is not None:
+                    name = n.id if n.id in mod_defs.get(mod, {}) else "*"
+                    refs.add((mod, name))
+    return refs
+
+
+def module_function_graph() -> dict[tuple[str, str], set[tuple[str, str]]]:
+    """(mod, def) -> directly-referenced (mod2, def2) edges across the
+    whole package (imports resolved; '*' = conservative whole-module)."""
+    import ast
+
+    sources = _module_sources()
+    mod_defs = {rel: module_def_spans(src) for rel, src in sources.items()}
+    graph: dict[tuple[str, str], set[tuple[str, str]]] = {}
+    for rel, src in sources.items():
+        binds = _imports_of(rel, src)
+        tree = ast.parse(src)
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                # in-def imports bind locally; merge them over the module binds
+                local = dict(binds)
+                local.update(_imports_of(rel, ast.get_source_segment(src, node) or ""))
+                refs = _refs_in(node, local, mod_defs, rel, mod_defs[rel])
+                graph[(rel, node.name)] = {
+                    r for r in refs if r != (rel, node.name)
+                }
+    return graph
+
+
+def changed_functions(ref: str) -> tuple[set[tuple[str, str]], set[str]]:
+    """(directly diff-touched (mod, def) set, modules whose PREAMBLE
+    changed) for every package module changed since ``ref``. A deleted
+    hunk (+c,0) touches lines c and c+1 like git_touched_entries."""
+    touched_defs: set[tuple[str, str]] = set()
+    preamble_mods: set[str] = set()
+    for mod in git_touched_modules(ref):
+        try:
+            diff = subprocess.run(
+                ["git", "diff", "-U0", ref, "--", mod],
+                cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout
+        except (OSError, subprocess.CalledProcessError):
+            preamble_mods.add(mod)  # can't read the diff: conservative
+            continue
+        lines: set[int] = set()
+        for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", diff, re.M):
+            c = int(m.group(1))
+            d = int(m.group(2)) if m.group(2) is not None else 1
+            lines.update(range(c, c + d) if d else (c, c + 1))
+        path = os.path.join(REPO, mod)
+        if not os.path.isfile(path):
+            preamble_mods.add(mod)  # deleted module: conservative
+            continue
+        with open(path) as f:
+            mod_src = f.read()
+        spans = module_def_spans(mod_src)
+        in_any = set()
+        for name, (s, e) in spans.items():
+            hit = {ln for ln in lines if s <= ln <= e}
+            if hit:
+                touched_defs.add((mod, name))
+                in_any |= hit
+        # Preamble = changed CODE outside every def span. Blank and
+        # comment-only lines are excluded: a purely-additive function
+        # insertion drags its blank separator lines into the diff, and
+        # those must not flag the whole module (they carry no behavior).
+        src_lines = mod_src.splitlines()
+        for ln in lines - in_any:
+            text = src_lines[ln - 1].strip() if 0 < ln <= len(src_lines) else ""
+            if text and not text.startswith("#"):
+                preamble_mods.add(mod)
+                break
+    return touched_defs, preamble_mods
+
+
+def effectively_changed(ref: str) -> tuple[set[tuple[str, str]], set[str]]:
+    """Reverse call-graph closure of the diff: every (mod, def) whose
+    behavior can differ because something it (transitively) references
+    changed, plus preamble-changed modules (ALL their defs count)."""
+    direct, preamble_mods = changed_functions(ref)
+    graph = module_function_graph()
+    # expand preamble-changed modules to all of their defs
+    seeds = set(direct)
+    for (mod, name) in graph:
+        if mod in preamble_mods:
+            seeds.add((mod, name))
+    # reverse closure: f is affected if any ref of f is affected. A
+    # (mod, '*') reference counts as affected when ANY def of mod (or
+    # its preamble) is in the affected set.
+    affected = set(seeds)
+    changed_mods = {m for m, _ in seeds} | set(preamble_mods)
+    progress = True
+    while progress:
+        progress = False
+        for fn, refs in graph.items():
+            if fn in affected:
+                continue
+            for (m, d) in refs:
+                if (m, d) in affected or (d == "*" and m in changed_mods):
+                    affected.add(fn)
+                    changed_mods.add(fn[0])
+                    progress = True
+                    break
+    return affected, preamble_mods
+
+
 def entry_module_deps() -> dict[str, set[str]]:
     """entry name -> TRANSITIVE set of package module rel paths whose
     behavior the entry's Spark side depends on (r11 verdict item 4 —
@@ -306,6 +472,152 @@ def entry_module_deps() -> dict[str, set[str]]:
     }
 
 
+def _imports_of_detail(rel_path: str, src: str) -> dict[str, tuple[str, str]]:
+    """bound-name -> (module rel path, kind): kind 'module' when the
+    binding IS the module object (``from ..functions import text as
+    TX``), 'member' when it binds a name defined inside the module."""
+    import ast
+
+    pkg_parts = rel_path.split("/")[:-1]
+    out: dict[str, tuple[str, str]] = {}
+
+    def _target(parts, name):
+        sub = os.path.join(REPO, *parts, f"{name}.py")
+        if os.path.isfile(sub):
+            return "/".join(parts + [f"{name}.py"]), "module"
+        mod = os.path.join(REPO, *parts) + ".py"
+        if os.path.isfile(mod):
+            return "/".join(parts) + ".py", "member"
+        init = os.path.join(REPO, *parts, "__init__.py")
+        if os.path.isfile(init):
+            return "/".join(parts + ["__init__.py"]), "member"
+        return None, ""
+
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.ImportFrom):
+            if node.level:
+                base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+            elif node.module and node.module.split(".")[0] == PKG:
+                base = []
+            else:
+                continue
+            parts = base + (node.module.split(".") if node.module else [])
+            for alias in node.names:
+                tgt, kind = _target(parts, alias.name)
+                if tgt and tgt.startswith(PKG + "/"):
+                    out[alias.asname or alias.name] = (tgt, kind)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.split(".")[0] != PKG:
+                    continue
+                tgt, kind = _target(
+                    alias.name.split(".")[:-1], alias.name.split(".")[-1]
+                )
+                if tgt and tgt.startswith(PKG + "/"):
+                    out[alias.asname or alias.name.split(".")[0]] = (tgt, "module")
+    return out
+
+
+def entry_function_deps() -> dict[str, set[tuple[str, str]]]:
+    """entry -> DIRECT (module rel path, def name) dependencies; '*' as
+    the def means the whole module (unresolvable reference —
+    conservative). Same attribution walk as ``entry_module_deps``
+    (in-span imports, global binds, helper routing) but at def
+    granularity: member binds attribute the named def, module aliases
+    attribute each ``ALIAS.attr`` that resolves to a top-level def (a
+    bare alias or unresolved attr degrades to '*'). Transitivity is NOT
+    closed here — ``effectively_changed``'s function call graph carries
+    it at diff time."""
+    import ast
+
+    with open(os.path.join(REPO, CATALOG_REL)) as f:
+        src = f.read()
+    spans = entry_spans(src)
+    lines = src.splitlines()
+    tree = ast.parse(src)
+    mod_defs = {rel: module_def_spans(s) for rel, s in _module_sources().items()}
+
+    def pairs_for(binds: dict[str, tuple[str, str]], body: str) -> set[tuple[str, str]]:
+        out: set[tuple[str, str]] = set()
+        for name, (mod, kind) in binds.items():
+            if kind == "member":
+                if re.search(rf"\b{re.escape(name)}\b", body):
+                    out.add((mod, name if name in mod_defs.get(mod, {}) else "*"))
+            else:  # module alias: resolve attribute accesses
+                used = False
+                for m in re.finditer(rf"\b{re.escape(name)}\.(\w+)", body):
+                    used = True
+                    attr = m.group(1)
+                    out.add((mod, attr if attr in mod_defs.get(mod, {}) else "*"))
+                if not used and re.search(rf"\b{re.escape(name)}\b", body):
+                    out.add((mod, "*"))  # bare module reference
+        return out
+
+    global_binds: dict[str, tuple[str, str]] = {}
+    direct: dict[str, set[tuple[str, str]]] = {n: set() for _, _, n in spans}
+
+    def span_of(lineno):
+        for s, e, n in spans:
+            if s <= lineno <= e:
+                return n
+        return None
+
+    for node in ast.walk(tree):
+        if not isinstance(node, (ast.Import, ast.ImportFrom)):
+            continue
+        seg = ast.get_source_segment(src, node) or ""
+        binds = _imports_of_detail(CATALOG_REL, seg)
+        if not binds:
+            continue
+        if node.col_offset == 0:
+            global_binds.update(binds)
+        owner = span_of(node.lineno)
+        if owner and node.col_offset > 0:
+            s, e = next((s, e) for s, e, n in spans if n == owner)
+            direct[owner] |= pairs_for(binds, "\n".join(lines[s - 1 : e]))
+
+    for s, e, name in spans:
+        body = "\n".join(lines[s - 1 : e])
+        direct[name] |= pairs_for(global_binds, body)
+
+    # helper routing, def-level (same shape as entry_module_deps)
+    def _is_entry_def(node):
+        return any(
+            isinstance(d, ast.Call) and getattr(d.func, "id", "") == "_q"
+            for d in node.decorator_list
+        )
+
+    helper_nodes = [
+        n for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        and not _is_entry_def(n)
+    ]
+    helper_names = {h.name for h in helper_nodes}
+    helper_deps: dict[str, set[tuple[str, str]]] = {}
+    helper_refs: dict[str, set[str]] = {}
+    for h in helper_nodes:
+        hb = ast.get_source_segment(src, h) or ""
+        helper_deps[h.name] = pairs_for(global_binds, hb) | pairs_for(
+            _imports_of_detail(CATALOG_REL, hb), hb
+        )
+        used = {n.id for n in ast.walk(h) if isinstance(n, ast.Name)}
+        helper_refs[h.name] = (used & helper_names) - {h.name}
+    changed_fp = True
+    while changed_fp:
+        changed_fp = False
+        for h, refs in helper_refs.items():
+            for r in refs:
+                if not helper_deps[r] <= helper_deps[h]:
+                    helper_deps[h] |= helper_deps[r]
+                    changed_fp = True
+    for s, e, name in spans:
+        body = "\n".join(lines[s - 1 : e])
+        for h, hdeps in helper_deps.items():
+            if hdeps and re.search(rf"\b{re.escape(h)}\b", body):
+                direct[name] |= hdeps
+    return direct
+
+
 def git_touched_modules(ref: str) -> set[str]:
     """Package files (rel paths) changed since ``ref``, catalog excluded."""
     try:
@@ -318,16 +630,39 @@ def git_touched_modules(ref: str) -> set[str]:
     return {p for p in out if p != CATALOG_REL and p.endswith(".py")}
 
 
-def module_touched_entries(ref: str) -> set[str]:
-    """Entries whose transitive module deps intersect the files changed
-    since ``ref`` — the module-level half of the changed set (the span
-    diff is the catalog-level half)."""
+def module_touch_causes(ref: str) -> dict[str, set[str]]:
+    """entry -> the modules whose diff-affected defs cause its
+    promotion, at FUNCTION granularity (r12 refinement): an entry is
+    promoted only when a def it directly uses is effectively changed
+    (diff-touched, preamble-module, or reachable through the
+    cross-module call graph's reverse closure), or when its dep on a
+    touched/affected module is unresolvable ('*' — conservative)."""
     mods = git_touched_modules(ref)
     if not mods:
-        return set()
-    return {
-        name for name, deps in entry_module_deps().items() if deps & mods
-    }
+        return {}
+    affected, preamble_mods = effectively_changed(ref)
+    affected_mods = {m for m, _ in affected} | set(preamble_mods)
+    causes: dict[str, set[str]] = {}
+    for entry, pairs in entry_function_deps().items():
+        hit = set()
+        for (m, d) in pairs:
+            if d == "*":
+                if m in mods or m in affected_mods:
+                    hit.add(m)
+            elif (m, d) in affected:
+                hit.add(m)
+        if hit:
+            causes[entry] = hit
+    return causes
+
+
+def module_touched_entries(ref: str) -> set[str]:
+    """Entries promoted by module/function-level diff attribution — the
+    module half of the changed set (the span diff is the catalog half).
+    Function-refined since r12; the coarse module-level answer
+    (entry_module_deps ∩ touched modules) is printed by ``--plan`` as a
+    visibility check on what the refinement subtracted."""
+    return set(module_touch_causes(ref))
 
 
 def load_ledger() -> dict[str, int]:
@@ -420,18 +755,33 @@ def main() -> None:
         # plans/views.py, certified by the full-catalog strict run).
         touched_mods = git_touched_modules(base)
         if touched_mods:
-            deps = entry_module_deps()
+            causes = module_touch_causes(base)
+            # visibility check on the r12 function-level refinement:
+            # show what the coarse module-level rule WOULD have promoted
+            # that function attribution left out, so a human can audit
+            # the subtraction instead of trusting it blind
+            coarse = {
+                n for n, deps in entry_module_deps().items()
+                if deps & touched_mods
+            }
+            refined_away = sorted(coarse - set(causes))
+            if refined_away:
+                print(
+                    f"# function-level refinement left unpromoted (their "
+                    f"defs are untouched by the diff): {refined_away}",
+                    file=sys.stderr,
+                )
             forgotten_mod = sorted(
                 n
-                for n in names
-                if n not in changed
+                for n, cm in causes.items()
+                if n in names
+                and n not in changed
                 and n not in exempt
-                and (deps.get(n, set()) & touched_mods)
-                and not (deps[n] & touched_mods) <= set(exempt)
+                and not cm <= set(exempt)
             )
             if forgotten_mod:
                 print(
-                    f"# auto-promoting entries dependent on git-touched modules "
+                    f"# auto-promoting entries whose used defs changed in "
                     f"{sorted(touched_mods)}: {forgotten_mod}",
                     file=sys.stderr,
                 )
