@@ -75,14 +75,20 @@ def parse_kv_triplets(feat_list: Column | str) -> Column:
 # Strict integral-format gate: optional sign, digits, nothing else.
 # Shared Java∩RE2 subset (no lookaround, no unicode classes) so both
 # engines' regex semantics coincide — the text_pii_redact discipline.
-KV_INT_REGEX = "^[+-]?[0-9]+$"
+# \A/\z anchors, NOT ^/$ (r12 advice): Java's Matcher lets '$' match
+# before a FINAL line terminator, so '7\n' passed the gate in Spark
+# while RE2's '$' (end-of-text) rejected it in DuckDB — a silent
+# engine divergence on exactly the malformed-producer class the gate
+# exists for. \A and \z mean end-of-text in BOTH engines.
+KV_INT_REGEX = r"\A[+-]?[0-9]+\z"
 
 
 def kv_int(value: Column) -> Column:
     """The kv-domain integer-ingestion policy: a parsed feature value is
-    an int iff it is a strict integral-format string (``^[+-]?[0-9]+$``
-    — no whitespace, no decimal point, no scientific notation, no hex);
-    anything else, including overflow past int32, is NULL.
+    an int iff it is a strict integral-format string (``\\A[+-]?[0-9]+\\z``
+    — no whitespace, no trailing newline, no decimal point, no scientific
+    notation, no hex); anything else, including overflow past int32, is
+    NULL.
 
     Why a regexp gate and not a bare cast (r12 ``--perturb-kv`` find):
     a data-driven feat value reaches this cast unvalidated, and the
@@ -94,7 +100,7 @@ def kv_int(value: Column) -> Column:
     projection ran under Spark-2 non-ANSI cast semantics — NULL on bad
     input — so this also matches reference behavior,
     ``batch_process_Bronze_to_Silver.py:206-300``). Oracle spelling:
-    ``CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$') THEN
+    ``CASE WHEN regexp_matches(v, '\\A[+-]?[0-9]+\\z') THEN
     TRY_CAST(v AS INTEGER) END``."""
     return F.when(F.regexp_like(value, F.lit(KV_INT_REGEX)), value.try_cast("int"))
 

@@ -234,15 +234,44 @@ def minhash_lsh_duplicates(
     (Σ|bucket|², the LSH guarantee); only the machinery around it is
     gone — with the verify-stage spread fix below, the full pipeline
     measured 3.5 s → 2.3 s at sf0.1 with byte-identical output.
+
+    Shingling is ONE persisted pass (r13, guide §2.3: compute the
+    expensive projection once, shuffle/reuse the small thing): the
+    corpus used to be shingled THREE times — once feeding the
+    signature aggregation and once per verify join side (Spark
+    compiles the two sides independently). char_shingles dominates
+    executor CPU (~200 ops/char), so the shared ``(id, sh)`` persist
+    cut the query's task-time ~35% (24 s → 15.5 s at sf0.1) and wall
+    −7% at 32 cores / −14% at 8 cores (interleaved same-JVM A/B; the
+    gap widens as cores drop because the saved CPU stops hiding behind
+    idle threads — the driver's low-core scaling run is the case that
+    matters). The round-4 "persist is neutral-to-worse" measurement
+    (see ``_exact_verify``) only ever persisted the VERIFY pass (2→1);
+    sharing with the signature pass too (3→1) is what flips the sign.
+    The persist is an intermediate of THIS job, released by the
+    harness's ``clearCache()`` between attempts — never a cross-run
+    cache.
     """
+    from pyspark import StorageLevel
+
+    sh = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                char_shingles(F.col(text_col), shingle_size)
+            ).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     grouped = minhash_bucket_groups(
         df, text_col, id_col, num_hashes, bands, shingle_size,
-        max_bucket_size, portable=portable,
+        max_bucket_size, portable=portable, _shingled=sh,
     )
     est = _bucket_pair_screen(grouped, num_hashes, jaccard_threshold)
-    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     return _exact_verify(
-        est, texts, shingle_size, jaccard_threshold, prune_texts=prune_verify_texts
+        est, None, shingle_size, jaccard_threshold,
+        prune_texts=prune_verify_texts, shingled=sh,
     )
 
 
@@ -255,14 +284,18 @@ def minhash_bucket_groups(
     shingle_size: int = 5,
     max_bucket_size: int | None = 10_000,
     portable: bool = False,
+    _shingled: DataFrame | None = None,
 ) -> DataFrame:
     """LSH buckets with ≥2 members as ``(band, bucket, ms)`` where ``ms``
     is the member list ``array<struct<id, sig>>`` — the candidate-pair
     source for ``minhash_lsh_duplicates``. Singleton buckets (the vast
     majority of a real corpus) are filtered before any pair math;
-    buckets above ``max_bucket_size`` are dropped (skew guard)."""
+    buckets above ``max_bucket_size`` are dropped (skew guard).
+    ``_shingled`` passes a pre-computed shingle frame through to
+    :func:`minhash_band_index` (see there)."""
     banded = minhash_band_index(
-        df, text_col, id_col, num_hashes, bands, shingle_size, portable=portable
+        df, text_col, id_col, num_hashes, bands, shingle_size,
+        portable=portable, _shingled=_shingled,
     )
     # Sentinel signatures ([p]*num_hashes — empty/null/too-short texts,
     # which all share one bucket per band) can never verify: no shingles
@@ -344,6 +377,7 @@ def minhash_band_index(
     bands: int = 4,
     shingle_size: int = 5,
     portable: bool = False,
+    _shingled: DataFrame | None = None,
 ) -> DataFrame:
     """LSH band index rows ``(id, sig, band, bucket)`` for a corpus —
     ``bands`` rows per document. Materialize once (ideally bucketed on
@@ -381,20 +415,33 @@ def minhash_band_index(
     sharing an id are treated as one logical document — matching the
     oracle's ``GROUP BY id`` shape (pinned in
     tests/test_dedup_similarity.py::test_minhash_duplicate_ids_*).
+
+    ``_shingled`` (private, for :func:`minhash_lsh_duplicates`): a
+    pre-computed — typically persisted — frame ``(id, sh)`` where
+    ``sh = array_distinct(char_shingles(text_col, shingle_size))`` over
+    the same rows; when given, the shingle projection here is skipped
+    and the exploded source reads it instead (bit-identical values: the
+    expression tree is the same, only evaluated once and shared with
+    the verify stage).
     """
     rows_per_band = num_hashes // bands
     a, b = _perm_constants(num_hashes)
     p = _MINHASH_PRIME
     base = portable_hash60 if portable else F.xxhash64
 
-    h0 = (
-        _spread(df)
-        .select(
+    if _shingled is not None:
+        exploded = _shingled.select(
+            "id", F.explode_outer("sh").alias("__s")
+        )
+    else:
+        exploded = _spread(df).select(
             F.col(id_col).alias("id"),
             F.explode_outer(
                 F.array_distinct(char_shingles(F.col(text_col), shingle_size))
             ).alias("__s"),
         )
+    h0 = (
+        exploded
         .select(
             "id",
             # NULL must PROPAGATE so the sentinel coalesce below fires:
@@ -491,10 +538,11 @@ def _signature_screen(
 
 def _exact_verify(
     est: DataFrame,
-    texts: DataFrame,
+    texts: DataFrame | None,
     shingle_size: int,
     jaccard_threshold: float,
     prune_texts: bool = False,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs against a
     ``(id, text)`` source covering every candidate id.
@@ -524,29 +572,50 @@ def _exact_verify(
       touches a tiny fraction of rows. The pair OUTPUT is identical
       either way (asserted in tests/test_dedup_similarity.py).
 
+    ``shingled``: a pre-computed (typically persisted) ``(id, sh)``
+    frame covering every candidate id; when given, ``texts`` is ignored
+    and no shingling happens here at all. This is how
+    ``minhash_lsh_duplicates`` shares ONE shingle pass between its
+    signature aggregation and both verify join sides (r13; see its
+    docstring for the measurement).
+
     Measured non-lever (round 4, sf0.1, re-confirmed after the spread
-    fix): persisting the shingled frame so it is computed once is
-    neutral-to-worse end-to-end — the persist is a blocking stage that
-    serializes ~8M small shingle strings, while the "duplicate" shingle
-    passes run concurrently on otherwise-idle threads. Don't re-add
-    without re-measuring."""
+    fix): persisting the shingled frame *only for this stage* (2 passes
+    → 1) is neutral-to-worse end-to-end — the persist is a blocking
+    stage that serializes ~8M small shingle strings, while the
+    "duplicate" shingle passes run concurrently on otherwise-idle
+    threads. Sharing with the SIGNATURE pass too (3 → 1, the
+    ``shingled`` param) is what flips the sign — don't re-add a
+    verify-only persist without re-measuring."""
     from pyspark import StorageLevel
 
-    texts = _spread(texts)
-    if prune_texts:
+    if shingled is None:
+        texts = _spread(texts)
+        if prune_texts:
+            est = est.persist(StorageLevel.MEMORY_AND_DISK)
+            cand_ids = (
+                est.select(F.col("id_a").alias("id"))
+                .unionByName(est.select(F.col("id_b").alias("id")))
+                .distinct()
+            )
+            # no broadcast hint: candidate ids can be huge at 100 TB; AQE
+            # downgrades the semi-join to broadcast when they are small.
+            texts = texts.join(cand_ids, "id", "left_semi")
+        shingled = texts.select(
+            "id",
+            F.array_distinct(char_shingles(F.col("text"), shingle_size)).alias("sh"),
+        )
+    elif prune_texts:
+        # the shingles are already computed (shared with the signature
+        # stage), so pruning buys only a smaller join side, not skipped
+        # shingle work
         est = est.persist(StorageLevel.MEMORY_AND_DISK)
         cand_ids = (
             est.select(F.col("id_a").alias("id"))
             .unionByName(est.select(F.col("id_b").alias("id")))
             .distinct()
         )
-        # no broadcast hint: candidate ids can be huge at 100 TB; AQE
-        # downgrades the semi-join to broadcast when they are small.
-        texts = texts.join(cand_ids, "id", "left_semi")
-    shingled = texts.select(
-        "id",
-        F.array_distinct(char_shingles(F.col("text"), shingle_size)).alias("sh"),
-    )
+        shingled = shingled.join(cand_ids, "id", "left_semi")
     return (
         est.join(shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -1000,16 +1069,24 @@ def _ppjoin_index(
     # AQE would coalesce the groupBy's shuffle to one partition — and
     # every downstream stage that probes the cache (candidate join,
     # prefix explode) would inherit that single partition and serialize.
+    # The repartition sits BELOW the groupBy (r13): HashPartitioning(id)
+    # satisfies the aggregate's ClusteredDistribution(id), so ONE
+    # explicit exchange both feeds the aggregate and pins the cache —
+    # the former shape paid an ENSURE_REQUIREMENTS exchange for the
+    # groupBy and then a second REPARTITION_BY_NUM of its output.
+    # Shuffle volume is unchanged: collect_list has no map-side
+    # collapse, so the aggregate exchange always carried every
+    # (id, rank) row anyway.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     sorted_docs = (
         exploded.join(ranks, "tok")
+        .repartition(parallelism, "id")
         .groupBy("id")
         .agg(
             F.array_sort(F.collect_list("rank")).alias("toks"),
             *[F.first(bn).alias(bn) for bn in bnames],
         )
         .withColumn("sz", F.size("toks"))
-        .repartition(parallelism, "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
@@ -1048,6 +1125,12 @@ def _ppjoin_candidates(
     cand = (
         a.join(b, cand_cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        # dropDuplicates FIRST: its partial aggregation collapses raw
+        # join pairs map-side (8.8M raw -> 3.7M distinct at sf0.1), so
+        # the exchange ships distinct pairs only — re-ordering it below
+        # the repartition was tried in r13 and shuffles 2.7x the bytes
+        # for no stage saving at scale (guide §2.3, aggregate before
+        # you shuffle).
         .dropDuplicates(["id_a", "id_b"])
         # The candidate rows are two longs — tiny bytes-per-row — so AQE
         # coalesces the dedup shuffle toward ONE partition, which then

@@ -204,10 +204,16 @@ def test_kv_int_strict_integral_gate(spark):
     from alibaba_cppfeaturestore_spark.functions.kv import kv_int
 
     vals = ["12", "+3", "-42", "007", "12.5", "1e3", "0x1A", " 7 ",
-            "", "abc", "9999999999999999999999", None]
+            "", "abc", "9999999999999999999999", None,
+            # trailing newline (r12 advice): Java's '$' matches before a
+            # final line terminator, so the old ^..$ gate passed '7\n' in
+            # Spark while DuckDB's RE2 rejected it — \A..\z anchors pin
+            # end-of-text in both engines
+            "7\n", "7\r\n", "\n7"]
     df = spark.createDataFrame([(v,) for v in vals], "s string")
     got = [r.i for r in df.select(kv_int(F.col("s")).alias("i")).collect()]
-    assert got == [12, 3, -42, 7, None, None, None, None, None, None, None, None]
+    assert got == [12, 3, -42, 7, None, None, None, None, None, None, None, None,
+                   None, None, None]
 
 
 def test_bronze_to_silver_malformed_values_null_not_crash(spark):

@@ -1157,6 +1157,8 @@ KV_FRAGMENTS = [
     "101\x02-42\x031.0",                     # negative override
     "click\x02777\x031.0",                   # label-key plant
     "301\x02 7 \x031.0",                     # whitespace-padded value -> NULL
+    "101\x027\n\x031.0",                     # trailing newline -> NULL (Java '$'
+                                             # matches before it; \A..\z doesn't — r12 advice)
 ]
 
 
