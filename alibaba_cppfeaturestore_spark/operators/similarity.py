@@ -37,13 +37,19 @@ def brute_force_topk(
     small-scan trap as the dedup verify stage, SCALING.md round-5
     notes). Ties broken by corpus id ascending.
     """
+    from ..functions.vectors import norm
+
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qnorm"),
         )
     )
     c = _spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
     )
     candidates = q.join(c, F.col("query_id") != F.col("neighbor_id"))
     return _topk_by_cosine(candidates, k)
@@ -152,26 +158,30 @@ def lsh_bucketed_topk(
     # _spread: the per-vector plane projections (num_tables × num_bits
     # dot products) run in the scan stage — parallelize a singly-split
     # corpus file before them.
+    from ..functions.vectors import norm
+
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
         F.explode_outer(
             _lsh_buckets(F.col(vec_col), num_bits, num_tables, dim)
         ).alias("__b"),
-    ).select("neighbor_id", "__cvec", "__b.table", "__b.bucket")
+    ).select("neighbor_id", "__cvec", "__cnorm", "__b.table", "__b.bucket")
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qnorm"),
             F.explode_outer(
                 _lsh_buckets(F.col(vec_col), num_bits, num_tables, dim)
             ).alias("__b"),
-        ).select("query_id", "__qvec", "__b.table", "__b.bucket")
+        ).select("query_id", "__qvec", "__qnorm", "__b.table", "__b.bucket")
     )
     candidates = (
         q.join(c, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .select("query_id", "neighbor_id", "__qvec", "__cvec", "__qnorm", "__cnorm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _topk_by_cosine(candidates, k)
@@ -179,11 +189,30 @@ def lsh_bucketed_topk(
 
 def _topk_by_cosine(candidates: DataFrame, k: int) -> DataFrame:
     """Shared tail: score candidate (query, neighbor) pairs and keep the
-    top-k per query (ties broken by neighbor id)."""
+    top-k per query (ties broken by neighbor id).
+
+    When the candidate frame carries ``__qnorm``/``__cnorm`` (norms
+    projected per SIDE before the candidate join — the documented
+    ``threshold_pairs`` shape, extended to every top-k caller in r13),
+    scoring costs ONE dot fold per pair instead of three interpreted
+    array aggregates: higher-order functions never whole-stage-codegen
+    (guide §4 / the minhash_band_index lesson), so norm(q) was being
+    re-folded once per corpus row and norm(c) once per query.
+    ``dot/(qnorm·cnorm)`` divides by the product of the SAME doubles
+    ``cosine_similarity`` computes, so scores — and top-k order — are
+    bit-identical (no epsilon clamp here, unlike threshold_pairs)."""
+    if "__qnorm" in candidates.columns:
+        from ..functions.vectors import dot
+
+        score = dot(F.col("__qvec"), F.col("__cvec")) / (
+            F.col("__qnorm") * F.col("__cnorm")
+        )
+    else:
+        score = cosine_similarity(F.col("__qvec"), F.col("__cvec"))
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        F.round(score, 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -329,15 +358,19 @@ def ivf_topk(
             .select("query_id", "neighbor_id", "__qvec", "__cvec")
         )
         return _topk_by_cosine(empty, k)
+    from ..functions.vectors import norm
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
         F.element_at(_nearest_centroid_ids(F.col(vec_col), cents, 1), 1).alias("__cell"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qnorm"),
             # explode_outer: an inner explode of this computed array
             # would get an InferFiltersFromGenerate size/isnotnull
             # filter that re-runs the per-centroid distance scan twice;
@@ -350,7 +383,7 @@ def ivf_topk(
     candidates = (
         q.join(c, "__cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .select("query_id", "neighbor_id", "__qvec", "__cvec", "__qnorm", "__cnorm")
     )
     return _topk_by_cosine(candidates, k)
 
