@@ -51,7 +51,14 @@ def test_extracts_full_payload_anchor():
     assert fields["methodology"] == bench.METHODOLOGY
 
 
-def _write_prev(tmp_path, rnd: int, norm: dict, spread: dict | None = None):
+def _write_prev(
+    tmp_path,
+    rnd: int,
+    norm: dict,
+    spread: dict | None = None,
+    canary_sec: float | None = None,
+    canary2_sec: float | None = None,
+):
     """Synthesize a driver-wrapper artifact whose ``tail`` holds the
     stdout JSON line — the shape the driver actually deposits."""
     line: dict = {
@@ -60,8 +67,92 @@ def _write_prev(tmp_path, rnd: int, norm: dict, spread: dict | None = None):
     }
     if spread is not None:
         line["queries_sample_spread"] = spread
+    if canary_sec is not None:
+        line["canary"] = {"name": "q1_pricing_summary", "sec": canary_sec}
+    if canary2_sec is not None:
+        line["canary2"] = {"name": "minhash_lsh_fixed_probe", "sec": canary2_sec}
     wrapper = {"n": rnd, "rc": 0, "tail": json.dumps(line) + "\n", "parsed": None}
     (tmp_path / f"BENCH_r{rnd:02d}.json").write_text(json.dumps(wrapper))
+
+
+def test_dual_canary_corrects_structural_canary_speedup(tmp_path):
+    """r13 basis (r12 verdict item 4): q1 got structurally 2x faster
+    (plan-build memo) while canary2 and the query under test did not
+    move. Single-canary deltas read +100% fleet-wide; the dual-canary
+    correction (divide by the LESS-moved canary's ratio) must bring the
+    unmoved query's delta back to ~0 and flag nothing."""
+    _write_prev(
+        tmp_path, 42, {"q1_pricing_summary": 1.0, "qa": 2.0},
+        canary_sec=0.4, canary2_sec=1.5,
+    )
+    # q1 halved (0.4 -> 0.2); qa raw unchanged at 0.8 s -> norm doubles
+    norm = {"q1_pricing_summary": 1.0, "qa": 4.0}
+    block = bench._prev_comparison(
+        norm, artifact_dir=str(tmp_path),
+        canary_sec=0.2, canary2_sec=1.5,
+    )
+    assert block["canary_basis"]["applied"] is True
+    assert block["canary_basis"]["host_ratio_used"] == 1.0  # canary2 unmoved
+    assert block["deltas_single_canary"]["qa"] == 1.0       # old basis: +100%
+    assert block["deltas"]["qa"] == 0.0                     # corrected: flat
+    # q1's own corrected delta now carries its TRUE movement (-50%) —
+    # under the single-canary basis it was 0 by construction, hiding
+    # exactly the structural canary change this basis exists to expose
+    assert block["deltas"]["q1_pricing_summary"] == -0.5
+    assert block["flagged_over_25pct"] == ["q1_pricing_summary"]
+    assert "qa" not in block["flagged_subnoise_over_25pct"]
+
+
+def test_dual_canary_ignores_the_mover_not_the_host(tmp_path):
+    """A genuine uniform HOST slowdown moves BOTH canaries together; the
+    correction must then be ~1 and deltas match the single-canary basis
+    (host movement already cancels inside the normalization)."""
+    _write_prev(
+        tmp_path, 42, {"q1_pricing_summary": 1.0, "qa": 2.0},
+        canary_sec=0.4, canary2_sec=1.5,
+    )
+    # host 1.5x slower: q1 0.6, c2 2.25, qa raw 0.8 -> 1.2, norm stays 2.0
+    block = bench._prev_comparison(
+        {"q1_pricing_summary": 1.0, "qa": 2.0}, artifact_dir=str(tmp_path),
+        canary_sec=0.6, canary2_sec=2.25,
+    )
+    assert block["canary_basis"]["applied"] is True
+    assert abs(block["canary_basis"]["correction"] - 1.0) < 1e-9
+    assert block["deltas"]["qa"] == 0.0
+
+
+def test_canary_secs_survive_tail_truncation():
+    """The early canary/canary2 dicts are eaten by the driver's
+    2000-byte tail (BENCH_r12.json lost them); the tail-region
+    ``canaries_sec`` duplicate must be extractable from a tail cut
+    mid-line ahead of it."""
+    line = json.dumps(
+        {
+            "queries_sample_spread": {"qa": 0.1},
+            "canaries_sec": {"canary_sec": 0.41, "canary2_sec": 1.52},
+            "methodology": bench.METHODOLOGY,
+            "queries_canary_normalized": {"qa": 2.0},
+        }
+    )
+    # head truncation mid-token, cutting into the spread dict just ahead
+    # of the canaries (the 2000-byte tail keeps the final ~1.1 KB whole)
+    tail = line[line.index('"qa"') + 2 :]
+    fields = bench._extract_bench_fields(json.dumps({"tail": tail, "n": 13}))
+    assert fields["canary_sec"] == 0.41
+    assert fields["canary2_sec"] == 1.52
+
+
+def test_dual_canary_falls_back_without_prev_canary_secs(tmp_path):
+    """Truncated prev artifacts without canary seconds keep the old
+    single-canary basis (correction off, deltas identical)."""
+    _write_prev(tmp_path, 42, {"q1_pricing_summary": 1.0, "qa": 2.0})
+    block = bench._prev_comparison(
+        {"q1_pricing_summary": 1.0, "qa": 2.6}, artifact_dir=str(tmp_path),
+        canary_sec=0.2, canary2_sec=1.5,
+    )
+    assert block["canary_basis"]["applied"] is False
+    assert block["deltas"] == block["deltas_single_canary"]
+    assert block["deltas"]["qa"] == 0.3
 
 
 def test_prev_comparison_yields_nonempty_deltas_and_flags(tmp_path):
