@@ -118,22 +118,38 @@ def dequantize_int8(qv: Column) -> Column:
     return F.transform(qv["q"], lambda x: (x.cast("double") * qv["scale"]).cast("float"))
 
 
-def cosine_int8(qa: Column, qb: Column) -> Column:
-    """Cosine similarity computed directly on int8-quantized vectors —
-    scales cancel, so this is integer dot / integer norms; no
-    dequantized array is materialized."""
-    d = F.aggregate(
+def dot_int8(qa: Column, qb: Column) -> Column:
+    """Integer dot product of two int8-quantized vectors' q arrays
+    (double accumulation — every partial sum is an exact integer-valued
+    double ≪ 2⁵³, so aggregation order cannot change a bit)."""
+    return F.aggregate(
         F.zip_with(qa["q"], qb["q"], lambda x, y: (x.cast("double") * y.cast("double"))),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
-        F.aggregate(qa["q"], F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+
+
+def norm_int8(qv: Column) -> Column:
+    """Integer L2 norm of an int8-quantized vector's q array — the
+    per-VECTOR constant that ``cosine_int8`` re-folds per PAIR. Scoring
+    pipelines precompute it once per side and score with
+    ``dot_int8(a, b) / greatest(na * nb, 1e-12)``: the same doubles
+    ``cosine_int8`` divides by (same fold, same sqrt), so cosines are
+    bit-identical at one interpreted HOF fold per pair instead of three
+    (the r13 ``_topk_by_cosine`` lesson applied to the int8 tier)."""
+    return F.sqrt(
+        F.aggregate(
+            qv["q"], F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
     )
-    nb = F.sqrt(
-        F.aggregate(qb["q"], F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    return d / F.greatest(na * nb, F.lit(1e-12))
+
+
+def cosine_int8(qa: Column, qb: Column) -> Column:
+    """Cosine similarity computed directly on int8-quantized vectors —
+    scales cancel, so this is integer dot / integer norms; no
+    dequantized array is materialized. Per-pair convenience form; hot
+    paths precompute ``norm_int8`` per side (see its docstring)."""
+    return dot_int8(qa, qb) / F.greatest(norm_int8(qa) * norm_int8(qb), F.lit(1e-12))
 
 
 def projection_signs(out_dim: int, in_dim: int, seed: int = 0x5EED) -> list[list[float]]:

@@ -453,7 +453,7 @@ def ivf_portable_topk(
     Use ``ivf_topk`` (learned centroids) when recall matters more than
     a value-level audit trail.
     """
-    from ..functions.vectors import cosine_int8, quantize_int8
+    from ..functions.vectors import dot_int8, norm_int8, quantize_int8
     from ..operators.aggregates import top_k_per_group
 
     # NULL-id gate (the winnow precedent: an unattributable member is
@@ -469,20 +469,33 @@ def ivf_portable_topk(
     emb = emb.where(F.col(id_col).isNotNull())
 
     # _spread: quantization + per-cell scoring are scan-stage CPU work;
-    # parallelize a singly-split corpus file before them
+    # parallelize a singly-split corpus file before them.
+    # "nv" = per-vector integer norm, computed ONCE per row (r13): every
+    # scoring site below divides dot_int8 by the precomputed norms —
+    # the identical doubles cosine_int8 folds per PAIR, so every cs is
+    # bit-identical while the per-pair HOF work drops 3× → 1×.
     q = _spread(emb).select(
         F.col(id_col).alias("vid"), quantize_int8(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("nv", norm_int8(F.col("qv")))
     cents = (
         q.orderBy("vid")
         .limit(nlist)
-        .select(F.col("vid").alias("cent_id"), F.col("qv").alias("cent_qv"))
+        .select(
+            F.col("vid").alias("cent_id"),
+            F.col("qv").alias("cent_qv"),
+            F.col("nv").alias("cent_nv"),
+        )
     )
+
+    def _cs(d_a, d_b, n_a, n_b):
+        return dot_int8(d_a, d_b) / F.greatest(n_a * n_b, F.lit(1e-12))
+
     # cell assignment: best centroid per corpus vector (ties -> smallest id)
     scored_cells = (
         q.crossJoin(F.broadcast(cents))
         .select(
-            "vid", "qv", "cent_id", cosine_int8(F.col("qv"), F.col("cent_qv")).alias("cs")
+            "vid", "qv", "nv", "cent_id",
+            _cs(F.col("qv"), F.col("cent_qv"), F.col("nv"), F.col("cent_nv")).alias("cs"),
         )
     )
     # assigned has two consumers (query extraction, candidate join), but
@@ -493,27 +506,30 @@ def ivf_portable_topk(
     # rule (SCALING.md): cache-by-default is as wrong as
     # recompute-by-default — this one stays recomputed.
     assigned = top_k_per_group(scored_cells, ["vid"], "cs", k=1, tiebreak=["cent_id"]).select(
-        "vid", "qv", F.col("cent_id").alias("cell")
+        "vid", "qv", "nv", F.col("cent_id").alias("cell")
     )
     queries = assigned.filter(F.col("vid") < n_queries).select(
-        F.col("vid").alias("query_id"), F.col("qv").alias("q_qv")
+        F.col("vid").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nv").alias("q_nv"),
     )
     probes = top_k_per_group(
         queries.crossJoin(F.broadcast(cents)).select(
-            "query_id", "q_qv", "cent_id", cosine_int8(F.col("q_qv"), F.col("cent_qv")).alias("cs")
+            "query_id", "q_qv", "q_nv", "cent_id",
+            _cs(F.col("q_qv"), F.col("cent_qv"), F.col("q_nv"), F.col("cent_nv")).alias("cs"),
         ),
         ["query_id"],
         "cs",
         k=nprobe,
         tiebreak=["cent_id"],
-    ).select("query_id", "q_qv", F.col("cent_id").alias("cell"))
+    ).select("query_id", "q_qv", "q_nv", F.col("cent_id").alias("cell"))
     cands = (
         probes.join(assigned, "cell")
         .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            cosine_int8(F.col("q_qv"), F.col("qv")).alias("cosine_sim"),
+            _cs(F.col("q_qv"), F.col("qv"), F.col("q_nv"), F.col("nv")).alias("cosine_sim"),
         )
         # a vector sits in exactly one cell, so no candidate dedup needed
     )
@@ -563,16 +579,19 @@ def ivf_greedy_topk(
     the ``ivf_portable_topk`` tail — broadcast 16-row centroid table,
     cell equi-join, per-cell top-k, no stage touching |corpus|² rows.
     """
-    from ..functions.vectors import cosine_int8, quantize_int8
+    from ..functions.vectors import dot_int8, norm_int8, quantize_int8
     from ..operators.aggregates import top_k_per_group
     from ..operators.dedup import portable_hash60
 
     # NULL-id gate, same reason as ivf_portable_topk: the fit order is
     # (hash(id), id)-keyed and engine NULL sort defaults differ.
     emb = emb.where(F.col(id_col).isNotNull())
+    # "nv": per-vector integer norm, once per row (r13, see
+    # ivf_portable_topk) — every scoring site divides dot_int8 by the
+    # precomputed norms; bit-identical cs at 1 fold per pair instead of 3
     q = _spread(emb).select(
         F.col(id_col).alias("vid"), quantize_int8(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("nv", norm_int8(F.col("qv")))
     fit = (
         q.select(
             "vid", "qv", portable_hash60(F.col("vid").cast("string")).alias("h60")
@@ -612,36 +631,44 @@ def ivf_greedy_topk(
                 for i, j in enumerate(sel)
             ],
             "cent_id int, cent_qv struct<scale:float,q:array<tinyint>>",
-        )
+        ).withColumn("cent_nv", norm_int8(F.col("cent_qv")))
     )
+
+    def _cs(d_a, d_b, n_a, n_b):
+        return dot_int8(d_a, d_b) / F.greatest(n_a * n_b, F.lit(1e-12))
+
     scored_cells = q.crossJoin(cents).select(
-        "vid", "qv", "cent_id", cosine_int8(F.col("qv"), F.col("cent_qv")).alias("cs")
+        "vid", "qv", "nv", "cent_id",
+        _cs(F.col("qv"), F.col("cent_qv"), F.col("nv"), F.col("cent_nv")).alias("cs"),
     )
     assigned = top_k_per_group(
         scored_cells, ["vid"], "cs", k=1, tiebreak=["cent_id"]
-    ).select("vid", "qv", F.col("cent_id").alias("cell"))
+    ).select("vid", "qv", "nv", F.col("cent_id").alias("cell"))
     queries = assigned.filter(F.col("vid") < n_queries).select(
-        F.col("vid").alias("query_id"), F.col("qv").alias("q_qv")
+        F.col("vid").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nv").alias("q_nv"),
     )
     probes = top_k_per_group(
         queries.crossJoin(cents).select(
             "query_id",
             "q_qv",
+            "q_nv",
             "cent_id",
-            cosine_int8(F.col("q_qv"), F.col("cent_qv")).alias("cs"),
+            _cs(F.col("q_qv"), F.col("cent_qv"), F.col("q_nv"), F.col("cent_nv")).alias("cs"),
         ),
         ["query_id"],
         "cs",
         k=nprobe,
         tiebreak=["cent_id"],
-    ).select("query_id", "q_qv", F.col("cent_id").alias("cell"))
+    ).select("query_id", "q_qv", "q_nv", F.col("cent_id").alias("cell"))
     cands = (
         probes.join(assigned, "cell")
         .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            cosine_int8(F.col("q_qv"), F.col("qv")).alias("cosine_sim"),
+            _cs(F.col("q_qv"), F.col("qv"), F.col("q_nv"), F.col("nv")).alias("cosine_sim"),
         )
     )
     return top_k_per_group(cands, ["query_id"], "cosine_sim", k=k, tiebreak=["neighbor_id"])

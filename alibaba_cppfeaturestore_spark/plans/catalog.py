@@ -5471,13 +5471,20 @@ def ann_quantized_topk(spark, sf_dir):
     integer dot / norms), so DuckDB replicates it bit-for-bit — a full
     value oracle, not rows-only. Round-trip error and cosine drift
     bounds are pinned in tests."""
-    from ..functions.vectors import cosine_int8, quantize_int8
+    from ..functions.vectors import dot_int8, norm_int8, quantize_int8
     from ..operators.aggregates import top_k_per_group
 
     emb = _emb_finite(_t(spark, sf_dir, "embeddings"))
+    # per-SIDE integer norms (see functions/vectors.norm_int8): the
+    # per-pair cosine_int8 re-folded both norms per candidate; the
+    # precomputed form divides by the identical doubles, so the scores
+    # are bit-identical and the oracle is untouched
     q = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("qv"))
+    q = q.withColumn("nv", norm_int8(F.col("qv")))
     queries = q.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nv").alias("q_nv"),
     )
     scored = (
         F.broadcast(queries)
@@ -5486,7 +5493,11 @@ def ann_quantized_topk(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_int8(F.col("q_qv"), F.col("qv")), 6).alias("cosine_sim"),
+            F.round(
+                dot_int8(F.col("q_qv"), F.col("qv"))
+                / F.greatest(F.col("q_nv") * F.col("nv"), F.lit(1e-12)),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     return top_k_per_group(
