@@ -668,11 +668,33 @@ def minhash_lsh_duplicates_incremental(
     pairs of ``minhash_lsh_duplicates(H ∪ N)`` that touch N (modulo the
     bucket cap, which here applies to the union's bucket sizes the same
     way). Proven in tests.
+
+    The NEW batch is shingled ONCE (r13, the ``minhash_lsh_duplicates``
+    shared-persist lesson applied to the incremental path): one
+    persisted ``(id, sh)`` frame feeds the band-index signature
+    aggregation (``_shingled=``) and both exact-verify join sides, where
+    the batch previously re-shingled at the band index and once per
+    verify side for its candidate rows. History shingling is unchanged:
+    its shingles are not stored in the index, so the verify stage still
+    shingles exactly the candidate history rows (semi-join pruned when
+    ``prune_verify_texts``). Values are bit-identical — the same
+    expression tree, evaluated once.
     """
     from pyspark import StorageLevel
 
+    sh_new = (
+        _spread(new_df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                char_shingles(F.col(text_col), shingle_size)
+            ).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     new_banded = minhash_band_index(
-        new_df, text_col, id_col, num_hashes, bands, shingle_size, portable=portable
+        new_df, text_col, id_col, num_hashes, bands, shingle_size,
+        portable=portable, _shingled=sh_new,
     ).withColumn("__new", F.lit(True))
     # persisted for the same two-sided-self-join reason as
     # minhash_lsh_duplicates: without it the batch is re-hashed (and the
@@ -700,18 +722,32 @@ def minhash_lsh_duplicates_incremental(
         .dropDuplicates(["id_a", "id_b"])
     )
     est = _signature_screen(cand, num_hashes, jaccard_threshold)
-    texts = (
+    # The verify side is assembled HERE (not via _exact_verify's
+    # texts/prune path) so the batch half reads the sh_new persist while
+    # the history half keeps the prune-then-shingle order:
+    # prune_verify_texts defaults True HERE (unlike the full-corpus
+    # path) — every candidate pair touches the small batch, so
+    # candidates ≪ history and the semi-join makes "history text is
+    # scanned only for candidate ids" literally true.
+    hist_texts = _spread(
         history_texts.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .unionByName(
-            new_df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        )
     )
-    # prune_verify_texts defaults True HERE (unlike the full-corpus path):
-    # every candidate pair touches the small batch, so candidates ≪
-    # history and the semi-join makes "history text is scanned only for
-    # candidate ids" literally true.
+    if prune_verify_texts:
+        est = est.persist(StorageLevel.MEMORY_AND_DISK)
+        cand_ids = (
+            est.select(F.col("id_a").alias("id"))
+            .unionByName(est.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        # no broadcast hint: candidate ids can be huge at 100 TB; AQE
+        # downgrades the semi-join to broadcast when they are small.
+        hist_texts = hist_texts.join(cand_ids, "id", "left_semi")
+    shingled = hist_texts.select(
+        "id",
+        F.array_distinct(char_shingles(F.col("text"), shingle_size)).alias("sh"),
+    ).unionByName(sh_new)
     return _exact_verify(
-        est, texts, shingle_size, jaccard_threshold, prune_texts=prune_verify_texts
+        est, None, shingle_size, jaccard_threshold, shingled=shingled
     )
 
 

@@ -9521,15 +9521,24 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         .where(F.col("lex_rank") <= 50)
         .select("doc_id", "lex_rank")
     )
+    # query norm projected ONCE on the broadcast side (r13, the
+    # _topk_by_cosine lesson): cosine_similarity would re-fold
+    # norm(__scalar_qv) per corpus row — an interpreted HOF aggregate.
+    # dot/(norm(e)·qnorm) divides by the product of the SAME doubles,
+    # so scores and rank order are bit-identical at 2 folds/row not 3.
     qv = emb.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("__scalar_qv")
+        F.col("embedding").alias("__scalar_qv"),
+        V.norm(F.col("embedding")).alias("__scalar_qnorm"),
     )
     scored = (
         emb.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            V.cosine_similarity(F.col("embedding"), F.col("__scalar_qv")).alias("cos"),
+            (
+                V.dot(F.col("embedding"), F.col("__scalar_qv"))
+                / (V.norm(F.col("embedding")) * F.col("__scalar_qnorm"))
+            ).alias("cos"),
         )
     )
     wvec = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
