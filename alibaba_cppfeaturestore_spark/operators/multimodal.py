@@ -267,7 +267,13 @@ def decode_media_metadata(
                 columns=[f.name for f in MEDIA_META_SCHEMA.fields],
             )
 
-    return media.mapInPandas(decode_batches, MEDIA_META_SCHEMA)
+    # Explicit projection before the Python boundary (guide §4.1): Spark
+    # cannot see which columns an opaque mapInPandas touches, so without
+    # this every caller-side column crosses Arrow AND scan-side column
+    # pruning is defeated. The function reads exactly these three.
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        decode_batches, MEDIA_META_SCHEMA
+    )
 
 
 def resize_media(
@@ -320,7 +326,8 @@ def resize_media(
                 columns=["media_id", "payload", "width", "height"],
             )
 
-    return media.mapInPandas(gen, schema)
+    # column-pruned Arrow feed (see decode_media_metadata)
+    return media.select("media_id", "payload").mapInPandas(gen, schema)
 
 
 def extract_features(
@@ -382,7 +389,8 @@ def extract_features(
                 columns=["media_id", "embedding"],
             )
 
-    return media.mapInPandas(gen, schema)
+    # column-pruned Arrow feed (see decode_media_metadata)
+    return media.select("media_id", "payload").mapInPandas(gen, schema)
 
 
 def sample_frames(
@@ -432,4 +440,5 @@ def sample_frames(
                 columns=["media_id", "frame_idx"],
             )
 
-    return media.mapInPandas(gen, schema)
+    # column-pruned Arrow feed (see decode_media_metadata)
+    return media.select("media_id", "payload").mapInPandas(gen, schema)
