@@ -41,72 +41,89 @@ _WINDOW_EXEMPT_CHANGED: dict[str, str] = {
     # FUNCTION granularity, so an additive-only module change promotes
     # no dependents mechanically, with the coarse module-level answer
     # printed by --plan as the audit trail.)
+    "alibaba_cppfeaturestore_spark/plans/views.py": (
+        "r13 wide-blast-radius module exemption (the escape hatch "
+        "test_module_touched_entries_in_window_or_exempt documents): "
+        "load_table gained an analyzed-plan memo keyed on (applicationId, "
+        "path, mtime) — a driver-side plan-build cache, not a value or "
+        "plan-shape change; every entry reads tables through it, so the "
+        "function-level attribution promotes all 211 entries, which no "
+        "50-entry window can hold. Certified by TWO full 211-entry "
+        "`driver_sim --strict` runs on this tree this round (211 pass / "
+        "0 FAIL each). Entries whose causes include the genuinely "
+        "compute-changed modules (dedup/similarity/multimodal/vectors/"
+        "kv) are windowed, not exempted."
+    ),
 }
 
 _DRIVER_WINDOW = [
-    # Round-12 rotation (tools/freshness.py --plan, self-checking):
-    # (a) 20 changed entries — the function-level attribution (r12: per-def
-    #     diff spans + cross-module call-graph reverse closure) promotes
-    #     exactly the entries whose USED DEFS changed: the new
-    #     stream_asof_enrich + ann_ivf_topk oracle rewrites, the twap
-    #     widening, the kv / decimal-edge / stack campaign fixes, and the
-    #     kv.py+aliccp.py preamble dependents — while the 20 entries the
-    #     coarse module rule over-promoted (additive-only streaming/
-    #     similarity functions, non-twap timeseries defs) stay out, with
-    #     the subtraction printed by --plan as the audit trail.
-    # (b) the oldest unchanged driver rows: the full 10-row r05 cohort and
-    #     the full 20-row r06 residual cohort (item 1's rotation target —
-    #     after r12 no union row is older than r07).
-    "ab_test_cuped_adjusted",  # changed
-    "ab_test_group_summary",  # changed
-    "aliccp_bronze_to_silver_e2e",  # changed
-    "ann_ivf_topk",  # changed
+    # Round-13 rotation (tools/freshness.py --plan, self-checking):
+    # (a) 24 changed entries — the function-level attribution promotes
+    #     exactly the entries whose USED DEFS changed this round: the
+    #     two span-edited entries (hybrid_rrf_retrieval's query-norm
+    #     precompute; json_codec_roundtrip, whose span the interrupted
+    #     session's catalog edits crossed), the ANN family (per-side
+    #     norm precompute + score-before-dedup), the dedup family
+    #     (shared shingle persist, single-exchange PPJoin index,
+    #     incremental single-shingle), the kv entries (\\A/\\z anchor
+    #     fix), the multimodal entries (Arrow-feed pruning), and the
+    #     curation composites that consume those operators. The
+    #     plans/views.py load_table memo is module-exempted above
+    #     (plan-build cache, certified by two full 211-strict runs) —
+    #     without the exemption it would promote all 211 entries.
+    # (b) the oldest unchanged driver rows: the full 16-row remaining
+    #     r07 cohort and the 10 oldest r08 rows (the freshness target —
+    #     after r13 no union row is older than r08).
     "ann_quantized_topk",  # changed
-    "anomaly_seasonal_residuals",  # changed
-    "feature_lag_rolling",  # changed
-    "join_salted_skew_enrich",  # changed
-    "kv_parse_roundtrip",  # changed
-    "q19_bracketed_revenue",  # changed
-    "q6_forecast_revenue",  # changed
-    "record_linkage_customers",  # changed
-    "regression_daily_trend",  # changed
-    "seasonal_decompose_daily",  # changed
+    "hybrid_rrf_retrieval",  # changed
+    "json_codec_roundtrip",  # changed
     "set_except_keys",  # changed
-    "stream_asof_enrich",  # changed
-    "timeseries_twap_user",  # changed
-    "write_ignore_roundtrip",  # changed
-    "aliccp_silver_to_gold_e2e",  # changed
+    "aliccp_bronze_to_silver_e2e",  # changed
+    "ann_brute_force_topk",  # changed
+    "ann_ivf_portable_topk",  # changed
+    "ann_ivf_topk",  # changed
+    "ann_lsh_bucketed_topk",  # changed
+    "dedup_clusters",  # changed
+    "dedup_lsh_recall_audit",  # changed
+    "dedup_minhash_incremental",  # changed
+    "dedup_minhash_lsh",  # changed
+    "dedup_ngram_jaccard_indexed",  # changed
+    "dedup_paragraph_exact",  # changed
+    "graph_pagerank_trade_network",  # changed
     "kv_merge_lastwin",  # changed
-    "lang_id_heuristic",  # r05
-    "ml_fold_assignment",  # r05
-    "quality_bigram_logprob",  # r05
-    "scalar_date_funcs",  # r05
-    "scalar_string_funcs",  # r05
-    "sequence_packing_plan",  # r05
-    "set_intersect_keys",  # r05
-    "set_union_keys",  # r05
-    "text_quality_filter",  # r05
-    "text_stats",  # r05
-    "agg_approx_stats",  # r06
-    "case_when_bucketing",  # r06
-    "dedup_exact_substring_scrub",  # r06
-    "dedup_exact_substring_spans",  # r06
-    "dedup_paragraph_exact",  # r06
-    "dq_key_violations",  # r06
-    "dq_referential_violations",  # r06
-    "feature_one_hot_events",  # r06
-    "filter_theta_or",  # r06
-    "funnel_view_click_purchase",  # r06
-    "join_left_enrich",  # r06
-    "join_semi_in_subquery",  # r06
-    "llm_corpus_curation_lsh_counts",  # r06
-    "q1_pricing_summary",  # r06
-    "range_join_pre_purchase_views",  # r06
-    "snapshot_diff_cdc",  # r06
-    "text_clean_normalize",  # r06
-    "text_pii_redact",  # r06
-    "text_repetition_rules",  # r06
-    "timeseries_gap_fill",  # r06
+    "kv_parse_roundtrip",  # changed
+    "llm_corpus_curation_e2e",  # changed
+    "llm_corpus_curation_funnel",  # changed
+    "llm_corpus_curation_lsh_counts",  # changed
+    "multimodal_decode_metadata",  # changed
+    "multimodal_embed_topk",  # changed
+    "multimodal_frame_sample",  # changed
+    "anomaly_mad_outliers",  # r07
+    "bm25_topk_retrieval",  # r07
+    "contamination_ngram_overlap",  # r07
+    "corpus_data_card",  # r07
+    "dict_apply_lang",  # r07
+    "feature_hashing_trick",  # r07
+    "feature_impute_missing",  # r07
+    "feature_quantile_bins",  # r07
+    "funnel_time_to_convert",  # r07
+    "grouped_mode_bucket",  # r07
+    "incremental_agg_maintenance",  # r07
+    "melt_lineitem_charges",  # r07
+    "partition_pruned_read",  # r07
+    "profile_events_table",  # r07
+    "txlog_wap_publish",  # r07
+    "window_range_moving_avg",  # r07
+    "agg_quantiles_order_value",  # r08
+    "agg_ratio_to_report",  # r08
+    "analytics_percentile_bands",  # r08
+    "ann_index_occupancy_audit",  # r08
+    "ann_recall_audit",  # r08
+    "corpus_top_terms",  # r08
+    "csv_codec_roundtrip",  # r08
+    "customer_tier_migration",  # r08
+    "dedup_bottomk_sketch",  # r08
+    "dedup_semantic_embedding",  # r08
 ]
 
 
