@@ -896,7 +896,14 @@ def simhash_duplicates(
         StorageLevel.MEMORY_AND_DISK
     )
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    # Hamming is computed and FILTERED before the pair dedup (r13, guide
+    # §2.3 — don't shuffle what you throw away): it is a pure function
+    # of the two signatures, so every duplicate occurrence of a pair
+    # carries the identical value, and filtering first removes ALL
+    # occurrences of failing pairs — the dedup exchange then carries
+    # only the (rare) qualifying pairs instead of every 16-bit chunk
+    # collision. Output identical: same distinct pairs, same hamming.
+    return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -906,14 +913,11 @@ def simhash_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(
