@@ -705,7 +705,16 @@ def minhash_lsh_duplicates_incremental(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a = union_banded.alias("a")
     b = union_banded.alias("b")
-    cand = (
+    # The signature screen runs BEFORE the pair dedup (r13, the
+    # simhash/LSH-top-k lesson, guide §2.3): the agreement estimate is
+    # a pure function of the two signatures, so every band-duplicate
+    # occurrence of a pair carries the identical value and filtering
+    # first is output-identical. The dedup exchange then carries
+    # (id_a, id_b) — 16 B of screen-passing ids — instead of two
+    # 32-long signature arrays (~530 B) for EVERY co-bucketed pair,
+    # and the dedup itself becomes a hash-aggregable distinct (array
+    # first() buffers forced a SortAggregate + extra Sort before).
+    est = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -719,9 +728,9 @@ def minhash_lsh_duplicates_incremental(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
+        .transform(lambda c: _signature_screen(c, num_hashes, jaccard_threshold))
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = _signature_screen(cand, num_hashes, jaccard_threshold)
     # The verify side is assembled HERE (not via _exact_verify's
     # texts/prune path) so the batch half reads the sh_new persist while
     # the history half keeps the prune-then-shingle order:
