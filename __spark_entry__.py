@@ -87,6 +87,7 @@ _DRIVER_WINDOW = [
     "dedup_lsh_recall_audit",  # changed
     "dedup_minhash_incremental",  # changed
     "dedup_minhash_lsh",  # changed
+    "dedup_simhash",  # changed (hamming filter moved before the pair dedup)
     "dedup_ngram_jaccard_indexed",  # changed
     "dedup_paragraph_exact",  # changed
     "graph_pagerank_trade_network",  # changed
@@ -123,7 +124,8 @@ _DRIVER_WINDOW = [
     "csv_codec_roundtrip",  # r08
     "customer_tier_migration",  # r08
     "dedup_bottomk_sketch",  # r08
-    "dedup_semantic_embedding",  # r08
+    # (dedup_semantic_embedding, the next r08 row, yielded its slot to
+    # the late-landing dedup_simhash change; it rotates at r14)
 ]
 
 
