@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import char_shingles, tokens, winnow_fingerprints
+from .ranks import register_persisted
 
 
 def exact_dedup(
@@ -254,7 +255,7 @@ def minhash_lsh_duplicates(
     """
     from pyspark import StorageLevel
 
-    sh = (
+    sh = register_persisted(
         _spread(df)
         .select(
             F.col(id_col).alias("id"),
@@ -592,7 +593,7 @@ def _exact_verify(
     if shingled is None:
         texts = _spread(texts)
         if prune_texts:
-            est = est.persist(StorageLevel.MEMORY_AND_DISK)
+            est = register_persisted(est.persist(StorageLevel.MEMORY_AND_DISK))
             cand_ids = (
                 est.select(F.col("id_a").alias("id"))
                 .unionByName(est.select(F.col("id_b").alias("id")))
@@ -609,7 +610,7 @@ def _exact_verify(
         # the shingles are already computed (shared with the signature
         # stage), so pruning buys only a smaller join side, not skipped
         # shingle work
-        est = est.persist(StorageLevel.MEMORY_AND_DISK)
+        est = register_persisted(est.persist(StorageLevel.MEMORY_AND_DISK))
         cand_ids = (
             est.select(F.col("id_a").alias("id"))
             .unionByName(est.select(F.col("id_b").alias("id")))
@@ -682,7 +683,7 @@ def minhash_lsh_duplicates_incremental(
     """
     from pyspark import StorageLevel
 
-    sh_new = (
+    sh_new = register_persisted(
         _spread(new_df)
         .select(
             F.col(id_col).alias("id"),
@@ -699,10 +700,10 @@ def minhash_lsh_duplicates_incremental(
     # persisted for the same two-sided-self-join reason as
     # minhash_lsh_duplicates: without it the batch is re-hashed (and the
     # index re-read) once per join side
-    union_banded = _cap_buckets(
+    union_banded = register_persisted(_cap_buckets(
         index.select("id", "sig", "band", "bucket").withColumn("__new", F.lit(False)).unionByName(new_banded),
         max_bucket_size,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK))
     a = union_banded.alias("a")
     b = union_banded.alias("b")
     # The signature screen runs BEFORE the pair dedup (r13, the
@@ -742,7 +743,7 @@ def minhash_lsh_duplicates_incremental(
         history_texts.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     )
     if prune_verify_texts:
-        est = est.persist(StorageLevel.MEMORY_AND_DISK)
+        est = register_persisted(est.persist(StorageLevel.MEMORY_AND_DISK))
         cand_ids = (
             est.select(F.col("id_a").alias("id"))
             .unionByName(est.select(F.col("id_b").alias("id")))
@@ -882,7 +883,7 @@ def simhash_duplicates(
     sigs = votes.select("id", F.expr(f"CAST({terms} AS BIGINT)").alias("sig"))
     from pyspark import StorageLevel
 
-    chunks = sigs.select(
+    chunks = register_persisted(sigs.select(
         "id",
         "sig",
         F.explode(
@@ -903,7 +904,7 @@ def simhash_duplicates(
     # computed twice (no ReusedExchange fires — see minhash note)
     ).select("id", "sig", "c.chunk_idx", "c.chunk_val").persist(
         StorageLevel.MEMORY_AND_DISK
-    )
+    ))
     a, b = chunks.alias("a"), chunks.alias("b")
     # Hamming is computed and FILTERED before the pair dedup (r13, guide
     # §2.3 — don't shuffle what you throw away): it is a pure function
@@ -1127,7 +1128,7 @@ def _ppjoin_index(
     # collapse, so the aggregate exchange always carried every
     # (id, rank) row anyway.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    sorted_docs = (
+    sorted_docs = register_persisted(
         exploded.join(ranks, "tok")
         .repartition(parallelism, "id")
         .groupBy("id")
@@ -1139,7 +1140,7 @@ def _ppjoin_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1
-    postings = (
+    postings = register_persisted(
         sorted_docs.select(
             "id",
             "sz",
@@ -1428,8 +1429,10 @@ def bottomk_sketch_pairs(
 
     # persisted: postings feed both self-join sides (same recompute trap
     # as the minhash band index — the md5 sketch would be built twice)
-    posts = sk.select("id", F.explode("sketch").alias("h")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    posts = register_persisted(
+        sk.select("id", F.explode("sketch").alias("h")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     if max_bucket_size is not None:
         hot = (

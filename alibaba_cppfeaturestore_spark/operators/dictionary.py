@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ranks import register_persisted
+
 
 def _rank_counts(counts: DataFrame, persist: bool = True) -> DataFrame:
     """(value, cnt) → (value, index): 0-based contiguous indices ordered
@@ -71,7 +73,7 @@ def fit_dictionaries(df: DataFrame, columns: list[str]) -> dict[str, DataFrame]:
     from pyspark import StorageLevel
 
     k = len(columns)
-    agg = (
+    agg = register_persisted(
         df.groupingSets(
             [[F.col(c)] for c in columns], *[F.col(c) for c in columns]
         )

@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 from pyspark.storagelevel import StorageLevel
 
+from .ranks import register_persisted
+
 
 def connected_components(
     edges: DataFrame,
@@ -60,7 +62,10 @@ def connected_components(
     # every iteration's join+aggregate would inherit near-serial
     # partitioning from the cache.
     parallelism = edges.sparkSession.sparkContext.defaultParallelism
-    sym = (
+    # registered AND self-unpersisted below: the registry is the safety
+    # net for exception paths; the in-function unpersist stays the fast
+    # path (double-unpersist is a no-op)
+    sym = register_persisted(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
@@ -197,7 +202,7 @@ def pagerank_fixedpoint(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    nodes = (
+    nodes = register_persisted(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ranks import register_persisted
+
 
 def _mg_summarize(capacity: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -93,9 +95,9 @@ def heavy_hitters(
     toks = tokens.select(F.col(token_col).alias("token"))
     # ONE sketch scan yields both the candidate union and the exact total
     # (marker rows), then ONE recount scan — the two-pass structural floor
-    summary = toks.mapInPandas(
+    summary = register_persisted(toks.mapInPandas(
         _mg_summarize(capacity), schema="token string, part_n long"
-    ).persist()
+    ).persist())
     candidates = summary.filter(F.col("token").isNotNull()).select("token").distinct()
     total = summary.agg(F.sum("part_n").alias("__scalar_total"))
     return (

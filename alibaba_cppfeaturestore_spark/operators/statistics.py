@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ranks import register_persisted
+
 DEC = "decimal(18,6)"
 def _half():
     # 0.5 is exactly representable; built lazily (F.lit needs a live session)
@@ -158,7 +160,7 @@ def mad_outliers(
     # the raw isNotNull stays FIRST so it pushes to the parquet scan
     # (plan-asserted); the finite-domain filter on the derived column
     # then drops the (rare) specials scan-side before any shuffle
-    dec = (
+    dec = register_persisted(
         df.filter(vcol.isNotNull())
         .select(
             *group_cols,
@@ -168,7 +170,7 @@ def mad_outliers(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     med = _exact_median(dec, group_cols, "_v", "_med", "decimal(24,8)", "decimal(22,7)")
-    dev = (
+    dev = register_persisted(
         dec.join(F.broadcast(med), group_cols)
         .withColumn("_dev", F.abs(F.col("_v") - F.col("_med")).cast("decimal(27,8)"))
         .persist(StorageLevel.MEMORY_AND_DISK)
