@@ -2984,30 +2984,57 @@ def json_codec_roundtrip(spark, sf_dir):
 
 
 
-# (stage dir, schema) per (source path, mtime): the staging copy and the
+# (mtime_ns, stage dir, schema) per SOURCE PATH: the staging copy and the
 # footer schema read are INPUT PREP for the directory-source shim, not
 # computation — re-copying the same bytes and re-reading the same footer
 # per bench attempt only re-measured the shim (~0.2 s/attempt). Every
 # stream run still reads and processes the staged parquet from scratch.
+# r14 hygiene (r13 verdict item 5 + advice): keyed by path alone with
+# mtime_ns in the value, so a regenerated dataset REPLACES its entry
+# (and its staged dir is removed) instead of leaking one tempdir per
+# (path, mtime); a memo hit re-validates the staged file's existence
+# (an OS tmp reaper would otherwise make later attempts silently stream
+# 0 files); all staged dirs are removed at interpreter exit.
 _STREAM_STAGE_MEMO: dict = {}
+_STREAM_STAGE_ATEXIT_ARMED = False
+
+
+def _stream_stage_cleanup():
+    import shutil
+
+    while _STREAM_STAGE_MEMO:
+        _, (_, stage, _) = _STREAM_STAGE_MEMO.popitem()
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def _stream_events(spark, sf_dir):
     """Bounded file-stream over events: the file-stream source requires a
     DIRECTORY, so stage the single parquet into a temp dir (tiny, test-only
     shim — production streams read Kafka or a landing directory)."""
+    import atexit
     import os
     import shutil
     import tempfile
 
+    global _STREAM_STAGE_ATEXIT_ARMED
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
-    key = (src, os.path.getmtime(src))
-    if key not in _STREAM_STAGE_MEMO:
+    mtime_ns = os.stat(src).st_mtime_ns
+    hit = _STREAM_STAGE_MEMO.get(src)
+    if hit is not None and (
+        hit[0] != mtime_ns
+        or not os.path.exists(os.path.join(hit[1], "events.parquet"))
+    ):
+        shutil.rmtree(hit[1], ignore_errors=True)  # stale or reaped stage
+        hit = None
+    if hit is None:
         stage = tempfile.mkdtemp(prefix="events_stream_")
         shutil.copy(src, os.path.join(stage, "events.parquet"))
-        _STREAM_STAGE_MEMO[key] = (stage, spark.read.parquet(src).schema)
-    stage, raw_schema = _STREAM_STAGE_MEMO[key]
+        _STREAM_STAGE_MEMO[src] = (mtime_ns, stage, spark.read.parquet(src).schema)
+        if not _STREAM_STAGE_ATEXIT_ARMED:
+            atexit.register(_stream_stage_cleanup)
+            _STREAM_STAGE_ATEXIT_ARMED = True
+    _, stage, raw_schema = _STREAM_STAGE_MEMO[src]
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     # ts arrives as INT64-nanos (legacy testdata, nanosAsLong), as
     # TIMESTAMP_NTZ (plain parquet timestamp), or as TIMESTAMP — normalize
