@@ -58,7 +58,7 @@ _WINDOW_EXEMPT_CHANGED: dict[str, str] = {
 
 _DRIVER_WINDOW = [
     # Round-13 rotation (tools/freshness.py --plan, self-checking):
-    # (a) 24 changed entries — the function-level attribution promotes
+    # (a) 25 changed entries — the function-level attribution promotes
     #     exactly the entries whose USED DEFS changed this round: the
     #     two span-edited entries (hybrid_rrf_retrieval's query-norm
     #     precompute; json_codec_roundtrip, whose span the interrupted
@@ -72,8 +72,9 @@ _DRIVER_WINDOW = [
     #     (plan-build cache, certified by two full 211-strict runs) —
     #     without the exemption it would promote all 211 entries.
     # (b) the oldest unchanged driver rows: the full 16-row remaining
-    #     r07 cohort and the 10 oldest r08 rows (the freshness target —
-    #     after r13 no union row is older than r08).
+    #     r07 cohort and the 9 oldest r08 rows that still fit after
+    #     dedup_simhash displaced dedup_semantic_embedding (the
+    #     freshness target — after r13 no union row is older than r08).
     "ann_quantized_topk",  # changed
     "hybrid_rrf_retrieval",  # changed
     "json_codec_roundtrip",  # changed

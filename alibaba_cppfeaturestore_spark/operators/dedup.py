@@ -659,7 +659,16 @@ def minhash_lsh_duplicates_incremental(
     scanned only for the candidate ids the band join surfaces.
 
     Returns pairs (id_a, id_b, jaccard_sim), id_a < id_b, where at least
-    one side is a new document. Ids must be unique across history ∪ new.
+    one side is a new document. Ids must be unique across history ∪ new —
+    in particular history and batch id sets are assumed DISJOINT. That
+    assumption also scopes the r13 screen-before-dedup rewrite's
+    "output identical" claim (r13 advice): an id present in BOTH the
+    index and the batch with edited text carries two different
+    signatures through ``union_banded``, and the screen-first order
+    keeps a pair if ANY of its signature combinations passes where the
+    old dedup-first order screened one arbitrary surviving occurrence.
+    Under the documented disjointness precondition each id has exactly
+    one signature and the two orders are bit-identical.
     ``history_texts`` is the historical ``(id_col, text_col)`` source used
     for exact verification (candidate-id join → pruned/bloom-filtered
     scan, not a full pass). The hash parameters MUST match the ones the
