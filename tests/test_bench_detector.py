@@ -271,3 +271,112 @@ def test_empty_comparison_is_an_error_not_a_pass(tmp_path):
     )
     assert "error" in block
     assert "deltas" not in block
+
+
+def test_compact_stdout_line_fits_driver_tail():
+    # r13 verdict item 2: the one-line stdout JSON must survive the
+    # driver's 2000-byte tail WHOLE. Build the compact payload with the
+    # REAL headline-query names and worst-case numeric widths (999.999 s
+    # timings, 9.999 spreads) and assert the serialized line fits with
+    # margin for a handful of future query additions.
+    from alibaba_cppfeaturestore_spark.plans.catalog import QUERIES
+
+    headline = [n for n, qd in QUERIES.items() if qd.headline]
+    assert len(headline) >= 18
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: 999.999 for n in headline},
+        "sf": 0.1,
+        "canary": {"name": "q1_pricing_summary", "sec": 999.999},
+        "canary2": {"name": "minhash_lsh_fixed_probe", "sec": 999.999, "spread": 9.999},
+        "queries_sample_spread": {n: 9.999 for n in headline},
+        "methodology": bench.METHODOLOGY,
+    }
+    line = json.dumps(bench._compact_stdout_payload(payload), separators=(",", ":"))
+    assert len(line.encode()) < 1900, len(line.encode())  # 100 B headroom under 2000
+    # and the compact subset keeps the driver's one-line contract fields
+    got = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in got
+
+
+def test_detector_derives_norm_from_compact_v4_line(tmp_path):
+    # v4 artifacts no longer print queries_canary_normalized; the
+    # detector must derive it from queries + the canary dict's sec —
+    # a full comparison against a compact-line prev artifact engages.
+    line = {
+        "metric": "headline_queries_total",
+        "value": 1.2,
+        "unit": "sec",
+        "queries": {"q1_pricing_summary": 0.4, "qa": 0.8},
+        "sf": 0.1,
+        "canary": {"name": "q1_pricing_summary", "sec": 0.4},
+        "canary2": {"name": "minhash_lsh_fixed_probe", "sec": 1.5, "spread": 0.02},
+        "queries_sample_spread": {"q1_pricing_summary": 0.0, "qa": 0.0},
+        "methodology": bench.METHODOLOGY,
+    }
+    wrapper = {"n": 42, "rc": 0, "tail": json.dumps(line, separators=(",", ":")) + "\n"}
+    (tmp_path / "BENCH_r42.json").write_text(json.dumps(wrapper))
+    fields = bench._extract_bench_fields((tmp_path / "BENCH_r42.json").read_text())
+    assert fields["queries_canary_normalized"] == {"q1_pricing_summary": 1.0, "qa": 2.0}
+    assert fields["canary2_spread"] == 0.02
+    block = bench._prev_comparison(
+        {"q1_pricing_summary": 1.0, "qa": 2.0},
+        artifact_dir=str(tmp_path),
+        canary_sec=0.4,
+        canary2_sec=1.5,
+    )
+    assert block["canary_basis"]["applied"] is True
+    assert block["deltas"]["qa"] == 0.0
+    assert block["same_measurement_basis"] is True
+
+
+def test_canary2_spread_joins_noise_when_it_is_the_host_witness(tmp_path):
+    # r13 advice: when the dual-canary correction flows through canary2
+    # (host witness = r2), canary2's best-of variance enters every
+    # corrected delta — a flag that does not clear it must demote.
+    _write_prev(
+        tmp_path, 42, {"q1_pricing_summary": 1.0, "qx": 2.0},
+        spread={"q1_pricing_summary": 0.0, "qx": 0.0},
+        canary_sec=0.4, canary2_sec=1.5,
+    )
+    # q1 halves (structural), canary2 flat -> host witness is canary2,
+    # correction = 0.5; qx raw flat => single delta +100%, corrected 0.
+    # Make qx corrected delta +30% instead (raw 0.8 -> 1.04) and give
+    # THIS run's canary2 a 0.4 spread: noise 0.4 > 0.3 -> subnoise.
+    block = bench._prev_comparison(
+        {"q1_pricing_summary": 1.0, "qx": 5.2},
+        artifact_dir=str(tmp_path),
+        spreads={"q1_pricing_summary": 0.0, "qx": 0.0},
+        canary_sec=0.2, canary2_sec=1.5, canary2_spread=0.4,
+    )
+    assert block["canary_basis"]["applied"] is True
+    assert block["canary_basis"]["host_ratio_used"] == 1.0
+    assert block["deltas"]["qx"] == 0.3
+    assert "qx" in block["flagged_subnoise_over_25pct"]
+    # without canary2's spread the same delta would have been flagged
+    block2 = bench._prev_comparison(
+        {"q1_pricing_summary": 1.0, "qx": 5.2},
+        artifact_dir=str(tmp_path),
+        spreads={"q1_pricing_summary": 0.0, "qx": 0.0},
+        canary_sec=0.2, canary2_sec=1.5, canary2_spread=0.0,
+    )
+    assert "qx" in block2["flagged_over_25pct"]
+
+
+def test_descend_to_flat_sampling_policy():
+    # v4: extra attempts trigger on (a) >25% disagreement of the first
+    # two samples (the v3 rule) or (b) the newest sample being a >5% new
+    # minimum (still descending the JIT decay curve). Converged or
+    # noisy-but-flat series stop immediately.
+    need = bench._needs_another_sample
+    assert need([3.3, 2.0]) is True            # v3 spread rule
+    assert need([2.72, 2.50]) is True          # v4: -8% new min, still descending
+    assert need([1.00, 0.99]) is False         # flat within noise
+    assert need([1.00, 1.20]) is False         # slower second sample, agrees
+    assert need([2.72, 2.50, 1.88]) is True    # the r14 minhash decay curve
+    assert need([2.72, 2.50, 1.88, 1.87]) is False  # plateaued -> stop
+    assert need([1.0, 0.9, 0.95]) is False     # newest not a new min
+    assert bench._MAX_ATTEMPTS == 5            # hard cap documented
