@@ -3072,14 +3072,19 @@ def stream_tumbling_window_counts(spark, sf_dir):
     """Watermarked tumbling-window aggregation run as a REAL streaming
     query (file source → window agg → memory sink, availableNow).
 
-    state_partitions=8: streaming state partitioning is pinned at
+    state_partitions=4: streaming state partitioning is pinned at
     checkpoint creation (AQE never resizes stateful exchanges), so it is
     sized HERE, to the state's actual cardinality — |hour windows| ×
     |event types| keys, a few thousand — where the batch default (32)
-    pays 4× the per-store maintenance (snapshot/delta/commit per
+    pays 8× the per-store maintenance (snapshot/delta/commit per
     micro-batch) for stores that are near-empty. Measured at sf0.1:
-    1.75 s → 1.26 s, identical output. A deployment with unbounded key
-    cardinality sizes UP instead — the knob is the design point."""
+    32 stores 1.75 s → 8 stores 1.26 s (r11) → 4 stores, lifecycle
+    phase 0.94 s → 0.71 s (r14; sp=2 measured equal to 4 — 4 keeps
+    parallel headroom for the larger key counts of bigger SFs).
+    Identical output at every width: the guarded-decimal sum is
+    summation-order-invariant by construction. A deployment with
+    unbounded key cardinality sizes UP instead — the knob is the
+    design point, exactly-once/recovery semantics are untouched."""
     from ..streaming.pipeline import run_bounded_to_memory
 
     stream = _stream_events(spark, sf_dir)
@@ -3091,7 +3096,7 @@ def stream_tumbling_window_counts(spark, sf_dir):
             F.round(F.sum(_dec_value()), 2).cast("double").alias("total_value"),
         )
     )
-    result = run_bounded_to_memory(agg, output_mode="complete", state_partitions=8)
+    result = run_bounded_to_memory(agg, output_mode="complete", state_partitions=4)
     return result.select(
         F.col("window.start").alias("window_start"),
         "event_type",
