@@ -99,77 +99,73 @@ _WINDOW_EXEMPT_CHANGED: dict[str, str] = {
 }
 
 _DRIVER_WINDOW = [
-    # Round-13 rotation (tools/freshness.py --plan, self-checking):
-    # (a) 25 changed entries — the function-level attribution promotes
-    #     exactly the entries whose USED DEFS changed this round: the
-    #     two span-edited entries (hybrid_rrf_retrieval's query-norm
-    #     precompute; json_codec_roundtrip, whose span the interrupted
-    #     session's catalog edits crossed), the ANN family (per-side
-    #     norm precompute + score-before-dedup), the dedup family
-    #     (shared shingle persist, single-exchange PPJoin index,
-    #     incremental single-shingle), the kv entries (\\A/\\z anchor
-    #     fix), the multimodal entries (Arrow-feed pruning), and the
-    #     curation composites that consume those operators. The
-    #     plans/views.py load_table memo is module-exempted above
-    #     (plan-build cache, certified by two full 211-strict runs) —
-    #     without the exemption it would promote all 211 entries.
-    # (b) the oldest unchanged driver rows: the full 16-row remaining
-    #     r07 cohort and the 9 oldest r08 rows that still fit after
-    #     dedup_simhash displaced dedup_semantic_embedding (the
-    #     freshness target — after r13 no union row is older than r08).
-    "ann_quantized_topk",  # changed
-    "hybrid_rrf_retrieval",  # changed
+    # Round-14 rotation (tools/freshness.py --plan, adopted verbatim):
+    # (a) 8 changed entries — stream_tumbling_window_counts is the one
+    #     REAL plan-affecting change this round (state_partitions 8->4,
+    #     measured, output-identical); json_codec_roundtrip's span was
+    #     crossed by the adjacent stream-staging-memo rework;
+    #     aliccp_silver_to_gold_e2e, the ANN family and
+    #     multimodal_embed_topk are promoted through the call-graph
+    #     reverse closure over this round's lifecycle-only edits
+    #     (register_persisted wrapping / memo re-key — the module
+    #     exemptions above document why the other 50+ dependents are
+    #     exempted rather than windowed; these six carry causes the
+    #     closure attributes to non-exempt modules, so they rotate in
+    #     as the conservative answer).
+    # (b) the oldest unchanged driver rows, oldest-first: the remaining
+    #     r08 cohort, the full r09 cohort, and the two oldest r10 rows.
     "json_codec_roundtrip",  # changed
-    "set_except_keys",  # changed
-    "aliccp_bronze_to_silver_e2e",  # changed
+    "stream_tumbling_window_counts",  # changed
+    "aliccp_silver_to_gold_e2e",  # changed
     "ann_brute_force_topk",  # changed
     "ann_ivf_portable_topk",  # changed
     "ann_ivf_topk",  # changed
     "ann_lsh_bucketed_topk",  # changed
-    "dedup_clusters",  # changed
-    "dedup_lsh_recall_audit",  # changed
-    "dedup_minhash_incremental",  # changed
-    "dedup_minhash_lsh",  # changed
-    "dedup_simhash",  # changed (hamming filter moved before the pair dedup)
-    "dedup_ngram_jaccard_indexed",  # changed
-    "dedup_paragraph_exact",  # changed
-    "graph_pagerank_trade_network",  # changed
-    "kv_merge_lastwin",  # changed
-    "kv_parse_roundtrip",  # changed
-    "llm_corpus_curation_e2e",  # changed
-    "llm_corpus_curation_funnel",  # changed
-    "llm_corpus_curation_lsh_counts",  # changed
-    "multimodal_decode_metadata",  # changed
     "multimodal_embed_topk",  # changed
-    "multimodal_frame_sample",  # changed
-    "anomaly_mad_outliers",  # r07
-    "bm25_topk_retrieval",  # r07
-    "contamination_ngram_overlap",  # r07
-    "corpus_data_card",  # r07
-    "dict_apply_lang",  # r07
-    "feature_hashing_trick",  # r07
-    "feature_impute_missing",  # r07
-    "feature_quantile_bins",  # r07
-    "funnel_time_to_convert",  # r07
-    "grouped_mode_bucket",  # r07
-    "incremental_agg_maintenance",  # r07
-    "melt_lineitem_charges",  # r07
-    "partition_pruned_read",  # r07
-    "profile_events_table",  # r07
-    "txlog_wap_publish",  # r07
-    "window_range_moving_avg",  # r07
-    "agg_quantiles_order_value",  # r08
-    "agg_ratio_to_report",  # r08
-    "analytics_percentile_bands",  # r08
-    "ann_index_occupancy_audit",  # r08
-    "ann_recall_audit",  # r08
-    "corpus_top_terms",  # r08
-    "csv_codec_roundtrip",  # r08
-    "customer_tier_migration",  # r08
-    "dedup_bottomk_sketch",  # r08
-    # (dedup_semantic_embedding, the next r08 row, yielded its slot to
-    # the late-landing dedup_simhash change; it rotates at r14)
+    "dedup_semantic_embedding",  # r08
+    "embedding_random_projection",  # r08
+    "embedding_threshold_pairs",  # r08
+    "feature_standard_scale",  # r08
+    "feature_winsorize",  # r08
+    "group_percentile_exact",  # r08
+    "heavy_hitter_tokens",  # r08
+    "histogram_order_values",  # r08
+    "jdbc_roundtrip_derby",  # r08
+    "layout_zorder_clustering",  # r08
+    "pareto_revenue_concentration",  # r08
+    "q12_priority_line_mix",  # r08
+    "q13_customer_order_distribution",  # r08
+    "agg_pivot_user_event_values",  # r09
+    "attribution_first_vs_last_touch",  # r09
+    "dq_event_order_cadence",  # r09
+    "feature_correlations",  # r09
+    "feature_quantile_normalize",  # r09
+    "histogram_percentile_estimate",  # r09
+    "markov_event_transitions",  # r09
+    "online_lookup_latest_features",  # r09
+    "path_top_event_sequences",  # r09
+    "proj_select_cast",  # r09
+    "q14_promo_revenue_share",  # r09
+    "q15_top_revenue_supplier",  # r09
+    "q21_sole_late_suppliers",  # r09
+    "q4_late_order_priority",  # r09
+    "q5_local_supplier_volume",  # r09
+    "q7_nation_volume_shipping",  # r09
+    "q8_market_share",  # r09
+    "q9_product_type_profit",  # r09
+    "quality_unigram_logprob",  # r09
+    "scalar_math_funcs",  # r09
+    "scd2_interval_lookup",  # r09
+    "scd2_user_event_history",  # r09
+    "stream_checkpoint_restart",  # r09
+    "stream_online_upsert",  # r09
+    "token_count_bpe",  # r09
+    "window_running_user_spend",  # r09
+    "window_value_functions",  # r09
+    "asof_join_with_ttl",  # r10
+    "asof_last_view_before_click",  # r10
 ]
+
 
 
 def _ordered():
