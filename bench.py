@@ -235,8 +235,16 @@ def _prev_comparison(
     artifact_dir = artifact_dir or REPO
     anchor = os.path.join(artifact_dir, os.path.basename(LOCAL_ANCHOR))
     candidates: list[tuple[str, int]] = []  # (path, driver round or -1)
+    # EXACT name match only: the driver also deposits low-core artifacts
+    # (BENCH_r13_c8.json) that the old BENCH_r*.json glob matched with
+    # the SAME round key — a stable-sort coin flip away from comparing
+    # this 32-core run against an 8-core prev
     arts = sorted(
-        glob.glob(os.path.join(artifact_dir, "BENCH_r*.json")),
+        (
+            p
+            for p in glob.glob(os.path.join(artifact_dir, "BENCH_r*.json"))
+            if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+        ),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     if arts:

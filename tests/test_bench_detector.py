@@ -380,3 +380,21 @@ def test_descend_to_flat_sampling_policy():
     assert need([2.72, 2.50, 1.88, 1.87]) is False  # plateaued -> stop
     assert need([1.0, 0.9, 0.95]) is False     # newest not a new min
     assert bench._MAX_ATTEMPTS == 5            # hard cap documented
+
+
+def test_low_core_artifacts_never_chosen_as_prev(tmp_path):
+    # The driver deposits BENCH_r13_c8.json (8-core scaling run) next to
+    # BENCH_r13.json; the round-number sort key ties and a stable-sort
+    # coin flip could compare a 32-core run against 8-core numbers.
+    # Only exact BENCH_r<d>.json names are comparison candidates.
+    _write_prev(tmp_path, 13, {"q1_pricing_summary": 1.0, "qa": 2.0})
+    # an 8-core artifact of the SAME round with wildly different values
+    line = {"methodology": bench.METHODOLOGY,
+            "queries_canary_normalized": {"q1_pricing_summary": 1.0, "qa": 99.0}}
+    wrapper = {"n": 13, "rc": 0, "tail": json.dumps(line) + "\n"}
+    (tmp_path / "BENCH_r13_c8.json").write_text(json.dumps(wrapper))
+    block = bench._prev_comparison(
+        {"q1_pricing_summary": 1.0, "qa": 2.0}, artifact_dir=str(tmp_path)
+    )
+    assert block["prev_artifact"] == "BENCH_r13.json"
+    assert block["deltas"]["qa"] == 0.0
